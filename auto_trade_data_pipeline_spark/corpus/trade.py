@@ -1,0 +1,370 @@
+"""Trade-pipeline operator queries (SURVEY §2.1-2.4) over the driver's
+``events`` table playing ``ticks`` (FIXTURES.md §B).
+
+Shared oracle preamble: the same ticks mapping the Spark side uses
+(:func:`sources.ticks_from_events`), expressed in DuckDB SQL. The
+``CAST(ts AS TIMESTAMP)`` truncates DuckDB's TIMESTAMP_NS to
+microseconds — the same truncation our Spark loader applies to the
+nanos parquet column, so both engines see identical instants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles, candles_to_ticks
+from auto_trade_data_pipeline_spark.operators.dedup import dedup_keep_last, upsert
+from auto_trade_data_pipeline_spark.operators.validation import (
+    tick_quality_report,
+    tick_valid_predicate,
+    validate_split,
+)
+from auto_trade_data_pipeline_spark.sources import load_table, ticks_from_events
+
+#: DuckDB equivalent of sources.ticks_from_events — keep in lockstep.
+TICKS_CTE = """
+ticks AS (
+  SELECT event_type AS symbol,
+         CAST(ts AS TIMESTAMP) AS timestamp,
+         value AS price,
+         CASE WHEN event_id % 10 = 0 THEN 0.0 ELSE abs(value) END AS volume,
+         event_id AS tick_id
+  FROM events
+)
+"""
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_US_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+TS_US_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _fmt(col, micros: bool = False):
+    return F.date_format(col, TS_US_FMT_SPARK if micros else TS_FMT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# A1-A3: candle aggregation (the flagship)
+# ---------------------------------------------------------------------------
+
+_CANDLES_ORACLE = f"""
+WITH {TICKS_CTE},
+b AS (
+  SELECT symbol, date_trunc('second', timestamp) AS bucket, price, volume, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('second', timestamp)
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, date_trunc('second', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+)
+SELECT symbol,
+       strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       max(CASE WHEN ra = 1 THEN price END) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       max(CASE WHEN rd = 1 THEN price END) AS close,
+       round(sum(volume), 4) AS volume,
+       count(*) AS number_of_trades,
+       CASE WHEN sum(volume) > 0
+            THEN round(sum(price * volume) / sum(volume), 6) END AS vwap
+FROM b
+GROUP BY symbol, bucket
+"""
+
+
+@register("candles_1s", _CANDLES_ORACLE, tags=("A1", "A2", "A3", "S4", "P1"))
+def candles_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-second OHLCV+VWAP candles (reference
+    ``src/aggregator_candles.py:181-226``). One hash-agg, map-side
+    partial aggregation, shuffle keyed (symbol, bucket)."""
+    c = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    return c.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("volume"),
+        "number_of_trades",
+        F.round("vwap", 6).alias("vwap"),
+    )
+
+
+_CANDLES_1M_ORACLE = f"""
+WITH {TICKS_CTE},
+b1 AS (
+  SELECT symbol, date_trunc('second', timestamp) AS bucket, price, volume, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('second', timestamp)
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, date_trunc('second', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+c1s AS (
+  SELECT symbol, bucket AS timestamp,
+         max(CASE WHEN ra = 1 THEN price END) AS open,
+         max(price) AS high, min(price) AS low,
+         max(CASE WHEN rd = 1 THEN price END) AS close,
+         sum(volume) AS volume
+  FROM b1 GROUP BY symbol, bucket
+),
+b2 AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, close AS price, volume, timestamp,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp) AS ra,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC) AS rd
+  FROM c1s
+)
+SELECT symbol,
+       strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       max(CASE WHEN ra = 1 THEN price END) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       max(CASE WHEN rd = 1 THEN price END) AS close,
+       round(sum(volume), 4) AS volume,
+       count(*) AS number_of_trades,
+       CASE WHEN sum(volume) > 0
+            THEN round(sum(price * volume) / sum(volume), 6) END AS vwap
+FROM b2
+GROUP BY symbol, bucket
+"""
+
+
+@register("candles_1m_cascade", _CANDLES_1M_ORACLE, tags=("A1", "A2", "A3"))
+def candles_1m_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading candle-of-candles: 1s candles re-aggregated to 1m with
+    price := close (the reference's ``use_raw=False`` hook,
+    ``src/aggregator_candles.py:196,312``)."""
+    c1s = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    c1m = aggregate_candles(candles_to_ticks(c1s), 60)
+    return c1m.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("volume"),
+        "number_of_trades",
+        F.round("vwap", 6).alias("vwap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 / J3 / S7: dedup + upsert
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = f"""
+WITH {TICKS_CTE},
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                               ORDER BY timestamp DESC, tick_id DESC) AS rn
+  FROM ticks
+)
+SELECT symbol,
+       strftime(timestamp, '{TS_US_FMT_DUCK}') AS ts,
+       price, volume, tick_id
+FROM r WHERE rn = 1
+"""
+
+
+@register("dedup_keep_last", _DEDUP_ORACLE, tags=("A10",))
+def dedup_keep_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keep-last (``drop_duplicates(keep='last')``,
+    ``src/fetch_historical_trades_nvda.py:245``) made deterministic with
+    an explicit (timestamp, tick_id) ordering — SURVEY §7 hard-part 3.
+    Key: (symbol, minute) so the operator actually collapses rows."""
+    t = ticks_from_events(spark, sf_dir).withColumn(
+        "minute", F.date_trunc("minute", F.col("timestamp"))
+    )
+    d = dedup_keep_last(t, ["symbol", "minute"], ["timestamp", "tick_id"])
+    return d.select(
+        "symbol", _fmt("timestamp", micros=True).alias("ts"), "price", "volume", "tick_id"
+    )
+
+
+_UPSERT_ORACLE = f"""
+WITH {TICKS_CTE},
+old AS (SELECT * FROM ticks WHERE tick_id % 2 = 0),
+new AS (SELECT symbol, timestamp, price + 1.0 AS price, volume, tick_id
+        FROM ticks WHERE tick_id % 3 = 0)
+SELECT symbol, strftime(timestamp, '{TS_US_FMT_DUCK}') AS ts, price, volume
+FROM new
+UNION ALL
+SELECT o.symbol, strftime(o.timestamp, '{TS_US_FMT_DUCK}') AS ts, o.price, o.volume
+FROM old o
+WHERE NOT EXISTS (SELECT 1 FROM new n
+                  WHERE n.symbol = o.symbol AND n.timestamp = o.timestamp)
+"""
+
+
+@register("upsert_merge", _UPSERT_ORACLE, tags=("S7", "J3", "J2"))
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert: updates win over existing rows
+    (``src/fetch_historical_trades_nvda.py:237-248``) = new ∪ (old
+    anti-join new). AQE broadcasts the distinct-key side when small."""
+    t = ticks_from_events(spark, sf_dir)
+    old = t.filter(F.col("tick_id") % 2 == 0)
+    new = t.filter(F.col("tick_id") % 3 == 0).withColumn("price", F.col("price") + 1.0)
+    merged = upsert(old, new, keys=["symbol", "timestamp"])
+    return merged.select(
+        "symbol", _fmt("timestamp", micros=True).alias("ts"), "price", "volume"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2-P4 / S9 / A5: validation split + quality report
+# ---------------------------------------------------------------------------
+
+#: Deterministic fault injection so the validators have something to
+#: catch on the (clean) synthetic data; same expression both sides.
+_INJECT_SQL = """
+injected AS (
+  SELECT symbol, timestamp,
+         CASE WHEN tick_id % 97 = 0 THEN NULL
+              WHEN tick_id % 89 = 0 THEN -price
+              ELSE price END AS price,
+         CASE WHEN tick_id % 83 = 0 THEN -1.0 ELSE volume END AS volume,
+         tick_id
+  FROM ticks
+)
+"""
+
+
+def _injected_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = ticks_from_events(spark, sf_dir)
+    return t.select(
+        "symbol",
+        "timestamp",
+        F.when(F.col("tick_id") % 97 == 0, F.lit(None).cast("double"))
+        .when(F.col("tick_id") % 89 == 0, -F.col("price"))
+        .otherwise(F.col("price"))
+        .alias("price"),
+        F.when(F.col("tick_id") % 83 == 0, F.lit(-1.0)).otherwise(F.col("volume")).alias("volume"),
+        "tick_id",
+    )
+
+
+_INVALID_ORACLE = f"""
+WITH {TICKS_CTE}, {_INJECT_SQL}
+SELECT symbol, strftime(timestamp, '{TS_US_FMT_DUCK}') AS ts, price, volume, tick_id
+FROM injected
+WHERE NOT coalesce(price IS NOT NULL AND volume IS NOT NULL
+                   AND price > 0 AND volume >= 0, FALSE)
+"""
+
+
+@register("validation_split_invalid", _INVALID_ORACLE, tags=("P2", "P3", "S9"))
+def validation_split_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine side of the validation split
+    (``src/fetch_historical_trades_nvda.py:102-138``): null/range
+    violations diverted, one scan, two sinks."""
+    inv = validate_split(_injected_ticks(spark, sf_dir), tick_valid_predicate(), cache=False).invalid
+    return inv.select(
+        "symbol", _fmt("timestamp", micros=True).alias("ts"), "price", "volume", "tick_id"
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH {TICKS_CTE}, {_INJECT_SQL}
+SELECT count(*) AS total_rows,
+       sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS null_price,
+       sum(CASE WHEN volume IS NULL THEN 1 ELSE 0 END) AS null_volume,
+       sum(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+       sum(CASE WHEN volume < 0 THEN 1 ELSE 0 END) AS negative_volume,
+       sum(CASE WHEN timestamp IS NULL THEN 1 ELSE 0 END) AS bad_timestamp,
+       count(DISTINCT timestamp) AS distinct_timestamps,
+       strftime(min(timestamp), '{TS_US_FMT_DUCK}') AS min_ts,
+       strftime(max(timestamp), '{TS_US_FMT_DUCK}') AS max_ts
+FROM injected
+"""
+
+
+@register("tick_quality_report", _QUALITY_ORACLE, tags=("A5", "A6"))
+def tick_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass validation report
+    (``src/fetch_historical_trades_nvda.py:294-312``)."""
+    rpt = tick_quality_report(_injected_ticks(spark, sf_dir))
+    return rpt.select(
+        "total_rows",
+        "null_price",
+        "null_volume",
+        "nonpositive_price",
+        "negative_volume",
+        "bad_timestamp",
+        "distinct_timestamps",
+        _fmt("min_timestamp", micros=True).alias("min_ts"),
+        _fmt("max_timestamp", micros=True).alias("max_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5-P7: filters (time range, IN-list, weekend)
+# ---------------------------------------------------------------------------
+
+_FILTER_ORACLE = f"""
+WITH {TICKS_CTE}
+SELECT symbol, strftime(timestamp, '{TS_US_FMT_DUCK}') AS ts, price, volume, tick_id
+FROM ticks
+WHERE timestamp >= TIMESTAMP '2024-01-08 00:00:00'
+  AND timestamp <= TIMESTAMP '2024-01-14 23:59:59'
+  AND symbol IN ('click', 'purchase')
+  AND dayofweek(CAST(timestamp AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS TIMESTAMP)) NOT IN (0, 6)
+"""
+
+
+@register("filter_time_symbol_weekend", _FILTER_ORACLE, tags=("P5", "P6", "P7"))
+def filter_time_symbol_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed predicates: time-range (``src/aggregator_candles.py:85``),
+    IN-list (``:86-87``), NY weekend drop
+    (``src/fetch_historical_trades_nvda.py:97-99``). All push down to
+    the parquet scan."""
+    t = ticks_from_events(spark, sf_dir)
+    ny = F.from_utc_timestamp(F.col("timestamp"), "America/New_York")
+    out = t.filter(
+        F.col("timestamp").between("2024-01-08 00:00:00", "2024-01-14 23:59:59")
+        & F.col("symbol").isin("click", "purchase")
+        & ~F.dayofweek(ny).isin(1, 7)  # Spark: 1=Sunday..7=Saturday
+    )
+    return out.select(
+        "symbol", _fmt("timestamp", micros=True).alias("ts"), "price", "volume", "tick_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 / A9: counts & distinct discovery
+# ---------------------------------------------------------------------------
+
+_SYMBOL_STATS_ORACLE = f"""
+WITH {TICKS_CTE}
+SELECT symbol,
+       count(*) AS n_ticks,
+       count(DISTINCT date_trunc('second', timestamp)) AS n_buckets,
+       strftime(min(timestamp), '{TS_US_FMT_DUCK}') AS first_ts,
+       strftime(max(timestamp), '{TS_US_FMT_DUCK}') AS last_ts,
+       round(sum(volume), 4) AS total_volume
+FROM ticks
+GROUP BY symbol
+"""
+
+
+@register("symbol_stats", _SYMBOL_STATS_ORACLE, tags=("A4", "A5", "A9"))
+def symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol counts/span — the aggregator's pre-flight count guard
+    and symbol discovery (``src/aggregator_candles.py:165-178,465``)."""
+    t = ticks_from_events(spark, sf_dir)
+    return t.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.countDistinct(F.date_trunc("second", F.col("timestamp"))).alias("n_buckets"),
+        _fmt(F.min("timestamp"), micros=True).alias("first_ts"),
+        _fmt(F.max("timestamp"), micros=True).alias("last_ts"),
+        F.round(F.sum("volume"), 4).alias("total_volume"),
+    )
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")

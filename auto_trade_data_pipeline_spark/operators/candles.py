@@ -1,0 +1,95 @@
+"""Candle aggregation — the heart of the reference (A1-A3).
+
+Reference semantics (``src/aggregator_candles.py:181-226``):
+  bucket = timestamp.floor(n seconds)                        (:197)
+  open   = first price in bucket,  close = last price        (:206,209)
+  high   = max, low = min, volume = sum, trades = count      (:200-211)
+  vwap   = sum(price*volume)/sum(volume), NULL if sum==0     (:212,147)
+
+Ordered-first/last trap (SURVEY §2.4 note): pandas first()/last() are
+input-order, which on the concat-merged CSV is nondeterministic. We
+implement the *intent* deterministically:
+  open  = min_by(price, (timestamp, tick_id))
+  close = max_by(price, (timestamp, tick_id))
+with ``tick_id`` (monotonic ingest id) breaking sub-second ties.
+
+Scale notes: one hash aggregation, shuffle keyed on
+(symbol, bucket_ts) — partial aggregation happens map-side, so 100 TB
+of ticks reduces to |symbols|×|buckets| rows before the exchange. No
+window function, no sort. ``use_raw`` mirrors the reference's hook
+(``:196,312``) for cascading candle-of-candle timeframes
+(1s→1m→1h...) where the input price column is ``close``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_ts(col: str, seconds: int) -> F.Column:
+    """Tumbling-bucket assignment (A1): floor a timestamp to an
+    n-second boundary — ``timestamp.dt.floor(f"{n}s")`` at
+    ``src/aggregator_candles.py:197``. Integer math on epoch seconds
+    keeps it codegen-friendly; for calendar-aware buckets use
+    ``F.window`` instead (streaming module does).
+    """
+    if seconds <= 0:
+        raise ValueError(f"bucket seconds must be positive, got {seconds}")
+    epoch = F.unix_timestamp(F.col(col))
+    return F.timestamp_seconds((epoch - (epoch % seconds)).cast("long"))
+
+
+def aggregate_candles(
+    ticks: DataFrame,
+    timeframe_seconds: int = 1,
+    price_col: str = "price",
+    volume_col: str = "volume",
+    symbol_col: str = "symbol",
+    ts_col: str = "timestamp",
+    id_col: str = "tick_id",
+) -> DataFrame:
+    """Grouped OHLCV+VWAP aggregation (A1-A3) →
+    schema :data:`schemas.CANDLES`.
+
+    ``price_col='close'`` + a candle input gives the reference's
+    ``use_raw=False`` cascading mode (``src/aggregator_candles.py:196``).
+    """
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    price = F.col(price_col)
+    vol = F.col(volume_col)
+    out = (
+        ticks.groupBy(
+            F.col(symbol_col).alias("symbol"),
+            bucket_ts(ts_col, timeframe_seconds).alias("timestamp"),
+        )
+        .agg(
+            F.min_by(price, order).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, order).alias("close"),
+            F.sum(vol).alias("volume"),
+            F.count(F.lit(1)).alias("number_of_trades"),
+            F.sum(price * vol).alias("pv"),
+        )
+        .withColumn(
+            "vwap",
+            F.when(F.col("volume") > 0, F.col("pv") / F.col("volume")),
+        )
+        .drop("pv")
+    )
+    return out
+
+
+def candles_to_ticks(candles: DataFrame) -> DataFrame:
+    """Adapter for cascading timeframes: present candles as the tick
+    input of the next aggregation level (price := close, the
+    reference's ``use_raw=False`` path, ``src/aggregator_candles.py:312``).
+    A synthetic monotone id keeps ordered-open/close deterministic."""
+    return candles.select(
+        "symbol",
+        "timestamp",
+        F.col("close").alias("price"),
+        "volume",
+        F.unix_timestamp("timestamp").alias("tick_id"),
+    )

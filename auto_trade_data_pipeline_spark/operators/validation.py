@@ -1,0 +1,108 @@
+"""Validation with side-output (P2-P4, S9, A5, A6).
+
+The reference validates every batch and diverts invalid rows to a
+quarantine CSV (``src/fetch_historical_trades_nvda.py:102-138`` for
+ticks, ``src/candle_to_calcs.py:76-136`` for candles;
+``validate_final_csv`` report ``src/fetch_historical_trades_nvda.py:286-325``).
+
+Spark-first shape: build ONE boolean `valid` predicate column, then
+split the (cached) scan into two frames — `df.filter(p)` streams to the
+main pipeline, `df.filter(~p)` to the quarantine sink. On a cluster
+this is a single pass over the data with two sinks, no driver loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class SplitResult(NamedTuple):
+    valid: DataFrame
+    invalid: DataFrame
+
+
+def tick_valid_predicate(ts_str_col: str | None = None) -> Column:
+    """The reference's tick validity rule
+    (``src/fetch_historical_trades_nvda.py:108-124``):
+    price/volume non-null (P2), price > 0 and volume >= 0 (P3), and —
+    when the on-disk string timestamp is still present — the strict
+    format regex (P4, ``:48``).
+    """
+    p = (
+        F.col("price").isNotNull()
+        & F.col("volume").isNotNull()
+        & (F.col("price") > 0)
+        & (F.col("volume") >= 0)
+    )
+    if ts_str_col is not None:
+        p = p & F.col(ts_str_col).rlike(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6} UTC$")
+    else:
+        p = p & F.col("timestamp").isNotNull()
+    return p
+
+
+def candle_valid_predicate() -> Column:
+    """Candle validity (``src/candle_to_calcs.py:93-111``): required
+    numerics non-null (vwap exempt, ``src/aggregator_candles.py:147``),
+    high >= low, volume >= 0, and NOT(trades <= 0 while volume > 0)."""
+    required = ["open", "high", "low", "close", "volume", "number_of_trades"]
+    p = F.lit(True)
+    for c in required:
+        p = p & F.col(c).isNotNull()
+    return (
+        p
+        & (F.col("high") >= F.col("low"))
+        & (F.col("volume") >= 0)
+        & ~((F.col("number_of_trades") <= 0) & (F.col("volume") > 0))
+    )
+
+
+def validate_split(df: DataFrame, predicate: Column, cache: bool = True) -> SplitResult:
+    """Split into (valid, invalid) on one predicate — S9.
+
+    ``cache=True`` marks the input for reuse so the two sinks share one
+    scan in local mode; at cluster scale prefer writing the union with a
+    `valid` flag partition column, or two writes off a cached frame.
+    Null predicate results count as invalid (reference drops them via
+    dropna, ``src/fetch_historical_trades_nvda.py:225``).
+    """
+    flagged = df.withColumn("__valid", F.coalesce(predicate, F.lit(False)))
+    if cache:
+        flagged = flagged.cache()
+    return SplitResult(
+        valid=flagged.filter(F.col("__valid")).drop("__valid"),
+        invalid=flagged.filter(~F.col("__valid")).drop("__valid"),
+    )
+
+
+def tick_quality_report(df: DataFrame, ts_str_col: str | None = None) -> DataFrame:
+    """Single-pass validation aggregate report (A5),
+    ``src/fetch_historical_trades_nvda.py:294-312``: null counts,
+    invalid-value counts, bad-timestamp count, distinct timestamps,
+    min/max span, total rows.  One job, map-side partial aggregation.
+    """
+    bad_ts = (
+        ~F.col(ts_str_col).rlike(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6} UTC$")
+        if ts_str_col is not None
+        else F.col("timestamp").isNull()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0)).alias("null_price"),
+        F.sum(F.when(F.col("volume").isNull(), 1).otherwise(0)).alias("null_volume"),
+        F.sum(F.when(F.col("price") <= 0, 1).otherwise(0)).alias("nonpositive_price"),
+        F.sum(F.when(F.col("volume") < 0, 1).otherwise(0)).alias("negative_volume"),
+        F.sum(F.when(F.coalesce(bad_ts, F.lit(True)), 1).otherwise(0)).alias("bad_timestamp"),
+        F.countDistinct("timestamp").alias("distinct_timestamps"),
+        F.min("timestamp").alias("min_timestamp"),
+        F.max("timestamp").alias("max_timestamp"),
+    )
+
+
+def has_violations(df: DataFrame, predicate: Column) -> bool:
+    """Batch-rejecting any() check (A6), ``src/aggregator_candles.py:147-162``:
+    true if any row violates. `limit(1)` short-circuits the scan."""
+    return df.filter(~F.coalesce(predicate, F.lit(False))).limit(1).count() > 0

@@ -1,0 +1,49 @@
+"""Dedup / upsert determinism + idempotence (FIXTURES.md §C.4)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from auto_trade_data_pipeline_spark import schemas
+from auto_trade_data_pipeline_spark.operators.dedup import dedup_keep_last, upsert
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(s, datetime(2024, 1, 1, 0, 0, sec), p, v, i) for s, sec, p, v, i in rows],
+        schema=schemas.TICKS,
+    )
+
+
+def test_keep_last_by_order_col(spark):
+    df = _df(
+        spark,
+        [
+            ("NVDA", 1, 10.0, 1.0, 1),
+            ("NVDA", 1, 11.0, 1.0, 3),  # same key, higher id wins
+            ("NVDA", 1, 12.0, 1.0, 2),
+            ("AAPL", 1, 20.0, 1.0, 4),
+        ],
+    )
+    out = dedup_keep_last(df, ["symbol", "timestamp"], ["tick_id"]).collect()
+    got = {(r.symbol): r.price for r in out}
+    assert got == {"NVDA": 11.0, "AAPL": 20.0}
+
+
+def test_upsert_updates_win_and_idempotent(spark):
+    old = _df(spark, [("NVDA", 1, 10.0, 1.0, 1), ("NVDA", 2, 20.0, 1.0, 2)])
+    new = _df(spark, [("NVDA", 2, 99.0, 9.0, 3), ("NVDA", 3, 30.0, 1.0, 4)])
+
+    once = upsert(old, new, keys=["symbol", "timestamp"])
+    rows = {r.timestamp.second: (r.price, r.volume) for r in once.collect()}
+    assert rows == {1: (10.0, 1.0), 2: (99.0, 9.0), 3: (30.0, 1.0)}
+
+    twice = upsert(once, new, keys=["symbol", "timestamp"])
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+def test_upsert_dedups_updates_batch(spark):
+    old = _df(spark, [("NVDA", 1, 10.0, 1.0, 1)])
+    new = _df(spark, [("NVDA", 1, 50.0, 1.0, 2), ("NVDA", 1, 60.0, 1.0, 3)])
+    out = upsert(old, new, keys=["symbol", "timestamp"], order_cols=["tick_id"])
+    assert [r.price for r in out.collect()] == [60.0]

@@ -1,0 +1,40 @@
+"""Validation split partitions the input; quality report counts."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from auto_trade_data_pipeline_spark import schemas
+from auto_trade_data_pipeline_spark.operators.validation import (
+    candle_valid_predicate,
+    has_violations,
+    tick_valid_predicate,
+    validate_split,
+)
+
+
+def test_split_partitions_input(spark):
+    rows = [
+        ("NVDA", datetime(2024, 1, 1, 0, 0, 1), 10.0, 1.0, 1),   # valid
+        ("NVDA", datetime(2024, 1, 1, 0, 0, 2), None, 1.0, 2),   # null price
+        ("NVDA", datetime(2024, 1, 1, 0, 0, 3), -5.0, 1.0, 3),   # negative price
+        ("NVDA", datetime(2024, 1, 1, 0, 0, 4), 10.0, -1.0, 4),  # negative volume
+        ("NVDA", datetime(2024, 1, 1, 0, 0, 5), 10.0, 0.0, 5),   # volume 0 is valid
+    ]
+    df = spark.createDataFrame(rows, schema=schemas.TICKS)
+    valid, invalid = validate_split(df, tick_valid_predicate(), cache=False)
+    assert sorted(r.tick_id for r in valid.collect()) == [1, 5]
+    assert sorted(r.tick_id for r in invalid.collect()) == [2, 3, 4]
+
+
+def test_candle_predicate_and_any_check(spark):
+    base = dict(symbol="NVDA", timestamp=datetime(2024, 1, 1))
+    mk = lambda **kw: {**base, "open": 10.0, "high": 11.0, "low": 9.0, "close": 10.5,
+                       "volume": 5.0, "number_of_trades": 2, "vwap": 10.2, **kw}
+    good = spark.createDataFrame([mk()], schema=schemas.CANDLES)
+    bad = spark.createDataFrame(
+        [mk(high=8.0), mk(number_of_trades=0, volume=3.0)], schema=schemas.CANDLES
+    )
+    assert not has_violations(good, candle_valid_predicate())
+    assert has_violations(bad, candle_valid_predicate())
+    assert has_violations(good.unionByName(bad), candle_valid_predicate())

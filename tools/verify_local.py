@@ -1,0 +1,128 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every corpus query on Spark AND its DuckDB oracle at a given
+sf dir, compares row count, sorted column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted by
+their canonical string form). Strict string equality on canonical
+forms — if this passes, any reasonable driver comparison passes.
+
+Usage:  python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(rows: list[tuple], colnames: list[str]) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from auto_trade_data_pipeline_spark.corpus import load_all
+    from auto_trade_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    registry = load_all()
+    names = [n for n in sorted(registry) if not only or n in only]
+    failures, no_oracle = [], []
+    for name in names:
+        q = registry[name]
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL  {name}: spark side raised")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            no_oracle.append(name)
+            print(f"rows-only  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: oracle raised")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_count = len(srows) == len(orows)
+        sh = table_hash(srows, scols)
+        oh = table_hash(orows, ocols)
+        ok_hash = sh == oh
+        status = "ok   " if (ok_cols and ok_count and ok_hash) else "FAIL "
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(orows)} cols={'=' if ok_cols else scols} "
+            f"hash {'=' if ok_hash else f'{sh}!={oh}'} ({time.time()-t0:.1f}s)"
+        )
+        if status.startswith("FAIL"):
+            failures.append(name)
+            if not ok_cols:
+                print(f"    spark cols: {sorted(scols)}\n    duck  cols: {sorted(ocols)}")
+            if ok_cols and not ok_hash:
+                _diff(srows, scols, orows, ocols)
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed; {len(no_oracle)} rows-only")
+    return 1 if failures else 0
+
+
+def _diff(srows, scols, orows, ocols, limit: int = 5) -> None:
+    so = sorted(range(len(scols)), key=lambda i: scols[i])
+    oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    sset = {"|".join(canon(r[i]) for i in so) for r in srows}
+    oset = {"|".join(canon(r[i]) for i in oo) for r in orows}
+    print(f"    cols: {sorted(scols)}")
+    for ln in list(sorted(sset - oset))[:limit]:
+        print(f"    spark-only: {ln}")
+    for ln in list(sorted(oset - sset))[:limit]:
+        print(f"    duck-only : {ln}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
