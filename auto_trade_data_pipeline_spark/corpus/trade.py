@@ -29,7 +29,7 @@ ticks AS (
   SELECT event_type AS symbol,
          CAST(ts AS TIMESTAMP) AS timestamp,
          value AS price,
-         CASE WHEN event_id % 10 = 0 THEN 0.0 ELSE abs(value) END AS volume,
+         CASE WHEN event_id % 10 = 0 THEN 0.0 ELSE round(abs(value) * 100, 0) END AS volume,
          event_id AS tick_id
   FROM events
 )
@@ -49,28 +49,41 @@ def _fmt(col, micros: bool = False):
 # A1-A3: candle aggregation (the flagship)
 # ---------------------------------------------------------------------------
 
-_CANDLES_ORACLE = f"""
-WITH {TICKS_CTE},
-b AS (
+#: Reusable candle CTE (native types) — downstream enrichment oracles
+#: build on ``candles``; keep in lockstep with operators.candles.
+CANDLES_CTE = f"""{TICKS_CTE},
+cb AS (
   SELECT symbol, date_trunc('second', timestamp) AS bucket, price, volume, timestamp, tick_id,
          row_number() OVER (PARTITION BY symbol, date_trunc('second', timestamp)
                             ORDER BY timestamp, tick_id) AS ra,
          row_number() OVER (PARTITION BY symbol, date_trunc('second', timestamp)
                             ORDER BY timestamp DESC, tick_id DESC) AS rd
   FROM ticks
+),
+candles AS (
+  SELECT symbol,
+         bucket AS timestamp,
+         max(CASE WHEN ra = 1 THEN price END) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         max(CASE WHEN rd = 1 THEN price END) AS close,
+         sum(volume) AS volume,
+         count(*) AS number_of_trades,
+         CASE WHEN sum(volume) > 0 THEN sum(price * volume) / sum(volume) END AS vwap
+  FROM cb
+  GROUP BY symbol, bucket
 )
+"""
+
+_CANDLES_ORACLE = f"""
+WITH {CANDLES_CTE}
 SELECT symbol,
-       strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
-       max(CASE WHEN ra = 1 THEN price END) AS open,
-       max(price) AS high,
-       min(price) AS low,
-       max(CASE WHEN rd = 1 THEN price END) AS close,
-       round(sum(volume), 4) AS volume,
-       count(*) AS number_of_trades,
-       CASE WHEN sum(volume) > 0
-            THEN round(sum(price * volume) / sum(volume), 6) END AS vwap
-FROM b
-GROUP BY symbol, bucket
+       strftime(timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
+       open, high, low, close,
+       round(volume, 4) AS volume,
+       number_of_trades,
+       round(vwap, 4) AS vwap
+FROM candles
 """
 
 
@@ -89,7 +102,7 @@ def candles_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         F.round("volume", 4).alias("volume"),
         "number_of_trades",
-        F.round("vwap", 6).alias("vwap"),
+        F.round("vwap", 4).alias("vwap"),
     )
 
 
@@ -128,7 +141,7 @@ SELECT symbol,
        round(sum(volume), 4) AS volume,
        count(*) AS number_of_trades,
        CASE WHEN sum(volume) > 0
-            THEN round(sum(price * volume) / sum(volume), 6) END AS vwap
+            THEN round(sum(price * volume) / sum(volume), 4) END AS vwap
 FROM b2
 GROUP BY symbol, bucket
 """
@@ -150,7 +163,7 @@ def candles_1m_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         F.round("volume", 4).alias("volume"),
         "number_of_trades",
-        F.round("vwap", 6).alias("vwap"),
+        F.round("vwap", 4).alias("vwap"),
     )
 
 

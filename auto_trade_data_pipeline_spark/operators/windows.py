@@ -1,0 +1,203 @@
+"""Native Spark window / expression operators for the stage-3
+enrichment surface that does NOT need recursion: typical price (W1),
+Bollinger bands (W6), trend labels (W8), volume spikes (W10), session
+flags (W12), gap detection (W13), running daily extrema (A7), NY
+local-time derivation.
+
+All of these stay inside whole-stage codegen — plain column
+expressions or SQL window functions partitioned by symbol (and NY
+local date where the semantics are daily). No Python in the hot path.
+
+Per-symbol ordered windows mean per-symbol serial order within the
+partition; at scale we parallelize across symbols (SURVEY §4). Frames
+are ROWS-based and bounded except the daily running extrema, which is
+unbounded-preceding within a (symbol, day) partition — bounded state
+either way.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NY_TZ = "America/New_York"
+
+
+def symbol_window(order_cols: tuple[str, ...] = ("timestamp",)) -> Window:
+    return Window.partitionBy("symbol").orderBy(*order_cols)
+
+
+def with_local_time(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """NY wall-clock derivation (``src/candle_to_calcs.py:642-645``):
+    local_timestamp/local_date/local_hour/local_minute."""
+    local = F.from_utc_timestamp(F.col(ts_col), NY_TZ)
+    return (
+        df.withColumn("local_timestamp", local)
+        .withColumn("local_date", F.to_date(local))
+        .withColumn("local_hour", F.hour(local))
+        .withColumn("local_minute", F.minute(local))
+    )
+
+
+def with_typical_price(df: DataFrame) -> DataFrame:
+    """W1 (``src/candle_to_calcs.py:386``)."""
+    return df.withColumn(
+        "typical_price", (F.col("high") + F.col("low") + F.col("close")) / 3
+    )
+
+
+#: (flag, predicate builder) in reference order
+#: (``src/candle_to_calcs.py:366-377``). h = NY hour, m = NY minute.
+def _session_preds(h: Column, m: Column) -> list[tuple[str, Column]]:
+    return [
+        ("is_overnight_early", (h >= 0) & (h < 2)),
+        ("is_overnight_late", (h >= 2) & (h < 4)),
+        ("is_early_morning", (h >= 4) & (h < 8)),
+        ("is_premarket_early", (h >= 8) & (h < 9)),
+        ("is_premarket_morn", (h == 9) & (m < 30)),
+        ("is_morning", ((h == 9) & (m >= 30)) | (h == 10)),
+        ("is_late_morning", (h == 11) | ((h == 12) & (m < 30))),
+        ("is_midday", ((h == 12) & (m >= 30)) | (h == 13)),
+        ("is_early_afternoon", (h == 14) | ((h == 15) & (m < 30))),
+        ("is_late_afternoon", ((h == 15) & (m >= 30)) | ((h == 16) & (m < 30))),
+        ("is_closing", ((h == 16) & (m >= 30)) | ((h == 17) & (m < 1))),
+        ("is_afterhours", ((h == 17) & (m >= 1)) | (h >= 18)),
+    ]
+
+
+SESSION_FLAGS = [
+    "is_overnight_early",
+    "is_overnight_late",
+    "is_early_morning",
+    "is_premarket_early",
+    "is_premarket_morn",
+    "is_morning",
+    "is_late_morning",
+    "is_midday",
+    "is_early_afternoon",
+    "is_late_afternoon",
+    "is_closing",
+    "is_afterhours",
+]
+
+
+def with_session_flags(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """W12: 12 mutually-exclusive NY-session flags
+    (``src/candle_to_calcs.py:352-379``). The buckets partition the
+    24h day — exactly one flag is 1 per row (FIXTURES.md §C.5)."""
+    local = F.from_utc_timestamp(F.col(ts_col), NY_TZ)
+    h, m = F.hour(local), F.minute(local)
+    return df.withColumns(
+        {name: pred.cast("int") for name, pred in _session_preds(h, m)}
+    )
+
+
+def with_running_daily_extrema(df: DataFrame) -> DataFrame:
+    """A7: running day-high/low per (symbol, NY date) in event-time
+    order (``src/candle_to_calcs.py:301-311`` tracks these row-by-row;
+    here it is one cumulative window, no Python loop)."""
+    day = F.to_date(F.from_utc_timestamp(F.col("timestamp"), NY_TZ))
+    w = (
+        Window.partitionBy("symbol", day)
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("running_day_high", F.max("high").over(w)).withColumn(
+        "running_day_low", F.min("low").over(w)
+    )
+
+
+def with_bollinger(df: DataFrame, period: int = 20, nbdev: float = 2.0) -> DataFrame:
+    """W6: Bollinger(20,2) + width/pos/breakout
+    (``src/candle_to_calcs.py:419-425``).
+
+    Spec (pinned, talib-compatible): mid = SMA(period) over the
+    trailing ROWS frame, bands = mid ± nbdev·stddev_pop (population
+    σ, like talib BBANDS), warm-up rows (<period) fall back to
+    ``close`` (the reference's ``fillna(df["close"])``).  The
+    reference's div-by-zero guard on bb_pos is a no-op bug
+    (``.replace(0,nan).fillna(0)`` round-trips); we implement the
+    intent: bb_pos = 0 when the band width is 0.
+    """
+    w = symbol_window().rowsBetween(-(period - 1), 0)
+    cnt = F.count("close").over(w)
+    warm = cnt >= period
+    mid = F.when(warm, F.avg("close").over(w)).otherwise(F.col("close"))
+    sd = F.when(warm, F.stddev_pop("close").over(w)).otherwise(F.lit(0.0))
+    df = (
+        df.withColumn("bb_mid", mid)
+        .withColumn("bb_upper", mid + nbdev * sd)
+        .withColumn("bb_lower", mid - nbdev * sd)
+    )
+    width = F.col("bb_upper") - F.col("bb_lower")
+    return (
+        df.withColumn("bb_width", width)
+        .withColumn(
+            "bb_pos",
+            F.when(width != 0, (F.col("close") - F.col("bb_lower")) / width).otherwise(0.0),
+        )
+        .withColumn(
+            "bb_breakout",
+            ((F.col("close") > F.col("bb_upper")) | (F.col("close") < F.col("bb_lower"))).cast(
+                "int"
+            ),
+        )
+    )
+
+
+def with_volume_spike(
+    df: DataFrame, window: int = 60, spike_multiplier: float = 1.5
+) -> DataFrame:
+    """W10 (``src/candle_to_calcs.py:517-526``): trailing mean volume
+    (min_periods=1) and spike flag."""
+    w = symbol_window().rowsBetween(-(window - 1), 0)
+    return df.withColumn("rolling_avg_volume", F.avg("volume").over(w)).withColumn(
+        "is_volume_spike",
+        (F.col("volume") > F.col("rolling_avg_volume") * spike_multiplier).cast("int"),
+    )
+
+
+def with_trend_labels(
+    df: DataFrame, slope_col: str = "t3_slope", slope_threshold: float = 0.2
+) -> DataFrame:
+    """W8 (``src/candle_to_calcs.py:440-452``): threshold the slope into
+    is_uptrend / is_downtrend / is_no_trend (complement)."""
+    s = F.col(slope_col)
+    return (
+        df.withColumn("is_uptrend", (s > slope_threshold).cast("int"))
+        .withColumn("is_downtrend", (s < -slope_threshold).cast("int"))
+        .withColumn(
+            "is_no_trend",
+            (~((s > slope_threshold) | (s < -slope_threshold))).cast("int"),
+        )
+    )
+
+
+def gap_report(df: DataFrame, gap_seconds: float = 1.5, top_n: int = 5) -> DataFrame:
+    """W13 + O2 (``src/candle_to_calcs.py:113-128``): per-symbol gap
+    count, max gap, and the first ``top_n`` gap-start timestamps. The
+    reference logs this; we return it as a table (reportable sink)."""
+    w = symbol_window()
+    gap = F.unix_micros(F.col("timestamp")) - F.unix_micros(F.lag("timestamp").over(w))
+    gaps = df.withColumn("gap_s", gap / 1_000_000.0).filter(F.col("gap_s") > gap_seconds)
+    return gaps.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("gap_count"),
+        F.max("gap_s").alias("max_gap_seconds"),
+        F.slice(
+            F.sort_array(F.collect_list(F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+            1,
+            top_n,
+        ).alias("gap_starts"),
+    )
+
+
+def with_pattern_sum(df: DataFrame, pattern_cols: list[str]) -> DataFrame:
+    """A8 (``src/candle_to_calcs.py:509-515``): horizontal sum of the
+    CDL* pattern columns, null-safe."""
+    if not pattern_cols:
+        return df.withColumn("candle_pattern_sum", F.lit(0.0))
+    total = reduce(add, [F.coalesce(F.col(c), F.lit(0)).cast("double") for c in pattern_cols])
+    return df.withColumn("candle_pattern_sum", total)

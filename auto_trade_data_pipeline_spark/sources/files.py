@@ -71,9 +71,12 @@ def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the monotonically-assigned tick id (the dedup / ordered-first
     tiebreaker demanded by SURVEY §2.4's ordered-semantics note).
 
-    Volume is ``abs(value)`` with every 10th tick forced to 0 so the
+    Volume is ``round(abs(value)*100)`` — an INTEGER-valued double
+    (a share count) — with every 10th tick forced to 0 so the
     null-VWAP path (``src/aggregator_candles.py:212``) is exercised.
-    No rounding: both engines then work on bit-identical doubles.
+    Integer-valued volumes make every downstream volume sum/avg exact
+    in both engines, eliminating float-summation-order hash drift
+    (SURVEY §7 hard-part 6).
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -81,7 +84,7 @@ def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("timestamp"),
         F.col("value").alias("price"),
         F.when(F.col("event_id") % 10 == 0, F.lit(0.0))
-        .otherwise(F.abs(F.col("value")))
+        .otherwise(F.round(F.abs(F.col("value")) * 100, 0))
         .alias("volume"),
         F.col("event_id").alias("tick_id"),
     )
