@@ -155,13 +155,20 @@ g AS (
          (epoch_us(timestamp) - epoch_us(lag(timestamp) OVER (PARTITION BY symbol ORDER BY timestamp)))
            / 1000000.0 AS gap_s
   FROM candles
+),
+f AS (
+  SELECT symbol, timestamp, gap_s,
+         row_number() OVER (PARTITION BY symbol ORDER BY timestamp) AS rn
+  FROM g
+  WHERE gap_s > 1.5
 )
 SELECT symbol,
        count(*) AS gap_count,
        max(gap_s) AS max_gap_seconds,
-       list_slice(list_sort(list(strftime(timestamp, '%Y-%m-%d %H:%M:%S.%f'))), 1, 5) AS gap_starts
-FROM g
-WHERE gap_s > 1.5
+       array_to_string(
+         list_sort(list(strftime(timestamp, '%Y-%m-%d %H:%M:%S.%f')) FILTER (WHERE rn <= 5)),
+         ',') AS gap_starts
+FROM f
 GROUP BY symbol
 """
 

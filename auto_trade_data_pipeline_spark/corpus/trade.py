@@ -285,11 +285,11 @@ def validation_split_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_ORACLE = f"""
 WITH {TICKS_CTE}, {_INJECT_SQL}
 SELECT count(*) AS total_rows,
-       sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS null_price,
-       sum(CASE WHEN volume IS NULL THEN 1 ELSE 0 END) AS null_volume,
-       sum(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
-       sum(CASE WHEN volume < 0 THEN 1 ELSE 0 END) AS negative_volume,
-       sum(CASE WHEN timestamp IS NULL THEN 1 ELSE 0 END) AS bad_timestamp,
+       CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+       CAST(sum(CASE WHEN volume IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_volume,
+       CAST(sum(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+       CAST(sum(CASE WHEN volume < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_volume,
+       CAST(sum(CASE WHEN timestamp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_timestamp,
        count(DISTINCT timestamp) AS distinct_timestamps,
        strftime(min(timestamp), '{TS_US_FMT_DUCK}') AS min_ts,
        strftime(max(timestamp), '{TS_US_FMT_DUCK}') AS max_ts

@@ -6,6 +6,15 @@ Reference semantics (``src/aggregator_candles.py:181-226``):
   high   = max, low = min, volume = sum, trades = count      (:200-211)
   vwap   = sum(price*volume)/sum(volume), NULL if sum==0     (:212,147)
 
+Deliberate deviation: the reference's output ``timestamp`` is the
+*first tick's* actual timestamp in the bucket
+(``grouped["timestamp"].first()``, ``:205``) — which inherits the
+nondeterministic input order. We emit the floored bucket boundary
+instead: deterministic, stable under re-partitioning, and the natural
+(symbol, timestamp) dedup key for downstream merges. Callers that
+want the reference's column can add
+``F.min_by(ts, struct(ts, tick_id))`` as ``first_tick_ts``.
+
 Ordered-first/last trap (SURVEY §2.4 note): pandas first()/last() are
 input-order, which on the concat-merged CSV is nondeterministic. We
 implement the *intent* deterministically:

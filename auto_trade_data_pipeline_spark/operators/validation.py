@@ -47,7 +47,8 @@ def tick_valid_predicate(ts_str_col: str | None = None) -> Column:
 def candle_valid_predicate() -> Column:
     """Candle validity (``src/candle_to_calcs.py:93-111``): required
     numerics non-null (vwap exempt, ``src/aggregator_candles.py:147``),
-    high >= low, volume >= 0, and NOT(trades <= 0 while volume > 0)."""
+    high >= low, positive open/close (``src/candle_to_calcs.py:100``),
+    volume >= 0, and NOT(trades <= 0 while volume > 0)."""
     required = ["open", "high", "low", "close", "volume", "number_of_trades"]
     p = F.lit(True)
     for c in required:
@@ -55,17 +56,20 @@ def candle_valid_predicate() -> Column:
     return (
         p
         & (F.col("high") >= F.col("low"))
+        & (F.col("open") > 0)
+        & (F.col("close") > 0)
         & (F.col("volume") >= 0)
         & ~((F.col("number_of_trades") <= 0) & (F.col("volume") > 0))
     )
 
 
-def validate_split(df: DataFrame, predicate: Column, cache: bool = True) -> SplitResult:
+def validate_split(df: DataFrame, predicate: Column, cache: bool = False) -> SplitResult:
     """Split into (valid, invalid) on one predicate — S9.
 
-    ``cache=True`` marks the input for reuse so the two sinks share one
-    scan in local mode; at cluster scale prefer writing the union with a
-    `valid` flag partition column, or two writes off a cached frame.
+    Default is NOT cached: caching a full input scan is wrong at 100 TB.
+    The scale-correct side-output pattern is a single flag-partitioned
+    write (see :func:`sinks.write_split`); pass ``cache=True`` only for
+    small inputs consumed twice in the same job.
     Null predicate results count as invalid (reference drops them via
     dropna, ``src/fetch_historical_trades_nvda.py:225``).
     """

@@ -178,19 +178,28 @@ def with_trend_labels(
 
 def gap_report(df: DataFrame, gap_seconds: float = 1.5, top_n: int = 5) -> DataFrame:
     """W13 + O2 (``src/candle_to_calcs.py:113-128``): per-symbol gap
-    count, max gap, and the first ``top_n`` gap-start timestamps. The
-    reference logs this; we return it as a table (reportable sink)."""
+    count, max gap, and the first ``top_n`` gap-start timestamps joined
+    into one comma-separated string (scalar output — list-typed columns
+    are not canonicalizable downstream).
+
+    Scale shape: the top-``n`` list is bounded *before* aggregation via
+    ``row_number() <= n`` on the filtered gap rows, so per-group state
+    is O(top_n), not O(gaps) — no unbounded ``collect_list``.
+    """
     w = symbol_window()
     gap = F.unix_micros(F.col("timestamp")) - F.unix_micros(F.lag("timestamp").over(w))
     gaps = df.withColumn("gap_s", gap / 1_000_000.0).filter(F.col("gap_s") > gap_seconds)
-    return gaps.groupBy("symbol").agg(
+    rn = F.row_number().over(symbol_window())
+    ranked = gaps.select("symbol", "timestamp", "gap_s").withColumn("__rn", rn)
+    # collect_list drops nulls, so the when() keeps only the first top_n
+    # per group while count/max still see every gap row.
+    top = F.when(
+        F.col("__rn") <= top_n, F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
+    return ranked.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("gap_count"),
         F.max("gap_s").alias("max_gap_seconds"),
-        F.slice(
-            F.sort_array(F.collect_list(F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
-            1,
-            top_n,
-        ).alias("gap_starts"),
+        F.array_join(F.array_sort(F.collect_list(top)), ",").alias("gap_starts"),
     )
 
 

@@ -1,0 +1,84 @@
+"""Driver bench harness — times the headline corpus queries and prints
+ONE JSON line on stdout.
+
+Env contract:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[<n>] parallelism (default: all cores)
+
+Each query is materialized with the `noop` sink: the full plan runs on
+executors (scan → shuffle → agg/window) but no rows cross back to the
+driver, so timings measure the engine, not driver-side collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline suite — one representative per major operator family.
+#: Extend as families land; keep total runtime at sf0.1 under ~3 min.
+HEADLINE = [
+    "candles_1s",
+    "candles_1m_cascade",
+    "dedup_keep_last",
+    "upsert_merge",
+    "rolling_window_features",
+    "session_flags",
+    "trend_labels",
+    "tick_quality_report",
+    "gap_report",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from auto_trade_data_pipeline_spark.corpus import load_all
+    from auto_trade_data_pipeline_spark.session import get_spark
+    from auto_trade_data_pipeline_spark.sources.files import load_table
+
+    spark = get_spark("bench")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+    # Optional extras registered with the "bench" tag (joins, EXT, ...).
+    names += [n for n, q in sorted(registry.items()) if "bench" in q.tags and n not in names]
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # plans, not first-touch session setup.
+    load_table(spark, sf_dir, "events").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            df = registry[name].fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not kill the bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

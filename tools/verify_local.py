@@ -27,18 +27,23 @@ TABLES = (
 
 
 def canon(v) -> str:
+    """Dtype-faithful canonical form (matches the driver's strictness):
+    floats do NOT collapse to ints (333.0 != 333 — a dtype mismatch the
+    driver fails on), and list/tuple values are rejected loudly (the
+    driver's pandas hasher dies on them: 'unhashable type: list')."""
     if v is None:
         return "∅"
     if isinstance(v, float):
         if v != v:  # NaN
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+        raise TypeError(
+            "list-typed output column — scalarize (array_join/explode); "
+            "the driver's canonicalizer cannot hash lists"
+        )
     return str(v)
 
 
