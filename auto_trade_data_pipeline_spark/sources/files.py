@@ -61,6 +61,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+        elif (
+            isinstance(field.dataType, T.TimestampType)
+            and isinstance(actual.get(field.name), T.TimestampNTZType)
+        ):
+            # Driver date columns are parquet TIMESTAMP without tz;
+            # storage convention is UTC, and the session tz is pinned
+            # UTC above, so this cast relabels without shifting.
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return schemas.assert_schema(df, expected, table=name)
 
 
