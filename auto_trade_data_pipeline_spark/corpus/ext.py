@@ -1,1 +1,565 @@
-"""Placeholder — filled in as operators land."""
+"""EXT corpus (SURVEY §2.11): LLM training-data operators over the
+driver's ``documents`` / ``embeddings`` tables — dedup (exact,
+MinHash-LSH, SimHash), n-gram Jaccard, similarity search (brute-force
++ IVF), text analysis (stats/quality/lang-ID/token counts),
+fingerprinting, multimodal plumbing.
+
+Every query has a DuckDB oracle that reproduces the Spark hashes
+bit-for-bit (md5-derived 60-bit integers) and the float math
+op-for-op (sequential-order folds, integer-scaled sums), so even the
+LSH pipelines hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.operators import text as TX
+from auto_trade_data_pipeline_spark.operators import vectors as VX
+from auto_trade_data_pipeline_spark.operators.multimodal import decode_stats
+from auto_trade_data_pipeline_spark.sources import load_table
+
+# LSH configuration: 20 permutations in bands of 2 puts the s-curve
+# threshold at (1/10)^(1/2) ~= 0.32 — tuned to the 0.3 Jaccard cut.
+NUM_PERMS = 20
+ROWS_PER_BAND = 2
+SHINGLE_N = 3
+JACCARD_T = 0.3
+
+STOPWORDS = ("the", "a")
+
+#: DuckDB twin of operators.text.hash64 (60-bit md5 prefix).
+_H = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _duck_hash(expr: str, salt: str | None = None) -> str:
+    if salt is not None:
+        expr = f"'{salt}' || '|' || {expr}"
+    return _H.format(expr=expr)
+
+
+_DOCS_CTE = """
+docs AS (SELECT doc_id, lang, source, n_chars, text, lower(text) AS lt FROM documents),
+toks AS (SELECT *, regexp_extract_all(lt, '\\w+') AS ts FROM docs)
+"""
+
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ts) - {SHINGLE_N - 1}, 0) + 1),
+           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+  FROM toks
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH {_DOCS_CTE}
+SELECT sha256(lower(trim(text))) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM docs
+GROUP BY sha256(lower(trim(text)))
+"""
+
+
+@register("dedup_exact_text", _EXACT_DEDUP_ORACLE, tags=("EXT1",))
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: group by sha256(normalized text), keep the
+    lowest doc_id. The shuffle key is the 64-hex digest, not the
+    document bytes (operators/text.py:exact_dedup)."""
+    return TX.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text statistics + quality score
+# ---------------------------------------------------------------------------
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_TEXT_STATS_ORACLE = f"""
+WITH {_DOCS_CTE},
+st AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars_obs,
+         len(ts) AS n_tokens,
+         len(list_filter(ts, t -> t IN ({_STOP_IN}))) AS stop_hits,
+         CASE WHEN len(ts) > 0
+              THEN CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) ELSE 0 END AS token_chars
+  FROM toks
+)
+SELECT doc_id, lang, n_chars_obs, n_tokens, stop_hits,
+       round(CASE WHEN n_tokens > 0 THEN token_chars / (1.0 * n_tokens) ELSE 0.0 END, 4) AS avg_token_len,
+       round(CASE WHEN n_tokens > 0 THEN stop_hits / (1.0 * n_tokens) ELSE 0.0 END, 4) AS stop_ratio,
+       (CASE WHEN n_chars_obs BETWEEN 100 AND 2000 THEN 1 ELSE 0 END
+        + CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END
+        + CASE WHEN n_tokens > 0 AND stop_hits / (1.0 * n_tokens) BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+        + CASE WHEN n_tokens > 0 AND token_chars / (1.0 * n_tokens) BETWEEN 2.0 AND 10.0 THEN 1 ELSE 0 END
+       ) AS quality_score
+FROM st
+"""
+
+
+@register("text_stats_quality", _TEXT_STATS_ORACLE, tags=("EXT3",))
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics and a 0-4 quality score
+    (length / token count / stopword ratio / avg token length gates) —
+    the classic pre-training quality filter, all JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_obs"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("stop_hits"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0).cast("long"),
+        ).alias("token_chars"),
+    )
+    n_tok = F.col("n_tokens")
+    avg_len = F.when(n_tok > 0, F.col("token_chars") / (n_tok * 1.0)).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, F.col("stop_hits") / (n_tok * 1.0)).otherwise(0.0)
+    quality = (
+        F.when(F.col("n_chars_obs").between(100, 2000), 1).otherwise(0)
+        + F.when(n_tok >= 20, 1).otherwise(0)
+        + F.when((n_tok > 0) & stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+        + F.when((n_tok > 0) & avg_len.between(2.0, 10.0), 1).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars_obs",
+        "n_tokens",
+        "stop_hits",
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+_PROFILES = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+}
+
+
+def _profile_hits_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(ts, t -> t IN ({inlist})))"
+
+
+_LANG_ID_ORACLE = f"""
+WITH {_DOCS_CTE},
+hits AS (
+  SELECT doc_id, lang,
+         {_profile_hits_sql(_PROFILES['en'])} AS en_hits,
+         {_profile_hits_sql(_PROFILES['de'])} AS de_hits,
+         {_profile_hits_sql(_PROFILES['fr'])} AS fr_hits,
+         {_profile_hits_sql(_PROFILES['es'])} AS es_hits
+  FROM toks
+)
+SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+       CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'und'
+            WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+            WHEN fr_hits >= es_hits THEN 'fr'
+            ELSE 'es' END AS predicted_lang
+FROM hits
+"""
+
+
+@register("lang_id_stopwords", _LANG_ID_ORACLE, tags=("EXT3",))
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic family):
+    per-language marker-token counts, deterministic argmax with a
+    fixed priority order, 'und' when no profile fires."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    def _hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    hits = {lang: _hits(markers) for lang, markers in _PROFILES.items()}
+    d = docs.select(
+        "doc_id",
+        "lang",
+        *[hits[lang].alias(f"{lang}_hits") for lang in ("en", "de", "fr", "es")],
+    )
+    en, de, fr, es = (F.col(f"{lg}_hits") for lg in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return d.withColumn("predicted_lang", predicted)
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+_TOKEN_COUNT_ORACLE = f"""
+WITH {_DOCS_CTE},
+tc AS (
+  SELECT lang,
+         len(ts) AS ws_tokens,
+         len(regexp_extract_all(lt, '{_BPE_RE}')) AS bpe_tokens
+  FROM toks
+)
+SELECT lang,
+       count(*) AS docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       round(CAST(sum(bpe_tokens) AS BIGINT) / (1.0 * count(*)), 4) AS avg_bpe_tokens
+FROM tc
+GROUP BY lang
+"""
+
+
+@register("token_count_bpe", _TOKEN_COUNT_ORACLE, tags=("EXT3",))
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language: whitespace tokens vs a
+    BPE-ish pre-tokenizer regex (alpha runs | digit runs | single
+    punctuation) — the budget query every training-data pipeline
+    runs before a tokenizer pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    d = docs.select(
+        "lang",
+        F.size(TX.tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(lt, F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.sum("bpe_tokens") / (F.count(F.lit(1)) * 1.0), 4).alias("avg_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling char-5-gram min-hash)
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+WITH {_DOCS_CTE},
+cs AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                          i -> substr(text, i, 5)),
+           g -> length(g) = 5)) AS grams
+  FROM docs
+)
+SELECT doc_id,
+       len(grams) AS shingle_count,
+       list_aggregate(list_transform(grams, g -> {_duck_hash('g')}), 'min') AS fingerprint
+FROM cs
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_ORACLE, tags=("EXT1", "EXT3"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min 60-bit hash over
+    character 5-grams (1-permutation MinHash) — the compact content
+    id used for copy detection across corpus versions."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = TX.char_shingles(F.col("text"), 5)
+    d = docs.select("doc_id", grams.alias("grams"))
+    fp = F.array_min(F.transform("grams", lambda g: TX.hash64(g)))
+    return d.select(
+        "doc_id", F.size("grams").alias("shingle_count"), fp.alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup: MinHash-LSH + exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(shingles, s -> {_duck_hash('s', salt=str(p))}), 'min') AS mh{p}"
+        for p in range(NUM_PERMS)
+    )
+    num_bands = NUM_PERMS // ROWS_PER_BAND
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM mh".format(
+            b=b,
+            parts=" || ',' || ".join(
+                f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+WITH {_DOCS_CTE},
+{_SHINGLES_CTE},
+mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verify AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / (1.0 * (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))) AS j
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(j, 4) AS jaccard
+FROM verify
+WHERE j >= {JACCARD_T}
+"""
+
+
+@register("dedup_near_minhash_lsh", _minhash_oracle(), tags=("EXT1", "bench"))
+def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection, the scale path: word-3-gram shingles
+    -> 20-permutation MinHash (one explode + one groupBy) -> banded
+    LSH self-join (shuffle on band hash, candidates only within
+    buckets — never all-pairs) -> exact Jaccard verify on candidates
+    (operators/text.py). Emits pairs with Jaccard >= 0.3."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", TX.word_shingles(TX.tokens(F.col("text")), SHINGLE_N).alias("shingles")
+    )
+    sig = TX.minhash_signature(shingled, "shingles", "doc_id", NUM_PERMS)
+    pairs = TX.lsh_candidate_pairs(sig, "doc_id", NUM_PERMS, ROWS_PER_BAND)
+    return TX.jaccard_verify(pairs, shingled, "doc_id", "shingles", JACCARD_T)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup: SimHash + Hamming-LSH
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    vote_terms = " + ".join(
+        f"CASE WHEN (h >> {j}) & 1 = 1 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(32)
+    )
+    votes = ",\n         ".join(
+        f"list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS v{j}"
+        for j in range(32)
+    )
+    sim = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32))
+    chunk_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {c} AS chunk_idx, (simhash >> {8 * c}) & 255 AS chunk_val, simhash FROM sims"
+        for c in range(4)
+    )
+    return f"""
+WITH {_DOCS_CTE},
+th AS (
+  SELECT doc_id, list_transform(list_distinct(ts), t -> {_duck_hash('t')}) AS hs
+  FROM toks
+),
+vt AS (
+  SELECT doc_id,
+         {votes}
+  FROM th
+),
+sims AS (
+  SELECT doc_id, {sim} AS simhash FROM vt
+),
+chunks AS (
+{chunk_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 2
+"""
+
+
+@register("dedup_simhash", _simhash_oracle(), tags=("EXT1",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit majority-vote hash per document, then
+    Hamming-LSH on 8-bit chunks (pairs must share a chunk — pigeonhole
+    guarantees recall to distance 3, probabilistic beyond) and a
+    bit_count(xor) <= 2 verify (operators/text.py:simhash32)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    sim = TX.simhash32(tokenized, "toks", "doc_id")
+    return TX.simhash_candidate_pairs(sim, "doc_id", max_hamming=2, chunks=4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+_TOPK_COSINE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos('q.qv', 'e.embedding')}, 6) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("similarity_topk_cosine", _TOPK_COSINE_ORACLE, tags=("EXT2", "bench"))
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors — the
+    brute-force baseline: broadcast queries, sequential-order dot
+    products (bit-deterministic), per-query window rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return VX.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_IVF_ORACLE = f"""
+WITH dims AS (
+  SELECT label AS cell, i AS pos, embedding[i] AS v
+  FROM embeddings, range(1, 65) t(i)
+),
+per_dim AS (
+  SELECT cell, pos,
+         (CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*) AS mean
+  FROM dims GROUP BY cell, pos
+),
+cent AS (
+  SELECT cell, list(mean ORDER BY pos) AS centroid FROM per_dim GROUP BY cell
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cos('q.qv', 'c.centroid')}, 6) DESC, c.cell) AS pr
+    FROM q, cent c
+  ) WHERE pr <= 2
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round({_cos('p.qv', 'e.embedding')}, 6) AS cos
+  FROM probes p JOIN embeddings e ON e.label = p.cell AND e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("similarity_topk_ivf", _IVF_ORACLE, tags=("EXT2",))
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: coarse cells (label stand-in), integer-exact
+    centroids, nprobe=2 probe selection, exact rerank inside probed
+    cells only — the 100 TB path where unprobed cells are never
+    scanned (operators/vectors.py:ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = VX.label_centroids(emb)
+    return VX.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=2)
+
+
+_NORM_STATS_ORACLE = f"""
+WITH n AS (
+  SELECT label, sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS vectors,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm,
+       round((CAST(sum(CAST(round(nrm * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*), 6) AS avg_norm
+FROM n
+GROUP BY label
+"""
+
+
+@register("embedding_norm_stats", _NORM_STATS_ORACLE, tags=("EXT2",))
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell embedding L2-norm profile (count/min/max/avg) — the
+    sanity scan before any ANN build. Mean uses integer-scaled sums
+    (order-independent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = VX.l2_norm(F.col("embedding"))
+    d = emb.select("label", nrm.alias("nrm"))
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("vectors"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(
+            (F.sum(F.round(F.col("nrm") * 1e6, 0).cast("long")) / 1e6) / F.count(F.lit(1)), 6
+        ).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id, lang,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) // 64 % 64 + 1 AS INT) AS height,
+       3 AS channels
+FROM documents
+"""
+
+
+@register("multimodal_decode_stats", _MULTIMODAL_ORACLE, tags=("EXT4", "U1"))
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline plumbing: binary payload column + metadata
+    struct -> Arrow-batched mapInPandas pseudo-decoder
+    (operators/multimodal.py — decode math is a documented stub; the
+    schema/batching/UDF surface is the production shape)."""
+    return decode_stats(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,235 @@
+"""Text operators for LLM training-data pipelines (EXT, SURVEY §2.11):
+tokenization, shingling, exact dedup, MinHash-LSH near-dup, SimHash,
+n-gram Jaccard, language ID, quality scoring, fingerprinting.
+
+Everything here is JVM-side built-in expressions — no Python UDFs in
+any hot path. Hashes are md5-derived (`conv(substr(md5(x),1,15),16,10)`)
+so the DuckDB oracles can reproduce them bit-for-bit
+(`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`).
+
+Scale design:
+- Dedup keys are 64-bit hashes / hex digests, never raw text — the
+  shuffle carries 8-32 bytes per row instead of documents.
+- Near-dup candidate generation is banded MinHash-LSH: shuffle on
+  (band_idx, band_hash), candidate pairs only within buckets. The
+  all-pairs crossJoin never appears.
+- SimHash near-dup uses byte-chunk banding (Hamming LSH): a pair can
+  only collide if some 8-bit chunk matches exactly, which bounds
+  candidates without a cartesian product.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "word_shingles",
+    "char_shingles",
+    "hash64",
+    "exact_dedup",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard_verify",
+    "simhash32",
+    "simhash_candidate_pairs",
+]
+
+#: Word tokens: lowercase alphanumeric runs. Identical regex on the
+#: DuckDB side (`regexp_extract_all(lower(text), '\w+')`).
+TOKEN_RE = r"\w+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased word tokens (array<string>)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array — the unit of
+    near-dup comparison. Space-joined so 'a b','c' != 'a','b c'."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams — the rolling-hash fingerprint unit."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - n + 1, F.lit(0))),
+        lambda i: F.substring(text, i, n),
+    )
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
+
+
+def hash64(col: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit hash reproducible in DuckDB: the first 15
+    hex chars of md5, parsed as an integer. (Spark's native `xxhash64`
+    is faster but not portable to the oracle; the md5 path keeps every
+    dedup query hash-checkable. Swap in xxhash64 for production.)"""
+    salted = F.concat(F.lit(salt), F.lit("|"), col) if salt else col
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate grouping on sha256 of normalized text. Returns
+    one row per distinct content: (fingerprint, keep_id, dup_count).
+    Grouping key is the 64-hex digest, not the document — at 100 TB
+    the shuffle moves 64 bytes/doc."""
+    fp = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, shingles_col: str, id_col: str, num_perms: int
+) -> DataFrame:
+    """MinHash signature: explode shingles, one groupBy computing all
+    `num_perms` mins in a single shuffle keyed by doc id. Each
+    "permutation" is an independently salted hash — the standard
+    one-pass construction."""
+    exploded = df.select(F.col(id_col), F.explode(shingles_col).alias("__sh"))
+    aggs = [
+        F.min(hash64(F.col("__sh"), salt=str(p))).alias(f"mh{p}") for p in range(num_perms)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_perms: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_hash):
+    candidate pairs surface only inside buckets. Output: distinct
+    (id_a < id_b) pairs. The shuffle key is the band hash — uniform by
+    construction, no skew."""
+    num_bands = num_perms // rows_per_band
+    bands = [
+        sig.select(
+            F.col(id_col),
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(num_bands)
+    ]
+    banded = reduce(DataFrame.unionByName, bands)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingled: DataFrame, id_col: str, shingles_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over the candidate pairs only (never all-pairs):
+    two hash joins to fetch shingle sets, set math JVM-side. Emits
+    (id_a, id_b, jaccard) for pairs >= threshold."""
+    sh = shingled.select(F.col(id_col), F.col(shingles_col).alias("__sh"))
+    joined = (
+        pairs.join(sh.withColumnRenamed("__sh", "__sh_a"), pairs.id_a == sh[id_col])
+        .drop(id_col)
+        .join(sh.withColumnRenamed("__sh", "__sh_b"), pairs.id_b == sh[id_col])
+        .drop(id_col)
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = (F.size("__sh_a") + F.size("__sh_b")).cast("double") - inter
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash32(df: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash over distinct tokens: per bit, majority vote of
+    token-hash bits (+1/-1), bit set iff the vote is positive. One
+    explode + one groupBy (32 sums in a single shuffle)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col)).alias("__t")
+    ).withColumn("__h", hash64(F.col("__t")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("__h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*votes)
+    sim = reduce(
+        add,
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(32)
+        ],
+    )
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sim: DataFrame, id_col: str, max_hamming: int = 6, chunks: int = 4
+) -> DataFrame:
+    """Hamming-LSH: split the 32-bit simhash into byte chunks; a pair
+    within Hamming distance `chunks - 1` must agree exactly on >= 1
+    chunk (pigeonhole), so joining per-chunk finds all such pairs
+    without a crossJoin. Verify with bit_count(xor) <= max_hamming.
+
+    Note: with 4 chunks the pigeonhole bound guarantees recall only
+    for distance <= 3; for larger `max_hamming` this is the standard
+    probabilistic trade (documented, mirrored exactly in the oracle).
+    """
+    chunked = [
+        sim.select(
+            F.col(id_col),
+            F.lit(c).alias("chunk_idx"),
+            F.shiftright("simhash", 8 * c).bitwiseAND(F.lit(255)).alias("chunk_val"),
+            F.col("simhash"),
+        )
+        for c in range(chunks)
+    ]
+    banded = reduce(DataFrame.unionByName, chunked)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,137 @@
+"""Vector similarity operators (EXT, SURVEY §2.11): exact cosine
+top-k and an IVF-bucketed approximate variant over
+``embeddings(embedding: array<float>)``.
+
+Determinism contract: dot products accumulate **sequentially in index
+order via F.aggregate** (not a commutative sum), so the same bits come
+out regardless of parallelism — and the DuckDB oracle reproduces them
+with ``list_reduce`` over the same index order. Arrays are cast to
+``array<double>`` first so both engines do double arithmetic.
+
+Scale design:
+- Brute-force top-k broadcasts the (small) query set and computes
+  per-partition partial top-k via window rank on (query, candidate)
+  pairs — row explosion is |queries| x |corpus|, the honest baseline.
+- IVF variant prunes the corpus to `nprobe` coarse cells before the
+  exact rerank: the join key is the cell id, so the shuffle carries
+  only probed cells. Centroids come from any coarse assignment
+  (here: the `label` column as a stand-in k-means); at 100 TB the
+  centroid table is dimension-sized and broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "ivf_topk", "label_centroids"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (deterministic across engines)."""
+    prods = F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query set against
+    the corpus, rank per query by (cosine desc, id). Self-matches are
+    excluded. Output: (query_id, neighbor_id, cos, rank)."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def label_centroids(
+    corpus: DataFrame, cell_col: str = "label", vec_col: str = "embedding", scale: int = 10**6
+) -> DataFrame:
+    """Per-cell centroid via posexplode + per-dimension mean, computed
+    over integer-scaled values so the sum is order-independent (exact
+    bigint arithmetic -> identical centroids in any engine at any
+    parallelism). Returns (cell, centroid: array<double>)."""
+    dims = corpus.select(
+        F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    per_dim = dims.groupBy("cell", "pos").agg(
+        (
+            F.sum(F.round(F.col("col") * scale, 0).cast("long"))
+            / F.lit(float(scale))
+            / F.count(F.lit(1))
+        ).alias("mean")
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))), lambda s: s["mean"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF search: route each query to its `nprobe` nearest coarse
+    cells (by centroid cosine), then exact cosine rerank within the
+    probed cells only. Centroid table broadcasts; the corpus is
+    touched only where its cell matches a probe — at scale, with
+    cell-partitioned storage, unprobed cells are never even scanned
+    (partition pruning). Output: (query_id, neighbor_id, cos, rank).
+    """
+    cq = F.broadcast(centroids)
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("__ccos").desc(), F.col("cell"))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .join(cq)
+        .withColumn("__ccos", F.round(cosine(F.col("__qv"), F.col("centroid")), 6))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,80 @@
+"""EXT operators — dedup/similarity/text-analysis invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.operators import text as TX
+from auto_trade_data_pipeline_spark.operators import vectors as VX
+from auto_trade_data_pipeline_spark.operators.multimodal import decode_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_duplicates(spark):
+    df = _docs(
+        spark,
+        [(1, "Hello World"), (2, "  hello world  "), (3, "HELLO WORLD"), (4, "other")],
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in TX.exact_dedup(df).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_word_shingles(spark):
+    df = _docs(spark, [(1, "a b c d")])
+    row = df.select(TX.word_shingles(TX.tokens(F.col("text")), 3).alias("s")).first()
+    assert sorted(row["s"]) == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark shuffles and parquet files"
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+    shingled = df.select(
+        "doc_id", TX.word_shingles(TX.tokens(F.col("text")), 3).alias("sh")
+    )
+    sig = TX.minhash_signature(shingled, "sh", "doc_id", 20)
+    pairs = TX.lsh_candidate_pairs(sig, "doc_id", 20, 2)
+    verified = TX.jaccard_verify(pairs, shingled, "doc_id", "sh", 0.3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == {(1, 2)}
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z")])
+    sim = TX.simhash32(df.select("doc_id", TX.tokens(F.col("text")).alias("t")), "t", "doc_id")
+    pairs = TX.simhash_candidate_pairs(sim, "doc_id", max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_cosine_topk_self_excluded_and_ordered(spark):
+    rows = [(i, [float(i == j) for j in range(4)], 0) for i in range(4)]
+    rows.append((9, [1.0, 0.1, 0.0, 0.0], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = VX.cosine_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [9, 1]
+    assert all(r["query_id"] == 0 for r in out)
+    ranks = [r["rank"] for r in out]
+    assert ranks == [1, 2]
+
+
+def test_ivf_prunes_to_probed_cells(spark):
+    # Two well-separated cells; queries in cell 0 must never see cell-1
+    # vectors when nprobe=1.
+    rows = [(i, [1.0, 0.0], 0) for i in range(3)] + [(10 + i, [0.0, 1.0], 1) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = VX.label_centroids(emb)
+    out = VX.ivf_topk(emb, emb.filter("vec_id = 0"), cents, k=5, nprobe=1).collect()
+    assert {r["neighbor_id"] for r in out} == {1, 2}
+
+
+def test_multimodal_decode_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcd", "en", "s", 4)], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    row = decode_stats(docs).first()
+    assert row["n_bytes"] == 4
+    assert row["width"] == 4 % 64 + 1
+    assert row["channels"] == 3
