@@ -1,1 +1,205 @@
-"""Placeholder — filled in as operators land."""
+"""Indicator corpus (W2-W5, W7-W9, W11, W14): queries over the
+applyInPandas kernel (operators/indicators.py).
+
+The recursive families (Wilder/EMA/SAR/T3/prominence) are not
+SQL-expressible, so their queries are rows-only at the driver and
+pinned instead by pytest golden/property tests (SURVEY §5.3). The
+pattern subset whose rules reduce to lag comparisons + trailing
+window averages IS independently reimplemented in DuckDB SQL here
+(`cdl_patterns_simple`) — a true cross-engine differential test of
+the kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus.trade import CANDLES_CTE, TS_FMT_DUCK, TS_FMT_SPARK
+from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles
+from auto_trade_data_pipeline_spark.operators.indicators import (
+    CDL_NAMES,
+    enrich_indicators,
+)
+from auto_trade_data_pipeline_spark.operators.windows import (
+    with_bollinger,
+    with_local_time,
+    with_session_flags,
+    with_volume_spike,
+)
+from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    return enrich_indicators(candles)
+
+
+@register("indicators_recursive_pack", None, tags=("W2", "W3", "W4", "W5", "W7", "W8", "bench"))
+def indicators_recursive_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADX/DI, MACD, PSAR, ATR and T3 packs from the per-symbol
+    kernel — the reference's recursive indicator surface
+    (``src/candle_to_calcs.py:386-452``). Rows-only at the driver
+    (recursive EMAs are not ANSI-SQL-expressible); pinned by pytest
+    golden fixtures instead."""
+    e = _enriched(spark, sf_dir)
+    return e.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        *[F.round(c, 6).alias(c) for c in (
+            "typical_price", "adx", "di_pos", "di_neg", "di_diff",
+            "macd", "macd_signal", "macd_diff", "psar",
+        )],
+        "psar_trend",
+        F.round("psar_reversal", 6).alias("psar_reversal"),
+        *[F.round(c, 6).alias(c) for c in ("atr", "atr_norm", "atr_change")],
+        "high_volatility",
+        F.round("t3", 6).alias("t3"),
+        F.round("t3_slope", 6).alias("t3_slope"),
+        "is_uptrend",
+        "is_downtrend",
+        "is_no_trend",
+    )
+
+
+@register("candle_patterns_pack", None, tags=("W9", "A8"))
+def candle_patterns_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 59 CDL pattern columns + candle_pattern_sum
+    (``src/candle_to_calcs.py:454-515``). Rows-only; the
+    SQL-expressible subset is cross-checked by cdl_patterns_simple."""
+    e = _enriched(spark, sf_dir)
+    return e.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        *CDL_NAMES,
+        "candle_pattern_sum",
+    )
+
+
+@register("peaks_valleys", None, tags=("W11",))
+def peaks_valleys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak/valley flags at three (distance, prominence) scales
+    (``src/candle_to_calcs.py:528-558``). Prominence needs a global
+    per-series scan — rows-only; pinned by pytest vs hand-verified
+    scipy semantics."""
+    e = _enriched(spark, sf_dir)
+    return e.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        "is_major_peak",
+        "is_major_valley",
+        "is_minor_peak",
+        "is_minor_valley",
+        "is_micro_peak",
+        "is_micro_valley",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine differential for the SQL-expressible pattern subset.
+# DuckDB reimplements the TA-Lib candle-setting rules independently:
+# trailing averages over the 10/5 bars STRICTLY BEFORE each bar
+# (NULL while the window is short, matching the kernel's warm-up 0s
+# via the CASE gate).
+# ---------------------------------------------------------------------------
+
+_CDL_SIMPLE_ORACLE = f"""
+WITH {CANDLES_CTE},
+anatomy AS (
+  SELECT symbol, timestamp, open, high, low, close,
+         abs(close - open) AS rb,
+         high - low AS hl,
+         greatest(close, open) AS top,
+         least(close, open) AS bot,
+         high - greatest(close, open) AS us,
+         least(close, open) - low AS ls,
+         CASE WHEN close >= open THEN 1 ELSE -1 END AS color
+  FROM candles
+),
+avgs AS (
+  SELECT *,
+         CASE WHEN count(*) OVER w10 = 10 THEN avg(hl) OVER w10 END AS hl10,
+         CASE WHEN count(*) OVER w10 = 10 THEN avg(rb) OVER w10 END AS rb10,
+         CASE WHEN count(*) OVER w5 = 5 THEN avg(hl) OVER w5 END AS hl5
+  FROM anatomy
+  WINDOW w10 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+         w5  AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+),
+w AS (
+  SELECT *,
+         lag(rb) OVER o AS rb_1,
+         lag(top) OVER o AS top_1,
+         lag(bot) OVER o AS bot_1,
+         lag(open) OVER o AS o_1,
+         lag(close) OVER o AS c_1,
+         lag(color) OVER o AS color_1,
+         lag(rb10) OVER o AS rb10_1,
+         lag(hl10) OVER o AS hl10_1,
+         lag(hl5) OVER o AS hl5_1
+  FROM avgs
+  WINDOW o AS (PARTITION BY symbol ORDER BY timestamp)
+)
+SELECT symbol,
+       strftime(timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
+       CASE WHEN rb <= 0.1 * hl10 THEN 100 ELSE 0 END AS CDLDOJI,
+       CASE WHEN color = 1 AND color_1 = -1 AND close > o_1 AND open < c_1 THEN 100
+            WHEN color = -1 AND color_1 = 1 AND open > c_1 AND close < o_1 THEN -100
+            ELSE 0 END AS CDLENGULFING,
+       CASE WHEN color_1 = -1 AND color = -1 AND abs(close - c_1) <= 0.05 * hl5_1
+            THEN 100 ELSE 0 END AS CDLMATCHINGLOW,
+       CASE WHEN rb_1 > rb10_1 AND rb <= rb10
+                 AND top < top_1 AND bot > bot_1
+            THEN -100 * color_1 ELSE 0 END AS CDLHARAMI,
+       CASE WHEN rb < rb10 AND us > rb AND ls > rb THEN 100 * color ELSE 0 END AS CDLSPINNINGTOP
+FROM w
+"""
+
+
+@register("cdl_patterns_simple", _CDL_SIMPLE_ORACLE, tags=("W9",))
+def cdl_patterns_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five CDL patterns whose rules are pure lag comparisons +
+    trailing setting-averages (doji, engulfing, matching low, harami,
+    spinning top), emitted from the SAME kernel as the full pack and
+    verified against an independent DuckDB SQL reimplementation of
+    the TA-Lib candle-setting framework — the cross-engine
+    differential for W9."""
+    e = _enriched(spark, sf_dir)
+    return e.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        "CDLDOJI",
+        "CDLENGULFING",
+        "CDLMATCHINGLOW",
+        "CDLHARAMI",
+        "CDLSPINNINGTOP",
+    )
+
+
+@register("full_enrichment", None, tags=("W14", "P9", "bench"))
+def full_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 composition pipeline: the complete calculated-candle table
+    — candles -> NY-local columns -> session flags (native) ->
+    indicator kernel (recursive pack + patterns + peaks) -> Bollinger
+    + volume spike (native windows) — every column family of the
+    reference's ``candles_1s_calculated`` (~119 cols,
+    ``src/candle_to_calcs.py:316-350``)."""
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    e = enrich_indicators(candles)
+    e = with_local_time(e)
+    e = with_session_flags(e)
+    e = with_bollinger(e)
+    e = with_volume_spike(e)
+    # Stable output: format timestamps, round floating columns.
+    ts_cols = {"timestamp", "local_timestamp"}
+    sel = ["symbol"]
+    for f in e.schema.fields:
+        if f.name == "symbol":
+            continue
+        if f.name in ts_cols:
+            sel.append(F.date_format(f.name, TS_FMT_SPARK).alias(f.name))
+        elif f.dataType.typeName() == "double":
+            sel.append(F.round(f.name, 6).alias(f.name))
+        else:
+            sel.append(F.col(f.name))
+    return e.select(*sel)

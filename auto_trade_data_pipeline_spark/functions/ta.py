@@ -1,0 +1,338 @@
+"""TA-Lib-compatible indicator math in pure numpy.
+
+TA-Lib is not installed in this environment, so these implement the
+*published* TA-Lib algorithms (SMA-seeded EMAs, Wilder smoothing,
+the documented SAR state machine, Tillson T3 cascade) from public
+specifications. Every function mirrors TA-Lib's NaN warm-up behavior
+(leading NaNs up to the indicator's lookback), because the reference
+relies on `.fillna(...)` of exactly those NaNs
+(``/root/reference/src/candle_to_calcs.py:386-438``).
+
+All functions take/return 1-D float64 numpy arrays and run inside the
+per-symbol `applyInPandas` kernel — one pass per group, no Spark
+shuffle beyond the group-by.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "ema",
+    "macd",
+    "true_range",
+    "atr",
+    "adx_di",
+    "psar",
+    "t3",
+    "rolling_mean",
+    "find_peaks",
+]
+
+
+def _nan(n: int) -> np.ndarray:
+    out = np.empty(n)
+    out.fill(np.nan)
+    return out
+
+
+def ema(x: np.ndarray, period: int) -> np.ndarray:
+    """TA-Lib EMA: first valid value at index period-1 is the SMA of
+    the first `period` inputs; thereafter the usual recursion with
+    k = 2/(period+1). Inputs may lead with NaNs (cascaded EMAs) —
+    the window starts at the first finite value."""
+    n = len(x)
+    out = _nan(n)
+    if n == 0:
+        return out
+    start = 0
+    while start < n and not np.isfinite(x[start]):
+        start += 1
+    if n - start < period:
+        return out
+    k = 2.0 / (period + 1.0)
+    seed_end = start + period
+    prev = np.mean(x[start:seed_end])
+    out[seed_end - 1] = prev
+    for i in range(seed_end, n):
+        prev = (x[i] - prev) * k + prev
+        out[i] = prev
+    return out
+
+
+def macd(
+    close: np.ndarray, fast: int = 12, slow: int = 26, signal: int = 9
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """TA-Lib MACD(fast, slow, signal): macd line = EMA(fast)-EMA(slow)
+    valid from index slow-1; signal = EMA(signal) of the macd line;
+    hist = macd - signal. Lookback = slow-1 + signal-1."""
+    fast_e = ema(close, fast)
+    slow_e = ema(close, slow)
+    line = fast_e - slow_e  # NaN until slow-1
+    sig = ema(line, signal)
+    hist = line - sig
+    # TA-Lib emits all three aligned from the histogram's first valid
+    # index; earlier macd-line values stay NaN in its output buffers.
+    first = slow - 1 + signal - 1
+    if len(close) > first:
+        line = line.copy()
+        line[:first] = np.nan
+    return line, sig, hist
+
+
+def true_range(high: np.ndarray, low: np.ndarray, close: np.ndarray) -> np.ndarray:
+    """TR[0] = high-low; TR[i] = max(h-l, |h-prev_close|, |l-prev_close|)."""
+    tr = high - low
+    if len(tr) > 1:
+        pc = close[:-1]
+        tr = tr.copy()
+        tr[1:] = np.maximum(tr[1:], np.maximum(np.abs(high[1:] - pc), np.abs(low[1:] - pc)))
+    return tr
+
+
+def atr(high: np.ndarray, low: np.ndarray, close: np.ndarray, period: int = 14) -> np.ndarray:
+    """Wilder ATR: seed = SMA of TR[0..period-1] at index period-1
+    ... TA-Lib seeds at index `period` using TR[1..period] (TR[0]
+    excluded because it has no previous close); then
+    atr[i] = (atr[i-1]*(period-1) + tr[i]) / period."""
+    n = len(high)
+    out = _nan(n)
+    if n <= period:
+        return out
+    tr = true_range(high, low, close)
+    prev = np.mean(tr[1 : period + 1])
+    out[period] = prev
+    for i in range(period + 1, n):
+        prev = (prev * (period - 1) + tr[i]) / period
+        out[i] = prev
+    return out
+
+
+def adx_di(
+    high: np.ndarray, low: np.ndarray, close: np.ndarray, period: int = 14
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """TA-Lib ADX / PLUS_DI / MINUS_DI (Wilder):
+
+    +DM[i] = up if up > down and up > 0 else 0   (up = h[i]-h[i-1])
+    -DM[i] = down likewise                       (down = l[i-1]-l[i])
+    Wilder-smoothed sums over `period`; DI = 100*smDM/smTR;
+    DX = 100*|+DI - -DI| / (+DI + -DI);
+    ADX = Wilder average of DX, first at index 2*period-1... TA-Lib's
+    lookback: DI valid from `period`, ADX from 2*period-1 + 1 - 1.
+    Returns (adx, plus_di, minus_di).
+    """
+    n = len(high)
+    adx_out, pdi_out, mdi_out = _nan(n), _nan(n), _nan(n)
+    if n <= period:
+        return adx_out, pdi_out, mdi_out
+    up = np.diff(high)
+    down = -np.diff(low)
+    plus_dm = np.where((up > down) & (up > 0), up, 0.0)
+    minus_dm = np.where((down > up) & (down > 0), down, 0.0)
+    tr = true_range(high, low, close)[1:]  # aligned with dm (index 1..)
+
+    # Wilder accumulation: initial sums over the first `period` diffs.
+    sm_p = plus_dm[:period].sum()
+    sm_m = minus_dm[:period].sum()
+    sm_tr = tr[:period].sum()
+
+    def _di(sp, sm, st):
+        if st == 0.0:
+            return 0.0, 0.0
+        return 100.0 * sp / st, 100.0 * sm / st
+
+    dx_vals = []
+    pdi, mdi = _di(sm_p, sm_m, sm_tr)
+    pdi_out[period], mdi_out[period] = pdi, mdi
+    s = pdi + mdi
+    dx_vals.append(100.0 * abs(pdi - mdi) / s if s > 0 else 0.0)
+    for i in range(period, n - 1):  # diff index i corresponds to bar i+1
+        sm_p = sm_p - sm_p / period + plus_dm[i]
+        sm_m = sm_m - sm_m / period + minus_dm[i]
+        sm_tr = sm_tr - sm_tr / period + tr[i]
+        pdi, mdi = _di(sm_p, sm_m, sm_tr)
+        pdi_out[i + 1], mdi_out[i + 1] = pdi, mdi
+        s = pdi + mdi
+        dx_vals.append(100.0 * abs(pdi - mdi) / s if s > 0 else 0.0)
+
+    # ADX: first value at bar 2*period-1 is the mean of the first
+    # `period` DX values; Wilder recursion afterwards.
+    if n >= 2 * period:
+        dx = np.asarray(dx_vals)  # dx[j] belongs to bar period+j
+        prev = np.mean(dx[:period])
+        adx_out[2 * period - 1] = prev
+        for j in range(period, len(dx)):
+            prev = (prev * (period - 1) + dx[j]) / period
+            adx_out[period + j] = prev
+    return adx_out, pdi_out, mdi_out
+
+
+def psar(
+    high: np.ndarray, low: np.ndarray, accel: float = 0.02, maximum: float = 0.2
+) -> np.ndarray:
+    """TA-Lib Parabolic SAR (Wilder's state machine). Output starts at
+    index 1 (index 0 is NaN). Initial direction from one bar of
+    -DM (TA-Lib convention): short if l[0]-l[1] > h[1]-h[0] and > 0.
+    """
+    n = len(high)
+    out = _nan(n)
+    if n < 2:
+        return out
+    down = low[0] - low[1]
+    up = high[1] - high[0]
+    is_long = not (down > up and down > 0)
+    af = accel
+    if is_long:
+        ep = high[1]
+        sar = low[0]
+    else:
+        ep = low[1]
+        sar = high[0]
+
+    for i in range(1, n):
+        if is_long:
+            if low[i] < sar:  # reversal to short
+                is_long = False
+                sar = max(ep, high[i], high[i - 1])
+                out[i] = sar
+                af = accel
+                ep = low[i]
+                sar = sar + af * (ep - sar)
+                sar = max(sar, high[i], high[i - 1])
+            else:
+                out[i] = sar
+                if high[i] > ep:
+                    ep = high[i]
+                    af = min(af + accel, maximum)
+                sar = sar + af * (ep - sar)
+                sar = min(sar, low[i], low[i - 1])
+        else:
+            if high[i] > sar:  # reversal to long
+                is_long = True
+                sar = min(ep, low[i], low[i - 1])
+                out[i] = sar
+                af = accel
+                ep = high[i]
+                sar = sar + af * (ep - sar)
+                sar = min(sar, low[i], low[i - 1])
+            else:
+                out[i] = sar
+                if low[i] < ep:
+                    ep = low[i]
+                    af = min(af + accel, maximum)
+                sar = sar + af * (ep - sar)
+                sar = max(sar, high[i], high[i - 1])
+    return out
+
+
+def t3(x: np.ndarray, period: int = 60, vfactor: float = 0.7) -> np.ndarray:
+    """Tillson T3: six cascaded SMA-seeded EMAs; T3 = c1*e6 + c2*e5 +
+    c3*e4 + c4*e3 with the published coefficients. Lookback =
+    6*(period-1)."""
+    e1 = ema(x, period)
+    e2 = ema(e1, period)
+    e3 = ema(e2, period)
+    e4 = ema(e3, period)
+    e5 = ema(e4, period)
+    e6 = ema(e5, period)
+    v = vfactor
+    c1 = -(v**3)
+    c2 = 3 * v**2 + 3 * v**3
+    c3 = -6 * v**2 - 3 * v - 3 * v**3
+    c4 = 1 + 3 * v + v**3 + 3 * v**2
+    return c1 * e6 + c2 * e5 + c3 * e4 + c4 * e3
+
+
+def rolling_mean(x: np.ndarray, window: int, min_periods: int | None = None) -> np.ndarray:
+    """pandas-style trailing rolling mean (NaN until min_periods)."""
+    if min_periods is None:
+        min_periods = window
+    n = len(x)
+    out = _nan(n)
+    c = np.concatenate([[0.0], np.cumsum(x)])
+    for i in range(n):
+        lo = max(0, i - window + 1)
+        cnt = i - lo + 1
+        if cnt >= min_periods:
+            out[i] = (c[i + 1] - c[lo]) / cnt
+    return out
+
+
+# ---------------------------------------------------------------------------
+# scipy.signal.find_peaks subset (distance + prominence)
+# ---------------------------------------------------------------------------
+
+
+def _local_maxima(x: np.ndarray) -> np.ndarray:
+    """Plateau-aware local maxima (scipy semantics: midpoint of flat
+    tops, boundaries never peaks)."""
+    peaks = []
+    n = len(x)
+    i = 1
+    while i < n - 1:
+        if x[i - 1] < x[i]:
+            ahead = i + 1
+            while ahead < n - 1 and x[ahead] == x[i]:
+                ahead += 1
+            if x[ahead] < x[i]:
+                peaks.append((i + ahead - 1) // 2)
+                i = ahead
+                continue
+        i += 1
+    return np.asarray(peaks, dtype=np.intp)
+
+
+def _select_by_distance(peaks: np.ndarray, priority: np.ndarray, distance: float) -> np.ndarray:
+    """scipy's distance filter: iterate peaks by descending priority,
+    suppress any unkept peak within `distance` samples."""
+    keep = np.ones(len(peaks), dtype=bool)
+    order = np.argsort(priority, kind="stable")[::-1]
+    for idx in order:
+        if not keep[idx]:
+            continue
+        j = idx - 1
+        while j >= 0 and peaks[idx] - peaks[j] < distance:
+            keep[j] = False
+            j -= 1
+        j = idx + 1
+        while j < len(peaks) and peaks[j] - peaks[idx] < distance:
+            keep[j] = False
+            j += 1
+    return keep
+
+
+def _prominences(x: np.ndarray, peaks: np.ndarray) -> np.ndarray:
+    """scipy peak prominence: for each peak, walk left/right until a
+    strictly higher sample or the boundary; base = min of each walk;
+    prominence = height - max(left_base_min, right_base_min)."""
+    proms = np.empty(len(peaks))
+    n = len(x)
+    for k, p in enumerate(peaks):
+        h = x[p]
+        i = p - 1
+        left_min = h
+        while i >= 0 and x[i] <= h:
+            left_min = min(left_min, x[i])
+            i -= 1
+        i = p + 1
+        right_min = h
+        while i < n and x[i] <= h:
+            right_min = min(right_min, x[i])
+            i += 1
+        proms[k] = h - max(left_min, right_min)
+    return proms
+
+
+def find_peaks(x: np.ndarray, distance: float, prominence: float) -> np.ndarray:
+    """scipy.signal.find_peaks(x, distance=d, prominence=p) — the
+    subset the reference uses (``src/candle_to_calcs.py:528-558``):
+    local maxima -> distance filter (by height priority) -> prominence
+    threshold. Returns peak indices."""
+    peaks = _local_maxima(np.asarray(x, dtype=float))
+    if len(peaks) == 0:
+        return peaks
+    if distance is not None and distance >= 1:
+        keep = _select_by_distance(peaks, x[peaks], distance)
+        peaks = peaks[keep]
+    proms = _prominences(x, peaks)
+    return peaks[proms >= prominence]

@@ -1,0 +1,186 @@
+"""Stage-3 indicator kernel (W2-W5, W7-W9, W11 + A8): one
+``applyInPandas`` grouped-map per symbol computing every
+recursive/path-dependent column of the reference's
+``apply_all_calculations`` (``/root/reference/src/candle_to_calcs.py:560-575``)
+in a single pass — ADX/DI, MACD, PSAR, ATR pack, T3 + slope + trend
+labels, all 59 CDL patterns + pattern sum, and scipy-style
+peaks/valleys at three scales.
+
+Division of labor with the native-window operators (operators/
+windows.py): anything expressible as a bounded SQL window (Bollinger,
+volume spike, session flags, running daily extrema) stays JVM-side;
+this kernel carries only what is genuinely recursive (EMA cascades,
+Wilder smoothing, SAR state, prominence scans) — the minimal
+Python/Arrow surface.
+
+Scale shape: one shuffle keyed by symbol; each group is processed by
+vectorized numpy (no per-row Python in the loop bodies except the
+inherently sequential recursions). Cross-day EMA warm-up demands
+whole-symbol series (SURVEY §7 hard-part 2), so the partition key is
+`symbol`, not (symbol, day); parallelism comes from symbol count —
+the reference's own constraint, not an artifact.
+
+Reference fillna semantics preserved exactly: adx/atr/macd packs
+fillna(0) with a len>=14 gate for adx/atr, psar fillna(close), t3
+fillna(close) with a len<60 close-passthrough, t3_slope =
+t3.diff(60).fillna(0) (``:386-438``, ``:429-452``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from auto_trade_data_pipeline_spark.functions import cdl as cdl_mod
+from auto_trade_data_pipeline_spark.functions import ta
+
+__all__ = ["enrich_indicators", "INDICATOR_COLUMNS", "CDL_NAMES"]
+
+CDL_NAMES: tuple[str, ...] = tuple(cdl_mod.ALL_PATTERNS.keys())
+
+#: (name, spark type) of every kernel-added column, in reference order.
+INDICATOR_COLUMNS: tuple[tuple[str, str], ...] = (
+    ("typical_price", "double"),
+    ("adx", "double"),
+    ("di_pos", "double"),
+    ("di_neg", "double"),
+    ("di_diff", "double"),
+    ("macd", "double"),
+    ("macd_signal", "double"),
+    ("macd_diff", "double"),
+    ("psar", "double"),
+    ("psar_trend", "int"),
+    ("psar_reversal", "double"),
+    ("atr", "double"),
+    ("atr_norm", "double"),
+    ("atr_change", "double"),
+    ("high_volatility", "int"),
+    ("t3", "double"),
+    ("t3_slope", "double"),
+    ("is_uptrend", "int"),
+    ("is_downtrend", "int"),
+    ("is_no_trend", "int"),
+    *[(name, "int") for name in CDL_NAMES],
+    ("candle_pattern_sum", "long"),
+    ("is_major_peak", "int"),
+    ("is_major_valley", "int"),
+    ("is_minor_peak", "int"),
+    ("is_minor_valley", "int"),
+    ("is_micro_peak", "int"),
+    ("is_micro_valley", "int"),
+)
+
+
+def _zeros_int(n: int) -> np.ndarray:
+    return np.zeros(n, dtype=np.int32)
+
+
+def _indicator_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    h = pdf["high"].to_numpy(dtype=float)
+    l = pdf["low"].to_numpy(dtype=float)  # noqa: E741
+    c = pdf["close"].to_numpy(dtype=float)
+    o = pdf["open"].to_numpy(dtype=float)
+
+    out = pdf
+    out["typical_price"] = (h + l + c) / 3.0
+
+    # --- ADX / DI pack (len>=14 gate, src/candle_to_calcs.py:388-397)
+    if n >= 14:
+        adx, pdi, mdi = ta.adx_di(h, l, c, 14)
+        adx = np.nan_to_num(adx, nan=0.0)
+        pdi = np.nan_to_num(pdi, nan=0.0)
+        mdi = np.nan_to_num(mdi, nan=0.0)
+    else:
+        adx = pdi = mdi = np.zeros(n)
+    out["adx"], out["di_pos"], out["di_neg"] = adx, pdi, mdi
+    out["di_diff"] = pdi - mdi
+
+    # --- MACD(12,26,9) (:399-402)
+    macd_l, macd_s, macd_h = ta.macd(c, 12, 26, 9)
+    out["macd"] = np.nan_to_num(macd_l, nan=0.0)
+    out["macd_signal"] = np.nan_to_num(macd_s, nan=0.0)
+    out["macd_diff"] = np.nan_to_num(macd_h, nan=0.0)
+
+    # --- PSAR pack (:404-406); NaN (index 0) -> close
+    psar = ta.psar(h, l, 0.02, 0.2)
+    psar = np.where(np.isnan(psar), c, psar)
+    trend = (c > psar).astype(np.int32)
+    reversal = np.abs(np.diff(trend, prepend=trend[:1]).astype(float))
+    if n:
+        reversal[0] = 0.0  # diff().fillna(0)
+    out["psar"], out["psar_trend"], out["psar_reversal"] = psar, trend, reversal
+
+    # --- ATR pack (len>=14 gate, :408-417). atr_norm divides by close
+    # (validation guarantees close>0; a 0 close yields 0, not inf —
+    # documented deviation from the reference's no-op replace chain).
+    if n >= 14:
+        atr = np.nan_to_num(ta.atr(h, l, c, 14), nan=0.0)
+        atr_norm = np.divide(atr, c, out=np.zeros(n), where=c != 0)
+        atr_change = np.diff(atr, prepend=atr[:1])
+        if n:
+            atr_change[0] = 0.0
+        roll = ta.rolling_mean(atr_norm, 14)
+        high_vol = (atr_norm > np.nan_to_num(roll, nan=0.0)).astype(np.int32)
+    else:
+        atr = atr_norm = atr_change = np.zeros(n)
+        high_vol = _zeros_int(n)
+    out["atr"], out["atr_norm"] = atr, atr_norm
+    out["atr_change"], out["high_volatility"] = atr_change, high_vol
+
+    # --- T3(60) + slope + trend labels (:429-452, threshold 0.2)
+    if n < 60:
+        t3 = c.copy()
+        slope = np.zeros(n)
+    else:
+        t3 = ta.t3(c, 60, 0.7)
+        t3 = np.where(np.isnan(t3), c, t3)
+        slope = np.empty(n)
+        slope[:60] = 0.0  # diff(60).fillna(0)
+        slope[60:] = t3[60:] - t3[:-60]
+    out["t3"], out["t3_slope"] = t3, slope
+    out["is_uptrend"] = (slope > 0.2).astype(np.int32)
+    out["is_downtrend"] = (slope < -0.2).astype(np.int32)
+    out["is_no_trend"] = (~((slope > 0.2) | (slope < -0.2))).astype(np.int32)
+
+    # --- 59 CDL patterns + horizontal sum (:454-515)
+    patterns = cdl_mod.compute_all(o, h, l, c)
+    psum = np.zeros(n, dtype=np.int64)
+    for name in CDL_NAMES:
+        arr = patterns[name]
+        out[name] = arr
+        psum += arr
+    out["candle_pattern_sum"] = psum
+
+    # --- peaks/valleys x3 scales (:528-558), start_idx=0 in batch
+    for prefix, dist, prom in (("major", 10, 0.9), ("minor", 7, 0.7), ("micro", 5, 0.5)):
+        pk = _zeros_int(n)
+        vl = _zeros_int(n)
+        pk[ta.find_peaks(h, dist, prom)] = 1
+        vl[ta.find_peaks(-l, dist, prom)] = 1
+        out[f"is_{prefix}_peak"] = pk
+        out[f"is_{prefix}_valley"] = vl
+    return out
+
+
+def enrich_indicators(candles: DataFrame) -> DataFrame:
+    """Attach the full recursive-indicator pack to a candle table.
+    Input: the candles_1s schema (symbol, timestamp, open, high, low,
+    close, volume, number_of_trades, vwap). Output: input columns +
+    :data:`INDICATOR_COLUMNS`, one row per input row."""
+    out_fields = list(candles.schema.fields) + [
+        T.StructField(name, _SPARK_TYPES[t], True) for name, t in INDICATOR_COLUMNS
+    ]
+    schema = T.StructType(out_fields)
+    return candles.groupBy("symbol").applyInPandas(_indicator_kernel, schema=schema)
+
+
+_SPARK_TYPES = {
+    "double": T.DoubleType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+}

@@ -1,0 +1,166 @@
+"""Indicator kernel — TA math vs independent references, kernel
+determinism, and reference fillna/gating semantics (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from auto_trade_data_pipeline_spark.functions import cdl, ta
+
+
+@pytest.fixture(scope="module")
+def series():
+    rng = np.random.default_rng(42)
+    n = 600
+    c = 100 + np.cumsum(rng.normal(0, 0.5, n))
+    o = c + rng.normal(0, 0.4, n)
+    h = np.maximum(o, c) + rng.uniform(0, 0.6, n)
+    l = np.minimum(o, c) - rng.uniform(0, 0.6, n)  # noqa: E741
+    v = rng.uniform(100, 1000, n)
+    return o, h, l, c, v
+
+
+def test_ema_matches_pandas_ewm_with_sma_seed(series):
+    _, _, _, c, _ = series
+    period = 12
+    ours = ta.ema(c, period)
+    # Independent construction: SMA seed, then pandas ewm(adjust=False)
+    # over the remainder — the textbook TA-Lib-compatible recipe.
+    seed = c[:period].mean()
+    tail = pd.Series(np.concatenate([[seed], c[period:]]))
+    ref = tail.ewm(alpha=2 / (period + 1), adjust=False).mean().to_numpy()
+    np.testing.assert_allclose(ours[period - 1 :], ref, rtol=1e-12)
+    assert np.isnan(ours[: period - 1]).all()
+
+
+def test_macd_histogram_is_line_minus_signal(series):
+    _, _, _, c, _ = series
+    line, sig, hist = ta.macd(c)
+    m = np.isfinite(hist)
+    np.testing.assert_allclose(hist[m], (line - sig)[m], rtol=1e-12)
+    assert np.isnan(line[:33]).all() and np.isfinite(line[33:]).all()
+
+
+def test_atr_wilder_recursion_against_loop(series):
+    _, h, l, c, _ = series
+    ours = ta.atr(h, l, c, 14)
+    # Independent plain-python Wilder loop.
+    tr = [h[0] - l[0]]
+    for i in range(1, len(c)):
+        tr.append(max(h[i] - l[i], abs(h[i] - c[i - 1]), abs(l[i] - c[i - 1])))
+    prev = float(np.mean(tr[1:15]))
+    assert abs(ours[14] - prev) < 1e-12
+    for i in range(15, len(c)):
+        prev = (prev * 13 + tr[i]) / 14
+        assert abs(ours[i] - prev) < 1e-9
+
+
+def test_adx_di_bounds_and_warmup(series):
+    _, h, l, c, _ = series
+    adx, pdi, mdi = ta.adx_di(h, l, c, 14)
+    assert np.isnan(pdi[:14]).all() and np.isnan(adx[:27]).all()
+    for arr in (adx[27:], pdi[14:], mdi[14:]):
+        assert np.isfinite(arr).all()
+        assert ((arr >= 0) & (arr <= 100)).all()
+
+
+def test_psar_tracks_price_side(series):
+    _, h, l, _, _ = series
+    p = ta.psar(h, l)
+    assert np.isnan(p[0]) and np.isfinite(p[1:]).all()
+    # SAR must stay within a sane envelope of the running extremes.
+    assert (p[1:] <= h.max() + 1e-9).all() and (p[1:] >= l.min() - 1e-9).all()
+
+
+def test_t3_lookback_and_smoothness(series):
+    _, _, _, c, _ = series
+    t = ta.t3(c, 60)
+    assert np.isnan(t[:354]).all() and np.isfinite(t[354:]).all()
+    # T3 is a heavy smoother: its variance is far below the input's.
+    assert np.var(np.diff(t[354:])) < np.var(np.diff(c[354:]))
+
+
+def test_find_peaks_scipy_semantics():
+    x = np.array([0, 1, 0, 2, 0, 3, 0, 1, 0], dtype=float)
+    assert ta.find_peaks(x, 1, 0.5).tolist() == [1, 3, 5, 7]
+    # Distance: highest wins, neighbors within distance suppressed;
+    # result in index order (scipy contract).
+    assert ta.find_peaks(x, 3, 0.5).tolist() == [1, 5]
+    # Prominence: the 1-high peaks flanked by 0 valleys have prom 1.
+    assert ta.find_peaks(x, 1, 1.5).tolist() == [3, 5]
+    # Plateau midpoint.
+    y = np.array([0, 5, 5, 5, 0], dtype=float)
+    assert ta.find_peaks(y, 1, 0.5).tolist() == [2]
+
+
+def test_cdl_outputs_domain_and_warmup(series):
+    o, h, l, c, _ = series
+    out = cdl.compute_all(o, h, l, c)
+    assert set(out) == set(cdl.ALL_PATTERNS)
+    for name, arr in out.items():
+        assert set(np.unique(arr)) <= {-100, 0, 100}, name
+    # Settings need 10 prior bars: nothing using averages fires early.
+    assert (out["CDLDOJI"][:10] == 0).all()
+
+
+def test_cdl_hand_cases():
+    # Bullish engulfing at bar 3.
+    o = np.array([10.0, 10.5, 10.4, 9.8])
+    c = np.array([10.5, 10.0, 9.9, 10.6])
+    h = np.maximum(o, c) + 0.1
+    l = np.minimum(o, c) - 0.1  # noqa: E741
+    assert cdl.compute_all(o, h, l, c)["CDLENGULFING"][3] == 100
+    # Doji after 10 normal bars.
+    o = np.concatenate([np.arange(10.0, 20.0), [20.0]])
+    c = np.concatenate([np.arange(10.5, 20.5), [20.001]])
+    h = np.maximum(o, c) + 0.3
+    l = np.minimum(o, c) - 0.3  # noqa: E741
+    assert cdl.compute_all(o, h, l, c)["CDLDOJI"][10] == 100
+
+
+def _candles_df(spark, n=200, symbols=("A", "B")):
+    rows = []
+    rng = np.random.default_rng(3)
+    for s in symbols:
+        c = 100 + np.cumsum(rng.normal(0, 0.5, n))
+        for i in range(n):
+            o = c[i] + rng.normal(0, 0.3)
+            hi = max(o, c[i]) + abs(rng.normal(0, 0.2))
+            lo = min(o, c[i]) - abs(rng.normal(0, 0.2))
+            ts = (
+                pd.Timestamp("2024-01-02 14:30:00") + pd.Timedelta(seconds=i)
+            ).to_pydatetime()
+            rows.append(
+                (s, ts, float(o), float(hi), float(lo), float(c[i]), 100.0, 3, float(c[i])),
+            )
+    return spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, open double, high double, low double,"
+        " close double, volume double, number_of_trades long, vwap double",
+    )
+
+
+def test_kernel_end_to_end_and_partition_invariance(spark):
+    from auto_trade_data_pipeline_spark.operators.indicators import enrich_indicators
+
+    df = _candles_df(spark)
+    out1 = enrich_indicators(df.repartition(1)).orderBy("symbol", "timestamp").collect()
+    out8 = enrich_indicators(df.repartition(8)).orderBy("symbol", "timestamp").collect()
+    assert out1 == out8  # kernel result independent of physical layout
+    row = out1[150]
+    assert row["adx"] >= 0 and row["t3"] is not None
+    assert row["is_uptrend"] + row["is_downtrend"] + row["is_no_trend"] == 1
+
+
+def test_kernel_short_group_gates(spark):
+    """Groups under the 14/60-row gates emit the reference defaults
+    (0s; t3=close) instead of partial indicators."""
+    from auto_trade_data_pipeline_spark.operators.indicators import enrich_indicators
+
+    df = _candles_df(spark, n=10, symbols=("S",))
+    rows = enrich_indicators(df).orderBy("timestamp").collect()
+    assert all(r["adx"] == 0 and r["atr"] == 0 for r in rows)
+    assert all(r["t3"] == r["close"] and r["t3_slope"] == 0 for r in rows)
+    assert all(r["is_no_trend"] == 1 for r in rows)
