@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 def load_all() -> dict[str, Query]:
     """Import every corpus module (side effect: fills REGISTRY)."""
     from auto_trade_data_pipeline_spark.corpus import (  # noqa: F401
+        anchors,
         enrich,
         ext,
         indicators,
