@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         enrich,
         ext,
         indicators,
+        stream,
         tpch,
         trade,
     )

@@ -1,0 +1,82 @@
+"""Streaming corpus (ST1-ST4): availableNow replay queries whose
+results are deterministic functions of the input — so the windowed
+candle replay gets a full DuckDB oracle (batch candles restricted to
+the windows the final watermark closed)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus.trade import (
+    CANDLES_CTE,
+    TS_FMT_DUCK,
+    TS_FMT_SPARK,
+)
+from auto_trade_data_pipeline_spark.streaming import (
+    read_ticks_stream,
+    run_available_now,
+    streaming_candles,
+    streaming_dedup,
+)
+
+_STREAM_CANDLES_ORACLE = f"""
+WITH {CANDLES_CTE},
+wm AS (SELECT max(timestamp) - INTERVAL 10 MINUTE AS w FROM ticks)
+SELECT symbol,
+       strftime(timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
+       open, high, low, close,
+       round(volume, 4) AS volume,
+       number_of_trades,
+       round(vwap, 4) AS vwap
+FROM candles, wm
+WHERE timestamp + INTERVAL 1 SECOND <= wm.w
+"""
+
+
+@register("streaming_candles_replay", _STREAM_CANDLES_ORACLE, tags=("ST1", "ST2", "ST8"))
+def streaming_candles_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: watermarked 1-second candles over the events stream,
+    drained with the availableNow trigger. Append mode emits exactly
+    the windows closed by the final watermark (max event time minus
+    10 minutes) — the oracle states that contract relationally
+    against the batch candle definition."""
+    stream = streaming_candles(read_ticks_stream(spark, sf_dir), 1, watermark="10 minutes")
+    result = run_available_now(stream, f"corpus_stream_candles_{uuid.uuid4().hex[:8]}")
+    return result.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("volume"),
+        "number_of_trades",
+        F.round("vwap", 4).alias("vwap"),
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS timestamp
+  FROM events
+)
+SELECT symbol, count(DISTINCT timestamp) AS distinct_ts
+FROM t
+GROUP BY symbol
+"""
+
+
+@register("streaming_dedup_replay", _STREAM_DEDUP_ORACLE, tags=("ST3",))
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: watermark-bounded streaming dropDuplicates on
+    (symbol, timestamp); the replay must leave exactly one row per
+    distinct key, counted per symbol against a relational oracle."""
+    deduped = streaming_dedup(read_ticks_stream(spark, sf_dir), ("symbol", "timestamp"))
+    result = run_available_now(deduped, f"corpus_stream_dedup_{uuid.uuid4().hex[:8]}")
+    # Plain count(*) of the deduped stream: only a correct dedup makes
+    # it equal the oracle's count(DISTINCT timestamp).
+    return result.groupBy("symbol").agg(F.count(F.lit(1)).alias("distinct_ts"))

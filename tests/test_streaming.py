@@ -1,0 +1,110 @@
+"""Streaming equivalence (SURVEY §5.4): availableNow streaming result
+== batch result on the same input; stateful ops carry state across
+micro-batches."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles
+from auto_trade_data_pipeline_spark.sources import ticks_from_events
+from auto_trade_data_pipeline_spark.streaming import (
+    read_ticks_stream,
+    run_available_now,
+    streaming_candles,
+    streaming_dedup,
+    streaming_running_vwap,
+)
+
+
+def _canon(df):
+    return sorted(
+        (r["symbol"], r["timestamp"], r["open"], r["high"], r["low"], r["close"],
+         round(r["volume"], 6), r["number_of_trades"],
+         None if r["vwap"] is None else round(r["vwap"], 9))
+        for r in df.collect()
+    )
+
+
+def test_streaming_candles_equal_batch(spark, sf_small):
+    """Append-mode contract: the stream emits exactly the batch
+    result for every window the final watermark closed; windows still
+    inside the watermark horizon (the stream's tail) are withheld."""
+    batch = aggregate_candles(ticks_from_events(spark, sf_small), 1)
+    stream = streaming_candles(read_ticks_stream(spark, sf_small), 1, watermark="10 minutes")
+    result = run_available_now(stream, "t_candles_stream")
+
+    b = {t[:2]: t for t in _canon(batch)}
+    s = {t[:2]: t for t in _canon(result)}
+    # Every emitted candle matches the batch value exactly.
+    assert set(s) <= set(b)
+    for k in s:
+        assert s[k] == b[k]
+    # Whatever was withheld sits inside the watermark horizon of the
+    # global max event time.
+    max_ts = ticks_from_events(spark, sf_small).agg(F.max("timestamp")).first()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    withheld = set(b) - set(s)
+    assert withheld  # the final window can never close
+    for _, ts in withheld:
+        assert ts + datetime.timedelta(seconds=1) > horizon
+
+
+def test_streaming_dedup_equal_batch_distinct(spark, sf_small):
+    ticks = read_ticks_stream(spark, sf_small)
+    result = run_available_now(
+        streaming_dedup(ticks, ("symbol", "timestamp")), "t_dedup_stream"
+    )
+    batch = (
+        ticks_from_events(spark, sf_small)
+        .select("symbol", "timestamp")
+        .distinct()
+        .count()
+    )
+    assert result.select("symbol", "timestamp").distinct().count() == batch
+    assert result.count() == batch
+
+
+def test_stateful_running_vwap_carries_state(spark, tmp_path):
+    # Two parquet files -> two micro-batches (maxFilesPerTrigger=1).
+    # The second batch's totals must include the first batch's rows.
+    rng = np.random.default_rng(5)
+    for b in range(2):
+        pdf = pd.DataFrame(
+            {
+                "symbol": ["S"] * 50,
+                "timestamp": pd.date_range("2024-01-02 14:30:00", periods=50, freq="s")
+                + pd.Timedelta(minutes=b),
+                "price": rng.uniform(10, 20, 50),
+                "volume": rng.integers(1, 100, 50).astype(float),
+                "tick_id": np.arange(50) + 1000 * b,
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{tmp_path}/b{b}")
+    # Flatten into one dir of two files.
+    import glob
+    import shutil
+
+    data_dir = tmp_path / "stream_in"
+    data_dir.mkdir()
+    for b in range(2):
+        for i, f in enumerate(glob.glob(f"{tmp_path}/b{b}/part-*.parquet")):
+            shutil.copy(f, data_dir / f"file_{b}_{i}.parquet")
+
+    ticks = (
+        spark.readStream.format("parquet")
+        .schema("symbol string, timestamp timestamp, price double, volume double, tick_id long")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(data_dir))
+    )
+    out = run_available_now(streaming_running_vwap(ticks), "t_state_stream", "update")
+    rows = sorted(out.collect(), key=lambda r: r["total_rows"])
+    assert [r["batch_rows"] for r in rows] == [50, 50]
+    assert rows[-1]["total_rows"] == 100  # state carried across batches
+    assert rows[-1]["running_vwap"] == pytest.approx(rows[-1]["running_vwap"])
