@@ -218,3 +218,41 @@ def trend_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_no_trend",
         F.round("typical_price", 6).alias("typical_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P9: default-column projection (initialize_output_columns)
+# ---------------------------------------------------------------------------
+
+from auto_trade_data_pipeline_spark.operators.projection import (  # noqa: E402
+    DEFAULT_COLUMNS,
+    initialize_output_columns,
+)
+
+
+def _default_projection_oracle() -> str:
+    lits = ",\n       ".join(
+        f"CAST({v} AS DOUBLE) AS {name}" for name, v in DEFAULT_COLUMNS.items()
+    )
+    return f"""
+WITH {CANDLES_CTE}
+SELECT symbol,
+       strftime(timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
+       {lits}
+FROM candles
+"""
+
+
+@register("default_projection", _default_projection_oracle(), tags=("P9",))
+def default_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (``src/candle_to_calcs.py:316-350``): pre-create all 106
+    derived output columns with defaults (0.0; is_no_trend=1.0) on the
+    candle table — pure select extension, literals folded by Catalyst,
+    zero data movement."""
+    c = _candles(spark, sf_dir)
+    out = initialize_output_columns(c.select("symbol", "timestamp"))
+    return out.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        *DEFAULT_COLUMNS.keys(),
+    )

@@ -1,0 +1,84 @@
+"""Write-side sinks (S5 append, S7 upsert/merge, S9 split side-output).
+
+Reference behavior being replicated:
+- S5 append-with-header CSV sink (``src/fetch_historical_trades_nvda.py:186-200``)
+  -> ``mode('append')`` parquet;
+- S7 temp->final merge: concat + keyed dedup keep-last + rewrite
+  (``:203-258``, ``src/aggregator_candles.py:104-136``) -> snapshot
+  upsert via staging-dir swap (Delta/Iceberg ``MERGE INTO`` is the
+  production analogue — this is the filesystem-only equivalent);
+- S9 invalid side-output (``:127-132``) -> ONE flag-partitioned write,
+  not two passes over the input: the scan is read once, the partition
+  column routes rows to valid=/invalid= directories.
+
+Scale notes: append and split are embarrassingly parallel. The
+snapshot upsert rewrites the whole table — correct at any scale but
+O(table); on a real deployment the same `upsert` transform feeds a
+Delta MERGE instead of a directory swap, touching only matched files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.operators.dedup import dedup_keep_last
+
+__all__ = ["write_append", "write_upsert_snapshot", "write_split"]
+
+
+def write_append(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S5: append new files to a table directory (no read-modify-write;
+    the header bookkeeping of the CSV reference is moot under parquet)."""
+    df.write.mode("append").format(fmt).save(path)
+
+
+def write_upsert_snapshot(
+    new: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    fmt: str = "parquet",
+) -> None:
+    """S7: merge `new` into the table at `path` with keyed keep-last
+    semantics, atomically-ish via a staging-dir swap (write the merged
+    snapshot next to the live dir, then replace). The reference's
+    pandas merge rewrites its CSV the same way, minus the staging
+    discipline (``src/fetch_historical_trades_nvda.py:237-258``)."""
+    spark = new.sparkSession
+    if _path_exists(spark, path):
+        existing = spark.read.format(fmt).load(path)
+        merged = dedup_keep_last(existing.unionByName(new), keys, [order_col])
+    else:
+        merged = dedup_keep_last(new, keys, [order_col])
+    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").format(fmt).save(staging)
+    backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
+def write_split(
+    df: DataFrame, predicate: Column, root: str, fmt: str = "parquet"
+) -> tuple[str, str]:
+    """S9: route rows to valid/invalid side outputs in ONE pass — a
+    single write partitioned by the validity flag (null predicate
+    results count invalid, matching the reference's dropna). Returns
+    (valid_dir, invalid_dir)."""
+    flagged = df.withColumn("is_valid", F.coalesce(predicate, F.lit(False)))
+    flagged.write.mode("overwrite").format(fmt).partitionBy("is_valid").save(root)
+    return f"{root}/is_valid=true", f"{root}/is_valid=false"
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)

@@ -1,0 +1,142 @@
+"""Sinks (S5/S7/S9 write side), P9 projection, REST source (S1-S3)."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.operators.projection import (
+    DEFAULT_COLUMNS,
+    initialize_output_columns,
+)
+from auto_trade_data_pipeline_spark.operators.validation import tick_valid_predicate
+from auto_trade_data_pipeline_spark.sinks import (
+    write_append,
+    write_split,
+    write_upsert_snapshot,
+)
+from auto_trade_data_pipeline_spark.sources.rest import (
+    RateLimiter,
+    fetch_trades,
+    trading_day_plan,
+    with_retry,
+)
+
+TICKS = "symbol string, timestamp timestamp, price double, volume double, tick_id long"
+
+
+def _ticks(spark, rows):
+    return spark.createDataFrame(
+        [(s, datetime(2024, 1, 2, 15, 0, i), float(p), float(v), i) for s, p, v, i in rows],
+        TICKS,
+    )
+
+
+def test_write_append_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ticks(spark, [("A", 10, 5, 1), ("B", 11, 6, 2)])
+    write_append(df, path)
+    write_append(df, path)
+    assert spark.read.parquet(path).count() == 4
+
+
+def test_upsert_snapshot_idempotent_and_keeps_last(spark, tmp_path):
+    path = str(tmp_path / "merged")
+    first = _ticks(spark, [("A", 10, 5, 1), ("A", 11, 6, 2)])
+    write_upsert_snapshot(first, path, ["symbol", "timestamp"], "tick_id")
+    # Same (symbol, timestamp) keys, higher tick_id -> replaces; run
+    # twice -> idempotent.
+    second = spark.createDataFrame(
+        [
+            ("A", datetime(2024, 1, 2, 15, 0, 1), 99.0, 5.0, 11),
+            ("A", datetime(2024, 1, 2, 15, 0, 2), 98.0, 6.0, 12),
+        ],
+        TICKS,
+    )
+    write_upsert_snapshot(second, path, ["symbol", "timestamp"], "tick_id")
+    write_upsert_snapshot(second, path, ["symbol", "timestamp"], "tick_id")
+    out = spark.read.parquet(path).orderBy("timestamp").collect()
+    assert [r["price"] for r in out] == [99.0, 98.0]
+
+
+def test_write_split_single_pass_partitions(spark, tmp_path):
+    root = str(tmp_path / "split")
+    df = _ticks(spark, [("A", 10, 5, 1), ("A", -1, 5, 2), ("A", 11, -2, 3)])
+    valid_dir, invalid_dir = write_split(df, tick_valid_predicate(), root)
+    assert spark.read.parquet(valid_dir).count() == 1
+    assert spark.read.parquet(invalid_dir).count() == 2
+
+
+def test_initialize_output_columns_defaults(spark):
+    df = _ticks(spark, [("A", 10, 5, 1)]).withColumn("adx", F.lit(7.0))
+    out = initialize_output_columns(df)
+    row = out.first()
+    assert len(DEFAULT_COLUMNS) == 47 + 59
+    assert row["adx"] == 7.0  # present column untouched
+    assert row["is_no_trend"] == 1.0
+    assert row["CDLDOJI"] == 0.0 and row["t3"] == 0.0
+
+
+def test_rate_limiter_sliding_window():
+    clock = {"t": 0.0}
+    slept = []
+
+    def sleep(s):
+        slept.append(s)
+        clock["t"] += s
+
+    rl = RateLimiter(2, 60, clock=lambda: clock["t"], sleep=sleep)
+    assert rl.acquire() == 0.0
+    clock["t"] += 1
+    assert rl.acquire() == 0.0
+    assert rl.acquire() == pytest.approx(59.0)  # waits for slot 1 to age out
+    assert sum(slept) == pytest.approx(59.0)
+
+
+def test_with_retry_backoff_then_raises():
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("boom")
+        return {"ok": True}
+
+    assert with_retry(flaky, sleep=sleeps.append) == {"ok": True}
+    assert sleeps == [1.0, 2.0]
+
+    def always():
+        raise RuntimeError("nope")
+
+    with pytest.raises(RuntimeError):
+        with_retry(always, max_attempts=3, sleep=sleeps.append)
+    assert sleeps[-2:] == [1.0, 2.0]
+
+
+def test_trading_day_plan_drops_weekends(spark):
+    plan = trading_day_plan(spark, ["NVDA"], date(2024, 1, 5), date(2024, 1, 9))
+    days = sorted(str(r["date"]) for r in plan.collect())
+    # Fri 5th, Mon 8th, Tue 9th — the 6th/7th weekend dropped.
+    assert days == ["2024-01-05", "2024-01-08", "2024-01-09"]
+
+
+def test_fetch_trades_paginates_with_fake_client(spark):
+    pages = {}
+
+    def fake_fetch(symbol, date_iso, limit, skip):
+        pages.setdefault((symbol, date_iso), 0)
+        pages[(symbol, date_iso)] += 1
+        if skip >= 4:
+            return {"t": [], "p": [], "v": []}
+        base = 1_704_207_600_000 + skip * 1000
+        return {"t": [base, base + 500], "p": [10.0 + skip, 11.0 + skip], "v": [1.0, 2.0]}
+
+    plan = trading_day_plan(spark, ["NVDA"], date(2024, 1, 2), date(2024, 1, 2))
+    out = fetch_trades(plan, fetch_fn=fake_fetch, batch_size=2).collect()
+    assert len(out) == 4  # two pages of two rows, then the empty page
+    assert {r["symbol"] for r in out} == {"NVDA"}
+    assert sorted(r["tick_id"] for r in out) == [0, 1, 2, 3]
