@@ -127,10 +127,13 @@ FROM b
 @register("rolling_window_features", _ROLLING_ORACLE, tags=("W6", "W10", "A7"))
 def rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger(20,2) + volume-spike(60,1.5×) + running daily
-    extrema, one pass of symbol-partitioned ROWS windows
-    (``src/candle_to_calcs.py:419-425,517-526,301-311``)."""
+    extrema (``src/candle_to_calcs.py:419-425,517-526,301-311``).
+    The bounded ROWS frames run through the blocked evaluator
+    (operators/blocked.py): block-level parallelism with overlap
+    carry — identical hashes to the symbol-global window, no
+    one-task-per-symbol serialization at 100 TB."""
     c = with_running_daily_extrema(
-        with_volume_spike(with_bollinger(_candles(spark, sf_dir)))
+        with_volume_spike(with_bollinger(_candles(spark, sf_dir), blocked=True), blocked=True)
     )
     return c.select(
         "symbol",

@@ -110,19 +110,7 @@ def with_running_daily_extrema(df: DataFrame) -> DataFrame:
     )
 
 
-def with_bollinger(df: DataFrame, period: int = 20, nbdev: float = 2.0) -> DataFrame:
-    """W6: Bollinger(20,2) + width/pos/breakout
-    (``src/candle_to_calcs.py:419-425``).
-
-    Spec (pinned, talib-compatible): mid = SMA(period) over the
-    trailing ROWS frame, bands = mid ± nbdev·stddev_pop (population
-    σ, like talib BBANDS), warm-up rows (<period) fall back to
-    ``close`` (the reference's ``fillna(df["close"])``).  The
-    reference's div-by-zero guard on bb_pos is a no-op bug
-    (``.replace(0,nan).fillna(0)`` round-trips); we implement the
-    intent: bb_pos = 0 when the band width is 0.
-    """
-    w = symbol_window().rowsBetween(-(period - 1), 0)
+def _bollinger_cols(df: DataFrame, w, period: int, nbdev: float) -> DataFrame:
     cnt = F.count("close").over(w)
     warm = cnt >= period
     mid = F.when(warm, F.avg("close").over(w)).otherwise(F.col("close"))
@@ -148,16 +136,55 @@ def with_bollinger(df: DataFrame, period: int = 20, nbdev: float = 2.0) -> DataF
     )
 
 
-def with_volume_spike(
-    df: DataFrame, window: int = 60, spike_multiplier: float = 1.5
+def with_bollinger(
+    df: DataFrame, period: int = 20, nbdev: float = 2.0, blocked: bool = False
 ) -> DataFrame:
-    """W10 (``src/candle_to_calcs.py:517-526``): trailing mean volume
-    (min_periods=1) and spike flag."""
-    w = symbol_window().rowsBetween(-(window - 1), 0)
+    """W6: Bollinger(20,2) + width/pos/breakout
+    (``src/candle_to_calcs.py:419-425``).
+
+    Spec (pinned, talib-compatible): mid = SMA(period) over the
+    trailing ROWS frame, bands = mid ± nbdev·stddev_pop (population
+    σ, like talib BBANDS), warm-up rows (<period) fall back to
+    ``close`` (the reference's ``fillna(df["close"])``).  The
+    reference's div-by-zero guard on bb_pos is a no-op bug
+    (``.replace(0,nan).fillna(0)`` round-trips); we implement the
+    intent: bb_pos = 0 when the band width is 0.
+
+    ``blocked=True`` evaluates the bounded frame with block-level
+    parallelism (operators/blocked.py) — identical results, no
+    one-task-per-symbol serialization at scale.
+    """
+    if blocked:
+        from auto_trade_data_pipeline_spark.operators.blocked import blocked_rows_window
+
+        return blocked_rows_window(
+            df, period - 1, lambda u, w: _bollinger_cols(u, w, period, nbdev)
+        )
+    w = symbol_window().rowsBetween(-(period - 1), 0)
+    return _bollinger_cols(df, w, period, nbdev)
+
+
+def _volume_spike_cols(df: DataFrame, w, spike_multiplier: float) -> DataFrame:
     return df.withColumn("rolling_avg_volume", F.avg("volume").over(w)).withColumn(
         "is_volume_spike",
         (F.col("volume") > F.col("rolling_avg_volume") * spike_multiplier).cast("int"),
     )
+
+
+def with_volume_spike(
+    df: DataFrame, window: int = 60, spike_multiplier: float = 1.5, blocked: bool = False
+) -> DataFrame:
+    """W10 (``src/candle_to_calcs.py:517-526``): trailing mean volume
+    (min_periods=1) and spike flag. ``blocked=True`` as in
+    :func:`with_bollinger`."""
+    if blocked:
+        from auto_trade_data_pipeline_spark.operators.blocked import blocked_rows_window
+
+        return blocked_rows_window(
+            df, window - 1, lambda u, w: _volume_spike_cols(u, w, spike_multiplier)
+        )
+    w = symbol_window().rowsBetween(-(window - 1), 0)
+    return _volume_spike_cols(df, w, spike_multiplier)
 
 
 def with_trend_labels(
