@@ -203,9 +203,15 @@ FROM s
 
 @register("trend_labels", _TREND_ORACLE, tags=("W8", "W1"))
 def trend_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trend labels over a 60-row close diff (the slope shape of
-    ``t3_slope = diff(60)``, ``src/candle_to_calcs.py:438,440-452``)
-    plus typical price W1."""
+    """Trend labels over a 60-row close diff plus typical price W1.
+
+    The close-diff slope is exactly the reference's ``t3_slope`` in
+    its warm-up region (below 354 rows ``t3`` is close-filled, so
+    ``t3.diff(60) == close.diff(60)``, ``src/candle_to_calcs.py:429-452``)
+    — which keeps this query SQL-oracle-able. The REAL t3-based
+    labels (is_uptrend/... from the T3 cascade) ship from the
+    indicator kernel: see ``indicators_recursive_pack`` and
+    ``full_enrichment`` (corpus/indicators.py)."""
     c = with_typical_price(_candles(spark, sf_dir))
     c = c.withColumn(
         "slope",

@@ -300,8 +300,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from auto_trade_data_pipeline_spark.operators.text import (
+        MINHASH_PRIME,
+        minhash_coeffs,
+    )
+
+    base = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
     mh_cols = ",\n         ".join(
-        f"list_aggregate(list_transform(shingles, s -> {_duck_hash('s', salt=str(p))}), 'min') AS mh{p}"
+        "list_aggregate(list_transform(shingles, s -> ({base} * {a} + {b}) % {m}), 'min') AS mh{p}".format(
+            base=base, a=minhash_coeffs(p)[0], b=minhash_coeffs(p)[1], m=MINHASH_PRIME, p=p
+        )
         for p in range(NUM_PERMS)
     )
     num_bands = NUM_PERMS // ROWS_PER_BAND
@@ -351,11 +359,21 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH self-join (shuffle on band hash, candidates only within
     buckets — never all-pairs) -> exact Jaccard verify on candidates
     (operators/text.py). Emits pairs with Jaccard >= 0.3."""
-    docs = load_table(spark, sf_dir, "documents")
+    # The raw table arrives as one small parquet split; repartition by
+    # doc id so the hash-heavy shingle/minhash expressions use every
+    # core (at 100 TB the scan itself provides the splits). Persist
+    # the shingle sets: they are read three times (signature + both
+    # sides of the verify join).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     shingled = docs.select(
         "doc_id", TX.word_shingles(TX.tokens(F.col("text")), SHINGLE_N).alias("shingles")
-    )
-    sig = TX.minhash_signature(shingled, "shingles", "doc_id", NUM_PERMS)
+    ).persist()
+    # Signature persisted too: the band self-join reads it from both
+    # sides (NUM_PERMS longs per doc — a checkpointed signature table
+    # in production).
+    sig = TX.minhash_signature(shingled, "shingles", "doc_id", NUM_PERMS).persist()
     pairs = TX.lsh_candidate_pairs(sig, "doc_id", NUM_PERMS, ROWS_PER_BAND)
     return TX.jaccard_verify(pairs, shingled, "doc_id", "shingles", JACCARD_T)
 

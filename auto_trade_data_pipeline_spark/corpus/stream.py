@@ -80,3 +80,57 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plain count(*) of the deduped stream: only a correct dedup makes
     # it equal the oracle's count(DISTINCT timestamp).
     return result.groupBy("symbol").agg(F.count(F.lit(1)).alias("distinct_ts"))
+
+
+# ---------------------------------------------------------------------------
+# ST9: session windows (gap-based sessionization)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = f"""
+WITH {CANDLES_CTE},
+t AS (
+  SELECT symbol, timestamp, volume,
+         CASE WHEN lag(timestamp) OVER w IS NULL
+                OR timestamp - lag(timestamp) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM candles
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY symbol ORDER BY timestamp
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+)
+SELECT symbol,
+       strftime(min(timestamp), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(timestamp) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+       count(*) AS bars,
+       CAST(sum(CAST(round(volume) AS BIGINT)) AS BIGINT) AS total_volume
+FROM s
+GROUP BY symbol, session_id
+"""
+
+
+@register("session_window_agg", _SESSION_ORACLE, tags=("ST9",))
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9: gap-based session windows (30 min inactivity closes a
+    session) via Spark's native session_window — state merges
+    adjacent windows; the oracle sessionizes relationally (lag-gap ->
+    cumulative session ids). Session end = last event + gap in both."""
+    from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles
+    from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    sess = candles.groupBy(
+        "symbol", F.session_window("timestamp", "30 minutes")
+    ).agg(
+        F.count(F.lit(1)).alias("bars"),
+        F.sum(F.round("volume", 0).cast("long")).alias("total_volume"),
+    )
+    return sess.select(
+        "symbol",
+        F.date_format("session_window.start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_window.end", TS_FMT_SPARK).alias("session_end"),
+        "bars",
+        "total_volume",
+    )

@@ -381,3 +381,47 @@ def symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# P4: regex timestamp predicate (string-format validation)
+# ---------------------------------------------------------------------------
+
+_REGEX_TS_ORACLE = f"""
+WITH {TICKS_CTE},
+s AS (
+  SELECT *,
+         CASE WHEN tick_id % 7 = 0
+              THEN strftime(timestamp, '%Y-%m-%d %H:%M:%S')
+              ELSE strftime(timestamp, '%Y-%m-%d %H:%M:%S.%f') || ' UTC' END AS ts_str
+  FROM ticks
+)
+SELECT CAST(sum(CASE WHEN regexp_matches(ts_str, '^\\d{{4}}-\\d{{2}}-\\d{{2}} \\d{{2}}:\\d{{2}}:\\d{{2}}\\.\\d{{6}} UTC$')
+                     AND price IS NOT NULL AND volume IS NOT NULL
+                     AND price > 0 AND volume >= 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
+       count(*) AS total_rows
+FROM s
+"""
+
+
+@register("validation_regex_ts", _REGEX_TS_ORACLE, tags=("P4", "F-str"))
+def validation_regex_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (``src/fetch_historical_trades_nvda.py:48,120-124``): the
+    strict on-disk timestamp format regex, exercised by
+    re-serializing every 7th tick WITHOUT the microsecond+'UTC' tail
+    (so the rule demonstrably rejects) and counting survivors of the
+    full tick predicate."""
+    t = ticks_from_events(spark, sf_dir)
+    ts_str = F.when(
+        F.col("tick_id") % 7 == 0,
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss"),
+    ).otherwise(
+        F.concat(F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit(" UTC"))
+    )
+    s = t.withColumn("ts_str", ts_str)
+    valid = tick_valid_predicate(ts_str_col="ts_str")
+    return s.agg(
+        F.sum(F.when(valid, 1).otherwise(0)).alias("valid_rows"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )

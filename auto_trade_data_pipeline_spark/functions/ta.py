@@ -301,26 +301,65 @@ def _select_by_distance(peaks: np.ndarray, priority: np.ndarray, distance: float
     return keep
 
 
-def _prominences(x: np.ndarray, peaks: np.ndarray) -> np.ndarray:
-    """scipy peak prominence: for each peak, walk left/right until a
-    strictly higher sample or the boundary; base = min of each walk;
-    prominence = height - max(left_base_min, right_base_min)."""
-    proms = np.empty(len(peaks))
+def _strictly_greater_bounds(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For every index i: nearest j<i with x[j] > x[i] (or -1) and
+    nearest j>i with x[j] > x[i] (or n). Monotonic stacks, O(n)."""
     n = len(x)
-    for k, p in enumerate(peaks):
-        h = x[p]
-        i = p - 1
-        left_min = h
-        while i >= 0 and x[i] <= h:
-            left_min = min(left_min, x[i])
-            i -= 1
-        i = p + 1
-        right_min = h
-        while i < n and x[i] <= h:
-            right_min = min(right_min, x[i])
-            i += 1
-        proms[k] = h - max(left_min, right_min)
-    return proms
+    prev = np.empty(n, dtype=np.intp)
+    nxt = np.empty(n, dtype=np.intp)
+    stack: list[int] = []
+    for i in range(n):
+        while stack and x[stack[-1]] <= x[i]:
+            stack.pop()
+        prev[i] = stack[-1] if stack else -1
+        stack.append(i)
+    stack.clear()
+    for i in range(n - 1, -1, -1):
+        while stack and x[stack[-1]] <= x[i]:
+            stack.pop()
+        nxt[i] = stack[-1] if stack else n
+        stack.append(i)
+    return prev, nxt
+
+
+def _prominences(x: np.ndarray, peaks: np.ndarray) -> np.ndarray:
+    """scipy peak prominence: walk left/right from each peak to the
+    first strictly higher sample (or boundary), base = min of each
+    walk, prominence = height - max(left_min, right_min).
+
+    Computed without per-peak walks (O(n^2) on random walks):
+    strictly-greater bounds via monotonic stacks + range-min via a
+    sparse table, both vectorized — O(n log n) total."""
+    if len(peaks) == 0:
+        return np.empty(0)
+    n = len(x)
+    prev, nxt = _strictly_greater_bounds(x)
+
+    # Sparse table of range minima.
+    levels = [x]
+    k = 1
+    while (1 << k) <= n:
+        half = 1 << (k - 1)
+        prev_lvl = levels[-1]
+        levels.append(np.minimum(prev_lvl[: len(prev_lvl) - half], prev_lvl[half:]))
+        k += 1
+
+    def rmq(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """Elementwise min over [lo, hi] inclusive (lo <= hi)."""
+        span = hi - lo + 1
+        ks = np.floor(np.log2(span)).astype(np.intp)
+        out = np.empty(len(lo))
+        for kk in np.unique(ks):
+            m = ks == kk
+            w = 1 << int(kk)
+            out[m] = np.minimum(levels[kk][lo[m]], levels[kk][hi[m] - w + 1])
+        return out
+
+    left_lo = prev[peaks] + 1
+    right_hi = nxt[peaks] - 1
+    left_min = rmq(left_lo, peaks)
+    right_min = rmq(peaks, right_hi)
+    return x[peaks] - np.maximum(left_min, right_min)
 
 
 def find_peaks(x: np.ndarray, distance: float, prominence: float) -> np.ndarray:

@@ -88,12 +88,18 @@ def _make_kernel(timeframe: str, flush_secs: int):
             flags[f"{prefix}_peak"] = pk
             flags[f"{prefix}_valley"] = vl
 
-        active: dict[str, list[tuple[int, pd.Timestamp, float]]] = {}
+        # Loop over numpy scalars, not pandas .iloc (10-100x faster on
+        # long series); timestamps as datetime64[ns] round-trip intact.
+        ts_vals = ts.to_numpy()
+        ts_ns = ts_vals.astype("datetime64[ns]").astype("int64")
+        flush_ns = int(flush_secs * 1_000_000_000)
+
+        active: dict[str, list[tuple[int, object, float]]] = {}
         cur_date = None
         added = {"daily_4am": False, "daily_930": False, "daily_4pm": False}
         day_high = day_low = None
         out: list[tuple] = []
-        last_flush = ts.iloc[0]
+        last_flush_ns = ts_ns[0]
 
         def add(atype: str, idx: int, price: float, when) -> None:
             if atype in DAILY_ANCHOR_TYPES:
@@ -108,7 +114,7 @@ def _make_kernel(timeframe: str, flush_secs: int):
                     )
 
         for i in range(n):
-            when = ts.iloc[i]
+            when = ts_vals[i]
             if cur_date is None or l_date[i] != cur_date:
                 cur_date = l_date[i]
                 for atype in DAILY_ANCHOR_TYPES:
@@ -134,12 +140,12 @@ def _make_kernel(timeframe: str, flush_secs: int):
                 if flag[i]:
                     add(atype, i, h[i] if "peak" in atype else l[i], when)
 
-            if (when - last_flush).total_seconds() >= flush_secs:
+            if ts_ns[i] - last_flush_ns >= flush_ns:
                 snapshot(i, when)
                 active.clear()
-                last_flush = when
+                last_flush_ns = ts_ns[i]
 
-        snapshot(n - 1, ts.iloc[n - 1])
+        snapshot(n - 1, ts_vals[n - 1])
         return pd.DataFrame(
             out,
             columns=[

@@ -51,10 +51,12 @@ def tokens(text: Column) -> Column:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array — the unit of
-    near-dup comparison. Space-joined so 'a b','c' != 'a','b c'."""
+    near-dup comparison. Space-joined so 'a b','c' != 'a','b c'.
+    slice+array_join per position is ~10x faster than n element_at
+    lookups (higher-order lambdas run interpreted; fewer calls win)."""
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.array_distinct(grams)
 
@@ -90,17 +92,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+#: Universal-hash family for MinHash permutations: h_p(x) =
+#: (A(p)*x + B(p)) mod PRIME over a 32-bit md5-derived base hash.
+#: PRIME > 2^32 keeps the family injective-ish; A(p) < 2^31 keeps
+#: A*x < 2^63 (no bigint overflow — same arithmetic in DuckDB).
+MINHASH_PRIME = 4_294_967_311
+
+
+def minhash_coeffs(p: int) -> tuple[int, int]:
+    return 1_000_003 + 7_919 * p, 666_013 * p + 12_345
+
+
 def minhash_signature(
     df: DataFrame, shingles_col: str, id_col: str, num_perms: int
 ) -> DataFrame:
-    """MinHash signature: explode shingles, one groupBy computing all
-    `num_perms` mins in a single shuffle keyed by doc id. Each
-    "permutation" is an independently salted hash — the standard
-    one-pass construction."""
-    exploded = df.select(F.col(id_col), F.explode(shingles_col).alias("__sh"))
-    aggs = [
-        F.min(hash64(F.col("__sh"), salt=str(p))).alias(f"mh{p}") for p in range(num_perms)
-    ]
+    """MinHash signature: explode shingles, hash each shingle ONCE
+    (md5 -> 32-bit int), then derive all `num_perms` permutations
+    with the universal-hash family — one groupBy, `num_perms` cheap
+    arithmetic mins, a single shuffle keyed by doc id. (20 salted
+    md5s per shingle would cost 20x the CPU for the same guarantee.)
+    """
+    base = F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast("long")
+    exploded = df.select(F.col(id_col), F.explode(shingles_col).alias("__sh")).withColumn(
+        "__h", base
+    )
+    aggs = []
+    for p in range(num_perms):
+        a, b = minhash_coeffs(p)
+        aggs.append(F.min((F.col("__h") * a + b) % MINHASH_PRIME).alias(f"mh{p}"))
     return exploded.groupBy(id_col).agg(*aggs)
 
 
