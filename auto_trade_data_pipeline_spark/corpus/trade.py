@@ -425,3 +425,45 @@ def validation_regex_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(valid, 1).otherwise(0)).alias("valid_rows"),
         F.count(F.lit(1)).alias("total_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F-arr / F-json: JSON property extraction + array functions
+# ---------------------------------------------------------------------------
+
+_JSON_PROPS_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS events,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+FROM e
+GROUP BY event_type
+"""
+
+
+@register("json_props_stats", _JSON_PROPS_ORACLE, tags=("F-arr", "F-json"))
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (``events.props`` is a JSON string):
+    from_json with a declared schema -> typed field -> grouped stats.
+    Exercises the F-arr/F-json scalar family the reference never
+    needed but any query surface must have (SURVEY §2.8)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+    )
