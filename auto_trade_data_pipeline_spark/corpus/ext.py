@@ -581,3 +581,99 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py — decode math is a documented stub; the
     schema/batching/UDF surface is the production shape)."""
     return decode_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup + blocked exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_COS_NEARDUP_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_cos('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM embeddings a
+  JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos
+FROM pairs
+WHERE cos >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", _COS_NEARDUP_ORACLE, tags=("EXT1", "EXT2"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4 — sized to
+    this corpus's within-cell similarity tail), blocked by
+    coarse cell (label): candidate pairs form only within a cell —
+    the IVF-style blocking that avoids the all-pairs crossJoin. At
+    100 TB the cell assignment comes from a coarse quantizer; the
+    join shape is identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+    )
+    b = emb.select(
+        F.col("label").alias("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(VX.cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_DOCS_CTE},
+{_SHINGLES_CTE},
+keyed AS (
+  SELECT s.doc_id, d.source, s.shingles
+  FROM sh s JOIN docs d USING (doc_id)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shingles, b.shingles))
+           / (1.0 * (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))) AS j
+  FROM keyed a
+  JOIN keyed b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 4) AS jaccard
+FROM pairs
+WHERE j >= {JACCARD_T}
+"""
+
+
+@register("ngram_jaccard_blocked", _NGRAM_JACCARD_ORACLE, tags=("EXT1",))
+def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard dedup with SOURCE blocking: pairs
+    compared only within the same source (the metadata-blocking
+    strategy — exact within blocks, zero recall outside, a different
+    trade than MinHash-LSH's probabilistic global recall)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    shingled = docs.select(
+        "doc_id",
+        "source",
+        TX.word_shingles(TX.tokens(F.col("text")), SHINGLE_N).alias("shingles"),
+    ).persist()
+    a = shingled.select(
+        F.col("source"), F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa")
+    )
+    b = shingled.select(
+        F.col("source"), F.col("doc_id").alias("id_b"), F.col("shingles").alias("__sb")
+    )
+    pairs = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
