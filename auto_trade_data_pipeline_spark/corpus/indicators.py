@@ -121,6 +121,7 @@ avgs AS (
   SELECT *,
          CASE WHEN count(*) OVER w10 = 10 THEN avg(hl) OVER w10 END AS hl10,
          CASE WHEN count(*) OVER w10 = 10 THEN avg(rb) OVER w10 END AS rb10,
+         CASE WHEN count(*) OVER w10 = 10 THEN avg(us + ls) OVER w10 / 2 END AS ss10,
          CASE WHEN count(*) OVER w5 = 5 THEN avg(hl) OVER w5 END AS hl5
   FROM anatomy
   WINDOW w10 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
@@ -133,6 +134,7 @@ w AS (
          lag(bot) OVER o AS bot_1,
          lag(open) OVER o AS o_1,
          lag(close) OVER o AS c_1,
+         lag(high) OVER o AS h_1,
          lag(color) OVER o AS color_1,
          lag(rb10) OVER o AS rb10_1,
          lag(hl10) OVER o AS hl10_1,
@@ -151,7 +153,20 @@ SELECT symbol,
        CASE WHEN rb_1 > rb10_1 AND rb <= rb10
                  AND top < top_1 AND bot > bot_1
             THEN -100 * color_1 ELSE 0 END AS CDLHARAMI,
-       CASE WHEN rb < rb10 AND us > rb AND ls > rb THEN 100 * color ELSE 0 END AS CDLSPINNINGTOP
+       CASE WHEN rb < rb10 AND us > rb AND ls > rb THEN 100 * color ELSE 0 END AS CDLSPINNINGTOP,
+       CASE WHEN rb > rb10 AND us < 0.1 * hl10 AND ls < 0.1 * hl10
+            THEN 100 * color ELSE 0 END AS CDLMARUBOZU,
+       CASE WHEN rb > rb10 AND ((color = 1 AND ls < 0.1 * hl10) OR (color = -1 AND us < 0.1 * hl10))
+            THEN 100 * color ELSE 0 END AS CDLBELTHOLD,
+       CASE WHEN rb > rb10 AND us < ss10 AND ls < ss10
+            THEN 100 * color ELSE 0 END AS CDLLONGLINE,
+       CASE WHEN rb < rb10 AND us > 2 * rb AND ls > 2 * rb
+            THEN 100 * color ELSE 0 END AS CDLHIGHWAVE,
+       CASE WHEN rb <= 0.1 * hl10 AND us < 0.1 * hl10 AND ls > 0.1 * hl10
+            THEN 100 ELSE 0 END AS CDLDRAGONFLYDOJI,
+       CASE WHEN rb < rb10 AND ls > rb AND us < 0.1 * hl10
+                 AND bot >= h_1 - 0.2 * hl5_1
+            THEN -100 ELSE 0 END AS CDLHANGINGMAN
 FROM w
 """
 
@@ -173,6 +188,12 @@ def cdl_patterns_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CDLMATCHINGLOW",
         "CDLHARAMI",
         "CDLSPINNINGTOP",
+        "CDLMARUBOZU",
+        "CDLBELTHOLD",
+        "CDLLONGLINE",
+        "CDLHIGHWAVE",
+        "CDLDRAGONFLYDOJI",
+        "CDLHANGINGMAN",
     )
 
 

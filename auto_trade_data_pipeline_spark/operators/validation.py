@@ -82,16 +82,29 @@ def validate_split(df: DataFrame, predicate: Column, cache: bool = False) -> Spl
     )
 
 
-def tick_quality_report(df: DataFrame, ts_str_col: str | None = None) -> DataFrame:
+def tick_quality_report(
+    df: DataFrame, ts_str_col: str | None = None, approx_distinct: bool = False
+) -> DataFrame:
     """Single-pass validation aggregate report (A5),
     ``src/fetch_historical_trades_nvda.py:294-312``: null counts,
     invalid-value counts, bad-timestamp count, distinct timestamps,
     min/max span, total rows.  One job, map-side partial aggregation.
+
+    ``approx_distinct=True`` swaps the exact distinct-timestamp count
+    for an HLL++ sketch (``approx_count_distinct``, default 5% rsd):
+    the exact count shuffles every distinct timestamp at 100 TB; the
+    sketch is fixed-size per partition and merges map-side — the
+    production default (the exact form remains for oracle parity).
     """
     bad_ts = (
         ~F.col(ts_str_col).rlike(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6} UTC$")
         if ts_str_col is not None
         else F.col("timestamp").isNull()
+    )
+    distinct_ts = (
+        F.approx_count_distinct("timestamp")
+        if approx_distinct
+        else F.countDistinct("timestamp")
     )
     return df.agg(
         F.count(F.lit(1)).alias("total_rows"),
@@ -100,7 +113,7 @@ def tick_quality_report(df: DataFrame, ts_str_col: str | None = None) -> DataFra
         F.sum(F.when(F.col("price") <= 0, 1).otherwise(0)).alias("nonpositive_price"),
         F.sum(F.when(F.col("volume") < 0, 1).otherwise(0)).alias("negative_volume"),
         F.sum(F.when(F.coalesce(bad_ts, F.lit(True)), 1).otherwise(0)).alias("bad_timestamp"),
-        F.countDistinct("timestamp").alias("distinct_timestamps"),
+        distinct_ts.alias("distinct_timestamps"),
         F.min("timestamp").alias("min_timestamp"),
         F.max("timestamp").alias("max_timestamp"),
     )

@@ -1,0 +1,55 @@
+"""Physical-plan assertions — the shapes that must survive at 100 TB
+(map-side partial aggregation, pushed filters, pruned scans, no
+stray sorts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles
+from auto_trade_data_pipeline_spark.operators.validation import tick_quality_report
+from auto_trade_data_pipeline_spark.sources import load_table, ticks_from_events
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_candle_agg_partial_final_single_exchange(spark, sf_small):
+    # Cached fragments from other tests would get substituted into
+    # this plan (InMemoryTableScan) and skew the exchange count.
+    spark.catalog.clearCache()
+    plan = _plan(aggregate_candles(ticks_from_events(spark, sf_small), 1))
+    # Partial + final aggregation around exactly one exchange — the
+    # shuffle carries only per-(symbol, bucket) partial rows, never
+    # raw ticks. (min_by/max_by's struct ordering buffer makes Spark
+    # pick SortAggregate over HashAggregate: per-partition sorts on
+    # the group key, near-linear on roughly time-ordered ticks, still
+    # map-side combined.) A WindowExec here would mean the ordered
+    # open/close fell off the aggregate path entirely.
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowExec" not in plan and "Window " not in plan
+
+
+def test_q1_scan_prunes_and_pushes(spark, sf_med):
+    li = load_table(spark, sf_med, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    plan = _plan(li.groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: only the 3 referenced columns reach the scan.
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read and "l_returnflag" in read
+    assert "l_extendedprice" not in read and "l_orderkey" not in read
+
+
+def test_quality_report_approx_is_sketch_and_close(spark, sf_small):
+    ticks = ticks_from_events(spark, sf_small)
+    exact = tick_quality_report(ticks).first()["distinct_timestamps"]
+    approx_df = tick_quality_report(ticks, approx_distinct=True)
+    assert "approx_count_distinct" in _plan(approx_df)
+    approx = approx_df.first()["distinct_timestamps"]
+    assert approx == pytest.approx(exact, rel=0.1)
