@@ -467,3 +467,44 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("k_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted aggregation over the low-cardinality symbol key
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+WITH {TICKS_CTE}
+SELECT symbol,
+       count(*) AS ticks,
+       CAST(sum(CAST(round(volume) AS BIGINT)) AS BIGINT) AS total_volume,
+       min(price) AS min_price,
+       max(price) AS max_price
+FROM ticks
+GROUP BY symbol
+"""
+
+
+@register("salted_symbol_stats", _SALTED_ORACLE, tags=("A4", "skew"))
+def salted_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol totals via two-phase SALTED aggregation
+    (operators/skew.py): with ~5 symbols a plain groupBy funnels the
+    dataset into 5 reducers; salting spreads phase 1 over
+    5 x num_salts uniform groups. Same answer as the direct group-by
+    oracle — decomposable aggregates commute with the salt split."""
+    from auto_trade_data_pipeline_spark.operators.skew import salted_agg
+
+    t = ticks_from_events(spark, sf_dir).withColumn(
+        "volume_int", F.round("volume", 0).cast("long")
+    )
+    return salted_agg(
+        t,
+        keys=["symbol"],
+        aggs=[
+            ("count", "price", "ticks"),
+            ("sum", "volume_int", "total_volume"),
+            ("min", "price", "min_price"),
+            ("max", "price", "max_price"),
+        ],
+        num_salts=16,
+    )

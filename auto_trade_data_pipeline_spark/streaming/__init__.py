@@ -24,6 +24,9 @@ keyed dedup for idempotence.
 from auto_trade_data_pipeline_spark.streaming.anchors import (  # noqa: F401
     streaming_anchor_points,
 )
+from auto_trade_data_pipeline_spark.streaming.indicators import (  # noqa: F401
+    streaming_indicators,
+)
 from auto_trade_data_pipeline_spark.streaming.candles import (  # noqa: F401
     read_ticks_stream,
     run_available_now,
