@@ -508,3 +508,89 @@ def salted_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         num_salts=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deep cascade: 1s -> 1m -> 5m (multi-stage candle-of-candles)
+# ---------------------------------------------------------------------------
+
+_CANDLES_5M_ORACLE = f"""
+WITH {TICKS_CTE},
+b1 AS (
+  SELECT symbol, date_trunc('second', timestamp) AS bucket, price, volume, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('second', timestamp)
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, date_trunc('second', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+c1s AS (
+  SELECT symbol, bucket AS timestamp,
+         max(CASE WHEN ra = 1 THEN price END) AS open,
+         max(CASE WHEN rd = 1 THEN price END) AS close,
+         sum(volume) AS volume
+  FROM b1 GROUP BY symbol, bucket
+),
+b2 AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, close AS price, volume, timestamp,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp) AS ra,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC) AS rd
+  FROM c1s
+),
+c1m AS (
+  SELECT symbol, bucket AS timestamp,
+         max(CASE WHEN ra = 1 THEN price END) AS open,
+         max(CASE WHEN rd = 1 THEN price END) AS close,
+         sum(volume) AS volume
+  FROM b2 GROUP BY symbol, bucket
+),
+pre3 AS (
+  SELECT symbol,
+         CAST(to_timestamp(CAST(epoch(timestamp) AS BIGINT) - CAST(epoch(timestamp) AS BIGINT) % 300) AS TIMESTAMP) AS bucket,
+         close AS price, volume, timestamp
+  FROM c1m
+),
+b3 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY symbol, bucket ORDER BY timestamp) AS ra,
+         row_number() OVER (PARTITION BY symbol, bucket ORDER BY timestamp DESC) AS rd
+  FROM pre3
+)
+SELECT symbol,
+       strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       max(CASE WHEN ra = 1 THEN price END) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       max(CASE WHEN rd = 1 THEN price END) AS close,
+       round(sum(volume), 4) AS volume,
+       count(*) AS number_of_trades,
+       CASE WHEN sum(volume) > 0
+            THEN round(sum(price * volume) / sum(volume), 4) END AS vwap
+FROM b3
+GROUP BY symbol, bucket
+"""
+
+
+@register("candles_5m_cascade", _CANDLES_5M_ORACLE, tags=("A1", "A2", "A3"))
+def candles_5m_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cascade 1s -> 1m -> 5m: each stage re-aggregates the
+    previous close as price (``use_raw=False``,
+    ``src/aggregator_candles.py:196,312``). Each stage is one
+    shuffle over strictly shrinking data — the multi-timeframe rollup
+    a real deployment materializes."""
+    c1s = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    c1m = aggregate_candles(candles_to_ticks(c1s), 60)
+    c5m = aggregate_candles(candles_to_ticks(c1m), 300)
+    return c5m.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("volume"),
+        "number_of_trades",
+        F.round("vwap", 4).alias("vwap"),
+    )

@@ -164,3 +164,18 @@ def test_kernel_short_group_gates(spark):
     assert all(r["adx"] == 0 and r["atr"] == 0 for r in rows)
     assert all(r["t3"] == r["close"] and r["t3_slope"] == 0 for r in rows)
     assert all(r["is_no_trend"] == 1 for r in rows)
+
+
+def test_full_enrichment_carries_the_complete_surface(spark, sf_small):
+    """W14: the composed table carries every column family of the
+    reference's candles_1s_calculated (~119 cols)."""
+    from auto_trade_data_pipeline_spark.corpus.indicators import full_enrichment
+
+    df = full_enrichment(spark, sf_small)
+    cols = set(df.columns)
+    assert len(cols) >= 119
+    for c in ("adx", "macd", "psar", "atr", "t3", "bb_upper", "rolling_avg_volume",
+              "is_morning", "is_micro_peak", "candle_pattern_sum", "CDLDOJI",
+              "CDLMATHOLD", "local_timestamp", "is_no_trend"):
+        assert c in cols, c
+    assert df.limit(5).count() == 5
