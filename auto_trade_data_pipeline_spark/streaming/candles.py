@@ -43,6 +43,10 @@ def read_ticks_stream(
     """ST1: file-source stream over the driver's events table, mapped
     to the ticks shape (same mapping as sources.ticks_from_events —
     keep in lockstep)."""
+    # Pin session conventions here too: this may be the first read of
+    # the session (an untuned driver session won't have them).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = (
         spark.readStream.format("parquet")
         .schema(_EVENTS_RAW)
