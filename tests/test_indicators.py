@@ -179,3 +179,51 @@ def test_full_enrichment_carries_the_complete_surface(spark, sf_small):
               "CDLMATHOLD", "local_timestamp", "is_no_trend"):
         assert c in cols, c
     assert df.limit(5).count() == 5
+
+
+GOLDEN_HASHES = {
+    # sha256[:16] of the round-8 output arrays on the seed-42 series —
+    # pinned so any silent change to the TA algorithms fails loudly
+    # (SURVEY §5.3 golden-output strategy; the reference's talib is
+    # not installable here, so the pin is against our spec-reviewed
+    # implementation at the time tests first went green).
+    "adx": "5a14352272cb6fe7",
+    "pdi": "11f48ab992f6a9d1",
+    "mdi": "93f6442070797f05",
+    "macd": "5b3c2db928406e91",
+    "macd_signal": "ddf4d9692b4f0648",
+    "atr": "f6a437e2917d4c6e",
+    "psar": "925329804168d22f",
+    "t3": "eac8bd3959c9af67",
+    "cdl_all": "59f13a09e7a84a14",
+    "peaks": "fca74610f1333dca",
+}
+
+
+def _golden_hash(a):
+    import hashlib
+
+    arr = np.round(np.nan_to_num(np.asarray(a, dtype=float), nan=-9e9), 8)
+    return hashlib.sha256(arr.tobytes()).hexdigest()[:16]
+
+
+def test_golden_pinned_outputs(series):
+    o, h, l, c, _ = series  # noqa: E741
+    adx, pdi, mdi = ta.adx_di(h, l, c, 14)
+    macd_l, macd_s, _ = ta.macd(c)
+    pats = cdl.compute_all(o, h, l, c)
+    got = {
+        "adx": _golden_hash(adx),
+        "pdi": _golden_hash(pdi),
+        "mdi": _golden_hash(mdi),
+        "macd": _golden_hash(macd_l),
+        "macd_signal": _golden_hash(macd_s),
+        "atr": _golden_hash(ta.atr(h, l, c, 14)),
+        "psar": _golden_hash(ta.psar(h, l)),
+        "t3": _golden_hash(ta.t3(c, 60)),
+        "cdl_all": _golden_hash(np.concatenate([pats[k] for k in sorted(pats)])),
+        "peaks": _golden_hash(
+            np.concatenate([ta.find_peaks(h, d, p) for d, p in ((10, 0.9), (7, 0.7), (5, 0.5))])
+        ),
+    }
+    assert got == GOLDEN_HASHES
