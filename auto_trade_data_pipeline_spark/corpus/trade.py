@@ -594,3 +594,38 @@ def candles_5m_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "number_of_trades",
         F.round("vwap", 4).alias("vwap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact candle timestamp: first tick's actual timestamp
+# ---------------------------------------------------------------------------
+
+_FIRST_TICK_ORACLE = f"""
+WITH {CANDLES_CTE},
+ft AS (
+  SELECT symbol, bucket,
+         max(CASE WHEN ra = 1 THEN strftime(timestamp, '{TS_US_FMT_DUCK}') END) AS first_tick_ts
+  FROM cb GROUP BY symbol, bucket
+)
+SELECT c.symbol,
+       strftime(c.timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
+       f.first_tick_ts,
+       c.open, c.close
+FROM candles c JOIN ft f ON c.symbol = f.symbol AND c.timestamp = f.bucket
+"""
+
+
+@register("candles_first_tick_ts", _FIRST_TICK_ORACLE, tags=("A2",))
+def candles_first_tick_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact candle timestamp column — the FIRST
+    tick's actual timestamp in the bucket (``grouped['timestamp']
+    .first()``, ``src/aggregator_candles.py:205``) — emitted alongside
+    the canonical floored bucket via ``first_tick_ts=True``."""
+    c = aggregate_candles(ticks_from_events(spark, sf_dir), 1, first_tick_ts=True)
+    return c.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        F.date_format("first_tick_timestamp", TS_US_FMT_SPARK).alias("first_tick_ts"),
+        "open",
+        "close",
+    )

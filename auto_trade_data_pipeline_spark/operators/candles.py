@@ -57,16 +57,30 @@ def aggregate_candles(
     symbol_col: str = "symbol",
     ts_col: str = "timestamp",
     id_col: str = "tick_id",
+    first_tick_ts: bool = False,
 ) -> DataFrame:
     """Grouped OHLCV+VWAP aggregation (A1-A3) →
     schema :data:`schemas.CANDLES`.
 
     ``price_col='close'`` + a candle input gives the reference's
     ``use_raw=False`` cascading mode (``src/aggregator_candles.py:196``).
+
+    ``first_tick_ts=True`` additionally emits ``first_tick_timestamp``
+    — the actual timestamp of the bucket's first tick, which is what
+    the reference writes as the candle's ``timestamp`` column
+    (``grouped["timestamp"].first()``, ``:205``). Our canonical
+    ``timestamp`` stays the floored bucket boundary (deterministic
+    dedup/cascade key); this column restores the reference's exact
+    output shape for consumers that want it.
     """
     order = F.struct(F.col(ts_col), F.col(id_col))
     price = F.col(price_col)
     vol = F.col(volume_col)
+    extra = (
+        [F.min_by(F.col(ts_col), order).alias("first_tick_timestamp")]
+        if first_tick_ts
+        else []
+    )
     out = (
         ticks.groupBy(
             F.col(symbol_col).alias("symbol"),
@@ -80,6 +94,7 @@ def aggregate_candles(
             F.sum(vol).alias("volume"),
             F.count(F.lit(1)).alias("number_of_trades"),
             F.sum(price * vol).alias("pv"),
+            *extra,
         )
         .withColumn(
             "vwap",
