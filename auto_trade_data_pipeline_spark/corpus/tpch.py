@@ -487,3 +487,83 @@ def asof_join_latest_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         F.round("bar_avg", 4).alias("last_bar_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot / exact percentiles (corpus completeness)
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS open_total,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS finished_total,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS pending_total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("pivot_status_totals", _PIVOT_ORACLE, tags=("A-pivot",))
+def pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order totals per priority, one column per status. Spark
+    plans a pivot as a single pass of conditional aggregates — same
+    shuffle as the plain groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(_cents(F.col("o_totalprice"))))
+    )
+    return p.select(
+        "o_orderpriority",
+        (F.coalesce("O", F.lit(0)) / 100.0).alias("open_total"),
+        (F.coalesce("F", F.lit(0)) / 100.0).alias("finished_total"),
+        (F.coalesce("P", F.lit(0)) / 100.0).alias("pending_total"),
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH base AS (SELECT o_orderkey, o_totalprice, o_custkey FROM orders WHERE o_orderkey < 100)
+SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM base
+UNION ALL
+SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM base
+"""
+
+
+@register("unpivot_order_metrics", _UNPIVOT_ORACLE, tags=("A-pivot",))
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide order columns to (metric, value) rows via
+    the native unpivot — a Generate node, no shuffle at all."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("percentiles_order_value", _PERCENTILE_ORACLE, tags=("A-quantile",))
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per priority (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, both linear
+    interpolation). Production uses ``percentile_approx`` (sketch,
+    map-side mergeable) — exact kept for the oracle gate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
