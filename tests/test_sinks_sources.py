@@ -140,3 +140,46 @@ def test_fetch_trades_paginates_with_fake_client(spark):
     assert len(out) == 4  # two pages of two rows, then the empty page
     assert {r["symbol"] for r in out} == {"NVDA"}
     assert sorted(r["tick_id"] for r in out) == [0, 1, 2, 3]
+
+
+def test_columnar_pages_to_rows_declarative(spark):
+    from auto_trade_data_pipeline_spark.sources.rest import columnar_pages_to_rows
+
+    pages = spark.createDataFrame(
+        [
+            ("NVDA", 0, [1_704_207_600_000, 1_704_207_600_500], [10.0, 11.0], [1.0, 2.0]),
+            ("NVDA", 2, [1_704_207_601_000], [12.0], [3.0]),
+        ],
+        "symbol string, skip long, t array<bigint>, p array<double>, v array<double>",
+    )
+    rows = columnar_pages_to_rows(pages).orderBy("tick_id").collect()
+    assert [r["tick_id"] for r in rows] == [0, 1, 2]
+    assert [r["price"] for r in rows] == [10.0, 11.0, 12.0]
+    assert rows[0]["timestamp"].microsecond == 0 and rows[1]["timestamp"].microsecond == 500000
+
+
+def test_asof_join_property_vs_bruteforce(spark):
+    """Property check: asof_join == per-row argmax of right rows at or
+    before each left row, over a randomized fixture."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from auto_trade_data_pipeline_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(9)
+    base = datetime(2024, 1, 2, 15, 0, 0)
+    left_rows = [
+        ("S", base + timedelta(seconds=int(s)), i)
+        for i, s in enumerate(sorted(rng.integers(0, 300, 40)))
+    ]
+    right_rows = [
+        ("S", base + timedelta(seconds=int(s)), float(i))
+        for i, s in enumerate(sorted(rng.integers(0, 300, 15)))
+    ]
+    left = spark.createDataFrame(left_rows, "symbol string, timestamp timestamp, id int")
+    right = spark.createDataFrame(right_rows, "symbol string, timestamp timestamp, px double")
+    got = {r["id"]: r["px"] for r in asof_join(left, right, on=["symbol"]).collect()}
+    for _, lts, lid in left_rows:
+        eligible = [(rts, px) for _, rts, px in right_rows if rts <= lts]
+        want = max(eligible)[1] if eligible else None
+        assert got[lid] == want, (lid, got[lid], want)
