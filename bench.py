@@ -54,16 +54,22 @@ def main() -> int:
     # plans, not first-touch session setup.
     load_table(spark, sf_dir, "events").limit(1).count()
 
+    # Two passes, min per query: the first pass pays whole-stage
+    # codegen compilation and JIT warm-up; the min is the steady-state
+    # engine time and is stable round-over-round.
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        try:
-            df = registry[name].fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one broken query must not kill the bench
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+    for _pass in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            try:
+                df = registry[name].fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = round(time.perf_counter() - t0, 3)
+                prev = timings.get(name)
+                timings[name] = dt if prev is None or (0 <= dt < prev) else prev
+            except Exception as exc:  # one broken query must not kill the bench
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
