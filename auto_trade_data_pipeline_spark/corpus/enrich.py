@@ -132,8 +132,12 @@ def rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/blocked.py): block-level parallelism with overlap
     carry — identical hashes to the symbol-global window, no
     one-task-per-symbol serialization at 100 TB."""
+    from auto_trade_data_pipeline_spark.operators.windows import (
+        with_rolling_features_blocked,
+    )
+
     c = with_running_daily_extrema(
-        with_volume_spike(with_bollinger(_candles(spark, sf_dir), blocked=True), blocked=True)
+        with_rolling_features_blocked(_candles(spark, sf_dir))
     )
     return c.select(
         "symbol",

@@ -42,10 +42,14 @@ def blocked_rows_window(
     block_size: int = 4096,
     ts_col: str = "timestamp",
 ) -> DataFrame:
-    """Evaluate `apply_fn(df, w)` — which must only add columns via
-    window functions over `w` whose frames reach at most `lookback`
-    ROWS back (frame aggs, lag up to `lookback`) — with block-level
-    parallelism instead of symbol-level. Requires a total per-symbol
+    """Evaluate `apply_fn(df, w, base)` — which must only add columns
+    via window functions whose frames reach at most `lookback` ROWS
+    back (frame aggs, lag up to `lookback`) — with block-level
+    parallelism instead of symbol-level. `w` is the base spec with
+    the full `rowsBetween(-lookback, 0)` frame; `base` is the bare
+    partition+order spec so multi-frame callers can apply their own
+    (smaller) frames in the SAME pass — several window families share
+    one sequence/overlap computation. Requires a total per-symbol
     order on `ts_col` (unique timestamps per symbol, e.g. candles)."""
     if block_size < lookback:
         raise ValueError("block_size must be >= lookback")
@@ -74,19 +78,24 @@ def blocked_rows_window(
         .withColumn("__seq", F.col("__off") + F.col("__r"))
     )
 
+    # Each row emits itself into its own block, plus — when it sits in
+    # the last `lookback` rows of the block — a non-emitting overlap
+    # copy into the next block. One conditional explode: the upstream
+    # plan is scanned ONCE (a union of main/carry branches would
+    # recompute everything above this operator twice).
     blk = ((F.col("__seq") - 1) / block_size).cast("long")
-    main = d.withColumn("__grp", blk).withColumn("__emit", F.lit(True))
-    carry = (
-        d.filter(((F.col("__seq") - 1) % block_size) >= block_size - lookback)
-        .withColumn("__grp", blk + 1)
-        .withColumn("__emit", F.lit(False))
+    is_carry = ((F.col("__seq") - 1) % block_size) >= block_size - lookback
+    copies = F.array(
+        F.struct(blk.alias("grp"), F.lit(True).alias("emit")),
+        F.when(is_carry, F.struct((blk + 1).alias("grp"), F.lit(False).alias("emit"))),
     )
-    u = main.unionByName(carry)
+    u = (
+        d.withColumn("__c", F.explode(F.filter(copies, lambda x: x.isNotNull())))
+        .withColumn("__grp", F.col("__c.grp"))
+        .withColumn("__emit", F.col("__c.emit"))
+        .drop("__c")
+    )
 
-    w = (
-        Window.partitionBy("symbol", "__grp")
-        .orderBy("__seq")
-        .rowsBetween(-lookback, 0)
-    )
-    out = apply_fn(u, w)
+    base = Window.partitionBy("symbol", "__grp").orderBy("__seq")
+    out = apply_fn(u, base.rowsBetween(-lookback, 0), base)
     return out.filter(F.col("__emit")).drop(*_INTERNAL)

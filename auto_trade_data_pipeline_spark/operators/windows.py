@@ -158,7 +158,7 @@ def with_bollinger(
         from auto_trade_data_pipeline_spark.operators.blocked import blocked_rows_window
 
         return blocked_rows_window(
-            df, period - 1, lambda u, w: _bollinger_cols(u, w, period, nbdev)
+            df, period - 1, lambda u, w, _base: _bollinger_cols(u, w, period, nbdev)
         )
     w = symbol_window().rowsBetween(-(period - 1), 0)
     return _bollinger_cols(df, w, period, nbdev)
@@ -181,10 +181,33 @@ def with_volume_spike(
         from auto_trade_data_pipeline_spark.operators.blocked import blocked_rows_window
 
         return blocked_rows_window(
-            df, window - 1, lambda u, w: _volume_spike_cols(u, w, spike_multiplier)
+            df, window - 1, lambda u, w, _base: _volume_spike_cols(u, w, spike_multiplier)
         )
     w = symbol_window().rowsBetween(-(window - 1), 0)
     return _volume_spike_cols(df, w, spike_multiplier)
+
+
+def with_rolling_features_blocked(
+    df: DataFrame,
+    bb_period: int = 20,
+    nbdev: float = 2.0,
+    vol_window: int = 60,
+    spike_multiplier: float = 1.5,
+) -> DataFrame:
+    """Bollinger + volume spike in ONE blocked pass: both frame
+    families share a single sequence/overlap computation and a single
+    window exchange (lookback = the larger frame). Chaining two
+    blocked calls would rebuild the block machinery — and rescan the
+    upstream plan — twice."""
+    from auto_trade_data_pipeline_spark.operators.blocked import blocked_rows_window
+
+    lookback = max(bb_period, vol_window) - 1
+
+    def _both(u, _w, base):
+        u = _bollinger_cols(u, base.rowsBetween(-(bb_period - 1), 0), bb_period, nbdev)
+        return _volume_spike_cols(u, base.rowsBetween(-(vol_window - 1), 0), spike_multiplier)
+
+    return blocked_rows_window(df, lookback, _both)
 
 
 def with_trend_labels(

@@ -59,7 +59,9 @@ def test_blocked_volume_spike_bit_identical_small_blocks(spark):
     cols = ["rolling_avg_volume", "is_volume_spike"]
     plain = _collect(with_volume_spike(df), cols)
     tiny = _collect(
-        blocked_rows_window(df, 59, lambda u, w: _volume_spike_cols(u, w, 1.5), block_size=64),
+        blocked_rows_window(
+            df, 59, lambda u, w, _b: _volume_spike_cols(u, w, 1.5), block_size=64
+        ),
         cols,
     )
     assert plain == tiny
@@ -71,7 +73,7 @@ def test_blocked_plan_partitions_by_block_not_symbol(spark):
 
     df = _candles(spark)
     out = blocked_rows_window(
-        df, 19, lambda u, w: _bollinger_cols(u, w, 20, 2.0), block_size=64
+        df, 19, lambda u, w, _b: _bollinger_cols(u, w, 20, 2.0), block_size=64
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     # The window exchange is keyed on (symbol, __grp) — parallelism
@@ -83,3 +85,15 @@ def test_blocked_plan_partitions_by_block_not_symbol(spark):
         df.count() // 64 // 2 + 1
     )
     assert n_groups >= 5
+
+
+def test_combined_blocked_pass_bit_identical(spark):
+    from auto_trade_data_pipeline_spark.operators.windows import (
+        with_rolling_features_blocked,
+    )
+
+    df = _candles(spark)
+    cols = ["bb_mid", "bb_upper", "bb_pos", "bb_breakout", "rolling_avg_volume", "is_volume_spike"]
+    plain = _collect(with_volume_spike(with_bollinger(df)), cols)
+    combined = _collect(with_rolling_features_blocked(df), cols)
+    assert plain == combined
