@@ -205,12 +205,16 @@ def full_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     + volume spike (native windows) — every column family of the
     reference's ``candles_1s_calculated`` (~119 cols,
     ``src/candle_to_calcs.py:316-350``)."""
+    # Native (narrow) column families first, the wide applyInPandas
+    # kernel last: the window shuffles move ~25-column candle rows,
+    # and nothing reshuffles the 119-column kernel output. The
+    # families are mutually independent, so order is free.
     candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
-    e = enrich_indicators(candles)
-    e = with_local_time(e)
+    e = with_local_time(candles)
     e = with_session_flags(e)
     e = with_bollinger(e)
     e = with_volume_spike(e)
+    e = enrich_indicators(e)
     # Stable output: format timestamps, round floating columns.
     ts_cols = {"timestamp", "local_timestamp"}
     sel = ["symbol"]

@@ -69,11 +69,13 @@ def run_batch_pipeline(
     the block-parallel evaluator (operators/blocked.py)."""
     valid, invalid = validate_split(ticks, tick_valid_predicate())
     candles = aggregate_candles(valid, timeframe_seconds)
-    calculated = enrich_indicators(candles)
-    calculated = with_local_time(calculated)
+    # Narrow native families first, the wide kernel last — no shuffle
+    # ever moves the 119-column enriched rows.
+    calculated = with_local_time(candles)
     calculated = with_session_flags(calculated)
     calculated = with_bollinger(calculated, blocked=blocked_windows)
     calculated = with_volume_spike(calculated, blocked=blocked_windows)
+    calculated = enrich_indicators(calculated)
     anchors = fill_anchored_vwap(
         anchored_vwap_points(candles, f"{timeframe_seconds}s", flush_secs), candles
     )
