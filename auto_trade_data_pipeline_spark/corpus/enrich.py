@@ -24,13 +24,11 @@ from auto_trade_data_pipeline_spark.operators.windows import (
     SESSION_FLAGS,
     gap_report,
     symbol_window,
-    with_bollinger,
     with_local_time,
     with_running_daily_extrema,
     with_session_flags,
     with_trend_labels,
     with_typical_price,
-    with_volume_spike,
 )
 from auto_trade_data_pipeline_spark.sources import ticks_from_events
 

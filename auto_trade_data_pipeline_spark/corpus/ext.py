@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from auto_trade_data_pipeline_spark.corpus import register
 from auto_trade_data_pipeline_spark.operators import text as TX
