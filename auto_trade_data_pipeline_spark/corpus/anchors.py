@@ -71,6 +71,67 @@ def anchored_vwap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILL_ORACLE = f"""
+WITH {CANDLES_CTE},
+ny AS (
+  SELECT *, CAST({_NY} AS DATE) AS ny_date FROM candles
+),
+anch AS (
+  SELECT symbol, ny_date, min(timestamp) AS anchor_timestamp
+  FROM ny GROUP BY symbol, ny_date
+),
+snaps AS (
+  SELECT symbol, ny_date, max(timestamp) AS snap_ts
+  FROM ny GROUP BY symbol, ny_date, date_trunc('minute', timestamp)
+),
+pts AS (
+  SELECT s.symbol, a.anchor_timestamp, s.snap_ts
+  FROM snaps s JOIN anch a ON s.symbol = a.symbol AND s.ny_date = a.ny_date
+)
+SELECT p.symbol,
+       strftime(p.anchor_timestamp, '{TS_FMT_DUCK}') AS anchor_ts,
+       strftime(p.snap_ts, '{TS_FMT_DUCK}') AS snapshot_ts,
+       CASE WHEN sum(c.volume) > 0
+            THEN round(sum(c.close * c.volume) / sum(c.volume), 4) END AS anchored_vwap
+FROM pts p
+JOIN candles c ON c.symbol = p.symbol
+              AND c.timestamp >= p.anchor_timestamp AND c.timestamp <= p.snap_ts
+GROUP BY p.symbol, p.anchor_timestamp, p.snap_ts
+"""
+
+
+@register("anchored_vwap_fill", _FILL_ORACLE, tags=("ST5", "J5"))
+def anchored_vwap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchored-VWAP FILL stage (``fill_anchored_vwap``) in
+    isolation, against a deterministic SQL-expressible anchor fixture:
+    anchor = first candle of each (symbol, NY day), snapshot = last
+    candle of each minute — i.e. session-anchored VWAP sampled per
+    minute. The oracle recomputes each window directly; the operator
+    uses per-symbol prefix sums + two equi joins (one window pass, no
+    range explosion), so this green row certifies the J5-style fill
+    math the stateful table (rows-only) reuses."""
+    candles = _candles(spark, sf_dir)
+    ny_date = F.to_date(F.from_utc_timestamp("timestamp", "America/New_York"))
+    c = candles.withColumn("ny_date", ny_date)
+    anch = c.groupBy("symbol", "ny_date").agg(F.min("timestamp").alias("anchor_timestamp"))
+    snaps = c.groupBy(
+        "symbol", "ny_date", F.date_trunc("minute", "timestamp").alias("minute")
+    ).agg(F.max("timestamp").alias("current_snapshot_timestamp"))
+    pts = snaps.join(anch, ["symbol", "ny_date"]).select(
+        "symbol",
+        "anchor_timestamp",
+        "current_snapshot_timestamp",
+        F.lit(None).cast("double").alias("anchored_vwap"),
+    )
+    filled = fill_anchored_vwap(pts, candles)
+    return filled.select(
+        "symbol",
+        F.date_format("anchor_timestamp", TS_FMT_SPARK).alias("anchor_ts"),
+        F.date_format("current_snapshot_timestamp", TS_FMT_SPARK).alias("snapshot_ts"),
+        F.round("anchored_vwap", 4).alias("anchored_vwap"),
+    )
+
+
 _DAILY_LEVELS_ORACLE = f"""
 WITH {CANDLES_CTE},
 ny AS (

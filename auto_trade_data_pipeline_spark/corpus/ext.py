@@ -219,77 +219,52 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
-_TOKEN_COUNT_ORACLE = f"""
-WITH {_DOCS_CTE},
-tc AS (
-  SELECT lang,
-         len(ts) AS ws_tokens,
-         len(regexp_extract_all(lt, '{_BPE_RE}')) AS bpe_tokens
-  FROM toks
-)
-SELECT lang,
-       count(*) AS docs,
-       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
-       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-       round(CAST(sum(bpe_tokens) AS BIGINT) / (1.0 * count(*)), 4) AS avg_bpe_tokens
-FROM tc
-GROUP BY lang
-"""
-
-
-@register("token_count_bpe", _TOKEN_COUNT_ORACLE, tags=("EXT3",))
-def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token accounting per language: whitespace tokens vs a
-    BPE-ish pre-tokenizer regex (alpha runs | digit runs | single
-    punctuation) — the budget query every training-data pipeline
-    runs before a tokenizer pass."""
-    docs = load_table(spark, sf_dir, "documents")
-    lt = F.lower(F.col("text"))
-    d = docs.select(
-        "lang",
-        F.size(TX.tokens(F.col("text"))).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(lt, F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
-    )
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("docs"),
-        F.sum("ws_tokens").alias("total_ws_tokens"),
-        F.sum("bpe_tokens").alias("total_bpe_tokens"),
-        F.round(F.sum("bpe_tokens") / (F.count(F.lit(1)) * 1.0), 4).alias("avg_bpe_tokens"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Document fingerprinting (rolling char-5-gram min-hash)
-# ---------------------------------------------------------------------------
-
-_FINGERPRINT_ORACLE = f"""
+_TOKENS_FINGERPRINT_ORACLE = f"""
 WITH {_DOCS_CTE},
 cs AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
+         len(ts) AS ws_tokens,
+         len(regexp_extract_all(lt, '{_BPE_RE}')) AS bpe_tokens,
          list_distinct(list_filter(
            list_transform(range(1, greatest(length(text) - 4, 0) + 1),
                           i -> substr(text, i, 5)),
            g -> length(g) = 5)) AS grams
-  FROM docs
+  FROM toks
 )
-SELECT doc_id,
+SELECT doc_id, lang, ws_tokens, bpe_tokens,
        len(grams) AS shingle_count,
        list_aggregate(list_transform(grams, g -> {_duck_hash('g')}), 'min') AS fingerprint
 FROM cs
 """
 
 
-@register("doc_fingerprint", _FINGERPRINT_ORACLE, tags=("EXT1", "EXT3"))
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint: min 60-bit hash over
-    character 5-grams (1-permutation MinHash) — the compact content
-    id used for copy detection across corpus versions."""
+@register("doc_tokens_fingerprint", _TOKENS_FINGERPRINT_ORACLE, tags=("EXT1", "EXT3"))
+def doc_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting AND content fingerprint in one
+    scan: whitespace tokens vs a BPE-ish pre-tokenizer regex (alpha
+    runs | digit runs | single punctuation) — the budget numbers every
+    training-data pipeline computes before a tokenizer pass — plus the
+    rolling-hash fingerprint (min 60-bit hash over character 5-grams,
+    1-permutation MinHash), the compact content id used for copy
+    detection across corpus versions."""
     docs = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
     grams = TX.char_shingles(F.col("text"), 5)
-    d = docs.select("doc_id", grams.alias("grams"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(TX.tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(lt, F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
+        grams.alias("grams"),
+    )
     fp = F.array_min(F.transform("grams", lambda g: TX.hash64(g)))
     return d.select(
-        "doc_id", F.size("grams").alias("shingle_count"), fp.alias("fingerprint")
+        "doc_id",
+        "lang",
+        "ws_tokens",
+        "bpe_tokens",
+        F.size("grams").alias("shingle_count"),
+        fp.alias("fingerprint"),
     )
 
 

@@ -63,6 +63,27 @@ def indicators_recursive_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("indicators_chunked_pack", None, tags=("W2", "W3", "W5", "W7", "skew"))
+def indicators_chunked_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursive pack via the tail-chunked evaluator
+    (``enrich_indicators(chunked=True)``): each symbol's series split
+    into parallel blocks, each warmed up by the preceding
+    ``buffer_rows`` rows — the extreme-skew answer to the per-symbol
+    serial constraint, mirroring the reference's 10k-row streaming
+    buffer (``src/candle_to_calcs.py:42,691``). Rows-only; bounded
+    divergence vs the exact kernel is pinned by pytest."""
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    e = enrich_indicators(candles, chunked=True, buffer_rows=2000, block_rows=2000)
+    return e.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        *[F.round(c, 6).alias(c) for c in ("adx", "macd", "macd_signal", "atr", "t3")],
+        "psar_trend",
+        "is_uptrend",
+        "is_downtrend",
+    )
+
+
 @register("candle_patterns_pack", None, tags=("W9", "A8"))
 def candle_patterns_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 59 CDL pattern columns + candle_pattern_sum

@@ -367,42 +367,39 @@ def cube_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Set operations (SURVEY §2.7)
 # ---------------------------------------------------------------------------
 
-_INTERSECT_ORACLE = """
-SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-INTERSECT
-SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+_SET_OPS_ORACLE = """
+SELECT 'intersect' AS op, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'except' AS op, custkey FROM (
+  SELECT c_custkey AS custkey FROM customer
+  EXCEPT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+)
 """
 
 
-@register("set_intersect_customers", _INTERSECT_ORACLE, tags=("Set",))
-def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct set semantics): custkeys having both an
-    urgent order and a finished order."""
+@register("set_ops_customers", _SET_OPS_ORACLE, tags=("Set",))
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both distinct set operations in one tagged result: INTERSECT
+    (custkeys with an urgent AND a finished order) and EXCEPT
+    (customers minus those with an open order). Each arm is a single
+    shuffle on the key; the union is plan-level (no extra exchange)."""
     o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("custkey")
     )
     finished = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    return urgent.intersect(finished)
-
-
-_EXCEPT_ORACLE = """
-SELECT c_custkey AS custkey FROM customer
-EXCEPT
-SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-"""
-
-
-@register("set_except_customers", _EXCEPT_ORACLE, tags=("Set",))
-def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): customers minus those with an open order."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    open_orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "O")
-        .select(F.col("o_custkey").alias("custkey"))
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
     )
-    return c.subtract(open_orders)
+    inter = urgent.intersect(finished).select(F.lit("intersect").alias("op"), "custkey")
+    exc = c.subtract(open_orders).select(F.lit("except").alias("op"), "custkey")
+    return inter.unionByName(exc)
 
 
 # ---------------------------------------------------------------------------
@@ -493,55 +490,44 @@ def asof_join_latest_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pivot / unpivot / exact percentiles (corpus completeness)
 # ---------------------------------------------------------------------------
 
-_PIVOT_ORACLE = """
-SELECT o_orderpriority,
-       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS open_total,
-       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS finished_total,
-       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS pending_total
-FROM orders
-GROUP BY o_orderpriority
+_PIVOT_UNPIVOT_ORACLE = """
+WITH p AS (
+  SELECT o_orderpriority,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS open_total,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS finished_total,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS pending_total
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'open_total' AS metric, open_total AS value FROM p
+UNION ALL
+SELECT o_orderpriority, 'finished_total' AS metric, finished_total AS value FROM p
+UNION ALL
+SELECT o_orderpriority, 'pending_total' AS metric, pending_total AS value FROM p
 """
 
 
-@register("pivot_status_totals", _PIVOT_ORACLE, tags=("A-pivot",))
-def pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: order totals per priority, one column per status. Spark
-    plans a pivot as a single pass of conditional aggregates — same
-    shuffle as the plain groupBy."""
+@register("pivot_unpivot_status_metrics", _PIVOT_UNPIVOT_ORACLE, tags=("A-pivot",))
+def pivot_unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot then unpivot round-trip: order totals per priority pivoted
+    to one column per status (Spark plans the pivot as one pass of
+    conditional aggregates — same shuffle as the plain groupBy), then
+    melted back to (priority, metric, value) rows via the native
+    unpivot — a Generate node, no extra shuffle."""
     o = load_table(spark, sf_dir, "orders")
     p = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(F.sum(_cents(F.col("o_totalprice"))))
-    )
-    return p.select(
-        "o_orderpriority",
-        (F.coalesce("O", F.lit(0)) / 100.0).alias("open_total"),
-        (F.coalesce("F", F.lit(0)) / 100.0).alias("finished_total"),
-        (F.coalesce("P", F.lit(0)) / 100.0).alias("pending_total"),
-    )
-
-
-_UNPIVOT_ORACLE = """
-WITH base AS (SELECT o_orderkey, o_totalprice, o_custkey FROM orders WHERE o_orderkey < 100)
-SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM base
-UNION ALL
-SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM base
-"""
-
-
-@register("unpivot_order_metrics", _UNPIVOT_ORACLE, tags=("A-pivot",))
-def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (melt): wide order columns to (metric, value) rows via
-    the native unpivot — a Generate node, no shuffle at all."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
-    return (
-        o.select(
-            "o_orderkey",
-            F.col("o_totalprice").alias("totalprice"),
-            F.col("o_custkey").cast("double").alias("custkey"),
+        .select(
+            "o_orderpriority",
+            (F.coalesce("O", F.lit(0)) / 100.0).alias("open_total"),
+            (F.coalesce("F", F.lit(0)) / 100.0).alias("finished_total"),
+            (F.coalesce("P", F.lit(0)) / 100.0).alias("pending_total"),
         )
-        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
+    )
+    return p.unpivot(
+        "o_orderpriority", ["open_total", "finished_total", "pending_total"], "metric", "value"
     )
 
 

@@ -106,7 +106,7 @@ def candles_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CANDLES_1M_ORACLE = f"""
+_CANDLES_CASCADE_ORACLE = f"""
 WITH {TICKS_CTE},
 b1 AS (
   SELECT symbol, date_trunc('second', timestamp) AS bucket, price, volume, timestamp, tick_id,
@@ -118,8 +118,6 @@ b1 AS (
 ),
 c1s AS (
   SELECT symbol, bucket AS timestamp,
-         max(CASE WHEN ra = 1 THEN price END) AS open,
-         max(price) AS high, min(price) AS low,
          max(CASE WHEN rd = 1 THEN price END) AS close,
          sum(volume) AS volume
   FROM b1 GROUP BY symbol, bucket
@@ -131,40 +129,78 @@ b2 AS (
          row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
                             ORDER BY timestamp DESC) AS rd
   FROM c1s
+),
+c1m AS (
+  SELECT symbol, bucket AS timestamp,
+         max(CASE WHEN ra = 1 THEN price END) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         max(CASE WHEN rd = 1 THEN price END) AS close,
+         sum(volume) AS volume,
+         count(*) AS number_of_trades,
+         CASE WHEN sum(volume) > 0 THEN sum(price * volume) / sum(volume) END AS vwap
+  FROM b2 GROUP BY symbol, bucket
+),
+b3 AS (
+  SELECT symbol,
+         CAST(to_timestamp(CAST(epoch(timestamp) AS BIGINT) - CAST(epoch(timestamp) AS BIGINT) % 300) AS TIMESTAMP) AS bucket,
+         close AS price, volume, timestamp,
+         row_number() OVER (PARTITION BY symbol, CAST(epoch(timestamp) AS BIGINT) // 300
+                            ORDER BY timestamp) AS ra,
+         row_number() OVER (PARTITION BY symbol, CAST(epoch(timestamp) AS BIGINT) // 300
+                            ORDER BY timestamp DESC) AS rd
+  FROM c1m
+),
+c5m AS (
+  SELECT symbol, bucket AS timestamp,
+         max(CASE WHEN ra = 1 THEN price END) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         max(CASE WHEN rd = 1 THEN price END) AS close,
+         sum(volume) AS volume,
+         count(*) AS number_of_trades,
+         CASE WHEN sum(volume) > 0 THEN sum(price * volume) / sum(volume) END AS vwap
+  FROM b3 GROUP BY symbol, bucket
 )
-SELECT symbol,
-       strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
-       max(CASE WHEN ra = 1 THEN price END) AS open,
-       max(price) AS high,
-       min(price) AS low,
-       max(CASE WHEN rd = 1 THEN price END) AS close,
-       round(sum(volume), 4) AS volume,
-       count(*) AS number_of_trades,
-       CASE WHEN sum(volume) > 0
-            THEN round(sum(price * volume) / sum(volume), 4) END AS vwap
-FROM b2
-GROUP BY symbol, bucket
+SELECT '1m' AS gran, symbol, strftime(timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
+       open, high, low, close, round(volume, 4) AS volume,
+       number_of_trades, round(vwap, 4) AS vwap
+FROM c1m
+UNION ALL
+SELECT '5m' AS gran, symbol, strftime(timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
+       open, high, low, close, round(volume, 4) AS volume,
+       number_of_trades, round(vwap, 4) AS vwap
+FROM c5m
 """
 
 
-@register("candles_1m_cascade", _CANDLES_1M_ORACLE, tags=("A1", "A2", "A3"))
-def candles_1m_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cascading candle-of-candles: 1s candles re-aggregated to 1m with
-    price := close (the reference's ``use_raw=False`` hook,
-    ``src/aggregator_candles.py:196,312``)."""
+@register("candles_cascade", _CANDLES_CASCADE_ORACLE, tags=("A1", "A2", "A3"))
+def candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading candle-of-candles 1s -> 1m -> 5m, both rollup stages
+    emitted with a granularity tag: each stage re-aggregates the
+    previous close as price (the reference's ``use_raw=False`` hook,
+    ``src/aggregator_candles.py:196,312``). Each stage is one shuffle
+    over strictly shrinking data — the multi-timeframe rollup a real
+    deployment materializes."""
     c1s = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
     c1m = aggregate_candles(candles_to_ticks(c1s), 60)
-    return c1m.select(
-        "symbol",
-        _fmt("timestamp").alias("bucket_ts"),
-        "open",
-        "high",
-        "low",
-        "close",
-        F.round("volume", 4).alias("volume"),
-        "number_of_trades",
-        F.round("vwap", 4).alias("vwap"),
-    )
+    c5m = aggregate_candles(candles_to_ticks(c1m), 300)
+
+    def _proj(df: DataFrame, gran: str) -> DataFrame:
+        return df.select(
+            F.lit(gran).alias("gran"),
+            "symbol",
+            _fmt("timestamp").alias("bucket_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            F.round("volume", 4).alias("volume"),
+            "number_of_trades",
+            F.round("vwap", 4).alias("vwap"),
+        )
+
+    return _proj(c1m, "1m").unionByName(_proj(c5m, "5m"))
 
 
 # ---------------------------------------------------------------------------
@@ -283,8 +319,19 @@ def validation_split_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUALITY_ORACLE = f"""
-WITH {TICKS_CTE}, {_INJECT_SQL}
+WITH {TICKS_CTE}, {_INJECT_SQL},
+s AS (
+  SELECT *,
+         CASE WHEN tick_id % 7 = 0
+              THEN strftime(timestamp, '%Y-%m-%d %H:%M:%S')
+              ELSE strftime(timestamp, '%Y-%m-%d %H:%M:%S.%f') || ' UTC' END AS ts_str
+  FROM injected
+)
 SELECT count(*) AS total_rows,
+       CAST(sum(CASE WHEN regexp_matches(ts_str, '^\\d{{4}}-\\d{{2}}-\\d{{2}} \\d{{2}}:\\d{{2}}:\\d{{2}}\\.\\d{{6}} UTC$')
+                     AND price IS NOT NULL AND volume IS NOT NULL
+                     AND price > 0 AND volume >= 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
        CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
        CAST(sum(CASE WHEN volume IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_volume,
        CAST(sum(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
@@ -293,17 +340,31 @@ SELECT count(*) AS total_rows,
        count(DISTINCT timestamp) AS distinct_timestamps,
        strftime(min(timestamp), '{TS_US_FMT_DUCK}') AS min_ts,
        strftime(max(timestamp), '{TS_US_FMT_DUCK}') AS max_ts
-FROM injected
+FROM s
 """
 
 
-@register("tick_quality_report", _QUALITY_ORACLE, tags=("A5", "A6"))
+@register("tick_quality_report", _QUALITY_ORACLE, tags=("A5", "A6", "P4", "F-str"))
 def tick_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass validation report
-    (``src/fetch_historical_trades_nvda.py:294-312``)."""
-    rpt = tick_quality_report(_injected_ticks(spark, sf_dir))
+    (``src/fetch_historical_trades_nvda.py:294-312``) plus the P4
+    strict-format survivor count (``:48,120-124``): every 7th tick is
+    re-serialized WITHOUT the microsecond+'UTC' tail so the regex rule
+    demonstrably rejects, and ``valid_rows`` counts rows passing the
+    full tick predicate — all in the same one-pass aggregate."""
+    s = _injected_ticks(spark, sf_dir).withColumn(
+        "ts_str",
+        F.when(
+            F.col("tick_id") % 7 == 0,
+            F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss"),
+        ).otherwise(
+            F.concat(F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit(" UTC"))
+        ),
+    )
+    rpt = tick_quality_report(s, count_valid=tick_valid_predicate(ts_str_col="ts_str"))
     return rpt.select(
         "total_rows",
+        "valid_rows",
         "null_price",
         "null_volume",
         "nonpositive_price",
@@ -381,50 +442,6 @@ def symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
-
-
-# ---------------------------------------------------------------------------
-# P4: regex timestamp predicate (string-format validation)
-# ---------------------------------------------------------------------------
-
-_REGEX_TS_ORACLE = f"""
-WITH {TICKS_CTE},
-s AS (
-  SELECT *,
-         CASE WHEN tick_id % 7 = 0
-              THEN strftime(timestamp, '%Y-%m-%d %H:%M:%S')
-              ELSE strftime(timestamp, '%Y-%m-%d %H:%M:%S.%f') || ' UTC' END AS ts_str
-  FROM ticks
-)
-SELECT CAST(sum(CASE WHEN regexp_matches(ts_str, '^\\d{{4}}-\\d{{2}}-\\d{{2}} \\d{{2}}:\\d{{2}}:\\d{{2}}\\.\\d{{6}} UTC$')
-                     AND price IS NOT NULL AND volume IS NOT NULL
-                     AND price > 0 AND volume >= 0
-                THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
-       count(*) AS total_rows
-FROM s
-"""
-
-
-@register("validation_regex_ts", _REGEX_TS_ORACLE, tags=("P4", "F-str"))
-def validation_regex_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 (``src/fetch_historical_trades_nvda.py:48,120-124``): the
-    strict on-disk timestamp format regex, exercised by
-    re-serializing every 7th tick WITHOUT the microsecond+'UTC' tail
-    (so the rule demonstrably rejects) and counting survivors of the
-    full tick predicate."""
-    t = ticks_from_events(spark, sf_dir)
-    ts_str = F.when(
-        F.col("tick_id") % 7 == 0,
-        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss"),
-    ).otherwise(
-        F.concat(F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit(" UTC"))
-    )
-    s = t.withColumn("ts_str", ts_str)
-    valid = tick_valid_predicate(ts_str_col="ts_str")
-    return s.agg(
-        F.sum(F.when(valid, 1).otherwise(0)).alias("valid_rows"),
-        F.count(F.lit(1)).alias("total_rows"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -507,92 +524,6 @@ def salted_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("max", "price", "max_price"),
         ],
         num_salts=16,
-    )
-
-
-# ---------------------------------------------------------------------------
-# Deep cascade: 1s -> 1m -> 5m (multi-stage candle-of-candles)
-# ---------------------------------------------------------------------------
-
-_CANDLES_5M_ORACLE = f"""
-WITH {TICKS_CTE},
-b1 AS (
-  SELECT symbol, date_trunc('second', timestamp) AS bucket, price, volume, timestamp, tick_id,
-         row_number() OVER (PARTITION BY symbol, date_trunc('second', timestamp)
-                            ORDER BY timestamp, tick_id) AS ra,
-         row_number() OVER (PARTITION BY symbol, date_trunc('second', timestamp)
-                            ORDER BY timestamp DESC, tick_id DESC) AS rd
-  FROM ticks
-),
-c1s AS (
-  SELECT symbol, bucket AS timestamp,
-         max(CASE WHEN ra = 1 THEN price END) AS open,
-         max(CASE WHEN rd = 1 THEN price END) AS close,
-         sum(volume) AS volume
-  FROM b1 GROUP BY symbol, bucket
-),
-b2 AS (
-  SELECT symbol, date_trunc('minute', timestamp) AS bucket, close AS price, volume, timestamp,
-         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
-                            ORDER BY timestamp) AS ra,
-         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
-                            ORDER BY timestamp DESC) AS rd
-  FROM c1s
-),
-c1m AS (
-  SELECT symbol, bucket AS timestamp,
-         max(CASE WHEN ra = 1 THEN price END) AS open,
-         max(CASE WHEN rd = 1 THEN price END) AS close,
-         sum(volume) AS volume
-  FROM b2 GROUP BY symbol, bucket
-),
-pre3 AS (
-  SELECT symbol,
-         CAST(to_timestamp(CAST(epoch(timestamp) AS BIGINT) - CAST(epoch(timestamp) AS BIGINT) % 300) AS TIMESTAMP) AS bucket,
-         close AS price, volume, timestamp
-  FROM c1m
-),
-b3 AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY symbol, bucket ORDER BY timestamp) AS ra,
-         row_number() OVER (PARTITION BY symbol, bucket ORDER BY timestamp DESC) AS rd
-  FROM pre3
-)
-SELECT symbol,
-       strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
-       max(CASE WHEN ra = 1 THEN price END) AS open,
-       max(price) AS high,
-       min(price) AS low,
-       max(CASE WHEN rd = 1 THEN price END) AS close,
-       round(sum(volume), 4) AS volume,
-       count(*) AS number_of_trades,
-       CASE WHEN sum(volume) > 0
-            THEN round(sum(price * volume) / sum(volume), 4) END AS vwap
-FROM b3
-GROUP BY symbol, bucket
-"""
-
-
-@register("candles_5m_cascade", _CANDLES_5M_ORACLE, tags=("A1", "A2", "A3"))
-def candles_5m_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage cascade 1s -> 1m -> 5m: each stage re-aggregates the
-    previous close as price (``use_raw=False``,
-    ``src/aggregator_candles.py:196,312``). Each stage is one
-    shuffle over strictly shrinking data — the multi-timeframe rollup
-    a real deployment materializes."""
-    c1s = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
-    c1m = aggregate_candles(candles_to_ticks(c1s), 60)
-    c5m = aggregate_candles(candles_to_ticks(c1m), 300)
-    return c5m.select(
-        "symbol",
-        _fmt("timestamp").alias("bucket_ts"),
-        "open",
-        "high",
-        "low",
-        "close",
-        F.round("volume", 4).alias("volume"),
-        "number_of_trades",
-        F.round("vwap", 4).alias("vwap"),
     )
 
 

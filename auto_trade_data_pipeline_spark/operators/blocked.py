@@ -29,28 +29,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window, WindowSpec
 
-__all__ = ["blocked_rows_window"]
+__all__ = ["blocked_rows_window", "blocked_copies", "INTERNAL_COLS"]
 
 #: Columns added internally; callers' frames must not collide.
 _INTERNAL = ("__day", "__r", "__off", "__seq", "__grp", "__emit")
+INTERNAL_COLS = _INTERNAL
 
 
-def blocked_rows_window(
+def blocked_copies(
     df: DataFrame,
     lookback: int,
-    apply_fn: Callable[[DataFrame, WindowSpec], DataFrame],
     block_size: int = 4096,
     ts_col: str = "timestamp",
 ) -> DataFrame:
-    """Evaluate `apply_fn(df, w, base)` — which must only add columns
-    via window functions whose frames reach at most `lookback` ROWS
-    back (frame aggs, lag up to `lookback`) — with block-level
-    parallelism instead of symbol-level. `w` is the base spec with
-    the full `rowsBetween(-lookback, 0)` frame; `base` is the bare
-    partition+order spec so multi-frame callers can apply their own
-    (smaller) frames in the SAME pass — several window families share
-    one sequence/overlap computation. Requires a total per-symbol
-    order on `ts_col` (unique timestamps per symbol, e.g. candles)."""
+    """The sequence + overlap-copy half of the blocked evaluator,
+    reusable by any per-(symbol, block) computation (window functions
+    here; the tail-chunked applyInPandas indicator kernel in
+    operators/indicators.py). Adds ``__seq`` (global per-symbol row
+    number, derived without a per-symbol sort), ``__grp`` (block id)
+    and ``__emit`` (False for the overlap copies feeding the next
+    block's first rows); every row lands in its own block plus, when
+    within `lookback` of the block end, as a non-emitting copy in the
+    next block. Requires a total per-symbol order on `ts_col`."""
     if block_size < lookback:
         raise ValueError("block_size must be >= lookback")
 
@@ -89,13 +89,31 @@ def blocked_rows_window(
         F.struct(blk.alias("grp"), F.lit(True).alias("emit")),
         F.when(is_carry, F.struct((blk + 1).alias("grp"), F.lit(False).alias("emit"))),
     )
-    u = (
+    return (
         d.withColumn("__c", F.explode(F.filter(copies, lambda x: x.isNotNull())))
         .withColumn("__grp", F.col("__c.grp"))
         .withColumn("__emit", F.col("__c.emit"))
         .drop("__c")
     )
 
+
+def blocked_rows_window(
+    df: DataFrame,
+    lookback: int,
+    apply_fn: Callable[[DataFrame, WindowSpec], DataFrame],
+    block_size: int = 4096,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Evaluate `apply_fn(df, w, base)` — which must only add columns
+    via window functions whose frames reach at most `lookback` ROWS
+    back (frame aggs, lag up to `lookback`) — with block-level
+    parallelism instead of symbol-level. `w` is the base spec with
+    the full `rowsBetween(-lookback, 0)` frame; `base` is the bare
+    partition+order spec so multi-frame callers can apply their own
+    (smaller) frames in the SAME pass — several window families share
+    one sequence/overlap computation. Requires a total per-symbol
+    order on `ts_col` (unique timestamps per symbol, e.g. candles)."""
+    u = blocked_copies(df, lookback, block_size, ts_col)
     base = Window.partitionBy("symbol", "__grp").orderBy("__seq")
     out = apply_fn(u, base.rowsBetween(-lookback, 0), base)
     return out.filter(F.col("__emit")).drop(*_INTERNAL)

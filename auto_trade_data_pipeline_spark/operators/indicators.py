@@ -167,16 +167,59 @@ def _indicator_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def enrich_indicators(candles: DataFrame) -> DataFrame:
+def enrich_indicators(
+    candles: DataFrame,
+    chunked: bool = False,
+    buffer_rows: int = 10_000,
+    block_rows: int | None = None,
+) -> DataFrame:
     """Attach the full recursive-indicator pack to a candle table.
     Input: the candles_1s schema (symbol, timestamp, open, high, low,
     close, volume, number_of_trades, vwap). Output: input columns +
-    :data:`INDICATOR_COLUMNS`, one row per input row."""
+    :data:`INDICATOR_COLUMNS`, one row per input row.
+
+    ``chunked=False`` (default) is one applyInPandas task per symbol —
+    exact, but a single-symbol 100 TB series is one task.
+
+    ``chunked=True`` is the extreme-skew mitigation: each symbol's
+    series is split into blocks of ``block_rows`` (default
+    ``buffer_rows``) via the blocked evaluator's sequence/overlap
+    machinery (operators/blocked.py), each block is evaluated with the
+    preceding ``buffer_rows`` rows as a non-emitted warm-up tail, and
+    blocks run in PARALLEL — per-task memory and time are
+    O(block_rows + buffer_rows) regardless of symbol skew. This is
+    the batch twin of the streaming tail buffer
+    (streaming/indicators.py; the reference's ROLLING_BUFFER_SIZE
+    trade, ``src/candle_to_calcs.py:42,691``): recursive indicators
+    (EMA cascades, Wilder, SAR) see truncated history at block
+    starts, with divergence decaying exponentially in ``buffer_rows``
+    (bounded + decaying, asserted in tests); bounded-window columns
+    (CDL patterns, peaks within distance) are exact wherever the
+    overlap covers their span."""
     out_fields = list(candles.schema.fields) + [
         T.StructField(name, _SPARK_TYPES[t], True) for name, t in INDICATOR_COLUMNS
     ]
     schema = T.StructType(out_fields)
-    return candles.groupBy("symbol").applyInPandas(_indicator_kernel, schema=schema)
+    if not chunked:
+        return candles.groupBy("symbol").applyInPandas(_indicator_kernel, schema=schema)
+
+    from auto_trade_data_pipeline_spark.operators.blocked import (
+        INTERNAL_COLS,
+        blocked_copies,
+    )
+
+    u = blocked_copies(candles, buffer_rows, block_rows or buffer_rows)
+    in_cols = candles.columns
+
+    def _chunk_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__seq", kind="mergesort").reset_index(drop=True)
+        emit = pdf["__emit"].to_numpy()
+        enriched = _indicator_kernel(pdf[in_cols].copy())
+        return enriched.loc[emit, [f.name for f in out_fields]]
+
+    return u.groupBy("symbol", "__grp").applyInPandas(
+        _chunk_kernel, schema=schema
+    ).drop(*[c for c in INTERNAL_COLS if c in schema.fieldNames()])
 
 
 _SPARK_TYPES = {

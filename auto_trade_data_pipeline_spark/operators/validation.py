@@ -83,7 +83,10 @@ def validate_split(df: DataFrame, predicate: Column, cache: bool = False) -> Spl
 
 
 def tick_quality_report(
-    df: DataFrame, ts_str_col: str | None = None, approx_distinct: bool = False
+    df: DataFrame,
+    ts_str_col: str | None = None,
+    approx_distinct: bool = False,
+    count_valid: Column | None = None,
 ) -> DataFrame:
     """Single-pass validation aggregate report (A5),
     ``src/fetch_historical_trades_nvda.py:294-312``: null counts,
@@ -95,6 +98,10 @@ def tick_quality_report(
     the exact count shuffles every distinct timestamp at 100 TB; the
     sketch is fixed-size per partition and merges map-side — the
     production default (the exact form remains for oracle parity).
+
+    ``count_valid``: optional boolean predicate (e.g.
+    :func:`tick_valid_predicate` with the strict P4 timestamp regex) —
+    adds a ``valid_rows`` count to the same single-pass aggregate.
     """
     bad_ts = (
         ~F.col(ts_str_col).rlike(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6} UTC$")
@@ -106,8 +113,14 @@ def tick_quality_report(
         if approx_distinct
         else F.countDistinct("timestamp")
     )
+    extra = (
+        [F.sum(F.when(F.coalesce(count_valid, F.lit(False)), 1).otherwise(0)).alias("valid_rows")]
+        if count_valid is not None
+        else []
+    )
     return df.agg(
         F.count(F.lit(1)).alias("total_rows"),
+        *extra,
         F.sum(F.when(F.col("price").isNull(), 1).otherwise(0)).alias("null_price"),
         F.sum(F.when(F.col("volume").isNull(), 1).otherwise(0)).alias("null_volume"),
         F.sum(F.when(F.col("price") <= 0, 1).otherwise(0)).alias("nonpositive_price"),

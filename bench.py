@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: Extend as families land; keep total runtime at sf0.1 under ~3 min.
 HEADLINE = [
     "candles_1s",
-    "candles_1m_cascade",
+    "candles_cascade",
     "dedup_keep_last",
     "upsert_merge",
     "rolling_window_features",
