@@ -582,15 +582,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cell (label): candidate pairs form only within a cell —
     the IVF-style blocking that avoids the all-pairs crossJoin. At
     100 TB the cell assignment comes from a coarse quantizer; the
-    join shape is identical."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    join shape is identical. Cells are capped by the oversized-block
+    guard (operators/skew.py) so one dense cell can never become an
+    n^2 task — inert at oracle scale (no cell approaches the cap), so
+    the oracle needs no sub-block model."""
+    from auto_trade_data_pipeline_spark.operators.skew import split_oversized_blocks
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").alias("cell"), "vec_id", "embedding"
+    )
+    emb = split_oversized_blocks(emb, "cell", "vec_id", max_rows=10_000)
     a = emb.select(
-        F.col("label").alias("cell"),
+        "cell",
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("__va"),
     )
     b = emb.select(
-        F.col("label").alias("cell"),
+        "cell",
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("__vb"),
     )
@@ -628,7 +636,12 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard dedup with SOURCE blocking: pairs
     compared only within the same source (the metadata-blocking
     strategy — exact within blocks, zero recall outside, a different
-    trade than MinHash-LSH's probabilistic global recall)."""
+    trade than MinHash-LSH's probabilistic global recall). Source
+    blocks are capped by the oversized-block guard (operators/
+    skew.py); inert at oracle scale, so the oracle needs no
+    sub-block model."""
+    from auto_trade_data_pipeline_spark.operators.skew import split_oversized_blocks
+
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -636,7 +649,8 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         TX.word_shingles(TX.tokens(F.col("text")), SHINGLE_N).alias("shingles"),
-    ).persist()
+    )
+    shingled = split_oversized_blocks(shingled, "source", "doc_id", max_rows=10_000).persist()
     a = shingled.select(
         F.col("source"), F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa")
     )

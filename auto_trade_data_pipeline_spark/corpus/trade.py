@@ -239,8 +239,20 @@ def dedup_keep_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UPSERT_ORACLE = f"""
 WITH {TICKS_CTE},
 old AS (SELECT * FROM ticks WHERE tick_id % 2 = 0),
-new AS (SELECT symbol, timestamp, price + 1.0 AS price, volume, tick_id
-        FROM ticks WHERE tick_id % 3 = 0)
+upd AS (
+  SELECT symbol, timestamp, price + 1.0 AS price, volume, tick_id, 1 AS rev
+  FROM ticks WHERE tick_id % 3 = 0
+  UNION ALL
+  SELECT symbol, timestamp, price + 2.0 AS price, volume, tick_id, 2 AS rev
+  FROM ticks WHERE tick_id % 6 = 0
+),
+new AS (
+  SELECT symbol, timestamp, price, volume, tick_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol, timestamp
+                                 ORDER BY rev DESC, tick_id DESC) AS rn
+    FROM upd
+  ) WHERE rn = 1
+)
 SELECT symbol, strftime(timestamp, '{TS_US_FMT_DUCK}') AS ts, price, volume
 FROM new
 UNION ALL
@@ -255,11 +267,25 @@ WHERE NOT EXISTS (SELECT 1 FROM new n
 def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed upsert: updates win over existing rows
     (``src/fetch_historical_trades_nvda.py:237-248``) = new ∪ (old
-    anti-join new). AQE broadcasts the distinct-key side when small."""
+    anti-join new), with the updates side deliberately carrying
+    DUPLICATE keys (every 6th tick appears at rev 1 AND rev 2):
+    the operator resolves them keep-last on (rev, tick_id) before the
+    merge — the determinism upgrade over pandas' positional
+    ``keep='last'``. AQE broadcasts the distinct-key side when
+    small."""
     t = ticks_from_events(spark, sf_dir)
     old = t.filter(F.col("tick_id") % 2 == 0)
-    new = t.filter(F.col("tick_id") % 3 == 0).withColumn("price", F.col("price") + 1.0)
-    merged = upsert(old, new, keys=["symbol", "timestamp"])
+    upd = (
+        t.filter(F.col("tick_id") % 3 == 0)
+        .withColumn("price", F.col("price") + 1.0)
+        .withColumn("rev", F.lit(1))
+        .unionByName(
+            t.filter(F.col("tick_id") % 6 == 0)
+            .withColumn("price", F.col("price") + 2.0)
+            .withColumn("rev", F.lit(2))
+        )
+    )
+    merged = upsert(old, upd, keys=["symbol", "timestamp"], order_cols=["rev", "tick_id"])
     return merged.select(
         "symbol", _fmt("timestamp", micros=True).alias("ts"), "price", "volume"
     )

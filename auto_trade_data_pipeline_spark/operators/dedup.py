@@ -46,15 +46,38 @@ def upsert(
     updates: DataFrame,
     keys: Sequence[str],
     order_cols: Sequence[str] | None = None,
+    assume_unique_updates: bool = False,
 ) -> DataFrame:
     """Merge `updates` into `existing` keyed on `keys`, updates win (S7/J3):
     ``new ∪ (old ⟕anti new)``.
 
-    If `updates` itself may carry duplicate keys, pass order_cols to
-    pre-dedup it (keep greatest). Column order is normalized to
-    `existing`'s.
+    Duplicate keys WITHIN `updates` would silently pass through the
+    anti-join form (both copies emitted — nondeterministic which one a
+    downstream keep-first reads), so the operator refuses ambiguity:
+    pass `order_cols` to pre-dedup updates keep-greatest, or
+    `assume_unique_updates=True` to assert key-uniqueness at plan
+    level (adds one cheap agg over the updates side; raises on the
+    first duplicate instead of merging garbage).
     """
     if order_cols:
         updates = dedup_keep_last(updates, keys, order_cols)
+    elif assume_unique_updates:
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"upsert: updates carry duplicate keys on {list(keys)}; "
+                "pass order_cols to resolve keep-last deterministically"
+            )
+    else:
+        raise ValueError(
+            "upsert: pass order_cols (deterministic keep-last within updates) "
+            "or assume_unique_updates=True"
+        )
     keep_old = existing.join(updates.select(*keys).distinct(), on=list(keys), how="left_anti")
     return updates.select(*existing.columns).unionByName(keep_old.select(*existing.columns))

@@ -193,9 +193,13 @@ def enrich_indicators(
     trade, ``src/candle_to_calcs.py:42,691``): recursive indicators
     (EMA cascades, Wilder, SAR) see truncated history at block
     starts, with divergence decaying exponentially in ``buffer_rows``
-    (bounded + decaying, asserted in tests); bounded-window columns
-    (CDL patterns, peaks within distance) are exact wherever the
-    overlap covers their span."""
+    (bounded + decaying, asserted in tests); left-dependent bounded
+    columns (CDL patterns: lags + trailing setting-averages) are exact
+    once the overlap covers their span. Peak/valley flags are
+    block-local: prominence also scans RIGHT of the bar, so flags near
+    a block's end may differ from the global pass — the same
+    buffer-locality the streaming form (and the reference's rolling
+    buffer) accepts."""
     out_fields = list(candles.schema.fields) + [
         T.StructField(name, _SPARK_TYPES[t], True) for name, t in INDICATOR_COLUMNS
     ]

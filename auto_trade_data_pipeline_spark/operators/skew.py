@@ -20,7 +20,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "split_oversized_blocks"]
+
+
+def split_oversized_blocks(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    max_rows: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Guard for blocked pair-generation (exact within-block dedup:
+    metadata blocking, IVF cells): any self-join on `block_col` is
+    quadratic WITHIN a block, so one pathological block (a boilerplate
+    `source`, a dense quantizer cell) turns into one task doing n^2/2
+    comparisons. This re-keys blocks larger than `max_rows` into
+    ``ceil(n / max_rows)`` deterministic sub-blocks
+    (``hash(id) % k``), bounding per-task pair work at roughly
+    ``(max_rows)^2 / 2`` regardless of input skew.
+
+    The trade is explicit and bounded: pairs ACROSS sub-blocks of a
+    split block are not compared (recall loss confined to oversized
+    blocks; small blocks pass through untouched, bit-identical). The
+    per-block counts come from one tiny agg broadcast back — no extra
+    shuffle of the data itself.
+    """
+    out_col = out_col or block_col
+    fan = (
+        df.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            block_col,
+            F.ceil(F.col("__n") / F.lit(max_rows)).cast("int").alias("__k"),
+        )
+    )
+    sub = F.when(
+        F.col("__k") > 1, F.pmod(F.xxhash64(F.col(id_col)), F.col("__k"))
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(fan), block_col)
+        .withColumn(out_col, F.concat_ws("#", F.col(block_col).cast("string"), sub.cast("string")))
+        .drop("__k")
+    )
 
 #: (phase-1 aggregate, phase-2 combiner) per decomposable agg type.
 _COMBINE = {

@@ -28,13 +28,39 @@ from pyspark.sql import functions as F
 
 from auto_trade_data_pipeline_spark.operators.dedup import dedup_keep_last
 
-__all__ = ["write_append", "write_upsert_snapshot", "write_split"]
+__all__ = [
+    "write_append",
+    "write_append_partitioned",
+    "write_upsert_snapshot",
+    "write_split",
+]
 
 
 def write_append(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """S5: append new files to a table directory (no read-modify-write;
     the header bookkeeping of the CSV reference is moot under parquet)."""
     df.write.mode("append").format(fmt).save(path)
+
+
+def write_append_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "timestamp",
+    fmt: str = "parquet",
+    date_col: str = "date",
+) -> None:
+    """S5 at 100 TB: append with a Hive date-partitioned layout
+    (``.../date=2024-01-08/part-*.parquet``) derived from `ts_col`.
+
+    The reference's only layout is flat CSV
+    (``src/aggregator_candles.py:272``); partitioning is what makes
+    the engine's own P5 time-range filters
+    (``src/aggregator_candles.py:85``) PRUNE whole directories at the
+    scan instead of reading every file — asserted at plan level in
+    tests/test_plans.py. The derived column stays alongside `ts_col`,
+    so readers keep full-precision timestamps."""
+    out = df.withColumn(date_col, F.to_date(F.col(ts_col)))
+    out.write.mode("append").format(fmt).partitionBy(date_col).save(path)
 
 
 def write_upsert_snapshot(

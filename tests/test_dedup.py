@@ -34,12 +34,26 @@ def test_upsert_updates_win_and_idempotent(spark):
     old = _df(spark, [("NVDA", 1, 10.0, 1.0, 1), ("NVDA", 2, 20.0, 1.0, 2)])
     new = _df(spark, [("NVDA", 2, 99.0, 9.0, 3), ("NVDA", 3, 30.0, 1.0, 4)])
 
-    once = upsert(old, new, keys=["symbol", "timestamp"])
+    once = upsert(old, new, keys=["symbol", "timestamp"], assume_unique_updates=True)
     rows = {r.timestamp.second: (r.price, r.volume) for r in once.collect()}
     assert rows == {1: (10.0, 1.0), 2: (99.0, 9.0), 3: (30.0, 1.0)}
 
-    twice = upsert(once, new, keys=["symbol", "timestamp"])
+    twice = upsert(once, new, keys=["symbol", "timestamp"], assume_unique_updates=True)
     assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+def test_upsert_refuses_ambiguous_duplicate_updates(spark):
+    """Duplicate keys in updates with no order_cols used to pass both
+    copies through the anti-join silently; now the operator refuses."""
+    import pytest
+
+    old = _df(spark, [("NVDA", 1, 10.0, 1.0, 1)])
+    dup = _df(spark, [("NVDA", 1, 50.0, 1.0, 2), ("NVDA", 1, 60.0, 1.0, 3)])
+
+    with pytest.raises(ValueError, match="order_cols"):
+        upsert(old, dup, keys=["symbol", "timestamp"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert(old, dup, keys=["symbol", "timestamp"], assume_unique_updates=True)
 
 
 def test_upsert_dedups_updates_batch(spark):

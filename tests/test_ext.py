@@ -78,3 +78,28 @@ def test_multimodal_decode_is_deterministic(spark):
     assert row["n_bytes"] == 4
     assert row["width"] == 4 % 64 + 1
     assert row["channels"] == 3
+
+
+def test_split_oversized_blocks_bounds_pair_work(spark):
+    """One pathological block must come out as ceil(n/max) deterministic
+    sub-blocks whose quadratic pair work is a small fraction of the
+    unguarded n^2/2; small blocks pass through untouched."""
+    from auto_trade_data_pipeline_spark.operators.skew import split_oversized_blocks
+
+    rows = [("big", i) for i in range(500)] + [("small", 1000 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "blk string, id long")
+    out = split_oversized_blocks(df, "blk", "id", max_rows=100)
+    sizes = {
+        r["blk"]: r["n"]
+        for r in out.groupBy("blk").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    big = {k: n for k, n in sizes.items() if k.startswith("big#")}
+    assert len(big) == 5 and sum(big.values()) == 500
+    assert sizes["small#0"] == 10 and len(sizes) == 6
+    # Hash sub-assignment is near-uniform; generous 2x headroom.
+    assert max(big.values()) <= 200
+    pair_work = sum(n * (n - 1) // 2 for n in big.values())
+    assert pair_work < (500 * 499 // 2) / 3
+    # Deterministic: same input -> same sub-keys.
+    again = split_oversized_blocks(df, "blk", "id", max_rows=100)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

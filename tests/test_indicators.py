@@ -166,6 +166,61 @@ def test_kernel_short_group_gates(spark):
     assert all(r["is_no_trend"] == 1 for r in rows)
 
 
+def test_chunked_exact_when_tail_covers_prefix(spark):
+    """chunked=True with buffer_rows == block_rows == n/2: block 1's
+    warm-up tail IS the entire prefix, so every left-dependent column
+    (recursive packs, CDL patterns) is bit-identical to the exact
+    per-symbol kernel. (Peak/valley flags are excluded by design:
+    prominence also scans RIGHT, so block 0 cannot see block 1's
+    bars — the same buffer-locality the streaming form documents.)"""
+    from auto_trade_data_pipeline_spark.operators.indicators import enrich_indicators
+
+    df = _candles_df(spark, n=500, symbols=("S", "T"))
+    exact = enrich_indicators(df).orderBy("symbol", "timestamp").collect()
+    chunked = (
+        enrich_indicators(df, chunked=True, buffer_rows=250, block_rows=250)
+        .orderBy("symbol", "timestamp")
+        .collect()
+    )
+    assert len(exact) == len(chunked)
+    left_dep = [
+        "adx", "di_pos", "di_neg", "macd", "macd_signal", "macd_diff",
+        "psar", "psar_trend", "atr", "atr_norm", "t3", "t3_slope",
+        "CDLDOJI", "CDLENGULFING", "candle_pattern_sum",
+    ]
+    for a, b in zip(exact, chunked):
+        assert (a["symbol"], a["timestamp"]) == (b["symbol"], b["timestamp"])
+        for col in left_dep:
+            assert a[col] == b[col], (col, a["timestamp"])
+
+
+def test_chunked_divergence_bounded_and_decaying(spark):
+    """With blocks shorter than the series, recursive indicators see
+    truncated history at block starts; divergence vs the exact kernel
+    must be tiny with a 500-row warm-up tail (EMA/Wilder memory decays
+    exponentially in the buffer length, so 500 rows puts every family
+    far below float display precision)."""
+    from auto_trade_data_pipeline_spark.operators.indicators import enrich_indicators
+
+    df = _candles_df(spark, n=1500, symbols=("S",))
+    exact = {
+        r["timestamp"]: r
+        for r in enrich_indicators(df).collect()
+    }
+    chunked = (
+        enrich_indicators(df, chunked=True, buffer_rows=500, block_rows=500)
+        .orderBy("timestamp")
+        .collect()
+    )
+    assert len(chunked) == 1500
+    # t3's tolerance is looser: a 6-fold EMA(60) cascade's impulse
+    # response decays as a Gamma(6) tail — n^5 * (1-a)^n — orders of
+    # magnitude slower than the single-EMA families.
+    for col, tol in (("macd", 1e-6), ("atr", 1e-6), ("adx", 1e-5), ("t3", 2e-3)):
+        diffs = [abs(r[col] - exact[r["timestamp"]][col]) for r in chunked]
+        assert max(diffs) < tol, (col, max(diffs))
+
+
 def test_full_enrichment_carries_the_complete_surface(spark, sf_small):
     """W14: the composed table carries every column family of the
     reference's candles_1s_calculated (~119 cols)."""

@@ -77,6 +77,62 @@ def test_single_batch_stream_matches_batch_kernel(spark, tmp_path):
     assert g == b
 
 
+import pytest
+
+
+@pytest.mark.parametrize("splits", [2, 4])
+def test_multi_split_equivalence_across_dst_day(spark, tmp_path, splits):
+    """ST5-ST7 parity under arbitrary micro-batch splits, across the
+    2024-03-10 US spring-forward boundary: the event-time flush clock
+    and the daily state (NY date change at 05:00 UTC, the 4am local
+    trigger jumping with DST) must make the streamed anchor set
+    independent of how the input is sliced — and equal to the batch
+    kernel's, anchor for anchor."""
+    # 2024-03-09 22:00 UTC -> 2024-03-10 12:00 UTC at 2-minute bars:
+    # crosses the NY midnight (05:00 UTC) and the 02:00->03:00 local
+    # jump; local hour 4 lands at 08:00 UTC (EDT).
+    rows = _bars(n=420, start=datetime(2024, 3, 9, 22, 0, 0))
+    rows = [
+        (s, datetime(2024, 3, 9, 22, 0, 0) + timedelta(minutes=2 * i), o, h, lo, c, v, t, vw)
+        for i, (s, _, o, h, lo, c, v, t, vw) in enumerate(rows)
+    ]
+    k = len(rows) // splits
+    batches = [rows[i * k : (i + 1) * k if i < splits - 1 else len(rows)] for i in range(splits)]
+    path = _stream_dir(spark, tmp_path, batches)
+    stream = streaming_anchor_points(
+        _read_stream(spark, path, max_files=1), flush_secs=300, buffer_rows=1024
+    )
+    got = run_available_now(stream, f"t_anchor_dst_{splits}", "update").collect()
+    batch = anchored_vwap_points(
+        spark.createDataFrame(rows, CANDLES), flush_secs=300
+    ).collect()
+    g = {_key(r) for r in got}
+    b = {_key(r) for r in batch}
+    # Daily anchors are strictly causal, so event-time flushes make
+    # them split-invariant: every daily anchor the batch kernel
+    # snapshots appears in the stream, at any split count. The
+    # stream's per-batch progress snapshots may additionally catch
+    # replaceable daily anchors superseded within a flush interval
+    # (extremes beaten later, anchors dropped at the NY date change).
+    g_daily = {k for k in g if k[0].startswith("daily")}
+    b_daily = {k for k in b if k[0].startswith("daily")}
+    assert b_daily <= g_daily
+    # Peak/valley anchors are the documented buffer-locality trade:
+    # a peak needs FUTURE bars for distance/prominence confirmation,
+    # so peaks whose confirmation spans a micro-batch boundary can
+    # differ (the reference's rolling buffer has the same property,
+    # src/candle_to_calcs.py:651-655). Any disagreement must sit
+    # within the 10-bar confirmation distance of a split boundary.
+    boundaries = [rows[i * k][1] for i in range(1, splits)]
+    max_dist_bars = 10
+    for t, a_ts, _ in (g ^ b) - (g_daily ^ b_daily):
+        assert any(
+            abs((a_ts - bd).total_seconds()) <= max_dist_bars * 120 for bd in boundaries
+        ), (t, a_ts)
+    # The DST day actually exercised the daily machinery.
+    assert any(t == "daily_4am" for t, _, _ in b)
+
+
 def test_state_carries_across_batches(spark, tmp_path):
     rows = _bars(n=120)
     path = _stream_dir(spark, tmp_path, [rows[:60], rows[60:]])
