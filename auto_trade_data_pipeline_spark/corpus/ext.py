@@ -454,32 +454,66 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VX.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-_IVF_ORACLE = f"""
-WITH dims AS (
-  SELECT label AS cell, i AS pos, embedding[i] AS v
-  FROM embeddings, range(1, 65) t(i)
-),
-per_dim AS (
-  SELECT cell, pos,
-         (CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*) AS mean
-  FROM dims GROUP BY cell, pos
-),
-cent AS (
-  SELECT cell, list(mean ORDER BY pos) AS centroid FROM per_dim GROUP BY cell
-),
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _ivf_kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB twin of operators.vectors.kmeans_cells + ivf_topk: the
+    same seed selection (smallest md5-60bit of the id), the same
+    round-6 cosine argmax assignment, the same integer-scaled centroid
+    means — iteration for iteration, so the trained quantizer is
+    bit-reproducible cross-engine."""
+
+    def assign(prev_cents: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, p.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_cos('e.embedding', 'p.centroid')}, 6) DESC, p.cell) AS pr
+    FROM embeddings e, {prev_cents} p
+  ) WHERE pr = 1
+)"""
+
+    def update(assigned: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT cell, list(mean ORDER BY pos) AS centroid FROM (
+    SELECT cell, pos,
+           (CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*) AS mean
+    FROM (SELECT cell, i AS pos, embedding[i] AS v FROM {assigned}, range(1, 65) t(i))
+    GROUP BY cell, pos
+  ) GROUP BY cell
+)"""
+
+    ctes = [
+        f"""c0 AS (
+  SELECT cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid FROM (
+    SELECT embedding,
+           row_number() OVER (ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS cell
+    FROM embeddings
+  ) WHERE cell < {k}
+)"""
+    ]
+    for i in range(iters):
+        ctes.append(assign(f"c{i}", f"a{i + 1}"))
+        ctes.append(update(f"a{i + 1}", f"c{i + 1}"))
+    ctes.append(assign(f"c{iters}", "afin"))
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 probes AS (
   SELECT query_id, qv, cell FROM (
     SELECT q.query_id, q.qv, c.cell,
            row_number() OVER (PARTITION BY q.query_id
                               ORDER BY round({_cos('q.qv', 'c.centroid')}, 6) DESC, c.cell) AS pr
-    FROM q, cent c
+    FROM q, c{iters} c
   ) WHERE pr <= 2
 ),
 scored AS (
   SELECT p.query_id, e.vec_id AS neighbor_id,
          round({_cos('p.qv', 'e.embedding')}, 6) AS cos
-  FROM probes p JOIN embeddings e ON e.label = p.cell AND e.vec_id <> p.query_id
+  FROM probes p JOIN afin e ON e.cell = p.cell AND e.vec_id <> p.query_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
@@ -490,15 +524,20 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
 
-@register("similarity_topk_ivf", _IVF_ORACLE, tags=("EXT2",))
+@register("similarity_topk_ivf", _ivf_kmeans_oracle(), tags=("EXT2",))
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5: coarse cells (label stand-in), integer-exact
-    centroids, nprobe=2 probe selection, exact rerank inside probed
-    cells only — the 100 TB path where unprobed cells are never
-    scanned (operators/vectors.py:ivf_topk)."""
+    """IVF top-5 with a TRAINED coarse quantizer: deterministic
+    k-means (hash-sampled seeds, round-6 cosine argmax assignment,
+    integer-exact centroid means; operators/vectors.py:kmeans_cells),
+    nprobe=2 probe selection, exact rerank inside probed cells only —
+    the 100 TB path where unprobed cells are never scanned. The
+    oracle retrains the quantizer iteration-for-iteration in SQL, so
+    even the k-means is hash-checked cross-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = VX.label_centroids(emb)
-    return VX.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=2)
+    assigned, cents = VX.kmeans_cells(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return VX.ivf_topk(
+        assigned, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=2, cell_col="cell"
+    )
 
 
 _NORM_STATS_ORACLE = f"""

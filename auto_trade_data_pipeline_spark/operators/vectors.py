@@ -25,7 +25,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "ivf_topk", "label_centroids"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "ivf_topk",
+    "label_centroids",
+    "assign_cells",
+    "kmeans_cells",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -90,6 +99,71 @@ def label_centroids(
             F.array_sort(F.collect_list(F.struct("pos", "mean"))), lambda s: s["mean"]
         ).alias("centroid")
     )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by cosine
+    (round-6, cell-id tiebreak — deterministic across engines and
+    parallelism). One broadcast join against the dimension-sized
+    centroid table + a per-vector rank: the corpus never shuffles."""
+    w = Window.partitionBy(id_col).orderBy(F.col("__acos").desc(), F.col("cell"))
+    return (
+        corpus.join(F.broadcast(centroids))
+        .withColumn("__acos", F.round(cosine(F.col(vec_col), F.col("centroid")), 6))
+        .withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") == 1)
+        .drop("__acos", "__pr", "centroid")
+    )
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic k-means coarse quantizer — the trained IVF cell
+    assignment (replaces any metadata stand-in):
+
+    - **seeds**: the k corpus vectors with the smallest portable 60-bit
+      md5 hash of their id — a uniform deterministic sample selected by
+      top-k (TakeOrderedAndProject), never a global sort;
+    - **assign**: argmax cosine vs the broadcast centroid table
+      (round-6, cell tiebreak) — corpus-side narrow, no shuffle;
+    - **update**: per-cell per-dimension means over integer-scaled
+      values (bigint sums are order-independent ⇒ bit-identical
+      centroids at any parallelism, reproducible in the DuckDB oracle).
+
+    Runs `iters` assign→update rounds, then a final assignment against
+    the trained centroids. Returns (assigned corpus with ``cell``,
+    centroids ``(cell, centroid)``). Empty cells drop out naturally on
+    both engines. Per round: one broadcast join + one k×dims-sized
+    aggregation — the iteration cost at 100 TB is `iters` corpus scans,
+    nothing quadratic."""
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+
+    hashed = corpus.select(
+        F.col(id_col), F.col(vec_col), hash64(F.col(id_col).cast("string")).alias("__h")
+    )
+    seed_w = Window.orderBy("__h", id_col)
+    cents = (
+        hashed.orderBy("__h", id_col)
+        .limit(k)
+        .withColumn("cell", F.row_number().over(seed_w) - 1)
+        .select("cell", F.col(vec_col).cast("array<double>").alias("centroid"))
+    )
+    for _ in range(iters):
+        assigned = assign_cells(corpus, cents, id_col, vec_col)
+        cents = label_centroids(assigned, cell_col="cell", vec_col=vec_col, scale=scale)
+    assigned = assign_cells(corpus, cents, id_col, vec_col)
+    return assigned, cents
 
 
 def ivf_topk(

@@ -103,3 +103,32 @@ def test_split_oversized_blocks_bounds_pair_work(spark):
     # Deterministic: same input -> same sub-keys.
     again = split_oversized_blocks(df, "blk", "id", max_rows=100)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_kmeans_quantizer_deterministic_and_recall_scales_with_nprobe(spark, sf_small):
+    """The trained IVF path: (a) k-means is bit-deterministic run to
+    run (hash seeds + integer-exact centroid means), (b) recall@5 vs
+    the brute-force baseline improves monotonically with nprobe and
+    reaches 1.0 when every cell is probed (probing all cells IS the
+    exact search, same tiebreaks)."""
+    from auto_trade_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {(r.query_id, r.neighbor_id) for r in VX.cosine_topk(emb, q, k=5).collect()}
+
+    assigned, cents = VX.kmeans_cells(emb, k=8, iters=2)
+    _, cents2 = VX.kmeans_cells(emb, k=8, iters=2)
+    assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, cents2.collect()))
+
+    def recall(nprobe):
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in VX.ivf_topk(assigned, q, cents, k=5, nprobe=nprobe, cell_col="cell").collect()
+        }
+        return len(brute & ivf) / len(brute)
+
+    r2, r4, r8 = recall(2), recall(4), recall(8)
+    assert r2 >= 0.4
+    assert r2 <= r4 <= r8
+    assert r8 == 1.0
