@@ -78,9 +78,15 @@ _ORDER = [
     "tick_quality_report",
     "upsert_merge",
     "similarity_topk_ivf",
+    "dedup_groups_cc",
+    "tfidf_top_terms",
+    "training_mix_pack",
+    "sliding_window_agg",
+    "text_quality_langid",
+    "join_customer_order_profile",
+    "semi_anti_join_customers",
     # stable green oracled queries
     "candles_1s",
-    "candles_first_tick_ts",
     "dedup_keep_last",
     "validation_split_invalid",
     "filter_time_symbol_weekend",
@@ -99,15 +105,9 @@ _ORDER = [
     "session_window_agg",
     "tpch_q1_pricing_summary",
     "join_order_revenue",
-    "join_customer_revenue",
-    "join_left_outer_customer_orders",
     "join_broadcast_nation_region",
-    "semi_join_urgent_customers",
-    "anti_join_orderless_customers",
     "top_k_orders",
     "dedup_exact_text",
-    "text_stats_quality",
-    "lang_id_stopwords",
     "dedup_near_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_cosine",

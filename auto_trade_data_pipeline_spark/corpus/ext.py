@@ -83,7 +83,20 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
-_TEXT_STATS_ORACLE = f"""
+_PROFILES = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+}
+
+
+def _profile_hits_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(ts, t -> t IN ({inlist})))"
+
+
+_TEXT_QUALITY_LANGID_ORACLE = f"""
 WITH {_DOCS_CTE},
 st AS (
   SELECT doc_id, lang,
@@ -91,7 +104,11 @@ st AS (
          len(ts) AS n_tokens,
          len(list_filter(ts, t -> t IN ({_STOP_IN}))) AS stop_hits,
          CASE WHEN len(ts) > 0
-              THEN CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) ELSE 0 END AS token_chars
+              THEN CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) ELSE 0 END AS token_chars,
+         {_profile_hits_sql(_PROFILES['en'])} AS en_hits,
+         {_profile_hits_sql(_PROFILES['de'])} AS de_hits,
+         {_profile_hits_sql(_PROFILES['fr'])} AS fr_hits,
+         {_profile_hits_sql(_PROFILES['es'])} AS es_hits
   FROM toks
 )
 SELECT doc_id, lang, n_chars_obs, n_tokens, stop_hits,
@@ -101,18 +118,30 @@ SELECT doc_id, lang, n_chars_obs, n_tokens, stop_hits,
         + CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END
         + CASE WHEN n_tokens > 0 AND stop_hits / (1.0 * n_tokens) BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
         + CASE WHEN n_tokens > 0 AND token_chars / (1.0 * n_tokens) BETWEEN 2.0 AND 10.0 THEN 1 ELSE 0 END
-       ) AS quality_score
+       ) AS quality_score,
+       CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'und'
+            WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+            WHEN fr_hits >= es_hits THEN 'fr'
+            ELSE 'es' END AS predicted_lang
 FROM st
 """
 
 
-@register("text_stats_quality", _TEXT_STATS_ORACLE, tags=("EXT3",))
-def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text statistics and a 0-4 quality score
-    (length / token count / stopword ratio / avg token length gates) —
-    the classic pre-training quality filter, all JVM expressions."""
+@register("text_quality_langid", _TEXT_QUALITY_LANGID_ORACLE, tags=("EXT3",))
+def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics, a 0-4 quality score (length /
+    token count / stopword ratio / avg token length gates — the
+    classic pre-training quality filter) AND stopword-profile language
+    ID (per-language marker-token counts, deterministic argmax with a
+    fixed priority order, 'und' when no profile fires) — one scan, all
+    JVM expressions."""
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
+
+    def _hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
     d = docs.select(
         "doc_id",
         "lang",
@@ -127,6 +156,7 @@ def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(0).cast("long"),
         ).alias("token_chars"),
+        *[_hits(markers).alias(f"{lang}_hits") for lang, markers in _PROFILES.items()],
     )
     n_tok = F.col("n_tokens")
     avg_len = F.when(n_tok > 0, F.col("token_chars") / (n_tok * 1.0)).otherwise(0.0)
@@ -137,6 +167,14 @@ def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when((n_tok > 0) & stop_ratio.between(0.01, 0.5), 1).otherwise(0)
         + F.when((n_tok > 0) & avg_len.between(2.0, 10.0), 1).otherwise(0)
     )
+    en, de, fr, es = (F.col(f"{lg}_hits") for lg in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
     return d.select(
         "doc_id",
         "lang",
@@ -146,71 +184,101 @@ def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_len, 4).alias("avg_token_len"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         quality.alias("quality_score"),
+        predicted.alias("predicted_lang"),
     )
 
 
 # ---------------------------------------------------------------------------
-# Language ID (stopword-profile heuristic)
+# TF-IDF top terms
 # ---------------------------------------------------------------------------
 
-_PROFILES = {
-    "en": ("the", "a", "of"),
-    "de": ("der", "die", "und"),
-    "fr": ("le", "la", "et"),
-    "es": ("el", "los", "y"),
-}
-
-
-def _profile_hits_sql(markers: tuple[str, ...]) -> str:
-    inlist = ", ".join(f"'{m}'" for m in markers)
-    return f"len(list_filter(ts, t -> t IN ({inlist})))"
-
-
-_LANG_ID_ORACLE = f"""
+_TFIDF_ORACLE = f"""
 WITH {_DOCS_CTE},
-hits AS (
-  SELECT doc_id, lang,
-         {_profile_hits_sql(_PROFILES['en'])} AS en_hits,
-         {_profile_hits_sql(_PROFILES['de'])} AS de_hits,
-         {_profile_hits_sql(_PROFILES['fr'])} AS fr_hits,
-         {_profile_hits_sql(_PROFILES['es'])} AS es_hits
-  FROM toks
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_count,
+         round(tf.tf * ln(n.n / (1.0 * dfreq.df_count)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
 )
-SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
-       CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'und'
-            WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
-            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
-            WHEN fr_hits >= es_hits THEN 'fr'
-            ELSE 'es' END AS predicted_lang
-FROM hits
+SELECT doc_id, term, tf, df_count, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
-@register("lang_id_stopwords", _LANG_ID_ORACLE, tags=("EXT3",))
-def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language ID (n-gram-heuristic family):
-    per-language marker-token counts, deterministic argmax with a
-    fixed priority order, 'und' when no profile fires."""
+@register("tfidf_top_terms", _TFIDF_ORACLE, tags=("EXT3",))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.py:tfidf_topk):
+    doc-term counts and per-term document frequencies are two uniform-
+    key shuffles, the corpus size joins in as a broadcast 1-row
+    aggregate, ranking orders by the ROUNDED score then term so ranks
+    are deterministic cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    def _hits(markers: tuple[str, ...]):
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    tokenized = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    return TX.tfidf_topk(tokenized, "toks", "doc_id", k=3)
 
-    hits = {lang: _hits(markers) for lang, markers in _PROFILES.items()}
+
+# ---------------------------------------------------------------------------
+# Training-mix assembly: hash split + concat-and-chunk packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+
+_MIX_PACK_ORACLE = f"""
+WITH {_DOCS_CTE},
+base AS (
+  SELECT doc_id, source, len(ts) AS n_tokens,
+         {_duck_hash("CAST(doc_id AS VARCHAR)", "split")} % 100 AS bucket
+  FROM toks
+),
+sp AS (
+  SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                 WHEN bucket < 90 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM base
+),
+pk AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM sp
+)
+SELECT doc_id, source, bucket, split, n_tokens,
+       prefix // {PACK_BUDGET} AS seq_id,
+       prefix % {PACK_BUDGET} AS seq_offset
+FROM pk
+"""
+
+
+@register("training_mix_pack", _MIX_PACK_ORACLE, tags=("EXT3", "EXT1"))
+def training_mix_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly in one pass: deterministic hash-based
+    train/val/test split (salted 60-bit hash mod 100 — no sampling
+    state, stable under corpus growth) plus concat-and-chunk sequence
+    packing within each (split, source) shard: exclusive prefix token
+    sums place each document at (seq_id, seq_offset) of the packed
+    token stream (operators/text.py:hash_split, pack_sequences). Pure
+    integer window math — bit-exact at any parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket, split = TX.hash_split(F.col("doc_id"), 80, 10, salt="split")
     d = docs.select(
         "doc_id",
-        "lang",
-        *[hits[lang].alias(f"{lang}_hits") for lang in ("en", "de", "fr", "es")],
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        bucket.alias("bucket"),
+        split.alias("split"),
     )
-    en, de, fr, es = (F.col(f"{lg}_hits") for lg in ("en", "de", "fr", "es"))
-    predicted = (
-        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "und")
-        .when((en >= de) & (en >= fr) & (en >= es), "en")
-        .when((de >= fr) & (de >= es), "de")
-        .when(fr >= es, "fr")
-        .otherwise("es")
+    packed = TX.pack_sequences(d, "n_tokens", "doc_id", ["split", "source"], PACK_BUDGET)
+    return packed.select(
+        "doc_id", "source", "bucket", "split", "n_tokens", "seq_id", "seq_offset"
     )
-    return d.withColumn("predicted_lang", predicted)
 
 
 # ---------------------------------------------------------------------------
@@ -273,7 +341,10 @@ def doc_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The MinHash-LSH pipeline as a CTE chain ending in ``njpairs``
+    (the verified near-dup pairs) — shared by the pair query and the
+    connected-components grouping query."""
     from auto_trade_data_pipeline_spark.operators.text import (
         MINHASH_PRIME,
         minhash_coeffs,
@@ -296,8 +367,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(num_bands)
     )
-    return f"""
-WITH {_DOCS_CTE},
+    return f"""{_DOCS_CTE},
 {_SHINGLES_CTE},
 mh AS (
   SELECT doc_id,
@@ -319,10 +389,18 @@ verify AS (
   FROM cand
   JOIN sh sa ON sa.doc_id = id_a
   JOIN sh sb ON sb.doc_id = id_b
-)
-SELECT id_a, id_b, round(j, 4) AS jaccard
-FROM verify
-WHERE j >= {JACCARD_T}
+),
+njpairs AS (
+  SELECT id_a, id_b, round(j, 4) AS jaccard
+  FROM verify
+  WHERE j >= {JACCARD_T}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_ctes()}
+SELECT id_a, id_b, jaccard FROM njpairs
 """
 
 
@@ -350,6 +428,57 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = TX.minhash_signature(shingled, "shingles", "doc_id", NUM_PERMS).persist()
     pairs = TX.lsh_candidate_pairs(sig, "doc_id", NUM_PERMS, ROWS_PER_BAND)
     return TX.jaccard_verify(pairs, shingled, "doc_id", "shingles", JACCARD_T)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-group resolution: connected components over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM njpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM njpairs
+),
+walk(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, min(v) AS group_id FROM walk GROUP BY u
+)
+SELECT doc_id, group_id,
+       count(*) OVER (PARTITION BY group_id) AS group_size
+FROM comp
+"""
+
+
+@register("dedup_groups_cc", _cc_oracle(), tags=("EXT1",))
+def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup DECISIONS from near-dup PAIRS: connected components of
+    the MinHash-verified pair graph via iterative min-label
+    propagation (operators/graph.py — one join + one groupBy-min per
+    round, O(diameter) rounds, convergence probed with an aggregate,
+    never a driver-side graph). Every doc in a component maps to the
+    component's min doc_id (the canonical keeper) with the component
+    size attached. The oracle recomputes the same components with a
+    recursive CTE reachability closure."""
+    from auto_trade_data_pipeline_spark.operators.graph import (
+        component_sizes,
+        connected_components,
+    )
+
+    pairs = dedup_near_minhash_lsh(spark, sf_dir)
+    labels = connected_components(pairs)
+    return component_sizes(labels).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        "group_size",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from auto_trade_data_pipeline_spark.corpus import register
 from auto_trade_data_pipeline_spark.corpus.trade import (
     CANDLES_CTE,
+    TICKS_CTE,
     TS_FMT_DUCK,
     TS_FMT_SPARK,
 )
@@ -80,6 +81,60 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plain count(*) of the deduped stream: only a correct dedup makes
     # it equal the oracle's count(DISTINCT timestamp).
     return result.groupBy("symbol").agg(F.count(F.lit(1)).alias("distinct_ts"))
+
+
+# ---------------------------------------------------------------------------
+# ST9: sliding windows (overlapping time buckets)
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+WITH {TICKS_CTE},
+wins AS (
+  SELECT symbol, price, volume,
+         date_trunc('minute', timestamp) - i * INTERVAL 1 MINUTE AS w_start
+  FROM ticks, range(0, 5) t(i)
+)
+SELECT symbol,
+       strftime(w_start, '{TS_FMT_DUCK}') AS window_start,
+       strftime(w_start + INTERVAL 5 MINUTE, '{TS_FMT_DUCK}') AS window_end,
+       count(*) AS n_ticks,
+       CAST(sum(CAST(round(volume) AS BIGINT)) AS BIGINT) AS total_volume,
+       round((CAST(sum(CAST(round(price * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0)
+             / count(*), 6) AS avg_price
+FROM wins
+GROUP BY symbol, w_start
+"""
+
+
+@register("sliding_window_agg", _SLIDING_ORACLE, tags=("ST9",))
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9: 5-minute windows sliding every 1 minute over the tick
+    stream — Spark's native sliding ``F.window`` replicates each row
+    into its 5 covering windows before one hash-agg (the oracle builds
+    the same 5 windows with a range join). Means use integer-scaled
+    sums for order-independent floats. Works identically under
+    ``readStream`` with a watermark; stated here in its deterministic
+    batch form."""
+    from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+    t = ticks_from_events(spark, sf_dir)
+    w = F.window("timestamp", "5 minutes", "1 minute")
+    agg = t.groupBy("symbol", w).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.round("volume", 0).cast("long")).alias("total_volume"),
+        F.round(
+            (F.sum(F.round(F.col("price") * 1e6, 0).cast("long")) / 1e6) / F.count(F.lit(1)),
+            6,
+        ).alias("avg_price"),
+    )
+    return agg.select(
+        "symbol",
+        F.date_format("window.start", TS_FMT_SPARK).alias("window_start"),
+        F.date_format("window.end", TS_FMT_SPARK).alias("window_end"),
+        "n_ticks",
+        "total_volume",
+        "avg_price",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -112,65 +112,53 @@ def join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CUSTOMER_REVENUE_ORACLE = f"""
+_CUSTOMER_PROFILE_ORACLE = f"""
+WITH fact AS (
+  SELECT o.o_custkey,
+         CAST(sum({_REVENUE_CENTS}) AS BIGINT) / 10000.0 AS revenue,
+         count(*) AS line_count,
+         count(DISTINCT o.o_orderkey) AS order_count
+  FROM orders o
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey
+)
 SELECT c.c_custkey,
        c.c_mktsegment,
-       CAST(sum({_REVENUE_CENTS}) AS BIGINT) / 10000.0 AS revenue,
-       count(DISTINCT o.o_orderkey) AS order_count
+       coalesce(f.revenue, 0.0) AS revenue,
+       coalesce(f.line_count, 0) AS line_count,
+       coalesce(f.order_count, 0) AS order_count
 FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-GROUP BY c.c_custkey, c.c_mktsegment
+LEFT JOIN fact f ON c.c_custkey = f.o_custkey
 """
 
 
-@register("join_customer_revenue", _CUSTOMER_REVENUE_ORACLE, tags=("J4", "A9"))
-def join_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three-way join customer |x| orders |x| lineitem. The customer
-    side is dimension-sized (1/40 of lineitem) — broadcast it so only
-    the orders-lineitem shuffle remains."""
+@register("join_customer_order_profile", _CUSTOMER_PROFILE_ORACLE, tags=("J4", "A9"))
+def join_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way customer |x| orders |x| lineitem with LEFT-OUTER
+    preservation of order-less customers (revenue/counts coalesced to
+    zero), built the 100 TB way: the fact-fact join is aggregated down
+    to one row per custkey BEFORE the customer join (aggregate
+    pushdown below join), so the outer join moves |customers| rows,
+    not |lineitem|."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(100) - F.col("l_discount") * 100, 1)
-    return (
+    fact = (
         o.join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
-        .groupBy("c_custkey", "c_mktsegment")
+        .groupBy("o_custkey")
         .agg(
             (F.sum(rev) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
             F.countDistinct("o_orderkey").alias("order_count"),
         )
     )
-
-
-_LEFT_OUTER_ORACLE = """
-SELECT c.c_custkey,
-       c.c_mktsegment,
-       count(o.o_orderkey) AS order_count,
-       CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) / 100.0 AS total_spent
-FROM customer c
-LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-GROUP BY c.c_custkey, c.c_mktsegment
-"""
-
-
-@register("join_left_outer_customer_orders", _LEFT_OUTER_ORACLE, tags=("J4",))
-def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving order-less customers (count 0,
-    total 0.0). count(o_orderkey) counts matches only — null-skipping
-    count semantics agree across engines."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_mktsegment")
-        .agg(
-            F.count("o_orderkey").alias("order_count"),
-            (F.coalesce(F.sum(_cents(F.col("o_totalprice"))), F.lit(0)) / 100.0).alias(
-                "total_spent"
-            ),
-        )
+    return c.join(fact, c.c_custkey == fact.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("line_count", F.lit(0)).alias("line_count"),
+        F.coalesce("order_count", F.lit(0)).alias("order_count"),
     )
 
 
@@ -209,39 +197,38 @@ def join_broadcast_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J6: semi / anti joins
 # ---------------------------------------------------------------------------
 
-_SEMI_ORACLE = """
-SELECT c.c_custkey, c.c_mktsegment
+_SEMI_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment, 'has_urgent' AS side
 FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-"""
-
-
-@register("semi_join_urgent_customers", _SEMI_ORACLE, tags=("J1", "J6"))
-def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS): customers with >=1 urgent order.
-    Semi joins only ship the join key of the probe side — no payload
-    duplication, no row explosion."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
-
-
-_ANTI_ORACLE = """
-SELECT c.c_custkey, c.c_mktsegment
+UNION ALL
+SELECT c.c_custkey, c.c_mktsegment, 'no_urgent' AS side
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
 """
 
 
-@register("anti_join_orderless_customers", _ANTI_ORACLE, tags=("J6",))
-def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no urgent order —
-    the complement of the semi join above."""
+@register("semi_anti_join_customers", _SEMI_ANTI_ORACLE, tags=("J1", "J6", "J2"))
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins against the
+    urgent-order set, unioned with a side tag — the two results
+    partition customer exactly. Semi/anti joins ship only the join key
+    of the probe side: no payload duplication, no row explosion."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("side", F.lit("has_urgent"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("side", F.lit("no_urgent"))
+    )
+    return semi.unionByName(anti)
 
 
 # ---------------------------------------------------------------------------

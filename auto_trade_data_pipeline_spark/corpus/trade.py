@@ -76,26 +76,37 @@ candles AS (
 """
 
 _CANDLES_ORACLE = f"""
-WITH {CANDLES_CTE}
-SELECT symbol,
-       strftime(timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
-       open, high, low, close,
-       round(volume, 4) AS volume,
-       number_of_trades,
-       round(vwap, 4) AS vwap
-FROM candles
+WITH {CANDLES_CTE},
+ft AS (
+  SELECT symbol, bucket,
+         max(CASE WHEN ra = 1 THEN strftime(timestamp, '{TS_US_FMT_DUCK}') END) AS first_tick_ts
+  FROM cb GROUP BY symbol, bucket
+)
+SELECT c.symbol,
+       strftime(c.timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
+       f.first_tick_ts,
+       c.open, c.high, c.low, c.close,
+       round(c.volume, 4) AS volume,
+       c.number_of_trades,
+       round(c.vwap, 4) AS vwap
+FROM candles c JOIN ft f ON c.symbol = f.symbol AND c.timestamp = f.bucket
 """
 
 
 @register("candles_1s", _CANDLES_ORACLE, tags=("A1", "A2", "A3", "S4", "P1"))
 def candles_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-second OHLCV+VWAP candles (reference
-    ``src/aggregator_candles.py:181-226``). One hash-agg, map-side
-    partial aggregation, shuffle keyed (symbol, bucket)."""
-    c = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    ``src/aggregator_candles.py:181-226``) plus the reference's exact
+    candle timestamp column — the FIRST tick's actual timestamp in the
+    bucket (``grouped['timestamp'].first()``,
+    ``src/aggregator_candles.py:205``) via ``first_tick_ts=True``.
+    One hash-agg, map-side partial aggregation, shuffle keyed
+    (symbol, bucket)."""
+    c = aggregate_candles(ticks_from_events(spark, sf_dir), 1, first_tick_ts=True)
     return c.select(
         "symbol",
         _fmt("timestamp").alias("bucket_ts"),
+        F.date_format("first_tick_timestamp", TS_US_FMT_SPARK).alias("first_tick_ts"),
         "open",
         "high",
         "low",
@@ -553,36 +564,3 @@ def salted_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Reference-exact candle timestamp: first tick's actual timestamp
-# ---------------------------------------------------------------------------
-
-_FIRST_TICK_ORACLE = f"""
-WITH {CANDLES_CTE},
-ft AS (
-  SELECT symbol, bucket,
-         max(CASE WHEN ra = 1 THEN strftime(timestamp, '{TS_US_FMT_DUCK}') END) AS first_tick_ts
-  FROM cb GROUP BY symbol, bucket
-)
-SELECT c.symbol,
-       strftime(c.timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
-       f.first_tick_ts,
-       c.open, c.close
-FROM candles c JOIN ft f ON c.symbol = f.symbol AND c.timestamp = f.bucket
-"""
-
-
-@register("candles_first_tick_ts", _FIRST_TICK_ORACLE, tags=("A2",))
-def candles_first_tick_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's exact candle timestamp column — the FIRST
-    tick's actual timestamp in the bucket (``grouped['timestamp']
-    .first()``, ``src/aggregator_candles.py:205``) — emitted alongside
-    the canonical floored bucket via ``first_tick_ts=True``."""
-    c = aggregate_candles(ticks_from_events(spark, sf_dir), 1, first_tick_ts=True)
-    return c.select(
-        "symbol",
-        _fmt("timestamp").alias("bucket_ts"),
-        F.date_format("first_tick_timestamp", TS_US_FMT_SPARK).alias("first_tick_ts"),
-        "open",
-        "close",
-    )

@@ -1,0 +1,100 @@
+"""Graph operators for dedup-group resolution (EXT, SURVEY §2.11).
+
+Near-dup detection (MinHash-LSH / SimHash / embedding blocking) emits
+PAIRS; turning pairs into deduplication DECISIONS needs the connected
+components of the pair graph — every document in a component keeps or
+drops together, with the minimum id as the canonical representative.
+
+Scale design: iterative min-label propagation over DataFrame joins.
+Each round is one shuffle join (labels |x| edges) + one groupBy-min —
+all distributed, no driver-side graph. Convergence takes O(diameter)
+rounds; near-dup components are short chains/cliques (diameter a
+handful), so 3-5 rounds close real corpora. For adversarial
+long-chain graphs the published alternative is the large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) with O(log n) rounds — same
+join-agg primitive, different edge rewriting; this module keeps the
+simple variant and caps rounds explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["connected_components", "component_sizes"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph. Returns one
+    row per node: (node, component) where component = min node id
+    reachable from it.
+
+    Min-label propagation to fixpoint: label(u) starts as u; each
+    round sets label(u) = min(label(u), min over neighbors label(v)).
+    The convergence probe per round is an aggregate (isEmpty on the
+    changed-set), never a collect of data rows. Each round's labels
+    are localCheckpoint'ed — iterative joins DOUBLE the logical plan
+    every round, and without lineage truncation Catalyst analysis
+    cost grows exponentially with the iteration count (the classic
+    iterative-Spark trap; persist alone does not cut the plan). On a
+    cluster, swap localCheckpoint for reliable ``checkpoint`` so a
+    lost executor cannot drop a round's state.
+
+    Raises after ``max_iters`` rounds without convergence — at that
+    point the graph has a longer diameter than near-dup components
+    ever produce, and the large-star/small-star variant (see module
+    docstring) is the right tool.
+    """
+    # Symmetrize once: propagation must flow both ways along a pair.
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    und = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(labels, und.v == labels.node)
+            .select(F.col("u").alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("component", F.coalesce("nbr_component", "component")).alias(
+                    "component"
+                ),
+                F.col("component").alias("__prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = new_labels.filter(F.col("component") != F.col("__prev")).isEmpty()
+        labels = new_labels.drop("__prev")
+        if converged:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "graph diameter exceeds the near-dup regime; use large-star/small-star"
+    )
+
+
+def component_sizes(labels: DataFrame) -> DataFrame:
+    """Attach the component size to each (node, component) row — the
+    'how many copies of this document exist' count a dedup keep/drop
+    policy consumes. One window count over the component key."""
+    w = Window.partitionBy("component")
+    return labels.withColumn("group_size", F.count(F.lit(1)).over(w))

@@ -25,6 +25,7 @@ from operator import add
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "tokens",
@@ -37,6 +38,9 @@ __all__ = [
     "jaccard_verify",
     "simhash32",
     "simhash_candidate_pairs",
+    "tfidf_topk",
+    "hash_split",
+    "pack_sequences",
 ]
 
 #: Word tokens: lowercase alphanumeric runs. Identical regex on the
@@ -182,6 +186,89 @@ def jaccard_verify(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def tfidf_topk(
+    df: DataFrame, tokens_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: explode tokens -> per-(doc,
+    term) counts (tf) -> per-term document frequency (df) -> score
+    tf * ln(N/df) -> per-doc window rank. Emits
+    (id, term, tf, df_count, tfidf, rank) with rank <= k.
+
+    Scale shape: two shuffles (doc-term counts keyed by (id, term);
+    document frequencies keyed by term — both uniform keys), then one
+    broadcast of the 1-row corpus count and a per-doc window. Ranking
+    orders by the ROUNDED score then term, so ranks are deterministic
+    wherever the rounded scores are — at any parallelism and in the
+    cross-engine oracle."""
+    exploded = df.select(F.col(id_col), F.explode(tokens_col).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("__n") / F.col("df_count")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_count", "tfidf", "rank")
+    )
+
+
+def hash_split(
+    id_col: Column, train_pct: int = 80, val_pct: int = 10, salt: str = "split"
+) -> tuple[Column, Column]:
+    """Deterministic train/val/test assignment: bucket = salted
+    60-bit hash of the id mod 100; split boundaries at train_pct and
+    train_pct + val_pct. Returns (bucket, split) column expressions.
+
+    This is how a 100 TB corpus is split: no sampling state, no
+    shuffle, reproducible across runs and engines, and stable under
+    corpus growth (a document's split never changes when others are
+    added)."""
+    bucket = hash64(id_col.cast("string"), salt=salt) % 100
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return bucket, split
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_count_col: str,
+    id_col: str,
+    part_cols: list[str],
+    budget: int = 2048,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the LLM-pretraining layout:
+    concatenate documents in a deterministic order, slice the token
+    stream into fixed-length sequences): within each partition group,
+    documents ordered by id get an exclusive prefix token sum; a
+    document STARTS in sequence floor(prefix / budget) at offset
+    prefix % budget. Adds (seq_id, seq_offset) — pure integer window
+    math, bit-exact at any parallelism.
+
+    Scale shape: one window per partition group (the shard unit —
+    source, split, or both), no Python, no state. The prefix sum is
+    the same primitive the anchored-VWAP fill uses; a 100 TB corpus
+    packs shard-parallel."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(tokens_count_col).over(w), F.lit(0).cast("long"))
+    return df.withColumn("__prefix", prefix).select(
+        "*",
+        F.floor(F.col("__prefix") / budget).cast("long").alias("seq_id"),
+        (F.col("__prefix") % budget).cast("long").alias("seq_offset"),
+    ).drop("__prefix")
 
 
 def simhash32(df: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
