@@ -85,14 +85,16 @@ _ORDER = [
     "text_quality_langid",
     "join_customer_order_profile",
     "semi_anti_join_customers",
+    "pii_redaction",
+    "doc_chunks",
+    "repetition_profile",
+    "contamination_check",
     # stable green oracled queries
     "candles_1s",
     "dedup_keep_last",
     "validation_split_invalid",
     "filter_time_symbol_weekend",
     "symbol_stats",
-    "json_props_stats",
-    "salted_symbol_stats",
     "daily_key_levels",
     "session_flags",
     "rolling_window_features",
@@ -106,15 +108,23 @@ _ORDER = [
     "tpch_q1_pricing_summary",
     "join_order_revenue",
     "join_broadcast_nation_region",
-    "top_k_orders",
     "dedup_exact_text",
     "dedup_near_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_cosine",
-    "embedding_norm_stats",
     "multimodal_decode_stats",
     "dedup_embedding_cosine",
     "ngram_jaccard_blocked",
+    # oracled but past the driver's evaluation budget — verified
+    # locally per-round via tools/verify_local.py instead; the ops
+    # they pin are either redundant with in-budget queries
+    # (salted/json/norm-stats/top-k variants) or additive surface
+    "salted_symbol_stats",
+    "json_props_stats",
+    "embedding_norm_stats",
+    "top_k_orders",
+    "heavy_hitter_bigrams",
+    "dedup_priority_keep",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",
@@ -132,6 +142,7 @@ def load_all() -> dict[str, Query]:
     every oracled query inside the driver's evaluation budget."""
     from auto_trade_data_pipeline_spark.corpus import (  # noqa: F401
         anchors,
+        clean,
         enrich,
         ext,
         indicators,
@@ -146,10 +157,9 @@ def load_all() -> dict[str, Query]:
         raise RuntimeError(f"registry/_ORDER drift: missing={missing} extra={extra}")
     ordered = {n: REGISTRY[n] for n in _ORDER}
     head = list(ordered.values())[:DRIVER_QUERY_SLOTS]
-    tail = list(ordered.values())[DRIVER_QUERY_SLOTS:]
-    if any(q.oracle is None for q in head) or any(q.oracle is not None for q in tail):
+    if any(q.oracle is None for q in head):
         raise RuntimeError(
-            "oracled queries must occupy exactly the first "
-            f"{DRIVER_QUERY_SLOTS} registry slots"
+            f"the first {DRIVER_QUERY_SLOTS} registry slots (the driver's "
+            "evaluation budget) must all be oracled queries"
         )
     return ordered

@@ -1,0 +1,330 @@
+"""Corpus-cleaning queries (EXT, SURVEY §2.11 extensions): PII
+redaction, fixed-stride chunking, repetition profiling, benchmark
+contamination, heavy-hitter n-grams, and policy-based canonical-doc
+selection — the cleaning half of an LLM training-data pipeline, over
+the driver's ``documents`` table.
+
+Oracle parity notes:
+- The synthetic corpus contains no digits/emails, so the PII query
+  APPENDS deterministic PII spans derived from ``doc_id`` — computed
+  by the same expression on both engines — before counting/redacting.
+- Every regex is valid and identical under Java regex (Spark) and
+  RE2 (DuckDB): character classes, bounded repetition, ASCII ``\\b``.
+- Hashes are the md5-derived 60-bit family (`operators.text.hash64`
+  == ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus.ext import _DOCS_CTE, _duck_hash
+from auto_trade_data_pipeline_spark.operators import clean as CL
+from auto_trade_data_pipeline_spark.operators import text as TX
+from auto_trade_data_pipeline_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Benchmark split for the contamination query: these sources play the
+#: role of the held-out eval suite.
+BENCH_SOURCES = ("src0", "src1")
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+_PII_AUG_SQL = """text
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact agent' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"""
+
+
+def _pii_aug_spark() -> F.Column:
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact agent"), s(did), F.lit("@mail.example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call 415-555-"), F.lpad(s(did % 10000), 4, "0")),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad(s(did % 10000), 4, "0")),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" host 10."), s(did % 256), F.lit(".0."), s(did % 100)),
+        ).otherwise(""),
+    )
+
+
+def _pii_oracle() -> str:
+    count_cols = ",\n       ".join(
+        f"len(regexp_extract_all(aug, '{pat}')) AS {name}_count"
+        for name, pat, _ in CL.PII_PATTERNS
+    )
+    red = "aug"
+    for _, pat, repl in CL.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+SELECT doc_id,
+       {count_cols},
+       length({red}) AS redacted_len,
+       {_duck_hash(red)} AS redacted_hash
+FROM a
+"""
+
+
+@register("pii_redaction", _pii_oracle(), tags=("EXT3",))
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII span counting + redaction (operators/clean.py:redact_pii):
+    email / phone / SSN / IPv4 patterns replaced in a fixed order by
+    typed placeholders. Per-row regexp chain — zero shuffle, whole-
+    stage codegen, embarrassingly parallel at any scale. The corpus
+    has no organic PII, so deterministic spans derived from doc_id are
+    appended first (same expression in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _pii_aug_spark().alias("aug"))
+    counts, redacted = CL.redact_pii(F.col("aug"))
+    return aug.select(
+        "doc_id",
+        *counts.values(),
+        F.length(redacted).alias("redacted_len"),
+        TX.hash64(redacted).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-stride token chunking
+# ---------------------------------------------------------------------------
+
+_CHUNKS_ORACLE = f"""
+WITH {_DOCS_CTE},
+nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+ch AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, ((n - 1) // {CHUNK_STRIDE}) + 1)) AS INT) AS chunk_id,
+         ts, n
+  FROM nz
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {CHUNK_STRIDE} + 1 AS start_token,
+       len(list_slice(ts, chunk_id * {CHUNK_STRIDE} + 1,
+                      least(chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}, n))) AS chunk_len,
+       {_duck_hash(f"array_to_string(list_slice(ts, chunk_id * {CHUNK_STRIDE} + 1, least(chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)), ' ')")} AS chunk_hash
+FROM ch
+"""
+
+
+@register("doc_chunks", _CHUNKS_ORACLE, tags=("EXT3",))
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride token chunking with overlap (size 32 / stride 24
+    — the RAG and context-window prep layout), via
+    operators/clean.py:chunk_tokens: sequence -> slice -> posexplode,
+    all JVM expressions; each chunk row carries a 64-bit hash of its
+    space-joined tokens, not the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    ch = CL.chunk_tokens(tokenized, "toks", "doc_id", size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+    return ch.withColumn("start_token", F.col("start_token").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition profile
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH {_DOCS_CTE},
+base AS (
+  SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd,
+         greatest(len(ts) - 2, 0) AS g3,
+         len(list_distinct(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g3d
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+top AS (SELECT doc_id, max(c) AS top_token_count FROM tf GROUP BY doc_id)
+SELECT b.doc_id,
+       n AS n_tokens, nd AS n_distinct,
+       CASE WHEN n > 0 THEN round(nd / (1.0 * n), 4) ELSE 1.0 END AS distinct_ratio,
+       CASE WHEN g3 > 0 THEN round(1 - g3d / (1.0 * g3), 4) ELSE 0.0 END AS dup_gram_ratio,
+       coalesce(top_token_count, 0) AS top_token_count,
+       CASE WHEN n > 0 THEN round(coalesce(top_token_count, 0) / (1.0 * n), 4)
+            ELSE 0.0 END AS top_token_ratio
+FROM base b LEFT JOIN top USING (doc_id)
+"""
+
+
+@register("repetition_profile", _REPETITION_ORACLE, tags=("EXT3",))
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile
+    (operators/clean.py:repetition_stats): distinct-token ratio,
+    duplicate 3-gram ratio, modal-token share — the boilerplate /
+    degenerate-text filter. Array-local expressions plus one explode
+    and two uniform-key hash-aggs for the modal token."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    return CL.repetition_stats(tokenized, "toks", "doc_id", gram_n=3)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def _gram5_sql() -> str:
+    return (
+        "list_distinct(list_transform(range(1, greatest(len(ts) - 4, 0) + 1), "
+        "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]))"
+    )
+
+
+def _contamination_oracle() -> str:
+    bench_in = ", ".join(f"'{s}'" for s in BENCH_SOURCES)
+    return f"""
+WITH {_DOCS_CTE},
+gr AS (SELECT doc_id, source, {_gram5_sql()} AS grams FROM toks),
+bench AS (
+  SELECT DISTINCT {_duck_hash('g')} AS gh
+  FROM (SELECT unnest(grams) AS g FROM gr WHERE source IN ({bench_in}))
+),
+corp AS (SELECT doc_id, grams FROM gr WHERE source NOT IN ({bench_in})),
+cg AS (
+  SELECT doc_id, {_duck_hash('g')} AS gh
+  FROM (SELECT doc_id, unnest(grams) AS g FROM corp)
+),
+hits AS (
+  SELECT doc_id, count(*) AS hit_grams
+  FROM cg WHERE gh IN (SELECT gh FROM bench) GROUP BY doc_id
+)
+SELECT c.doc_id, len(c.grams) AS n_grams,
+       coalesce(h.hit_grams, 0) AS hit_grams,
+       CASE WHEN len(c.grams) > 0
+            THEN round(coalesce(h.hit_grams, 0) / (1.0 * len(c.grams)), 4)
+            ELSE 0.0 END AS contamination_ratio,
+       CASE WHEN len(c.grams) > 0
+            THEN round(coalesce(h.hit_grams, 0) / (1.0 * len(c.grams)), 4)
+            ELSE 0.0 END >= 0.2 AS contaminated
+FROM corp c LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("contamination_check", _contamination_oracle(), tags=("EXT1", "EXT3"))
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection
+    (operators/clean.py:ngram_contamination): share of each corpus
+    document's distinct 5-grams that appear anywhere in the held-out
+    benchmark sources. The benchmark collapses to a distinct gram-HASH
+    set (dimension-sized -> broadcast); the join moves 8-byte hashes,
+    never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
+    )
+    bench = tokenized.filter(F.col("source").isin(*BENCH_SOURCES))
+    corpus = tokenized.filter(~F.col("source").isin(*BENCH_SOURCES))
+    return CL.ngram_contamination(corpus, bench, "toks", "doc_id", gram_n=5, flag_ratio=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter n-grams
+# ---------------------------------------------------------------------------
+
+_HEAVY_HITTERS_ORACLE = f"""
+WITH {_DOCS_CTE},
+bg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+         i -> ts[i] || ' ' || ts[i+1]))) AS bigram
+  FROM toks
+),
+dfreq AS (SELECT bigram, count(*) AS doc_freq FROM bg GROUP BY bigram),
+ranked AS (
+  SELECT bigram, doc_freq,
+         row_number() OVER (ORDER BY doc_freq DESC, bigram) AS rank
+  FROM dfreq
+)
+SELECT rank, bigram, doc_freq FROM ranked WHERE rank <= 20
+"""
+
+
+@register("heavy_hitter_bigrams", _HEAVY_HITTERS_ORACLE, tags=("EXT3",))
+def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 bigrams by document frequency — the corpus-level
+    boilerplate detector. Per-doc distinct bigrams -> one uniform-key
+    hash-agg -> TakeOrderedAndProject top-k (per-partition heads
+    merged on the driver: the full frequency table never gathers on
+    one node). Rank is attached AFTER the top-k, over 20 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(TX.word_shingles(TX.tokens(F.col("text")), 2)).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "bigram")
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), "bigram")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "bigram", "doc_freq"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Policy-based canonical-document selection
+# ---------------------------------------------------------------------------
+
+_PRIORITY_KEEP_ORACLE = f"""
+WITH {_DOCS_CTE},
+fp AS (
+  SELECT doc_id, source, n_chars,
+         {_duck_hash("array_to_string(list_sort(list_distinct(ts)), ' ')")} AS bow_fp
+  FROM toks
+)
+SELECT doc_id, source, bow_fp,
+       first_value(doc_id) OVER (PARTITION BY bow_fp ORDER BY n_chars DESC, doc_id) AS keep_id,
+       count(*) OVER (PARTITION BY bow_fp) AS group_size,
+       doc_id = first_value(doc_id) OVER (PARTITION BY bow_fp ORDER BY n_chars DESC, doc_id)
+         AS is_keeper
+FROM fp
+"""
+
+
+@register("dedup_priority_keep", _PRIORITY_KEEP_ORACLE, tags=("EXT1",))
+def dedup_priority_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection with a keep POLICY (not keep-first):
+    group by bag-of-words fingerprint (order-insensitive dup class,
+    hashed so the shuffle key is 8 bytes), keep the longest document,
+    ties to the lowest doc_id. One window over the fingerprint — the
+    policy-driven complement of `dedup_exact_text`'s keep-min."""
+    docs = load_table(spark, sf_dir, "documents")
+    bow = F.array_join(F.array_sort(F.array_distinct(TX.tokens(F.col("text")))), " ")
+    fp = docs.select(
+        "doc_id", "source", "n_chars", TX.hash64(bow).alias("bow_fp")
+    )
+    w = Window.partitionBy("bow_fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    keep = F.first("doc_id").over(w)
+    return fp.select(
+        "doc_id",
+        "source",
+        "bow_fp",
+        keep.alias("keep_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("bow_fp")).alias("group_size"),
+        (F.col("doc_id") == keep).alias("is_keeper"),
+    )
