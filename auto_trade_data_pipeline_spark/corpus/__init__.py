@@ -125,6 +125,11 @@ _ORDER = [
     "top_k_orders",
     "heavy_hitter_bigrams",
     "dedup_priority_keep",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "window_function_family",
+    "grouping_sets_revenue",
+    "scalar_subquery_above_avg",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",
@@ -146,6 +151,7 @@ def load_all() -> dict[str, Query]:
         enrich,
         ext,
         indicators,
+        relational,
         stream,
         tpch,
         trade,

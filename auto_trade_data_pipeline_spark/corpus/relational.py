@@ -1,0 +1,255 @@
+"""Relational corpus, part 2 (SURVEY §2.3/§2.4/§2.6 extensions):
+TPC-H classics (Q3 shipping priority, a Q4-shape EXISTS aggregate),
+the full analytic window-function family, explicit GROUPING SETS,
+and a correlated scalar subquery in its decorrelated Spark form.
+
+Same float-hash discipline as corpus/tpch.py: money aggregates are
+integer cent-scale sums; comparisons that gate ROW MEMBERSHIP (the
+correlated-subquery filter) are done in exact integer arithmetic so
+a 1e-12 float divergence can never flip a row in or out of the
+result set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus.tpch import _REVENUE_CENTS, _cents
+from auto_trade_data_pipeline_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3: shipping priority
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1997-03-15"
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       CAST(sum({_REVENUE_CENTS}) AS BIGINT) / 10000.0 AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", _Q3_ORACLE, tags=("J4", "O2"))
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped high-value BUILDING orders. The 100 TB plan:
+    customer is filtered THEN broadcast (segment filter first — 1/5 of
+    a dimension), orders filtered by date before the fact join, the
+    lineitem date filter pushed to the scan; one shuffle agg keyed by
+    orderkey, then TakeOrderedAndProject for the top 10 (revenue is
+    integer-cent exact, orderkey tiebreak -> deterministic set)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(_Q3_CUTOFF))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(_Q3_CUTOFF))
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(100) - F.col("l_discount") * 100, 1)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS-gated priority counts (late shipments)
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("tpch_q4_order_priority", _Q4_ORACLE, tags=("J1", "A4"))
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority counts of 1994 orders with at
+    least one lineitem shipped >30 days after order date (1996 order
+    year — the testdata spans 1995-2001). The EXISTS
+    becomes a LEFT SEMI join whose non-equi half rides along as a join
+    condition — the probe side ships (orderkey, shipdate) only, and
+    semi-join short-circuits on first match. (The testdata carries no
+    commit/receipt dates; the late-shipment predicate keeps Q4's
+    correlated-EXISTS-with-inequality shape.)"""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window-function family
+# ---------------------------------------------------------------------------
+
+_WINDOW_FAMILY_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       row_number() OVER w AS rn,
+       round(coalesce(lag(o_totalprice) OVER w, 0.0), 2) AS prev_price,
+       round(coalesce(lead(o_totalprice) OVER w, 0.0), 2) AS next_price,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+         AS running_spent
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_function_family", _WINDOW_FAMILY_ORACLE, tags=("W-rank", "A7"))
+def window_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic window family over one partitioning —
+    row_number / lag / lead / ntile / percent_rank / cume_dist / a
+    running integer-cent sum — per customer, ordered by (orderdate,
+    orderkey) so every function is deterministic. One exchange on
+    o_custkey serves all eight functions: Spark collapses same-spec
+    window functions into a single Window operator (no repeated
+    shuffles)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+        F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)), 2).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (F.sum(_cents(F.col("o_totalprice"))).over(run) / 100.0).alias("running_spent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping markers
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_ORACLE = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+       coalesce(l_linestatus, 'ALL') AS line_status,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       count(*) AS line_count,
+       CAST(sum({_REVENUE_CENTS}) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("grouping_sets_revenue", _GROUPING_SETS_ORACLE, tags=("A-cube",))
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE sugar over
+    — with per-column grouping() markers distinguishing a real NULL
+    group from a subtotal row. Spark expands the sets map-side into
+    one shuffle, identical to rollup; the markers are bit flags, cast
+    to int on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(100) - F.col("l_discount") * 100, 1)
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("line_count"),
+            (F.sum(rev) / 10000.0).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "g_flag",
+            "g_status",
+            "line_count",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (decorrelated): parts above brand average
+# ---------------------------------------------------------------------------
+
+_ABOVE_BRAND_AVG_ORACLE = """
+WITH b AS (
+  SELECT p_brand,
+         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         count(*) AS n
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_partkey, p.p_brand,
+       round(p.p_retailprice, 2) AS retail_price,
+       round(b.sum_cents / (100.0 * b.n), 4) AS brand_avg
+FROM part p JOIN b USING (p_brand)
+WHERE CAST(round(p.p_retailprice * 100) AS BIGINT) * b.n > b.sum_cents
+"""
+
+
+@register("scalar_subquery_above_avg", _ABOVE_BRAND_AVG_ORACLE, tags=("J4", "A4"))
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — parts priced above their brand's
+    average — in the decorrelated form Catalyst itself rewrites to:
+    aggregate per brand, join back, filter. The membership test is
+    exact integer arithmetic (price_cents * n > sum_cents), so no
+    float rounding can flip a row across engines; the displayed
+    average is rounded presentation only. The brand aggregate is
+    dimension-sized -> broadcast back to the scan."""
+    p = load_table(spark, sf_dir, "part")
+    b = p.groupBy("p_brand").agg(
+        F.sum(_cents(F.col("p_retailprice"))).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = p.join(F.broadcast(b), "p_brand")
+    return (
+        joined.filter(_cents(F.col("p_retailprice")) * F.col("n") > F.col("sum_cents"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("retail_price"),
+            F.round(F.col("sum_cents") / (100.0 * F.col("n")), 4).alias("brand_avg"),
+        )
+    )

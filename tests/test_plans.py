@@ -82,3 +82,35 @@ def test_quality_report_approx_is_sketch_and_close(spark, sf_small):
     assert "approx_count_distinct" in _plan(approx_df)
     approx = approx_df.first()["distinct_timestamps"]
     assert approx == pytest.approx(exact, rel=0.1)
+
+
+def test_window_family_single_exchange_single_window_op(spark, sf_med):
+    """Eight analytic functions over one window spec must collapse to
+    ONE Window operator behind ONE exchange — re-shuffling per
+    function would multiply the dominant cost at scale."""
+    from auto_trade_data_pipeline_spark.corpus.relational import window_function_family
+
+    plan = _plan(window_function_family(spark, sf_med))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_q3_broadcasts_dim_and_takes_ordered_topk(spark, sf_med):
+    """TPC-H Q3: the filtered customer dimension must broadcast (no
+    fact-sized shuffle for it) and the top-10 must be
+    TakeOrderedAndProject (per-partition heads, never a global sort)."""
+    from auto_trade_data_pipeline_spark.corpus.relational import tpch_q3_shipping_priority
+
+    plan = _plan(tpch_q3_shipping_priority(spark, sf_med))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_q4_exists_is_semi_join_no_aggregate_dedup(spark, sf_med):
+    """The EXISTS must run as a left-semi join (short-circuit on first
+    match), not join+distinct — a join+dedup doubles the shuffle."""
+    from auto_trade_data_pipeline_spark.corpus.relational import tpch_q4_order_priority
+
+    plan = _plan(tpch_q4_order_priority(spark, sf_med))
+    assert "LeftSemi" in plan
