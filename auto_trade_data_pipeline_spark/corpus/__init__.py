@@ -130,6 +130,7 @@ _ORDER = [
     "window_function_family",
     "grouping_sets_revenue",
     "scalar_subquery_above_avg",
+    "stream_interval_join_replay",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -18,6 +18,7 @@ from auto_trade_data_pipeline_spark.corpus.trade import (
     TS_FMT_SPARK,
 )
 from auto_trade_data_pipeline_spark.streaming import (
+    interval_join_after_anchor,
     read_ticks_stream,
     run_available_now,
     streaming_candles,
@@ -134,6 +135,60 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ticks",
         "total_volume",
         "avg_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST10: stream-stream interval join
+# ---------------------------------------------------------------------------
+
+#: Anchor events: the sparse high-volume trades (~0.2% of ticks).
+BIG_VOLUME = 30_000
+
+_INTERVAL_JOIN_ORACLE = f"""
+WITH {TICKS_CTE},
+anchors AS (
+  SELECT symbol, timestamp AS anchor_ts, tick_id AS anchor_id, price AS anchor_price
+  FROM ticks WHERE volume >= {BIG_VOLUME}
+)
+SELECT t.symbol,
+       a.anchor_id,
+       t.tick_id,
+       strftime(a.anchor_ts, '{TS_FMT_DUCK}') AS anchor_ts,
+       strftime(t.timestamp, '{TS_FMT_DUCK}') AS tick_ts,
+       round(t.price - a.anchor_price, 4) AS drift
+FROM ticks t
+JOIN anchors a
+  ON t.symbol = a.symbol
+ AND t.timestamp > a.anchor_ts
+ AND t.timestamp <= a.anchor_ts + INTERVAL 3600 SECOND
+"""
+
+
+@register("stream_interval_join_replay", _INTERVAL_JOIN_ORACLE, tags=("ST10", "J5"))
+def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10: stream-stream inner interval join — every tick within one
+    hour AFTER a same-symbol high-volume anchor trade, run as a
+    real watermarked stream-stream join (both sides streaming,
+    availableNow replay). The interval bound is what lets Spark evict
+    join state once the watermark passes; the oracle states the same
+    semantics as a batch range join. Multi-batch state carry is pinned
+    by tests/test_streaming.py."""
+    import uuid as _uuid
+
+    ticks = read_ticks_stream(spark, sf_dir)
+    anchors = read_ticks_stream(spark, sf_dir).filter(F.col("volume") >= BIG_VOLUME)
+    joined = interval_join_after_anchor(ticks, anchors, window_seconds=3600)
+    result = run_available_now(
+        joined, f"corpus_stream_ivjoin_{_uuid.uuid4().hex[:8]}"
+    )
+    return result.select(
+        "symbol",
+        "anchor_id",
+        "tick_id",
+        F.date_format("anchor_ts", TS_FMT_SPARK).alias("anchor_ts"),
+        F.date_format("timestamp", TS_FMT_SPARK).alias("tick_ts"),
+        F.round(F.col("price") - F.col("anchor_price"), 4).alias("drift"),
     )
 
 

@@ -27,6 +27,9 @@ from auto_trade_data_pipeline_spark.streaming.anchors import (  # noqa: F401
 from auto_trade_data_pipeline_spark.streaming.indicators import (  # noqa: F401
     streaming_indicators,
 )
+from auto_trade_data_pipeline_spark.streaming.joins import (  # noqa: F401
+    interval_join_after_anchor,
+)
 from auto_trade_data_pipeline_spark.streaming.candles import (  # noqa: F401
     read_ticks_stream,
     run_available_now,
