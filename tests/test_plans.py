@@ -114,3 +114,37 @@ def test_q4_exists_is_semi_join_no_aggregate_dedup(spark, sf_med):
 
     plan = _plan(tpch_q4_order_priority(spark, sf_med))
     assert "LeftSemi" in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_small, tmp_path):
+    """A date-partitioned fact joined on its partition column with a
+    FILTERED broadcast dimension must get a dynamic-pruning subquery
+    in its PartitionFilters: at 100 TB the fact directories for
+    non-qualifying dates are never even listed, driven by a filter
+    Spark only learns at runtime from the dim side."""
+    from auto_trade_data_pipeline_spark.sinks import write_append_partitioned
+
+    path = str(tmp_path / "ticks_dpp")
+    write_append_partitioned(ticks_from_events(spark, sf_small), path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("2024-01-08", 1), ("2024-01-09", 1), ("2024-01-10", 0)],
+        "d string, is_settlement int",
+    ).select(F.to_date("d").alias("d"), "is_settlement")
+
+    q = (
+        fact.join(F.broadcast(dim.filter(F.col("is_settlement") == 1)), fact.date == dim.d)
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(q)
+    assert "dynamicpruning" in plan.lower()
+    # And the pruned result is still correct.
+    want = {
+        (r["symbol"], r["n"])
+        for r in fact.filter(F.col("date").isin("2024-01-08", "2024-01-09"))
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r["symbol"], r["n"]) for r in q.collect()} == want
