@@ -79,3 +79,35 @@ def test_hash_split_deterministic_and_partitions(spark):
     again = df.select("doc_id", split.alias("s2"))
     joined = out.join(again, "doc_id")
     assert joined.filter(F.col("s") != F.col("s2")).isEmpty()
+
+
+def test_star_cc_matches_propagation_on_mixed_graph(spark):
+    edges = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21), (4, 2)],
+    )
+    from auto_trade_data_pipeline_spark.operators.graph import connected_components_star
+
+    star = {r.node: r.component for r in connected_components_star(edges).collect()}
+    prop = {r.node: r.component for r in connected_components(edges).collect()}
+    assert star == prop
+
+
+def test_star_cc_long_chain_logarithmic_rounds(spark):
+    # A 64-node path has diameter 63: propagation needs >60 rounds,
+    # star contraction must close it in O(log n) — well under 10.
+    from auto_trade_data_pipeline_spark.operators.graph import connected_components_star
+
+    edges = _edges(spark, [(i, i + 1) for i in range(64)])
+    labels = connected_components_star(edges, max_iters=10)
+    rows = labels.collect()
+    assert {r.component for r in rows} == {0}
+    assert {r.node for r in rows} == set(range(65))
+
+
+def test_star_cc_reversed_and_duplicate_edges(spark):
+    from auto_trade_data_pipeline_spark.operators.graph import connected_components_star
+
+    a = connected_components_star(_edges(spark, [(9, 5), (5, 9), (7, 9), (7, 9)]))
+    assert {r.component for r in a.collect()} == {5}
+    assert {r.node for r in a.collect()} == {5, 7, 9}
