@@ -131,6 +131,7 @@ _ORDER = [
     "grouping_sets_revenue",
     "scalar_subquery_above_avg",
     "stream_interval_join_replay",
+    "sql_hourly_ohlc",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -564,3 +564,61 @@ def salted_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# SQL API surface: the same engine driven entirely through spark.sql
+# ---------------------------------------------------------------------------
+
+_HOURLY_SQL_ORACLE = f"""
+WITH {TICKS_CTE},
+h AS (
+  SELECT symbol, date_trunc('hour', timestamp) AS hour_ts, price, volume,
+         row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                            ORDER BY timestamp, tick_id) AS rn_a,
+         row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rn_d
+  FROM ticks
+)
+SELECT symbol,
+       strftime(hour_ts, '{TS_FMT_DUCK}') AS hour_ts,
+       count(*) AS n_ticks,
+       CAST(sum(CAST(round(volume) AS BIGINT)) AS BIGINT) AS total_volume,
+       round(max(CASE WHEN rn_a = 1 THEN price END), 4) AS open_price,
+       round(max(CASE WHEN rn_d = 1 THEN price END), 4) AS close_price
+FROM h
+GROUP BY symbol, hour_ts
+"""
+
+
+@register("sql_hourly_ohlc", _HOURLY_SQL_ORACLE, tags=("F", "A1"))
+def sql_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface (auto_trade_data_pipeline_spark/sql.py):
+    the whole query — CTE, window functions with deterministic
+    tiebreaks, hash agg — expressed as a ``spark.sql`` string over
+    the registered views. Compiles to the identical Catalyst plan a
+    DataFrame formulation would; pins that a reference user can drive
+    this engine with SQL alone."""
+    from auto_trade_data_pipeline_spark.sql import sql as run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        f"""
+        WITH h AS (
+          SELECT symbol, date_trunc('hour', timestamp) AS hour_ts, price, volume,
+                 row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                                    ORDER BY timestamp, tick_id) AS rn_a,
+                 row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                                    ORDER BY timestamp DESC, tick_id DESC) AS rn_d
+          FROM ticks
+        )
+        SELECT symbol,
+               date_format(hour_ts, '{TS_FMT_SPARK}') AS hour_ts,
+               count(*) AS n_ticks,
+               CAST(sum(CAST(round(volume, 0) AS BIGINT)) AS BIGINT) AS total_volume,
+               round(max(CASE WHEN rn_a = 1 THEN price END), 4) AS open_price,
+               round(max(CASE WHEN rn_d = 1 THEN price END), 4) AS close_price
+        FROM h
+        GROUP BY symbol, hour_ts
+        """,
+    )

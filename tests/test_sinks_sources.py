@@ -183,3 +183,17 @@ def test_asof_join_property_vs_bruteforce(spark):
         eligible = [(rts, px) for _, rts, px in right_rows if rts <= lts]
         want = max(eligible)[1] if eligible else None
         assert got[lid] == want, (lid, got[lid], want)
+
+
+def test_sql_register_views_covers_all_tables(spark, sf_small):
+    from auto_trade_data_pipeline_spark import sql as S
+
+    views = S.register_views(spark, sf_small)
+    assert "ticks" in views and len(views) == 11
+    got = S.sql(spark, sf_small, "SELECT count(*) AS n FROM ticks").first().n
+    assert got > 0
+    # Views are queryable with pushdown intact (scan, not a snapshot).
+    plan = spark.sql(
+        "SELECT symbol FROM ticks WHERE symbol = 'click'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" in plan
