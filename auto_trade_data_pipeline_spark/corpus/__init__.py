@@ -132,6 +132,8 @@ _ORDER = [
     "scalar_subquery_above_avg",
     "stream_interval_join_replay",
     "sql_hourly_ohlc",
+    "multimodal_frame_sample",
+    "multimodal_byte_histogram",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from auto_trade_data_pipeline_spark.corpus import register
 from auto_trade_data_pipeline_spark.operators import text as TX
 from auto_trade_data_pipeline_spark.operators import vectors as VX
-from auto_trade_data_pipeline_spark.operators.multimodal import decode_stats
+from auto_trade_data_pipeline_spark.operators.multimodal import (
+    byte_histogram_features,
+    decode_stats,
+    sample_frames,
+)
 from auto_trade_data_pipeline_spark.sources import load_table
 
 # LSH configuration: 20 permutations in bands of 2 puts the s-curve
@@ -723,6 +727,69 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py — decode math is a documented stub; the
     schema/batching/UDF surface is the production shape)."""
     return decode_stats(load_table(spark, sf_dir, "documents"))
+
+
+_FRAME_SAMPLE_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, CAST(unnest(range(0, 4)) AS INT) AS frame_idx,
+         text, length(text) AS n
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, frame_idx,
+       CAST(frame_idx * n // 4 AS INT) AS frame_off,
+       CAST(least(64, n - frame_idx * n // 4) AS INT) AS frame_len,
+       {_duck_hash("substr(text, frame_idx * n // 4 + 1, least(64, n - frame_idx * n // 4))")} AS frame_hash
+FROM f
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE, tags=("EXT4", "U1"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads
+    (operators/multimodal.py:sample_frames): 4 uniform-offset frames
+    per payload, ONE OUTPUT ROW PER FRAME — the one-to-many decode
+    shape (ffmpeg keyframe extraction slots in at the byte slice).
+    Only 40-byte frame descriptors leave the Python worker; the
+    oracle reproduces offsets and frame hashes byte-for-byte (ASCII
+    payloads: char offsets == byte offsets)."""
+    return sample_frames(load_table(spark, sf_dir, "documents"))
+
+
+def _hist_oracle() -> str:
+    from auto_trade_data_pipeline_spark.operators.multimodal import N_HIST_BINS
+
+    hcols = ",\n       ".join(
+        f"CAST(coalesce(max(CASE WHEN bin = {i} THEN cnt END), 0) AS INT) AS h{i}"
+        for i in range(N_HIST_BINS)
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text FROM documents
+),
+b AS (SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) // 16 AS bin FROM c),
+hh AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY doc_id, bin),
+dom AS (
+  SELECT doc_id, bin AS dominant_bin,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin) AS rn
+  FROM hh
+)
+SELECT hh.doc_id,
+       {hcols},
+       CAST(min(dom.dominant_bin) AS INT) AS dominant_bin
+FROM hh JOIN dom ON hh.doc_id = dom.doc_id AND dom.rn = 1
+GROUP BY hh.doc_id
+"""
+
+
+@register("multimodal_byte_histogram", _hist_oracle(), tags=("EXT4", "U1"))
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style feature extraction
+    (operators/multimodal.py:byte_histogram_features): a 16-bin
+    byte-value histogram per payload (pixel-intensity stand-in) as
+    exact integer counts + dominant bin (ties to the lowest bin) —
+    numpy.bincount inside the Arrow batch, bit-reproducible by the
+    oracle's ord()-based recount."""
+    return byte_histogram_features(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_payload", "decode_stats"]
+__all__ = [
+    "attach_payload",
+    "decode_stats",
+    "sample_frames",
+    "byte_histogram_features",
+]
 
 #: Output schema of the pseudo-decoder — what a real image decoder
 #: would emit (dims + byte stats) with deterministic fake values.
@@ -70,3 +75,79 @@ def decode_stats(docs: DataFrame) -> DataFrame:
     """Binary payload -> per-document decode features via mapInPandas
     (Arrow-batched; one Python worker per task, no driver collect)."""
     return attach_payload(docs).mapInPandas(fake_decode_stats, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_off int, frame_len int, frame_hash bigint"
+
+
+def sample_frames(docs: DataFrame, n_frames: int = 4, frame_len: int = 64) -> DataFrame:
+    """Video-style frame sampling over a binary payload: uniform
+    offsets at i*n/n_frames, one OUTPUT ROW PER FRAME — the
+    one-to-many decode shape (ffmpeg keyframe extraction would slot
+    in where the byte slice is taken). Emits (doc_id, frame_idx,
+    frame_off, frame_len, frame_hash) with the 60-bit md5 hash of the
+    frame bytes, reproducible engine-side for the oracle.
+
+    The blob never leaves the Python worker: only fixed-width frame
+    descriptors are returned, so the shuffle after sampling carries
+    ~40 bytes/frame regardless of payload size."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ("doc_id", "frame_idx", "frame_off", "frame_len",
+                                     "frame_hash")}
+            for doc_id, payload in zip(pdf["meta"].map(lambda m: m["doc_id"]),
+                                       pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                for i in range(n_frames):
+                    off = i * n // n_frames
+                    flen = min(frame_len, n - off)
+                    frame = bytes(payload)[off : off + flen]
+                    h = int(hashlib.md5(frame).hexdigest()[:15], 16)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(off)
+                    out["frame_len"].append(flen)
+                    out["frame_hash"].append(h)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int32", "frame_off": "int32",
+                 "frame_len": "int32", "frame_hash": "int64"}
+            )
+
+    return attach_payload(docs).mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+N_HIST_BINS = 16
+
+HIST_SCHEMA = "doc_id bigint, " + ", ".join(
+    f"h{i} int" for i in range(N_HIST_BINS)
+) + ", dominant_bin int"
+
+
+def byte_histogram_features(docs: DataFrame) -> DataFrame:
+    """Image-style feature extraction: a 16-bin byte-value histogram
+    per payload (the stand-in for a pixel-intensity histogram /
+    pooled feature map), exact integer counts so the result is
+    bit-reproducible on any engine. Dominant bin ties resolve to the
+    lowest bin. numpy.bincount per row inside the Arrow batch — the
+    vectorized-kernel shape a real resize/pool step uses."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["meta"].map(lambda m: m["doc_id"]),
+                                       pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b >> 4, minlength=N_HIST_BINS).astype("int64")
+                rows.append((int(doc_id), *hist.tolist(), int(hist.argmax())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", *[f"h{i}" for i in range(N_HIST_BINS)],
+                               "dominant_bin"]
+            )
+
+    return attach_payload(docs).mapInPandas(kernel, schema=HIST_SCHEMA)

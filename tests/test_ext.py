@@ -132,3 +132,33 @@ def test_kmeans_quantizer_deterministic_and_recall_scales_with_nprobe(spark, sf_
     assert r2 >= 0.4
     assert r2 <= r4 <= r8
     assert r8 == 1.0
+
+
+def test_sample_frames_short_and_empty_payloads(spark):
+    from auto_trade_data_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh", "en", "s", 8), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sample_frames(docs, n_frames=4, frame_len=64).collect()
+    # Empty payload -> no frames; short payload -> 4 overlapping frames
+    # at offsets i*8//4, each clipped to the payload end.
+    assert {r.doc_id for r in rows} == {1}
+    got = {(r.frame_idx, r.frame_off, r.frame_len) for r in rows}
+    assert got == {(0, 0, 8), (1, 2, 6), (2, 4, 4), (3, 6, 2)}
+
+
+def test_byte_histogram_counts_exact(spark):
+    from auto_trade_data_pipeline_spark.operators.multimodal import (
+        byte_histogram_features,
+    )
+
+    # 'aaab' -> 'a'(0x61)x3 and 'b'(0x62)x1 all in bin 6; ' ' (0x20) bin 2.
+    docs = spark.createDataFrame(
+        [(1, "aaab ", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = byte_histogram_features(docs).first()
+    assert r.h6 == 4 and r.h2 == 1 and r.dominant_bin == 6
+    assert sum(r[f"h{i}"] for i in range(16)) == 5
