@@ -148,3 +148,44 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_small, tmp_path):
         .collect()
     }
     assert {(r["symbol"], r["n"]) for r in q.collect()} == want
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Runtime skew handling, the built-in complement of the manual
+    salting operator (operators/skew.py): with AQE skew-join on, a
+    hot join key must be SPLIT at runtime (SMJ marked skew=true) —
+    no code change, no salting column. Thresholds are scaled to
+    test-sized data; production keeps the 256MB-class defaults."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = (
+            spark.range(500_000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+            .unionAll(
+                spark.range(20_000).select(
+                    (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+                )
+            )
+        )
+        dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = fact.join(dim, "k").select(F.sum("w").alias("s"))
+        [row] = j.collect()
+        plan = _plan(j)
+        assert "skew=true" in plan
+        # Split changes the schedule, never the answer.
+        assert row.s == 500_000 * 0 + sum(2 * ((i % 99) + 1) for i in range(20_000))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
