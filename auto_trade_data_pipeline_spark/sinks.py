@@ -30,6 +30,7 @@ from auto_trade_data_pipeline_spark.operators.dedup import dedup_keep_last
 
 __all__ = [
     "write_append",
+    "compact_table",
     "write_append_partitioned",
     "write_upsert_snapshot",
     "write_split",
@@ -108,3 +109,47 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(conf).exists(p)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    order_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction — the table-maintenance op every
+    long-lived append sink needs: streaming and micro-batch appends
+    leave thousands of KB-sized files, and at 100 TB the resulting
+    task-per-file scheduling + footer-per-file planning dominate scan
+    cost. Rewrites the table into ceil(bytes / target_bytes) files
+    and returns the new file count.
+
+    Spark-idiomatic shape: size the output from the CURRENT on-disk
+    bytes (not row counts — compression varies), lay rows out with
+    repartitionByRange over `order_cols` so each output file covers a
+    contiguous key range (min/max footer stats then prune file-level
+    on those columns — poor-man's clustering), and swap via the same
+    staging-dir protocol as the snapshot upsert. Without `order_cols`
+    a plain repartition balances bytes. (Delta/Iceberg OPTIMIZE is the
+    managed-table analogue; this is the filesystem-layout equivalent.)
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-total // target_bytes))
+    df = spark.read.format(fmt).load(path)
+    out = (
+        df.repartitionByRange(n_files, *order_cols)
+        if order_cols
+        else df.repartition(n_files)
+    )
+    staging = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").format(fmt).save(staging)
+    backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return int(n_files)

@@ -197,3 +197,49 @@ def test_sql_register_views_covers_all_tables(spark, sf_small):
         "SELECT symbol FROM ticks WHERE symbol = 'click'"
     )._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" in plan
+
+
+def test_compact_table_merges_small_files_preserving_rows(spark, sf_small, tmp_path):
+    from auto_trade_data_pipeline_spark.sinks import compact_table, write_append
+
+    from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+    path = str(tmp_path / "frag")
+    ticks = ticks_from_events(spark, sf_small)
+    # Fragment: two appends of 32 files each.
+    write_append(ticks.repartition(32), path)
+    write_append(ticks.repartition(32), path)
+    import glob
+
+    before = len(glob.glob(f"{path}/part-*.parquet"))
+    assert before >= 64
+    n_rows = spark.read.parquet(path).count()
+    chk = spark.read.parquet(path).agg(
+        F.sum(F.xxhash64("symbol", "timestamp", "tick_id").cast("decimal(38,0)"))
+    ).first()[0]
+
+    got = compact_table(spark, path, target_bytes=1 << 30, order_cols=["symbol", "timestamp"])
+    after = len(glob.glob(f"{path}/part-*.parquet"))
+    assert got == 1 and after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == n_rows
+    assert back.agg(
+        F.sum(F.xxhash64("symbol", "timestamp", "tick_id").cast("decimal(38,0)"))
+    ).first()[0] == chk
+
+
+def test_compact_table_sizes_output_from_bytes(spark, sf_small, tmp_path):
+    from auto_trade_data_pipeline_spark.sinks import compact_table, write_append
+
+    from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+    path = str(tmp_path / "frag2")
+    write_append(ticks_from_events(spark, sf_small).repartition(16), path)
+    import glob
+    import os
+
+    total = sum(os.path.getsize(f) for f in glob.glob(f"{path}/part-*.parquet"))
+    target = max(total // 3, 1)
+    got = compact_table(spark, path, target_bytes=target)
+    assert got == -(-total // target)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == got
