@@ -189,3 +189,35 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_med):
+    """Runtime Bloom-filter join pruning: a selective dim filter must
+    inject a bloom_filter_agg on the dim side and a might_contain
+    probe on the FACT side before its shuffle — at 100 TB this drops
+    most fact rows at the scan instead of shuffling them. (Scan-size
+    threshold lowered for test data; creation-side logic unchanged.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_med, "lineitem")
+        o = load_table(spark, sf_med, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloomfilter" in opt or "might_contain" in opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
