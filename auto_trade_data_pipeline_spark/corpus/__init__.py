@@ -134,6 +134,7 @@ _ORDER = [
     "sql_hourly_ohlc",
     "multimodal_frame_sample",
     "multimodal_byte_histogram",
+    "corpus_keep_decision",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

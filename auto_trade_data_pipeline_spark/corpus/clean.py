@@ -328,3 +328,88 @@ def dedup_priority_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("bow_fp")).alias("group_size"),
         (F.col("doc_id") == keep).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus keep/drop decision (cleaning-pipeline composition)
+# ---------------------------------------------------------------------------
+
+from auto_trade_data_pipeline_spark.corpus.ext import (  # noqa: E402
+    _TEXT_QUALITY_LANGID_ORACLE,
+    text_quality_langid,
+)
+
+
+def _keep_decision_oracle() -> str:
+    return f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({_TEXT_QUALITY_LANGID_ORACLE}) t),
+r AS (SELECT doc_id, dup_gram_ratio, top_token_ratio FROM ({_REPETITION_ORACLE}) t),
+c AS (SELECT doc_id, contamination_ratio FROM ({_contamination_oracle()}) t),
+k AS (SELECT doc_id, group_size, is_keeper FROM ({_PRIORITY_KEEP_ORACLE}) t),
+j AS (
+  SELECT q.doc_id, q.quality_score, r.dup_gram_ratio, r.top_token_ratio,
+         coalesce(c.contamination_ratio, 0.0) AS contamination_ratio,
+         k.group_size, k.is_keeper
+  FROM q JOIN r USING (doc_id) JOIN k USING (doc_id)
+  LEFT JOIN c USING (doc_id)
+)
+SELECT *,
+       (CASE WHEN quality_score < 2 THEN 1 ELSE 0 END
+        + CASE WHEN dup_gram_ratio > 0.5 OR top_token_ratio > 0.3 THEN 2 ELSE 0 END
+        + CASE WHEN contamination_ratio >= 0.2 THEN 4 ELSE 0 END
+        + CASE WHEN NOT is_keeper THEN 8 ELSE 0 END) AS drop_reasons,
+       (quality_score >= 2 AND NOT (dup_gram_ratio > 0.5 OR top_token_ratio > 0.3)
+        AND contamination_ratio < 0.2 AND is_keeper) AS keep
+FROM j
+"""
+
+
+@register("corpus_keep_decision", _keep_decision_oracle(), tags=("EXT1", "EXT3"))
+def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pipeline COMPOSED: quality gate + repetition gate
+    + contamination gate + canonical-dup gate joined into one
+    keep/drop decision per document with a drop-reason bitmask (1 low
+    quality, 2 repetitive, 4 contaminated, 8 non-canonical dup).
+    Every signal reuses the oracled stage (the oracle nests those
+    stages' SQL verbatim); every gate compares ROUNDED values so the
+    decision can never diverge across engines. One doc_id-keyed join
+    fan-in — at 100 TB each stage is its own shuffle-free or
+    uniform-key job and the fan-in is a 4-way co-partitioned join."""
+    q = text_quality_langid(spark, sf_dir).select("doc_id", "quality_score")
+    r = repetition_profile(spark, sf_dir).select(
+        "doc_id", "dup_gram_ratio", "top_token_ratio"
+    )
+    c = contamination_check(spark, sf_dir).select("doc_id", "contamination_ratio")
+    k = dedup_priority_keep(spark, sf_dir).select("doc_id", "group_size", "is_keeper")
+    j = (
+        q.join(r, "doc_id")
+        .join(k, "doc_id")
+        .join(c, "doc_id", "left")
+        .withColumn(
+            "contamination_ratio", F.coalesce("contamination_ratio", F.lit(0.0))
+        )
+    )
+    repetitive = (F.col("dup_gram_ratio") > 0.5) | (F.col("top_token_ratio") > 0.3)
+    reasons = (
+        F.when(F.col("quality_score") < 2, 1).otherwise(0)
+        + F.when(repetitive, 2).otherwise(0)
+        + F.when(F.col("contamination_ratio") >= 0.2, 4).otherwise(0)
+        + F.when(~F.col("is_keeper"), 8).otherwise(0)
+    )
+    keep = (
+        (F.col("quality_score") >= 2)
+        & ~repetitive
+        & (F.col("contamination_ratio") < 0.2)
+        & F.col("is_keeper")
+    )
+    return j.select(
+        "doc_id",
+        "quality_score",
+        "dup_gram_ratio",
+        "top_token_ratio",
+        "contamination_ratio",
+        "group_size",
+        "is_keeper",
+        reasons.alias("drop_reasons"),
+        keep.alias("keep"),
+    )
