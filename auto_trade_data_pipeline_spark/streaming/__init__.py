@@ -19,6 +19,12 @@ sleeps). Spark-first, those become:
 
 Checkpointed sinks give exactly-once where the reference relies on
 keyed dedup for idempotence.
+
+Spark 4's ``transformWithStateInPandas`` is the successor API for the
+stateful ops here (timers, multiple state variables, TTL); it needs a
+working ``google.protobuf`` Python package, which this container
+lacks, so the ops stay on ``applyInPandasWithState`` — migrating is a
+per-operator mechanical change (value state + timer registration).
 """
 
 from auto_trade_data_pipeline_spark.streaming.anchors import (  # noqa: F401

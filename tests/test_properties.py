@@ -117,3 +117,91 @@ def test_session_flags_partition_the_day(rows):
         sum(F.col(c) for c in flag_cols).alias("s")
     ).collect()
     assert all(r["s"] == 1 for r in total)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operators: chunking / packing / CC invariants under random input
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),          # doc_id
+        st.integers(min_value=0, max_value=90),              # n tokens
+        st.sampled_from(["a", "b"]),                         # shard
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=docs_strategy, size=st.sampled_from([8, 32]), stride=st.sampled_from([5, 8, 32]))
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunking_covers_every_token_without_gaps(docs, size, stride):
+    """Every token of every non-empty doc lands in >=1 chunk; chunk
+    starts advance by exactly `stride`; only the last chunk is short."""
+    from auto_trade_data_pipeline_spark.operators.clean import chunk_tokens
+
+    if stride > size:
+        stride = size  # keep the gapless-coverage contract testable
+    rows = [(i, [f"t{k}" for k in range(n)], s) for i, n, s in docs]
+    df = _spark.createDataFrame(rows, "doc_id long, toks array<string>, shard string")
+    out = chunk_tokens(df, "toks", "doc_id", size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_of = {i: n for i, n, _ in docs}
+    for i, n in n_of.items():
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_id)
+        if n == 0:
+            assert not chunks
+            continue
+        covered = set()
+        for idx, r in enumerate(chunks):
+            assert r.start_token == r.chunk_id * stride + 1
+            assert r.chunk_len == min(size, n - r.start_token + 1)
+            if idx < len(chunks) - 1:
+                assert r.chunk_len == size or stride <= size
+            covered.update(range(r.start_token, r.start_token + r.chunk_len))
+        assert covered == set(range(1, n + 1))
+
+
+@given(docs=docs_strategy, budget=st.sampled_from([16, 512]))
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_sequences_is_contiguous_per_shard(docs, budget):
+    """Prefix placement: within a shard, documents ordered by id tile
+    the packed token stream with no gap and no overlap."""
+    from auto_trade_data_pipeline_spark.operators.text import pack_sequences
+
+    df = _spark.createDataFrame(
+        [(i, n, s) for i, n, s in docs], "doc_id long, n_tokens long, shard string"
+    )
+    out = pack_sequences(df, "n_tokens", "doc_id", ["shard"], budget).collect()
+    for shard in {s for _, _, s in docs}:
+        rows = sorted((r for r in out if r.shard == shard), key=lambda r: r.doc_id)
+        expected_prefix = 0
+        for r in rows:
+            assert r.seq_id * budget + r.seq_offset == expected_prefix
+            expected_prefix += r.n_tokens
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=40,
+).filter(lambda es: any(u != v for u, v in es))
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cc_star_equals_propagation_on_random_graphs(edges):
+    from auto_trade_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    es = [(u, v) for u, v in edges if u != v]
+    df = _spark.createDataFrame(es, "id_a long, id_b long")
+    prop = {r.node: r.component for r in connected_components(df, max_iters=40).collect()}
+    star = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert star == prop
