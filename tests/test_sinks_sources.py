@@ -243,3 +243,33 @@ def test_compact_table_sizes_output_from_bytes(spark, sf_small, tmp_path):
     got = compact_table(spark, path, target_bytes=target)
     assert got == -(-total // target)
     assert len(glob.glob(f"{path}/part-*.parquet")) == got
+
+
+def test_csv_tick_roundtrip_reference_format(spark, sf_small, tmp_path):
+    """S4 CSV path: ticks written in the reference's CSV layout
+    (string timestamps 'yyyy-MM-dd HH:mm:ss.SSSSSS UTC') read back
+    schema-asserted and value-identical to the parquet-sourced frame."""
+    from auto_trade_data_pipeline_spark.sources import ticks_from_events
+    from auto_trade_data_pipeline_spark.sources.files import read_ticks
+
+    ticks = ticks_from_events(spark, sf_small)
+    path = str(tmp_path / "ticks_csv")
+    (
+        ticks.select(
+            "symbol",
+            F.concat(
+                F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit(" UTC")
+            ).alias("timestamp"),
+            "price",
+            "volume",
+            "tick_id",
+        )
+        .write.option("header", True)
+        .mode("overwrite")
+        .csv(path)
+    )
+    back = read_ticks(spark, path, fmt="csv")
+    assert back.schema == ticks.schema
+    a = {r.tick_id: (r.symbol, r.timestamp, r.price, r.volume) for r in ticks.collect()}
+    b = {r.tick_id: (r.symbol, r.timestamp, r.price, r.volume) for r in back.collect()}
+    assert a == b
