@@ -93,9 +93,10 @@ GROUP BY o.o_orderpriority
 
 @register("tpch_q4_order_priority", _Q4_ORACLE, tags=("J1", "A4"))
 def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: per-priority counts of 1994 orders with at
-    least one lineitem shipped >30 days after order date (1996 order
-    year — the testdata spans 1995-2001). The EXISTS
+    """TPC-H Q4 shape: per-priority counts of 1996 orders with at
+    least one lineitem shipped >30 days after order date (the spec's
+    1994 window falls outside this testdata's 1995-2001 span). The
+    EXISTS
     becomes a LEFT SEMI join whose non-equi half rides along as a join
     condition — the probe side ships (orderkey, shipdate) only, and
     semi-join short-circuits on first match. (The testdata carries no

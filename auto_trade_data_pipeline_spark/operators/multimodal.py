@@ -143,11 +143,13 @@ def byte_histogram_features(docs: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["meta"].map(lambda m: m["doc_id"]),
                                        pdf["payload"]):
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(b) == 0:
+                    continue  # same empty-payload contract as sample_frames
                 hist = np.bincount(b >> 4, minlength=N_HIST_BINS).astype("int64")
                 rows.append((int(doc_id), *hist.tolist(), int(hist.argmax())))
             yield pd.DataFrame(
                 rows, columns=["doc_id", *[f"h{i}" for i in range(N_HIST_BINS)],
                                "dominant_bin"]
-            )
+            ).astype("int64")
 
     return attach_payload(docs).mapInPandas(kernel, schema=HIST_SCHEMA)

@@ -57,21 +57,31 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array — the unit of
     near-dup comparison. Space-joined so 'a b','c' != 'a','b c'.
     slice+array_join per position is ~10x faster than n element_at
-    lookups (higher-order lambdas run interpreted; fewer calls win)."""
+    lookups (higher-order lambdas run interpreted; fewer calls win).
+    Arrays shorter than n yield an EMPTY shingle set (the when-guard
+    matters: without it `sequence(1, 0)` counts DOWN to [1, 0] and
+    `slice(toks, 0, n)` aborts the job)."""
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:
-    """Distinct character n-grams — the rolling-hash fingerprint unit."""
+    """Distinct character n-grams — the rolling-hash fingerprint unit.
+    Text shorter than n yields an empty set (same descending-sequence
+    guard as word_shingles; substring tolerates it but would emit
+    duplicate work)."""
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(text) - n + 1, F.lit(0))),
+        F.sequence(F.lit(1), F.length(text) - n + 1),
         lambda i: F.substring(text, i, n),
     )
-    return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
+    return F.when(
+        F.length(text) >= n, F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def hash64(col: Column, salt: str = "") -> Column:

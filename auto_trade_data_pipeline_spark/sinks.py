@@ -117,6 +117,7 @@ def compact_table(
     target_bytes: int = 128 * 1024 * 1024,
     order_cols: list[str] | None = None,
     fmt: str = "parquet",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction — the table-maintenance op every
     long-lived append sink needs: streaming and micro-batch appends
@@ -133,21 +134,39 @@ def compact_table(
     staging-dir protocol as the snapshot upsert. Without `order_cols`
     a plain repartition balances bytes. (Delta/Iceberg OPTIMIZE is the
     managed-table analogue; this is the filesystem-layout equivalent.)
-    """
+
+    Hive-partitioned tables (write_append_partitioned) MUST pass
+    `partition_by`: the rewrite then keeps the directory layout
+    (`n_files` becomes the per-write task count; each partition still
+    gets its own files). Compacting a partitioned table without it
+    would silently flatten the layout and break partition pruning —
+    detected and refused."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
+    if not partition_by:
+        for st in fs.listStatus(p):
+            if st.isDirectory() and "=" in st.getPath().getName():
+                raise ValueError(
+                    f"{path} has a Hive-partitioned layout "
+                    f"({st.getPath().getName()}/...): pass partition_by= to "
+                    "preserve it — compacting flat would break partition pruning"
+                )
     total = fs.getContentSummary(p).getLength()
     n_files = max(1, -(-total // target_bytes))
     df = spark.read.format(fmt).load(path)
+    shuffle_cols = list(partition_by or []) + list(order_cols or [])
     out = (
-        df.repartitionByRange(n_files, *order_cols)
-        if order_cols
+        df.repartitionByRange(n_files, *shuffle_cols)
+        if shuffle_cols
         else df.repartition(n_files)
     )
     staging = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").format(fmt).save(staging)
+    writer = out.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(staging)
     backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, backup)
     os.rename(staging, path)

@@ -82,3 +82,30 @@ def test_ngram_contamination_full_and_zero_overlap(spark):
     assert out[1].contamination_ratio == 1.0 and out[1].contaminated
     assert out[2].hit_grams == 0 and not out[2].contaminated
     assert out[2].n_grams == 2
+
+
+def test_word_shingles_short_arrays_yield_empty_not_crash(spark):
+    df = spark.createDataFrame(
+        [(1, []), (2, ["a"]), (3, ["a", "b"]), (4, ["a", "b", "c"])],
+        "id long, toks array<string>",
+    )
+    out = {
+        r.id: r.sh
+        for r in df.select(
+            "id", TX.word_shingles(F.col("toks"), 3).alias("sh")
+        ).collect()
+    }
+    assert out[1] == [] and out[2] == [] and out[3] == []
+    assert out[4] == ["a b c"]
+    # The downstream ops that crashed on short docs now run clean.
+    stats = CL.repetition_stats(df.withColumnRenamed("toks", "toks"), "toks", "id").collect()
+    assert {r.id for r in stats} == {1, 2, 3, 4}
+
+
+def test_char_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abcde")], "id long, t string")
+    out = {
+        r.id: r.sh
+        for r in df.select("id", TX.char_shingles(F.col("t"), 5).alias("sh")).collect()
+    }
+    assert out[1] == [] and out[2] == ["abcde"]

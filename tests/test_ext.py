@@ -162,3 +162,16 @@ def test_byte_histogram_counts_exact(spark):
     r = byte_histogram_features(docs).first()
     assert r.h6 == 4 and r.h2 == 1 and r.dominant_bin == 6
     assert sum(r[f"h{i}"] for i in range(16)) == 5
+
+
+def test_byte_histogram_skips_empty_payload(spark):
+    from auto_trade_data_pipeline_spark.operators.multimodal import (
+        byte_histogram_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "xy", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = byte_histogram_features(docs).collect()
+    assert {r.doc_id for r in rows} == {2}

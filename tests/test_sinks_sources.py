@@ -273,3 +273,31 @@ def test_csv_tick_roundtrip_reference_format(spark, sf_small, tmp_path):
     a = {r.tick_id: (r.symbol, r.timestamp, r.price, r.volume) for r in ticks.collect()}
     b = {r.tick_id: (r.symbol, r.timestamp, r.price, r.volume) for r in back.collect()}
     assert a == b
+
+
+def test_compact_table_preserves_partitioned_layout(spark, sf_small, tmp_path):
+    import glob
+
+    from auto_trade_data_pipeline_spark.sinks import (
+        compact_table,
+        write_append_partitioned,
+    )
+    from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+    path = str(tmp_path / "part_frag")
+    ticks = ticks_from_events(spark, sf_small).repartition(8)
+    write_append_partitioned(ticks, path)
+    write_append_partitioned(ticks, path)
+    n_dirs = len(glob.glob(f"{path}/date=*"))
+    assert n_dirs > 2
+    n_rows = spark.read.parquet(path).count()
+
+    # Refuses to flatten a partitioned layout.
+    with pytest.raises(ValueError, match="partition_by"):
+        compact_table(spark, path, target_bytes=1 << 30)
+
+    compact_table(spark, path, target_bytes=1 << 30, partition_by=["date"])
+    assert len(glob.glob(f"{path}/date=*")) == n_dirs  # layout intact
+    back = spark.read.parquet(path)
+    assert back.count() == n_rows
+    assert len(glob.glob(f"{path}/date=*/part-*.parquet")) == n_dirs  # 1 file each
