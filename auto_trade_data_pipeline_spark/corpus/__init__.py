@@ -135,6 +135,8 @@ _ORDER = [
     "multimodal_frame_sample",
     "multimodal_byte_histogram",
     "corpus_keep_decision",
+    "quality_percentile_gate",
+    "source_mix_sample",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

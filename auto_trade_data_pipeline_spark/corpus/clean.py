@@ -413,3 +413,88 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.alias("drop_reasons"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relative quality gate + stratified source-mix sampling
+# ---------------------------------------------------------------------------
+
+_QUALITY_PERCENTILE_ORACLE = f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({_TEXT_QUALITY_LANGID_ORACLE}) t),
+d AS (SELECT doc_id, source FROM documents),
+r AS (
+  SELECT q.doc_id, d.source, q.quality_score,
+         round(percent_rank() OVER (PARTITION BY d.source
+                                    ORDER BY q.quality_score, q.doc_id), 6) AS q_rank
+  FROM q JOIN d USING (doc_id)
+)
+SELECT doc_id, source, quality_score, q_rank, q_rank >= 0.2 AS keep
+FROM r
+"""
+
+
+@register("quality_percentile_gate", _QUALITY_PERCENTILE_ORACLE, tags=("EXT3",))
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality filtering — drop each source's bottom 20% by
+    quality score rather than a global absolute cut (per-domain
+    thresholds are how real corpora are gated: a fandom wiki and
+    arXiv have different score distributions). percent_rank over
+    (source) with a doc_id tiebreak is deterministic at any
+    parallelism; the gate compares the ROUNDED rank on both engines.
+    One exchange keyed by source."""
+    q = text_quality_langid(spark, sf_dir).select("doc_id", "quality_score")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    r = (
+        q.join(d, "doc_id")
+        .withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
+    )
+    return r.select(
+        "doc_id", "source", "quality_score", "q_rank",
+        (F.col("q_rank") >= 0.2).alias("keep"),
+    )
+
+
+_MIX_RATES_SQL = """CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 100
+     WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 50
+     ELSE 20 END"""
+
+
+def _mix_sample_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         {_MIX_RATES_SQL} AS rate_pct,
+         {_duck_hash("source || '|' || CAST(doc_id AS VARCHAR)", "mix")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, rate_pct, bucket, bucket < rate_pct AS sampled
+FROM d
+"""
+
+
+@register("source_mix_sample", _mix_sample_oracle(), tags=("EXT1", "EXT3"))
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified source-mix sampling — the data-mixing-weights op of
+    LLM corpus assembly: each source gets a target rate (here derived
+    from the source id: 100% / 50% / 20%), and a document is kept iff
+    its salted hash bucket falls under the rate. Deterministic, no
+    sampling state, composable with the train/val/test hash split
+    (independent salts -> independent strata), and stable under
+    corpus growth. Zero shuffle — a per-row expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_num % 3 == 0, 100).when(src_num % 3 == 1, 50).otherwise(20)
+    )
+    bucket = TX.hash64(
+        F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string")),
+        salt="mix",
+    ) % 100
+    return docs.select(
+        "doc_id",
+        "source",
+        rate.alias("rate_pct"),
+        bucket.alias("bucket"),
+        (bucket < rate).alias("sampled"),
+    )
