@@ -224,7 +224,7 @@ FROM corp c LEFT JOIN hits h USING (doc_id)
 """
 
 
-@register("contamination_check", _contamination_oracle(), tags=("EXT1", "EXT3"))
+@register("contamination_check", _contamination_oracle(), tags=("EXT1", "EXT3", "bench"))
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection
     (operators/clean.py:ngram_contamination): share of each corpus

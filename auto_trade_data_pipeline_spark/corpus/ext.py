@@ -461,7 +461,7 @@ FROM comp
 """
 
 
-@register("dedup_groups_cc", _cc_oracle(), tags=("EXT1",))
+@register("dedup_groups_cc", _cc_oracle(), tags=("EXT1", "bench"))
 def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup DECISIONS from near-dup PAIRS: connected components of
     the MinHash-verified pair graph via iterative min-label

@@ -43,7 +43,7 @@ LIMIT 10
 """
 
 
-@register("tpch_q3_shipping_priority", _Q3_ORACLE, tags=("J4", "O2"))
+@register("tpch_q3_shipping_priority", _Q3_ORACLE, tags=("J4", "O2", "bench"))
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: unshipped high-value BUILDING orders. The 100 TB plan:
     customer is filtered THEN broadcast (segment filter first — 1/5 of
@@ -138,7 +138,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
-@register("window_function_family", _WINDOW_FAMILY_ORACLE, tags=("W-rank", "A7"))
+@register("window_function_family", _WINDOW_FAMILY_ORACLE, tags=("W-rank", "A7", "bench"))
 def window_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full analytic window family over one partitioning —
     row_number / lag / lead / ntile / percent_rank / cume_dist / a
