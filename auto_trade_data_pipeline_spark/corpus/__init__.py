@@ -127,6 +127,8 @@ _ORDER = [
     "dedup_priority_keep",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
     "window_function_family",
     "grouping_sets_revenue",
     "scalar_subquery_above_avg",

@@ -254,3 +254,115 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_cents") / (100.0 * F.col("n")), 4).alias("brand_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5: local-supplier volume (the 6-table join-ordering showcase)
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(sum({_REVENUE_CENTS}) AS BIGINT) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+@register("tpch_q5_local_supplier_volume", _Q5_ORACLE, tags=("J4", "A4", "bench"))
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where supplier and customer share
+    the nation, one region, one order year. The 100 TB plan shape:
+    region -> nation is folded FIRST (5 rows) and broadcast; supplier
+    and customer join that broadcast (each loses ~4/5 of its rows
+    before touching a fact); orders is date-filtered at the scan; the
+    only big shuffles are lineitem|><|orders on orderkey and the
+    (suppkey, custkey-nation) equality, and the final agg key is
+    5 nations wide — map-side combine collapses it. Catalyst + AQE
+    pick broadcast sides from runtime sizes; the code states intent
+    with explicit broadcast() on the dimension chain."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(100) - F.col("l_discount") * 100, 1)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .select(F.col("n_name").alias("nation"), "revenue")
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: forecast revenue change (pure scan-pushdown aggregate)
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS revenue_delta,
+       count(*) AS line_count
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", _Q6_ORACLE, tags=("A4", "F-math"))
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: a single filtered global aggregate — the purest
+    pushdown test in the suite. All four predicates (two date bounds,
+    a discount band, a quantity cap) are scan-level PushedFilters, the
+    projection is 4 columns of ~16, and the aggregate reduces to ONE
+    row via partial aggregation — at 100 TB this query's shuffle is
+    (num_tasks x 1) rows. The revenue product is exact integer
+    cents x cent-discount (no float drift)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    delta = _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))
+    return li.agg(
+        (F.sum(delta) / 10000.0).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("line_count"),
+    )

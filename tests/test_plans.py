@@ -221,3 +221,33 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_med):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q5_dimension_chain_broadcasts_and_pushes_dates(spark, sf_med):
+    """TPC-H Q5: the region->nation->supplier chain must reach the
+    facts as a broadcast (never a fact-sized shuffle for a dimension)
+    and the order-year bounds must be scan-level pushed filters, so
+    the only hash exchanges left are the lineitem|><|orders join and
+    the 5-row nation aggregate."""
+    from auto_trade_data_pipeline_spark.corpus.relational import (
+        tpch_q5_local_supplier_volume,
+    )
+
+    plan = _plan(tpch_q5_local_supplier_volume(spark, sf_med))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q6_all_predicates_pushed_single_row_out(spark, sf_med):
+    """TPC-H Q6: every predicate is a scan-level pushed filter and the
+    aggregate is partial+final (the shuffle carries one partial row
+    per task)."""
+    from auto_trade_data_pipeline_spark.corpus.relational import tpch_q6_forecast_revenue
+
+    plan = _plan(tpch_q6_forecast_revenue(spark, sf_med))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    assert "partial_sum" in plan or "partial" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
