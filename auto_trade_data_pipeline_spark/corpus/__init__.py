@@ -129,6 +129,7 @@ _ORDER = [
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "dedup_embedding_srp",
     "window_function_family",
     "grouping_sets_revenue",
     "scalar_subquery_above_avg",

@@ -900,3 +900,62 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+_SRP_COS = _cos("a.embedding", "b.embedding")
+
+_SRP_NEARDUP_ORACLE = f"""
+WITH planes AS (
+  SELECT j, i,
+         CASE WHEN CAST('0x' || substr(md5('srp:' || j || ':' || i), 1, 15) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM range(0, 16) t1(j), range(0, 64) t2(i)
+),
+scaled AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT s.vec_id, p.j, sum(s.v[p.i + 1] * p.s) AS dotp
+  FROM scaled s, planes p
+  GROUP BY s.vec_id, p.j
+),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dotp >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+           AS signature
+  FROM proj GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, b AS band_idx, (signature >> (b * 4)) & 15 AS band_val
+  FROM sig, range(0, 4) t(b)
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+             AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, round({_SRP_COS}, 6) AS cos
+FROM cand
+JOIN embeddings a ON a.vec_id = id_a
+JOIN embeddings b ON b.vec_id = id_b
+WHERE {_SRP_COS} >= 0.4
+"""
+
+
+@register("dedup_embedding_srp", _SRP_NEARDUP_ORACLE, tags=("EXT1", "EXT2"))
+def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via signed-random-projection cosine LSH —
+    the metadata-FREE counterpart of dedup_embedding_cosine (which
+    blocks on the label column): SRP signatures band vectors by the
+    geometry alone, so recall crosses cell boundaries (this query
+    finds cross-label pairs the cell-blocked variant structurally
+    cannot). Banded self-join on (band_idx, band_val), exact-cosine
+    verification — precision 1.0, recall 1-(1-p^r)^b per Charikar.
+    The oracle regenerates the identical md5-parity hyperplanes and
+    reproduces the result bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return VX.srp_near_dup(emb, threshold=0.4, nbits=16, band_bits=4, dims=64)

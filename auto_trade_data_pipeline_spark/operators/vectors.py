@@ -34,6 +34,8 @@ __all__ = [
     "label_centroids",
     "assign_cells",
     "kmeans_cells",
+    "srp_signature",
+    "srp_near_dup",
 ]
 
 
@@ -208,4 +210,101 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def srp_signature(
+    vec: Column, nbits: int = 16, dims: int = 64, scale: int = 10**6, salt: str = "srp"
+) -> Column:
+    """Signed-random-projection (cosine LSH) signature: bit j is the
+    sign of <v, h_j> for a fixed random hyperplane h_j with +-1
+    entries. The hyperplane matrix is derived from md5 parity
+    (sign(j,i) = +1 iff md5("salt:j:i")'s 60-bit prefix is even), so
+    an oracle engine regenerates the identical planes from the same
+    formula — and the projection is computed over integer-scaled
+    components (bigint sums are order-independent), so the signature
+    is bit-identical at any parallelism.
+
+    Charikar (STOC'02): P[bit agrees] = 1 - theta/pi — Hamming
+    distance on signatures estimates the angle. All JVM-side
+    expression code (zip_with + aggregate), no Python in the path.
+    """
+    import hashlib
+
+    scaled = F.transform(vec.cast("array<double>"), lambda x: F.round(x * scale, 0).cast("long"))
+    sig = F.lit(0).cast("long")
+    for j in range(nbits):
+        signs = F.array(
+            *[
+                F.lit(
+                    1
+                    if int(hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[:15], 16) % 2 == 0
+                    else -1
+                )
+                for i in range(dims)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(scaled, signs, lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def srp_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    nbits: int = 16,
+    band_bits: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-free embedding near-dup via cosine LSH: band the SRP
+    signature (nbits/band_bits bands), self-join on (band_idx,
+    band_val), verify candidates with exact cosine >= threshold.
+    Complements the cell-blocked variant (dedup_embedding_cosine):
+    no prior cell/label metadata needed, and recall crosses cell
+    boundaries. At 100 TB the shuffle key is the band value (uniform
+    by construction — hyperplane signs are unbiased), candidate
+    verification touches only banded collisions, never all pairs;
+    nbits/band_bits tune the recall/candidate-volume trade
+    (production sizing: 64-128 bits, 8-16 bit bands).
+    Output: (id_a, id_b, cos)."""
+    nbands = nbits // band_bits
+    mask = (1 << band_bits) - 1
+    sig = corpus.select(
+        F.col(id_col), F.col(vec_col), srp_signature(F.col(vec_col), nbits, dims).alias("__sig")
+    ).persist()
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("__sig", b * band_bits).bitwiseAND(mask).alias("band_val"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "__b.band_idx", "__b.band_val")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )

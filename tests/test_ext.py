@@ -175,3 +175,40 @@ def test_byte_histogram_skips_empty_payload(spark):
     )
     rows = byte_histogram_features(docs).collect()
     assert {r.doc_id for r in rows} == {2}
+
+
+def test_srp_lsh_exact_precision_and_cross_cell_recall(spark, sf_small):
+    """SRP cosine-LSH near-dup: every emitted pair must be a true
+    >=threshold pair (precision 1.0 — candidates are exact-verified),
+    the result must be deterministic (fixed md5-parity hyperplanes),
+    and — the point of the metadata-free variant — it may surface
+    pairs in DIFFERENT coarse cells, which label-blocked dedup
+    structurally cannot."""
+    from auto_trade_data_pipeline_spark.operators.vectors import cosine, srp_near_dup
+    from auto_trade_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    got = srp_near_dup(emb, threshold=0.35, nbits=16, band_bits=4, dims=64)
+    rows = {(r["id_a"], r["id_b"]): r["cos"] for r in got.collect()}
+
+    # Ground truth: all pairs >= threshold by brute force.
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    truth = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos") >= 0.35)
+        .collect()
+    }
+    # Precision 1.0: every emitted pair is a true pair with the exact score.
+    for k, v in rows.items():
+        assert k in truth and truth[k] == v
+    # Non-vacuous recall on this corpus.
+    assert rows
+    # Deterministic: a second run emits the identical set.
+    again = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in srp_near_dup(emb, threshold=0.35, nbits=16, band_bits=4, dims=64).collect()
+    }
+    assert again == rows
