@@ -130,6 +130,7 @@ _ORDER = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "dedup_embedding_srp",
+    "global_rank_orders",
     "window_function_family",
     "grouping_sets_revenue",
     "scalar_subquery_above_avg",

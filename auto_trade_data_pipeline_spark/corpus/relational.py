@@ -366,3 +366,29 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(delta) / 10000.0).alias("revenue_delta"),
         F.count(F.lit(1)).alias("line_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global row_number without a single-partition window
+# ---------------------------------------------------------------------------
+
+_GLOBAL_RANK_ORACLE = """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS row_num
+FROM orders
+"""
+
+
+@register("global_rank_orders", _GLOBAL_RANK_ORACLE, tags=("O1", "W-rank"))
+def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global rank of every order by (orderdate, orderkey)
+    — computed WITHOUT `Window.orderBy` sans partition (which plans
+    Exchange SinglePartition: one task owns all 100 TB). The
+    distributed recipe (operators/ranking.py): range-partition +
+    in-partition sort, per-partition counts to the driver (partition
+    metadata, a few longs), broadcast prefix offsets, Arrow-batched
+    in-partition index. Plan-asserted single-partition-free."""
+    from auto_trade_data_pipeline_spark.operators.ranking import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return global_row_number(o, ["o_orderdate", "o_orderkey"]).select("o_orderkey", "row_num")

@@ -251,3 +251,19 @@ def test_q6_all_predicates_pushed_single_row_out(spark, sf_med):
     assert "partial_sum" in plan or "partial" in plan
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_global_rank_has_no_single_partition_exchange(spark, sf_med):
+    """Global row_number must never plan Exchange SinglePartition (the
+    one-task-owns-everything trap a bare Window.orderBy creates); the
+    order is achieved with a parallel range exchange instead."""
+    from auto_trade_data_pipeline_spark.corpus.relational import global_rank_orders
+
+    df = global_rank_orders(spark, sf_med)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    # And the result really is the contiguous global order.
+    n = df.count()
+    agg = df.agg(F.min("row_num"), F.max("row_num"), F.count_distinct("row_num")).first()
+    assert (agg[0], agg[1], agg[2]) == (1, n, n)
