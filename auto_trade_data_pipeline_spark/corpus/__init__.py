@@ -131,6 +131,8 @@ _ORDER = [
     "tpch_q6_forecast_revenue",
     "dedup_embedding_srp",
     "global_rank_orders",
+    "candles_gap_fill",
+    "lm_quality_score",
     "window_function_family",
     "grouping_sets_revenue",
     "scalar_subquery_above_avg",

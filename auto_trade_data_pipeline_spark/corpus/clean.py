@@ -498,3 +498,48 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         (bucket < rate).alias("sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality proxy (CCNet-style perplexity stand-in)
+# ---------------------------------------------------------------------------
+
+_LM_SCORE_ORACLE = f"""
+WITH {_DOCS_CTE},
+tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS s FROM cnt)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(avg(-ln(cnt.c / (1.0 * tot.s))), 4) AS avg_neg_logprob
+FROM tok t JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+@register("lm_quality_score", _LM_SCORE_ORACLE, tags=("EXT3",))
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document — the CCNet-family
+    quality proxy (perplexity under a corpus LM; here the LM is the
+    corpus's own unigram distribution, the degenerate-but-real base
+    case of the KenLM filter): avg over tokens of -ln p(token).
+    Common-token prose scores low (fluent), rare-token noise scores
+    high — rank and cut.
+
+    Shape at 100 TB: token explode -> one uniform-key count shuffle
+    (the vocabulary), corpus total as a 1-row broadcast, counts
+    joined back to the token stream (vocab is dimension-sized ->
+    broadcast), one groupBy(doc_id) average. No Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("s"))
+    return (
+        tok.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("s"))), 4).alias("avg_neg_logprob"),
+        )
+    )

@@ -622,3 +622,70 @@ def sql_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY symbol, hour_ts
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled dense candle grid (densification + forward fill)
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, volume,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+c1m AS (
+  SELECT symbol, bucket,
+         max(CASE WHEN rd = 1 THEN price END) AS close,
+         sum(volume) AS volume, count(*) AS number_of_trades
+  FROM cb GROUP BY symbol, bucket
+),
+days AS (
+  SELECT DISTINCT symbol, date_trunc('day', bucket) AS day FROM c1m
+  WHERE bucket < TIMESTAMP '2024-01-08'
+),
+grid AS (
+  SELECT symbol,
+         unnest(generate_series(day, day + INTERVAL 23 HOURS + INTERVAL 59 MINUTES,
+                                INTERVAL 1 MINUTE)) AS ts
+  FROM days
+),
+j AS (
+  SELECT g.symbol, g.ts, c.close, c.volume, c.number_of_trades
+  FROM grid g LEFT JOIN c1m c ON c.symbol = g.symbol AND c.bucket = g.ts
+)
+SELECT symbol,
+       strftime(ts, '{TS_FMT_DUCK}') AS bucket_ts,
+       round(last_value(close IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS close_ff,
+       round(coalesce(volume, 0.0), 4) AS volume,
+       coalesce(number_of_trades, 0) AS number_of_trades,
+       CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_gap_fill
+FROM j
+"""
+
+
+@register("candles_gap_fill", _GAP_FILL_ORACLE, tags=("A1", "W13", "J4"))
+def candles_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-minute candle grid with forward-filled close over the
+    first trading week (operators.candles.gap_fill_candles): every
+    (symbol, traded-day, minute) slot exists, gaps carry the last
+    close with volume 0 / trades 0 and an is_gap_fill flag — the
+    densification downstream charting/backtests need where the
+    reference only logs gap positions (W13)."""
+    from auto_trade_data_pipeline_spark.operators.candles import gap_fill_candles
+
+    c1m = aggregate_candles(ticks_from_events(spark, sf_dir), 60).filter(
+        F.col("timestamp") < F.lit("2024-01-08")
+    )
+    dense = gap_fill_candles(c1m, seconds=60)
+    return dense.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        F.round("close_ff", 4).alias("close_ff"),
+        F.round("volume", 4).alias("volume"),
+        "number_of_trades",
+        "is_gap_fill",
+    )

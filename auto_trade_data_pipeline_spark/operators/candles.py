@@ -117,3 +117,49 @@ def candles_to_ticks(candles: DataFrame) -> DataFrame:
         "volume",
         F.unix_timestamp("timestamp").alias("tick_id"),
     )
+
+
+def gap_fill_candles(candles: DataFrame, seconds: int = 60) -> DataFrame:
+    """Dense the candle series: emit one row per `seconds` bucket on a
+    per-(symbol, traded-day) grid, forward-filling `close` across
+    gaps (the standard chart/backtest densification the reference
+    only *logs* gaps for, ``src/candle_to_calcs.py:113-128``).
+
+    Shape at 100 TB: the grid is generated per (symbol, day) — a
+    dimension-sized distinct + one sequence/explode per day row, so
+    grid construction parallelizes across days, never one task per
+    symbol. The forward fill is a running `last(ignorenulls)` window
+    per symbol — inherently sequential per symbol (same class as the
+    recursive indicators; Spark evaluates running frames in one
+    incremental pass). Filled rows carry volume 0, trades 0, null
+    vwap, and an `is_gap_fill` flag; rows before a symbol's first
+    candle keep a null close (nothing to fill from).
+    """
+    from pyspark.sql.window import Window
+
+    day = F.date_trunc("day", F.col("timestamp"))
+    step = F.expr(f"INTERVAL {seconds} SECONDS")
+    last_slot = F.col("day") + F.expr("INTERVAL 1 DAY") - step
+    days = candles.select("symbol", day.alias("day")).distinct()
+    grid = days.select(
+        "symbol",
+        F.explode(F.sequence(F.col("day"), last_slot, step)).alias("timestamp"),
+    )
+    joined = grid.join(
+        candles.select("symbol", "timestamp", "close", "volume", "number_of_trades"),
+        ["symbol", "timestamp"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "symbol",
+        "timestamp",
+        F.last("close", ignorenulls=True).over(w).alias("close_ff"),
+        F.coalesce("volume", F.lit(0.0)).alias("volume"),
+        F.coalesce("number_of_trades", F.lit(0)).alias("number_of_trades"),
+        F.when(F.col("close").isNull(), 1).otherwise(0).alias("is_gap_fill"),
+    )

@@ -84,3 +84,33 @@ def test_timeframe_parameterization(spark, sf_small):
     # bucket boundaries land on the timeframe grid
     off = c60.filter(F.unix_timestamp("timestamp") % 60 != 0).count()
     assert off == 0
+
+
+def test_gap_fill_dense_grid_and_forward_fill(spark):
+    """Hand-built fixture: two candles 3 minutes apart on one day —
+    the dense grid has all 1440 slots, the in-between minutes carry
+    the forward-filled close with volume 0 and the flag set, and
+    minutes before the first candle stay null."""
+    import datetime as dt
+
+    from auto_trade_data_pipeline_spark.operators.candles import gap_fill_candles
+
+    d = dt.datetime(2024, 3, 4)
+    rows = [
+        ("S", d + dt.timedelta(minutes=10), 5.0, 7.0, 4.0, 6.0, 100.0, 3, 5.5),
+        ("S", d + dt.timedelta(minutes=13), 6.5, 6.5, 6.5, 6.5, 50.0, 1, 6.5),
+    ]
+    candles = spark.createDataFrame(
+        rows,
+        "symbol string, timestamp timestamp, open double, high double, low double,"
+        " close double, volume double, number_of_trades long, vwap double",
+    )
+    out = gap_fill_candles(candles, seconds=60).collect()
+    by_min = {r["timestamp"].minute + 60 * r["timestamp"].hour: r for r in out}
+    assert len(out) == 1440 and len(by_min) == 1440
+    assert by_min[9]["close_ff"] is None and by_min[9]["is_gap_fill"] == 1
+    assert by_min[10]["close_ff"] == 6.0 and by_min[10]["is_gap_fill"] == 0
+    assert by_min[11]["close_ff"] == 6.0 and by_min[11]["is_gap_fill"] == 1
+    assert by_min[12]["close_ff"] == 6.0 and by_min[12]["volume"] == 0.0
+    assert by_min[13]["close_ff"] == 6.5 and by_min[13]["is_gap_fill"] == 0
+    assert by_min[1439]["close_ff"] == 6.5 and by_min[1439]["number_of_trades"] == 0

@@ -109,3 +109,23 @@ def test_char_shingles_short_text_empty(spark):
         for r in df.select("id", TX.char_shingles(F.col("t"), 5).alias("sh")).collect()
     }
     assert out[1] == [] and out[2] == ["abcde"]
+
+
+def test_lm_quality_score_orders_common_before_rare(spark):
+    """A doc of corpus-common tokens must score lower (more fluent)
+    than a doc of corpus-unique tokens; token counts are exact."""
+    from auto_trade_data_pipeline_spark.corpus.clean import lm_quality_score
+    import tempfile, os
+
+    # Build a tiny documents table: 9 docs of 'the cat sat', 1 of rare noise.
+    rows = [(i, "the cat sat the cat sat", "en", "srcA", 23) for i in range(9)]
+    rows.append((9, "zyx qwv jkp", "en", "srcA", 11))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in lm_quality_score(spark, d).collect()}
+    assert out[0]["n_tokens"] == 6 and out[9]["n_tokens"] == 3
+    assert out[0]["avg_neg_logprob"] < out[9]["avg_neg_logprob"]
+    assert all(out[i]["avg_neg_logprob"] == out[0]["avg_neg_logprob"] for i in range(9))
