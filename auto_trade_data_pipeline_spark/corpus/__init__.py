@@ -129,6 +129,9 @@ _ORDER = [
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_priority_counts",
+    "tpch_q14_promo_revenue",
     "dedup_embedding_srp",
     "global_rank_orders",
     "candles_gap_fill",

@@ -392,3 +392,151 @@ def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return global_row_number(o, ["o_orderdate", "o_orderkey"]).select("o_orderkey", "row_num")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item revenue (who sent things back)
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(sum({_REVENUE_CENTS}) AS BIGINT) / 10000.0 AS revenue,
+       round(c.c_acctbal, 2) AS acctbal
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned_items", _Q10_ORACLE, tags=("J4", "O2"))
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue of RETURNED items in a
+    half-year window. Plan shape: the returnflag filter prunes
+    lineitem at the scan, the order-date filter prunes orders; the
+    customer join is the only fact-x-fact shuffle; nation broadcasts;
+    the top-20 is TakeOrderedAndProject (integer-cent revenue +
+    custkey tiebreak -> deterministic)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(100) - F.col("l_discount") * 100, 1)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: service-level conditional counts (late shipments
+# by return class — the testdata has no l_shipmode column, so the
+# return flag plays the grouping axis; the conditional-agg-over-join
+# shape is Q12's)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+@register("tpch_q12_late_priority_counts", _Q12_ORACLE, tags=("J4", "A4"))
+def tpch_q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per return class, how many LATE lineitems
+    (shipped >60 days after order) belong to high- vs low-priority
+    orders — the conditional-aggregation-over-join pattern. The
+    lateness predicate is a non-equi join condition evaluated at the
+    join, the priority CASE folds map-side into two partial sums per
+    group; the shuffle carries 3 groups x 2 longs."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14: promotion revenue share (conditional ratio aggregate)
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REVENUE_CENTS} ELSE 0 END)
+         / (1.0 * sum({_REVENUE_CENTS})), 6) AS promo_revenue_pct,
+       count(*) AS line_count
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+@register("tpch_q14_promo_revenue", _Q14_ORACLE, tags=("J4", "F-math"))
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from PROMO parts — a
+    global conditional-ratio aggregate over a fact |><| broadcast-dim
+    join (part is dimension-sized). Both numerator and denominator
+    are exact integer-cent sums; the division happens once, on the
+    final single row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(100) - F.col("l_discount") * 100, 1)
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo) / (1.0 * F.sum(rev)), 6
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
