@@ -136,6 +136,7 @@ _ORDER = [
     "global_rank_orders",
     "candles_gap_fill",
     "lm_quality_score",
+    "table_profile_orders",
     "window_function_family",
     "grouping_sets_revenue",
     "scalar_subquery_above_avg",

@@ -540,3 +540,42 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table profile (one-pass per-column statistics)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_value,
+       max(CAST({c} AS VARCHAR)) AS max_value
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("table_profile_orders", _PROFILE_ORACLE, tags=("A5", "A9"))
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE `orders`: per-column rows/nulls/exact-distinct/lexical
+    min-max in one pass (operators/profile.py) — stack-unpivot then a
+    single shuffle keyed by column name. The exact distinct shuffles
+    the (stringified) values — the honest cost of an exact answer;
+    the `exact=False` HLL path is the fact-scale production variant
+    (sketches merge map-side; shuffle is k sketches, not k x n
+    values)."""
+    from auto_trade_data_pipeline_spark.operators.profile import table_profile
+
+    return table_profile(load_table(spark, sf_dir, "orders"), exact=True)

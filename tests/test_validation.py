@@ -38,3 +38,23 @@ def test_candle_predicate_and_any_check(spark):
     assert not has_violations(good, candle_valid_predicate())
     assert has_violations(bad, candle_valid_predicate())
     assert has_violations(good.unionByName(bad), candle_valid_predicate())
+
+
+def test_table_profile_exact_and_approx_paths(spark):
+    """The exact profile counts are literal; the HLL path keeps the
+    same schema and lands within the sketch's error envelope."""
+    from auto_trade_data_pipeline_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (2, "b", 1.5), (None, None, 2.5)],
+        "k long, s string, v double",
+    )
+    prof = {r["column_name"]: r for r in table_profile(df).collect()}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_nulls"] == 1
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
+    assert prof["v"]["n_distinct"] == 2 and prof["v"]["n_nulls"] == 1
+    approx = {r["column_name"]: r for r in table_profile(df, exact=False).collect()}
+    assert set(approx) == set(prof)
+    for c in prof:
+        assert abs(approx[c]["n_distinct"] - prof[c]["n_distinct"]) <= 1
