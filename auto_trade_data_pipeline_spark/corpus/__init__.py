@@ -89,13 +89,21 @@ _ORDER = [
     "doc_chunks",
     "repetition_profile",
     "contamination_check",
+    # round-3 novel mechanisms — rotated INTO the driver window this
+    # round (custom machinery benefits most from a driver row); the
+    # three rotated out (daily_key_levels, join_broadcast_nation_region,
+    # symbol_stats) stay oracled + locally verified, and their
+    # operators (A7, J4, A4/A9) remain driver-covered by
+    # rolling_window_features, join_order_revenue, and
+    # tick_quality_report respectively
+    "global_rank_orders",
+    "candles_gap_fill",
+    "dedup_embedding_srp",
     # stable green oracled queries
     "candles_1s",
     "dedup_keep_last",
     "validation_split_invalid",
     "filter_time_symbol_weekend",
-    "symbol_stats",
-    "daily_key_levels",
     "session_flags",
     "rolling_window_features",
     "gap_report",
@@ -107,7 +115,6 @@ _ORDER = [
     "session_window_agg",
     "tpch_q1_pricing_summary",
     "join_order_revenue",
-    "join_broadcast_nation_region",
     "dedup_exact_text",
     "dedup_near_minhash_lsh",
     "dedup_simhash",
@@ -119,6 +126,9 @@ _ORDER = [
     # locally per-round via tools/verify_local.py instead; the ops
     # they pin are either redundant with in-budget queries
     # (salted/json/norm-stats/top-k variants) or additive surface
+    "symbol_stats",
+    "daily_key_levels",
+    "join_broadcast_nation_region",
     "salted_symbol_stats",
     "json_props_stats",
     "embedding_norm_stats",
@@ -132,9 +142,6 @@ _ORDER = [
     "tpch_q10_returned_items",
     "tpch_q12_late_priority_counts",
     "tpch_q14_promo_revenue",
-    "dedup_embedding_srp",
-    "global_rank_orders",
-    "candles_gap_fill",
     "lm_quality_score",
     "table_profile_orders",
     "window_function_family",
