@@ -205,3 +205,84 @@ def test_cc_star_equals_propagation_on_random_graphs(edges):
     prop = {r.node: r.component for r in connected_components(df, max_iters=40).collect()}
     star = {r.node: r.component for r in connected_components_star(df).collect()}
     assert star == prop
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),   # order key space w/ dups
+            st.integers(min_value=0, max_value=365),      # day offset
+        ),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    ),
+    parts=st.sampled_from([1, 3, 7]),
+)
+@_settings
+def test_global_row_number_partition_invariant(rows, parts):
+    """The distributed global rank must equal the single-machine
+    sorted position for EVERY choice of partition count — contiguous
+    1..n, no collisions, and invariant to how ranges are cut."""
+    from auto_trade_data_pipeline_spark.operators.ranking import global_row_number
+
+    data = [(k, BASE + timedelta(days=d), i) for i, (k, d) in enumerate(rows)]
+    df = _spark.createDataFrame(data, "k long, ts timestamp, uid long")
+    out = global_row_number(df, ["ts", "k", "uid"], num_partitions=parts).collect()
+    got = {(r["k"], r["ts"], r["uid"]): r["row_num"] for r in out}
+    want = {
+        t: i + 1
+        for i, t in enumerate(sorted(got, key=lambda t: (t[1], t[0], t[2])))
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=2),        # day
+            st.integers(min_value=0, max_value=1439),     # minute of day
+            st.floats(min_value=1, max_value=50, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    )
+)
+@_settings
+def test_gap_fill_grid_complete_and_fill_matches_pandas(rows):
+    """Gap fill on random sparse candles: the grid is exactly
+    1440 x traded-days per symbol, real slots keep their close, and
+    every filled slot equals pandas' ffill on the same grid."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.operators.candles import gap_fill_candles
+
+    day0 = datetime(2024, 3, 1)
+    data = [
+        (s, day0 + timedelta(days=d, minutes=m), float(p), float(p), float(p),
+         float(p), 10.0, 1, float(p))
+        for (s, d, m, p) in rows
+    ]
+    df = _spark.createDataFrame(
+        data,
+        "symbol string, timestamp timestamp, open double, high double, low double,"
+        " close double, volume double, number_of_trades long, vwap double",
+    )
+    out = gap_fill_candles(df, seconds=60).toPandas()
+    src = pd.DataFrame(data, columns="symbol timestamp open high low close volume number_of_trades vwap".split())
+    for sym, g in out.groupby("symbol"):
+        days = {t.normalize() for t in src[src.symbol == sym]["timestamp"]}
+        assert len(g) == 1440 * len(days)
+        g = g.sort_values("timestamp").reset_index(drop=True)
+        grid = pd.DataFrame({"timestamp": sorted(
+            d + pd.Timedelta(minutes=m) for d in days for m in range(1440)
+        )})
+        ref = grid.merge(src[src.symbol == sym][["timestamp", "close"]], on="timestamp", how="left")
+        ref["close_ff"] = ref["close"].ffill()
+        pd.testing.assert_series_equal(
+            g["close_ff"], ref["close_ff"], check_names=False, check_index=False
+        )
+        filled = g[g["is_gap_fill"] == 1]
+        assert (filled["volume"] == 0).all() and (filled["number_of_trades"] == 0).all()
