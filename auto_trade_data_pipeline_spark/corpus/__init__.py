@@ -143,6 +143,8 @@ _ORDER = [
     "tpch_q12_late_priority_counts",
     "tpch_q14_promo_revenue",
     "lm_quality_score",
+    "funnel_conversion",
+    "cohort_retention",
     "table_profile_orders",
     "window_function_family",
     "grouping_sets_revenue",
@@ -173,6 +175,7 @@ def load_all() -> dict[str, Query]:
         anchors,
         clean,
         enrich,
+        events_analytics,
         ext,
         indicators,
         relational,

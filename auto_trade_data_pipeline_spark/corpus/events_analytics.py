@@ -1,0 +1,142 @@
+"""Event-analytics corpus (product-analytics families over the
+driver's ``events`` table): funnel conversion and cohort retention —
+the two workhorse queries of any behavioral warehouse, expressed as
+staged aggregates (never a per-user Python loop).
+
+Both are driver-oracled: timestamps reduce to date/bucket strings and
+counts, so parity is exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.sources import load_table
+
+_EVENTS_CTE = """
+ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+  FROM events
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: view -> click -> purchase
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = f"""
+WITH {_EVENTS_CTE},
+s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 2 HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 2 HOUR
+  GROUP BY e.user_id
+),
+st AS (
+  SELECT s1.user_id,
+         CASE WHEN s3.t3 IS NOT NULL THEN 3
+              WHEN s2.t2 IS NOT NULL THEN 2
+              ELSE 1 END AS reached_stage
+  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s1.user_id = s3.user_id
+)
+SELECT reached_stage, count(*) AS n_users
+FROM st GROUP BY reached_stage
+"""
+
+
+@register("funnel_conversion", _FUNNEL_ORACLE, tags=("A4", "J4"))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: per user, the first
+    view, the first click strictly after it, the first purchase
+    strictly after that; users counted at their furthest stage.
+
+    Implementation is staged aggregation — one groupBy per stage over
+    a strictly shrinking user set, each join keyed by user_id (the
+    same shuffle key throughout, so Catalyst/AQE reuses the
+    partitioning; no per-user collect_list, no Python). At 100 TB the
+    stage-k input is only users who survived stage k-1."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 2 HOURS")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 2 HOURS")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    st = (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("reached_stage")
+        )
+    )
+    return st.groupBy("reached_stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: weekly first-seen cohorts x activity-week offsets
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = f"""
+WITH {_EVENTS_CTE},
+wk AS (
+  SELECT user_id, date_trunc('week', ts) AS week FROM ev
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('week', c.cohort_week, w.week) AS INT) AS week_offset,
+       count(DISTINCT w.user_id) AS active_users
+FROM wk w JOIN cohort c ON w.user_id = c.user_id
+GROUP BY c.cohort_week, date_diff('week', c.cohort_week, w.week)
+"""
+
+
+@register("cohort_retention", _RETENTION_ORACLE, tags=("A4", "A9", "J4"))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    ISO week, distinct-active counts per (cohort, week offset). Two
+    shuffles — the cohort min and the final distinct count — both
+    keyed uniformly; the cohort table is user-dimension-sized and
+    joins back on the same user_id key."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    offset = (
+        F.datediff(F.col("week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
