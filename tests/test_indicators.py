@@ -282,3 +282,49 @@ def test_golden_pinned_outputs(series):
         ),
     }
     assert got == GOLDEN_HASHES
+
+
+def test_pandas_udf_surface_matches_expression_twins(spark):
+    """SURVEY §2.10: the vectorized-scalar and grouped-agg pandas_udf
+    forms must agree exactly with their JVM expression twins (which
+    are the hot path)."""
+    from pyspark.sql import functions as F
+
+    from auto_trade_data_pipeline_spark.functions.udfs import (
+        typical_price_udf,
+        vwap_agg_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("A", 10.0, 8.0, 9.0, 5.0),
+            ("A", 12.0, 9.0, 11.0, 0.0),
+            ("B", 7.0, 6.0, 6.5, 2.0),
+            ("C", 3.0, 2.0, 2.5, 0.0),  # zero-volume group -> null VWAP
+        ],
+        "symbol string, high double, low double, close double, volume double",
+    )
+    tp = df.select(
+        typical_price_udf("high", "low", "close").alias("u"),
+        ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias("e"),
+    ).collect()
+    assert all(r["u"] == r["e"] for r in tp)
+
+    got = {
+        r["symbol"]: r["vwap"]
+        for r in df.groupBy("symbol")
+        .agg(vwap_agg_udf(F.col("close"), F.col("volume")).alias("vwap"))
+        .collect()
+    }
+    want = {
+        r["symbol"]: r["vwap"]
+        for r in df.groupBy("symbol")
+        .agg(
+            F.when(
+                F.sum("volume") > 0,
+                F.sum(F.col("close") * F.col("volume")) / F.sum("volume"),
+            ).alias("vwap")
+        )
+        .collect()
+    }
+    assert got == want and got["C"] is None
