@@ -379,7 +379,7 @@ FROM orders
 """
 
 
-@register("global_rank_orders", _GLOBAL_RANK_ORACLE, tags=("O1", "W-rank"))
+@register("global_rank_orders", _GLOBAL_RANK_ORACLE, tags=("O1", "W-rank", "bench"))
 def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global rank of every order by (orderdate, orderkey)
     — computed WITHOUT `Window.orderBy` sans partition (which plans

@@ -667,7 +667,7 @@ FROM j
 """
 
 
-@register("candles_gap_fill", _GAP_FILL_ORACLE, tags=("A1", "W13", "J4"))
+@register("candles_gap_fill", _GAP_FILL_ORACLE, tags=("A1", "W13", "J4", "bench"))
 def candles_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense per-minute candle grid with forward-filled close over the
     first trading week (operators.candles.gap_fill_candles): every

@@ -328,3 +328,47 @@ def test_pandas_udf_surface_matches_expression_twins(spark):
         .collect()
     }
     assert got == want and got["C"] is None
+
+
+def test_session_calendar_udtf_partitions_day_and_matches_flags(spark):
+    """The UDTF calendar must partition the 1440-minute day exactly
+    and agree with the W12 flag expressions for every minute."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from auto_trade_data_pipeline_spark.functions.udfs import SessionCalendar
+    from auto_trade_data_pipeline_spark.operators.windows import (
+        SESSION_FLAGS,
+        with_session_flags,
+    )
+
+    spark.udtf.register("session_calendar", SessionCalendar)
+    cal = spark.sql("SELECT * FROM session_calendar()").collect()
+    assert len(cal) == 12
+    spans = sorted((r["start_minute"], r["end_minute"]) for r in cal)
+    assert spans[0][0] == 0 and spans[-1][1] == 1440
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))  # no gap/overlap
+
+    # One tick per minute of a NY winter day (UTC-5): flags vs calendar.
+    base = dt.datetime(2024, 1, 16, 5, 0, 0)  # 00:00 NY in UTC
+    ticks = spark.createDataFrame(
+        [("S", base + dt.timedelta(minutes=i)) for i in range(1440)],
+        "symbol string, timestamp timestamp",
+    )
+    flagged = with_session_flags(ticks)
+    minute_of_day = (
+        F.hour(F.from_utc_timestamp("timestamp", "America/New_York")) * 60
+        + F.minute(F.from_utc_timestamp("timestamp", "America/New_York"))
+    )
+    cal_df = F.broadcast(spark.sql("SELECT * FROM session_calendar()"))
+    joined = flagged.withColumn("mod", minute_of_day).join(
+        cal_df,
+        (F.col("mod") >= F.col("start_minute")) & (F.col("mod") < F.col("end_minute")),
+    )
+    assert joined.count() == 1440  # every minute in exactly one session
+    for name in SESSION_FLAGS:
+        mismatch = joined.filter(
+            (F.col("session_name") == name) & (F.col(name) != 1)
+        ).count()
+        assert mismatch == 0, name
