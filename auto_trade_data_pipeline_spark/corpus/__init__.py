@@ -156,6 +156,11 @@ _ORDER = [
     "corpus_keep_decision",
     "quality_percentile_gate",
     "source_mix_sample",
+    "tpch_q13_custdist",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",
@@ -181,6 +186,7 @@ def load_all() -> dict[str, Query]:
         relational,
         stream,
         tpch,
+        tpch_deep,
         trade,
     )
 

@@ -267,3 +267,45 @@ def test_global_rank_has_no_single_partition_exchange(spark, sf_med):
     n = df.count()
     agg = df.agg(F.min("row_num"), F.max("row_num"), F.count_distinct("row_num")).first()
     assert (agg[0], agg[1], agg[2]) == (1, n, n)
+
+
+def test_q19_pushes_quantity_envelope_and_broadcasts_part(spark, sf_med):
+    """TPC-H Q19: the factored single-table conjuncts must reach the
+    scans — the quantity envelope [1, 30] as a pushed filter on
+    lineitem, the brand/size disjunction pruning part before a
+    broadcast — with the full OR-of-ANDs applied as a join residual,
+    never as a post-join cartesian blow-up."""
+    from auto_trade_data_pipeline_spark.corpus.tpch_deep import tpch_q19_disjunctive_revenue
+
+    plan = _plan(tpch_q19_disjunctive_revenue(spark, sf_med))
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_fact_scan_no_self_join(spark, sf_med):
+    """Q21's double EXISTS/NOT EXISTS correlation must decorrelate
+    into cascaded aggregates over ONE lineitem scan (naive plans scan
+    the fact table three times), and the two aggregates must reuse
+    the l_orderkey exchange rather than reshuffling."""
+    from auto_trade_data_pipeline_spark.corpus.tpch_deep import tpch_q21_waiting_supplier
+
+    spark.catalog.clearCache()
+    plan = _plan(tpch_q21_waiting_supplier(spark, sf_med))
+    assert plan.count("lineitem.parquet") == 1
+    # one exchange for the o_orderkey equi join + one for the
+    # (l_orderkey, l_suppkey) aggregate; the per-order re-aggregate
+    # is a prefix of the same key so no third fact-sized exchange
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q22_scalar_is_broadcast_and_anti_join(spark, sf_med):
+    """Q22: the global average must flow in as a one-row broadcast
+    (BroadcastNestedLoopJoin over a single aggregate row — no
+    driver collect), and NOT EXISTS must be a left-anti join."""
+    from auto_trade_data_pipeline_spark.corpus.tpch_deep import tpch_q22_idle_customers
+
+    plan = _plan(tpch_q22_idle_customers(spark, sf_med))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
