@@ -156,6 +156,7 @@ _ORDER = [
     "corpus_keep_decision",
     "quality_percentile_gate",
     "source_mix_sample",
+    "scd2_user_state",
     "tpch_q13_custdist",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",

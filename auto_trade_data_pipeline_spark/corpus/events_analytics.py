@@ -140,3 +140,55 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 user-state history
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+WITH {_EVENTS_CTE},
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+          OR event_type IS DISTINCT FROM
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS chg
+  FROM ev
+),
+islands AS (
+  SELECT user_id, event_type AS state, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+  FROM flagged WHERE chg
+)
+SELECT user_id, state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS is_current
+FROM islands
+"""
+
+
+@register("scd2_user_state", _SCD2_ORACLE, tags=("S7", "A7", "W-rank"))
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each user's event_type state: one row per
+    state island with half-open [valid_from, valid_to) validity and an
+    is_current flag, consecutive duplicates collapsed. One exchange on
+    user_id carries the change-flag lag, the island filter, and the
+    valid_to lead (the filter preserves partitioning — no second
+    shuffle); output cardinality is the number of state CHANGES, so at
+    100 TB the history is never larger than the log and usually far
+    smaller. Ties broken by event_id for a deterministic history."""
+    from auto_trade_data_pipeline_spark.operators.scd import scd2_from_changelog
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        ev, keys=("user_id",), ts_col="ts", state_cols=("event_type",),
+        tiebreak=("event_id",),
+    )
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        "is_current",
+    )
