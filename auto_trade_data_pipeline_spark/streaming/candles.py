@@ -28,11 +28,16 @@ __all__ = [
     "run_available_now",
 ]
 
-#: Raw driver events schema (ts is TIMESTAMP(NANOS) in the parquet —
-#: read as long under spark.sql.legacy.parquet.nanosAsLong, then
-#: truncated to micros exactly like the batch loader).
-_EVENTS_RAW = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string,"
+#: Raw driver events schema. The physical type of ``ts`` depends on the
+#: testdata generation: TIMESTAMP(NANOS) (read as long under
+#: spark.sql.legacy.parquet.nanosAsLong, then truncated to micros) or a
+#: plain parquet TIMESTAMP (micros, possibly NTZ). A file-source stream
+#: needs a declared schema up front, so we probe the footer once with a
+#: batch read (driver-side metadata only) and build the matching schema
+#: + conversion — keeping the stream in lockstep with
+#: ``sources.files.load_table``.
+_EVENTS_RAW_TEMPLATE = (
+    "event_id bigint, ts {ts_type}, user_id bigint, event_type string,"
     " value double, props string"
 )
 
@@ -47,9 +52,20 @@ def read_ticks_stream(
     # the session (an untuned driver session won't have them).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyspark.sql.types as T
+
+    footer = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_actual = {f.name: f.dataType for f in footer.fields}["ts"]
+    if isinstance(ts_actual, T.LongType):
+        ts_decl, ts_expr = "bigint", F.timestamp_micros(F.expr("ts div 1000"))
+    elif isinstance(ts_actual, T.TimestampNTZType):
+        # Session tz is pinned UTC above, so this relabel does not shift.
+        ts_decl, ts_expr = "timestamp_ntz", F.col("ts").cast(T.TimestampType())
+    else:
+        ts_decl, ts_expr = "timestamp", F.col("ts")
     reader = (
         spark.readStream.format("parquet")
-        .schema(_EVENTS_RAW)
+        .schema(_EVENTS_RAW_TEMPLATE.format(ts_type=ts_decl))
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
@@ -57,7 +73,7 @@ def read_ticks_stream(
     ev = reader.load(sf_dir)
     return ev.select(
         F.col("event_type").alias("symbol"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+        ts_expr.alias("timestamp"),
         F.col("value").alias("price"),
         F.when(F.col("event_id") % 10 == 0, F.lit(0.0))
         .otherwise(F.round(F.abs(F.col("value")) * 100, 0))
