@@ -52,10 +52,17 @@ def connected_components(
     ever produce, and the large-star/small-star variant (see module
     docstring) is the right tool.
     """
+    # Materialize the edge list BEFORE symmetrizing: the union below
+    # references the input twice, and without a checkpoint first the
+    # whole upstream plan (often an expensive LSH self-join) executes
+    # once per branch. Checkpointing first runs it once and the union
+    # reads the tiny materialized pair list.
+    edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     # Symmetrize once: propagation must flow both ways along a pair.
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    und = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    und = edges.unionByName(rev).distinct().localCheckpoint(eager=True)
 
     labels = (
         und.select(F.col("u").alias("node"))
@@ -71,6 +78,11 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # Lazy checkpoint + full-count probe = ONE job per round: the
+        # count computes every partition, which materializes the
+        # checkpoint as a side effect (eager=True plus a separate
+        # isEmpty probe would schedule two jobs per round — pure
+        # overhead in the many-rounds regime).
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -80,11 +92,11 @@ def connected_components(
                 ),
                 F.col("component").alias("__prev"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        converged = new_labels.filter(F.col("component") != F.col("__prev")).isEmpty()
+        changed = new_labels.filter(F.col("component") != F.col("__prev")).count()
         labels = new_labels.drop("__prev")
-        if converged:
+        if changed == 0:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
@@ -148,7 +160,10 @@ def connected_components_star(
     )
     prev_sig = None
     for _ in range(max_iters):
-        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        # Lazy checkpoint: the signature aggregate below scans every
+        # row, materializing the checkpoint in the same job as the
+        # convergence probe (one job per round, not two).
+        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=False)
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             # Order-independent, overflow-free set checksum (edges are

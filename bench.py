@@ -54,12 +54,16 @@ def main() -> int:
     # plans, not first-touch session setup.
     load_table(spark, sf_dir, "events").limit(1).count()
 
-    # Two passes, min per query: the first pass pays whole-stage
-    # codegen compilation and JIT warm-up; the min is the steady-state
-    # engine time and is stable round-over-round.
+    # Two back-to-back passes per query, min: the first pass pays
+    # whole-stage codegen compilation, JIT warm-up, and fills the
+    # query's own persisted intermediates; the min is the steady-state
+    # engine time. Caches are dropped BETWEEN queries (not between a
+    # query's passes), so query N+1 never pays query N's
+    # executor-memory pressure and timings match single-query
+    # isolation.
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in names:
+    for name in names:
+        for _pass in range(2):
             t0 = time.perf_counter()
             try:
                 df = registry[name].fn(spark, sf_dir)
@@ -70,6 +74,8 @@ def main() -> int:
             except Exception as exc:  # one broken query must not kill the bench
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
                 timings[name] = -1.0
+                break
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
