@@ -163,6 +163,15 @@ _ORDER = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q18_large_volume_customers",
+    "tpch_q20_concentrated_demand",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",
@@ -189,6 +198,7 @@ def load_all() -> dict[str, Query]:
         stream,
         tpch,
         tpch_deep,
+        tpch_rest,
         trade,
     )
 
