@@ -579,3 +579,54 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_trade_data_pipeline_spark.operators.profile import table_profile
 
     return table_profile(load_table(spark, sf_dir, "orders"), exact=True)
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: daily order/shipment reconciliation
+# ---------------------------------------------------------------------------
+
+_FULL_OUTER_ORACLE = """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+sd AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_shipments
+  FROM lineitem GROUP BY 1
+)
+SELECT strftime(coalesce(od.d, sd.d), '%Y-%m-%d') AS day,
+       coalesce(od.n_orders, 0) AS n_orders,
+       coalesce(sd.n_shipments, 0) AS n_shipments,
+       CASE WHEN od.d IS NULL THEN 'ship_only'
+            WHEN sd.d IS NULL THEN 'order_only'
+            ELSE 'both' END AS presence
+FROM od FULL OUTER JOIN sd ON od.d = sd.d
+"""
+
+
+@register("full_outer_daily_reconciliation", _FULL_OUTER_ORACLE, tags=("J4",))
+def full_outer_daily_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the rest of the corpus does
+    not exercise): per-day order placements reconciled against per-day
+    line shipments, keeping days present on either side with a
+    presence marker. Both sides are PRE-AGGREGATED to one row per day
+    before the join, so the full-outer shuffle carries |days| rows,
+    not |facts| — the at-scale shape for reconciliation reports."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sd = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_shipments")
+    )
+    j = od.join(sd, od.d == sd.d, "full_outer")
+    return j.select(
+        F.date_format(F.coalesce(od.d, sd.d), "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce("n_shipments", F.lit(0).cast("long")).alias("n_shipments"),
+        F.when(od.d.isNull(), "ship_only")
+        .when(sd.d.isNull(), "order_only")
+        .otherwise("both")
+        .alias("presence"),
+    )

@@ -43,3 +43,8 @@ from auto_trade_data_pipeline_spark.streaming.candles import (  # noqa: F401
     streaming_dedup,
     streaming_running_vwap,
 )
+from auto_trade_data_pipeline_spark.streaming.sink import (  # noqa: F401
+    apply_upsert_batch,
+    committed_batches,
+    stream_upsert_writer,
+)

@@ -274,3 +274,88 @@ def test_tws_running_vwap_plans_without_start(spark, tmp_path):
         ("total_rows", "bigint"),
         ("running_vwap", "double"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once foreachBatch upsert sink
+# ---------------------------------------------------------------------------
+
+
+def test_stream_upsert_sink_exactly_once(spark, tmp_path):
+    """The foreachBatch upsert sink lands the keyed keep-last table;
+    re-delivered batch ids are skipped via commit markers; and a FULL
+    replay with fresh batch ids converges by value (no duplicates)."""
+    from auto_trade_data_pipeline_spark.operators.dedup import dedup_keep_last
+    from auto_trade_data_pipeline_spark.streaming.sink import (
+        apply_upsert_batch,
+        committed_batches,
+        stream_upsert_writer,
+    )
+
+    rows = [
+        ("A", 1, 10.0, 0), ("A", 2, 11.0, 1), ("B", 1, 20.0, 2),
+        ("A", 2, 12.0, 3),  # same key, higher seq -> keep-last wins
+        ("B", 2, 21.0, 4), ("C", 1, 30.0, 5),
+    ]
+    schema = "symbol string, k long, price double, seq long"
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    import glob as _glob
+    import shutil as _shutil
+
+    for b in range(2):
+        part = rows[b * 3:(b + 1) * 3]
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(f"{tmp_path}/b{b}")
+        for i, f in enumerate(_glob.glob(f"{tmp_path}/b{b}/part-*.parquet")):
+            _shutil.copy(f, data_dir / f"f_{b}_{i}.parquet")
+
+    target = str(tmp_path / "table")
+
+    def _run_stream():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(data_dir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                stream_upsert_writer(target, ["symbol", "k"], "seq")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run_stream()
+    batch_all = spark.createDataFrame(rows, schema)
+    expected = {
+        (r["symbol"], r["k"]): r["price"]
+        for r in dedup_keep_last(batch_all, ["symbol", "k"], ["seq"]).collect()
+    }
+    got = {
+        (r["symbol"], r["k"]): r["price"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == expected
+    assert len(committed_batches(target)) >= 1
+
+    # Re-delivery of an already-committed batch id: skipped outright,
+    # even with different (garbage) content.
+    garbage = spark.createDataFrame([("Z", 99, -1.0, 999)], schema)
+    bid = max(committed_batches(target))
+    assert apply_upsert_batch(garbage, bid, target, ["symbol", "k"], "seq") is False
+    assert {
+        (r["symbol"], r["k"]): r["price"]
+        for r in spark.read.parquet(target).collect()
+    } == expected
+
+    # Full replay with FRESH batch ids (checkpoint lost): idempotent
+    # by value — re-upserting the same rows changes nothing.
+    replay = spark.createDataFrame(rows, schema)
+    assert apply_upsert_batch(replay, bid + 1000, target, ["symbol", "k"], "seq") is True
+    assert {
+        (r["symbol"], r["k"]): r["price"]
+        for r in spark.read.parquet(target).collect()
+    } == expected
