@@ -261,3 +261,25 @@ def test_winnow_overlap_drops_boilerplate_fingerprints(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (100, 101) in pairs
     assert all(a >= 100 for a, _ in pairs), f"boilerplate-only pair leaked: {pairs}"
+
+
+def test_decode_stats_codec_selection(spark):
+    """codec='pil' must select the real decoder and fail LOUDLY where
+    Pillow is absent (never silently fall back to the stand-in); the
+    stub path stays the deterministic default."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "en", "web", 5, "hello")],
+        "doc_id long, lang string, source string, n_chars long, text string",
+    )
+    assert decode_stats(df, codec="stub").count() == 1
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with _pytest.raises(Exception):  # ImportError inside the task
+            decode_stats(df, codec="pil").count()
