@@ -173,6 +173,7 @@ _ORDER = [
     "tpch_q18_large_volume_customers",
     "tpch_q20_concentrated_demand",
     "full_outer_daily_reconciliation",
+    "rolling_active_users",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -192,3 +192,64 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (DAU/WAU shape)
+# ---------------------------------------------------------------------------
+
+_ROLLING_ACTIVE_ORACLE = f"""
+WITH {_EVENTS_CTE},
+du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM ev
+),
+days AS (SELECT DISTINCT d FROM du)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       count(DISTINCT du.user_id) AS active_7d,
+       count(DISTINCT CASE WHEN du.d = days.d THEN du.user_id END) AS active_1d
+FROM days
+JOIN du ON du.d > days.d - 7 AND du.d <= days.d
+GROUP BY days.d
+"""
+
+
+@register("rolling_active_users", _ROLLING_ACTIVE_ORACLE, tags=("A9", "A7"))
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the DAU/WAU
+    family). Scale shape: dedupe to (day, user) pairs FIRST (one
+    shuffle on the pair — drops the raw event volume), then each pair
+    is EXPLODED to the <=7 report days it contributes to (a bounded
+    x7 fan-out of small rows, no range join against the fact table)
+    and counted distinct per report day. The 1-day count rides the
+    same aggregation as a conditional distinct. The oracle states the
+    same semantics as a range join — declarative form vs the bounded
+    fan-out the engine prefers at 100 TB.
+
+    At extreme scale, swap exact distinct for per-day HLL sketches
+    unioned over the window (the table_profile HLL path shows the
+    sketch discipline); this query keeps the exact answer so the
+    oracle can pin it."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("report_d"))
+    contrib = du.select(
+        "user_id",
+        F.col("d").alias("src_d"),
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("report_d"),
+    ).join(F.broadcast(days), "report_d", "left_semi")
+    return (
+        contrib.groupBy("report_d")
+        .agg(
+            F.count_distinct("user_id").alias("active_7d"),
+            F.count_distinct(
+                F.when(F.col("src_d") == F.col("report_d"), F.col("user_id"))
+            ).alias("active_1d"),
+        )
+        .select(
+            F.date_format("report_d", "yyyy-MM-dd").alias("day"),
+            "active_7d",
+            "active_1d",
+        )
+    )
