@@ -213,7 +213,7 @@ GROUP BY days.d
 """
 
 
-@register("rolling_active_users", _ROLLING_ACTIVE_ORACLE, tags=("A9", "A7"))
+@register("rolling_active_users", _ROLLING_ACTIVE_ORACLE, tags=("A9", "A7", "bench"))
 def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day (the DAU/WAU
     family). Scale shape: dedupe to (day, user) pairs FIRST (one

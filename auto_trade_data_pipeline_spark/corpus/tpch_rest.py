@@ -284,7 +284,7 @@ GROUP BY 1, 2
 """
 
 
-@register("tpch_q9_product_profit", _Q9_ORACLE, tags=("J4", "A4"))
+@register("tpch_q9_product_profit", _Q9_ORACLE, tags=("J4", "A4", "bench"))
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9: profit (revenue minus supply cost) on 'red' parts by
     supplier nation and order year. The derived partsupp joins on its
