@@ -286,3 +286,47 @@ def test_gap_fill_grid_complete_and_fill_matches_pandas(rows):
         )
         filled = g[g["is_gap_fill"] == 1]
         assert (filled["volume"] == 0).all() and (filled["number_of_trades"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Partition invariance of the corpus itself
+# ---------------------------------------------------------------------------
+
+_INVARIANCE_QUERIES = [
+    # one per load-bearing family: agg, dedup, windows, TPC-H joins,
+    # LSH dedup, winnowing, percentiles, events analytics
+    "candles_1s",
+    "dedup_keep_last",
+    "rolling_window_features",
+    "tpch_q1_pricing_summary",
+    "tpch_q9_product_profit",
+    "percentiles_order_value",
+    "dedup_near_minhash_lsh",
+    "winnowing_overlap",
+    "rolling_active_users",
+]
+
+
+def test_corpus_results_invariant_to_shuffle_partitions(spark, sf_small):
+    """The determinism contract behind every oracle: results must be
+    IDENTICAL (canonical row strings, not approx) at 1 and 32 shuffle
+    partitions — summation order, window evaluation, LSH banding and
+    tiebreaks all partition-independent."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    reg = load_all()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("1", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            spark.catalog.clearCache()
+            for name in _INVARIANCE_QUERIES:
+                rows = sorted(map(str, reg[name].fn(spark, sf_small).collect()))
+                results.setdefault(name, []).append(rows)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} changed under repartitioning"
+            assert a, f"{name} returned no rows at sf0.001 — vacuous check"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.catalog.clearCache()
