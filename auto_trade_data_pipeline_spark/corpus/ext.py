@@ -410,28 +410,28 @@ SELECT id_a, id_b, jaccard FROM njpairs
 
 @register("dedup_near_minhash_lsh", _minhash_oracle(), tags=("EXT1", "bench"))
 def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate detection, the scale path: word-3-gram shingles
-    -> 20-permutation MinHash (one explode + one groupBy) -> banded
-    LSH self-join (shuffle on band hash, candidates only within
-    buckets — never all-pairs) -> exact Jaccard verify on candidates
-    (operators/text.py). Emits pairs with Jaccard >= 0.3."""
+    """Near-duplicate detection, the scale path: word-3-gram shingle
+    ROWS (posexplode + lead windows — whole-stage codegen, never an
+    interpreted array lambda) -> 20-permutation MinHash (one groupBy)
+    -> banded LSH self-join (shuffle on band hash, candidates only
+    within buckets — never all-pairs) -> exact Jaccard verify on
+    candidates as a pair-keyed row-count (no per-doc shingle arrays
+    anywhere) (operators/text.py). Emits pairs with Jaccard >= 0.3."""
     # The raw table arrives as one small parquet split; repartition by
-    # doc id so the hash-heavy shingle/minhash expressions use every
-    # core (at 100 TB the scan itself provides the splits). Persist
-    # the shingle sets: they are read three times (signature + both
-    # sides of the verify join).
+    # doc id so the hash-heavy shingle expressions use every core (at
+    # 100 TB the scan itself provides the splits). Persist the shingle
+    # rows: they are read three times (signature + both sides of the
+    # verify join).
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    shingled = docs.select(
-        "doc_id", TX.word_shingles(TX.tokens(F.col("text")), SHINGLE_N).alias("shingles")
-    ).persist()
+    rows = TX.shingle_rows(docs, "text", "doc_id", SHINGLE_N).persist()
     # Signature persisted too: the band self-join reads it from both
     # sides (NUM_PERMS longs per doc — a checkpointed signature table
     # in production).
-    sig = TX.minhash_signature(shingled, "shingles", "doc_id", NUM_PERMS).persist()
+    sig = TX.minhash_signature_rows(rows, "shingle", "doc_id", NUM_PERMS).persist()
     pairs = TX.lsh_candidate_pairs(sig, "doc_id", NUM_PERMS, ROWS_PER_BAND)
-    return TX.jaccard_verify(pairs, shingled, "doc_id", "shingles", JACCARD_T)
+    return TX.jaccard_verify_rows(pairs, rows, "doc_id", "shingle", JACCARD_T)
 
 
 # ---------------------------------------------------------------------------
@@ -604,13 +604,13 @@ def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment >= 0.5 cut recovers exactly the Jaccard >= 0.3 pairs.
     (operators/text.py:winnow_sketch, winnow_overlap_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    # Persist the sketch at its reuse point: the overlap stage reads it
-    # from both sides of the self-join (and through two analytic
-    # windows); without materialization the optimizer replicates the
-    # expensive gram-hash transform into every branch.
-    sk = TX.winnow_sketch(docs, "text", "doc_id", WINNOW_K, WINNOW_W).persist()
+    # Persist the fingerprint rows at their reuse point: the overlap
+    # stage reads them from both sides of the self-join (and through
+    # two analytic windows); without materialization the optimizer
+    # replicates the gram-hash pipeline into every branch.
+    fp = TX.winnow_fingerprints(docs, "text", "doc_id", WINNOW_K, WINNOW_W).persist()
     return TX.winnow_overlap_pairs(
-        sk,
+        fp,
         "doc_id",
         max_df=WINNOW_MAX_DF,
         min_overlap=WINNOW_MIN_OVERLAP,

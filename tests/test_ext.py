@@ -239,8 +239,9 @@ def test_winnow_sketch_short_and_empty_docs(spark):
     df = _docs(spark, [(1, ""), (2, "ab"), (3, "exactlytwelve"), (4, "!!! ???")])
     rows = {r["doc_id"]: list(r["sketch"]) for r in
             TX.winnow_sketch(df, "text", "doc_id", k=12, w=8).collect()}
-    assert rows[1] == [] and rows[4] == []     # empty after normalization
-    assert rows[2] == []                        # shorter than k
+    # Docs empty after normalization (1, 4) or shorter than k (2)
+    # contribute NO fingerprint rows at all — they simply don't appear.
+    assert set(rows) == {3}
     assert len(rows[3]) == 1                    # 13 normalized chars -> 2 grams < w -> 1 min
 
 
@@ -255,8 +256,8 @@ def test_winnow_overlap_drops_boilerplate_fingerprints(spark):
     rows = [(i, f"doc {chr(64 + i) * 5} {boiler}") for i in range(1, 20)]
     rows += [(100, f"{rare} plus some extra words"), (101, f"{rare} and other trailing")]
     df = _docs(spark, rows)
-    sk = TX.winnow_sketch(df, "text", "doc_id", k=12, w=8)
-    out = TX.winnow_overlap_pairs(sk, "doc_id", max_df=5, min_overlap=1,
+    fp = TX.winnow_fingerprints(df, "text", "doc_id", k=12, w=8)
+    out = TX.winnow_overlap_pairs(fp, "doc_id", max_df=5, min_overlap=1,
                                   min_containment=0.2).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (100, 101) in pairs
