@@ -591,7 +591,7 @@ WHERE round(p.overlap / least(sa.n, sb.n), 4) >= {WINNOW_MIN_CONTAINMENT}
 """
 
 
-@register("winnowing_overlap", _WINNOW_ORACLE, tags=("EXT1",))
+@register("winnowing_overlap", _WINNOW_ORACLE, tags=("EXT1", "bench"))
 def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken
     SIGMOD'03, the MOSS plagiarism detector): positional char-12-gram

@@ -309,3 +309,54 @@ def test_q22_scalar_is_broadcast_and_anti_join(spark, sf_med):
     plan = _plan(tpch_q22_idle_customers(spark, sf_med))
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_q9_broadcasts_derived_partsupp_and_dims(spark, sf_med):
+    """Q9: the derived partsupp (dimension-x-dimension sized) and the
+    filtered part/supplier chains must all reach the fact as
+    broadcast joins — the lineitem-sized side must never shuffle for
+    a dimension. lineitem legitimately scans twice (fact pass +
+    partsupp derivation); anything more means the optimizer lost the
+    reuse."""
+    from auto_trade_data_pipeline_spark.corpus.tpch_rest import tpch_q9_product_profit
+
+    spark.catalog.clearCache()
+    plan = _plan(tpch_q9_product_profit(spark, sf_med))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("lineitem.parquet") == 2
+    # the only hash exchanges: partsupp derivation agg, the o_orderkey
+    # join, and the final (nation, year) aggregate
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_q11_global_fraction_is_one_row_broadcast(spark, sf_med):
+    """Q11: the corpus-wide total must join in as a ONE-ROW broadcast
+    (BroadcastNestedLoopJoin over the single aggregated row), with the
+    per-part values never gathering to a single partition."""
+    from auto_trade_data_pipeline_spark.corpus.tpch_rest import tpch_q11_important_stock
+
+    spark.catalog.clearCache()
+    plan = _plan(tpch_q11_important_stock(spark, sf_med))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the one-row total is allowed its SinglePartition gather of
+    # partial rows; the part-keyed data path must not have one
+    data_path = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange SinglePartition" not in data_path
+
+
+def test_q18_aggregates_before_joining_customers(spark, sf_med):
+    """Q18: the per-order quantity aggregate must run BELOW the
+    customer/order joins (the join then carries only qualifying
+    orders) — a plan that joins first would shuffle every lineitem
+    row against orders."""
+    from auto_trade_data_pipeline_spark.corpus.tpch_rest import (
+        tpch_q18_large_volume_customers,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(tpch_q18_large_volume_customers(spark, sf_med))
+    # the HAVING-gated aggregate feeds the join as a broadcast
+    assert plan.count("BroadcastHashJoin") >= 1
+    agg_pos = plan.find("partial_sum(l_quantity")
+    join_pos = plan.find("BroadcastHashJoin")
+    assert agg_pos != -1 and join_pos != -1
