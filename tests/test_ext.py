@@ -267,14 +267,21 @@ def test_winnow_overlap_drops_boilerplate_fingerprints(spark):
 def test_decode_stats_codec_selection(spark):
     """codec='pil' must select the real decoder and fail LOUDLY where
     Pillow is absent (never silently fall back to the stand-in); the
-    stub path stays the deterministic default."""
+    stub path stays the deterministic default. The ImportError is
+    asserted on the kernel directly (driver-side) — running it as a
+    Spark task would deliberately crash Python workers and poison the
+    reusable-worker pool for subsequent tests."""
+    import pandas as _pd
     import pytest as _pytest
+
+    from auto_trade_data_pipeline_spark.operators.multimodal import pil_decode_stats
 
     df = spark.createDataFrame(
         [(1, "en", "web", 5, "hello")],
         "doc_id long, lang string, source string, n_chars long, text string",
     )
     assert decode_stats(df, codec="stub").count() == 1
+    assert decode_stats(df, codec="pil").schema == decode_stats(df, codec="stub").schema
     try:
         import PIL  # noqa: F401
 
@@ -282,5 +289,6 @@ def test_decode_stats_codec_selection(spark):
     except ImportError:
         has_pil = False
     if not has_pil:
-        with _pytest.raises(Exception):  # ImportError inside the task
-            decode_stats(df, codec="pil").count()
+        batch = _pd.DataFrame({"payload": [b"x"], "meta": [{"doc_id": 1, "lang": "en"}]})
+        with _pytest.raises(ImportError):
+            list(pil_decode_stats(iter([batch])))
