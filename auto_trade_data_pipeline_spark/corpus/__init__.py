@@ -174,6 +174,8 @@ _ORDER = [
     "tpch_q20_concentrated_demand",
     "full_outer_daily_reconciliation",
     "rolling_active_users",
+    "symbol_corr_stats",
+    "price_histogram",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -630,3 +630,92 @@ def full_outer_daily_reconciliation(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise("both")
         .alias("presence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: correlation / covariance per group
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH ticks AS (
+  SELECT event_type AS symbol,
+         value AS price,
+         CASE WHEN event_id % 10 = 0 THEN 0.0 ELSE round(abs(value) * 100, 0) END AS volume
+  FROM events
+)
+SELECT symbol,
+       count(*) AS n,
+       round(corr(price, volume), 4) AS price_volume_corr,
+       round(covar_samp(price, volume), 4) AS price_volume_covar,
+       round(stddev_samp(price), 4) AS price_stddev,
+       round(stddev_samp(volume), 4) AS volume_stddev
+FROM ticks
+GROUP BY symbol
+"""
+
+
+@register("symbol_corr_stats", _CORR_ORACLE, tags=("A4", "F-math"))
+def symbol_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates per symbol — corr,
+    sample covariance, sample stddev — the quant-analytics staple the
+    rest of the corpus doesn't touch. All are single-pass co-moment
+    aggregations (partial states merge associatively map-side, one
+    shuffle of 5 doubles per symbol); 4-decimal rounding on both
+    engines absorbs summation-order noise since no comparison gates
+    row membership."""
+    from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+    t = ticks_from_events(spark, sf_dir)
+    return t.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("price", "volume"), 4).alias("price_volume_corr"),
+        F.round(F.covar_samp("price", "volume"), 4).alias("price_volume_covar"),
+        F.round(F.stddev_samp("price"), 4).alias("price_stddev"),
+        F.round(F.stddev_samp("volume"), 4).alias("volume_stddev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning against broadcast global bounds
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+WITH ticks AS (
+  SELECT event_type AS symbol, value AS price FROM events
+),
+bounds AS (
+  SELECT min(price) AS lo, max(price) AS hi FROM ticks
+),
+binned AS (
+  SELECT t.symbol,
+         CAST(least(floor((t.price - b.lo) / (b.hi - b.lo) * 20), 19) AS BIGINT) AS bin
+  FROM ticks t, bounds b
+)
+SELECT symbol, bin, count(*) AS n
+FROM binned
+GROUP BY symbol, bin
+"""
+
+
+@register("price_histogram", _HISTOGRAM_ORACLE, tags=("A4", "F-math"))
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of prices per symbol: global min/max flow
+    in as a ONE-ROW broadcast (never a driver collect), bin indices
+    are floor math over identical IEEE expressions on both engines
+    (the top edge folds into the last bin), counts are exact. The
+    two-pass shape — tiny bounds aggregate, then a fact-scan bin-count
+    — is the standard distributed histogram at any scale."""
+    from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+    t = ticks_from_events(spark, sf_dir).select("symbol", "price")
+    bounds = t.agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+    bin_col = F.least(
+        F.floor((F.col("price") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
+        F.lit(19),
+    ).cast("long")
+    return (
+        t.join(F.broadcast(bounds))
+        .select("symbol", bin_col.alias("bin"))
+        .groupBy("symbol", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
