@@ -176,6 +176,7 @@ _ORDER = [
     "rolling_active_users",
     "symbol_corr_stats",
     "price_histogram",
+    "stream_static_enrich_replay",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

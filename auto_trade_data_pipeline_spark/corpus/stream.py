@@ -244,3 +244,58 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bars",
         "total_volume",
     )
+
+
+# ---------------------------------------------------------------------------
+# ST+: stream-static (broadcast dimension) enrichment join
+# ---------------------------------------------------------------------------
+
+_STREAM_STATIC_ORACLE = """
+WITH t AS (
+  SELECT event_type AS symbol,
+         CASE WHEN event_id % 10 = 0 THEN 0.0 ELSE round(abs(value) * 100, 0) END AS volume
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT event_type AS symbol,
+         CASE WHEN event_type IN ('view', 'click') THEN 'browse' ELSE 'action' END AS family
+  FROM events
+)
+SELECT d.family,
+       count(*) AS n_ticks,
+       CAST(sum(CAST(round(t.volume) AS BIGINT)) AS BIGINT) AS total_volume
+FROM t JOIN dim d ON d.symbol = t.symbol
+GROUP BY d.family
+"""
+
+
+@register("stream_static_enrich_replay", _STREAM_STATIC_ORACLE, tags=("ST2", "J4"))
+def stream_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the unbounded tick stream joins a
+    BATCH dimension table (symbol -> family) — Spark's stream-static
+    join needs no watermark and no stream-side state because the
+    static side is (re)broadcast per micro-batch; this is how slowly
+    changing reference data (symbol metadata, nation/region dims)
+    reaches a 100 TB/day stream without a stateful join. Replayed
+    with availableNow and aggregated per family against a relational
+    oracle."""
+    from auto_trade_data_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select(F.col("event_type").alias("symbol"))
+        .distinct()
+        .withColumn(
+            "family",
+            F.when(F.col("symbol").isin("view", "click"), "browse").otherwise("action"),
+        )
+    )
+    ticks = read_ticks_stream(spark, sf_dir)
+    enriched = ticks.join(F.broadcast(dim), "symbol")
+    out = run_available_now(
+        enriched, f"corpus_stream_static_{uuid.uuid4().hex[:8]}"
+    )
+    return out.groupBy("family").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.round("volume", 0).cast("long")).alias("total_volume"),
+    )
