@@ -177,6 +177,7 @@ _ORDER = [
     "symbol_corr_stats",
     "price_histogram",
     "stream_static_enrich_replay",
+    "rolling_corr_window",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

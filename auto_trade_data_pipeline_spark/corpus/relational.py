@@ -719,3 +719,85 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("symbol", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling co-moment window: rolling correlation (the rolling-beta shape)
+# ---------------------------------------------------------------------------
+
+_ROLLING_CORR_ORACLE = """
+WITH ticks AS (
+  SELECT event_type AS symbol,
+         CAST(ts AS TIMESTAMP) AS timestamp,
+         CAST(round(value * 1000) AS BIGINT) AS x,
+         CAST(round(CASE WHEN event_id % 10 = 0 THEN 0.0
+                         ELSE round(abs(value) * 100, 0) END) AS BIGINT) AS y,
+         event_id AS tick_id
+  FROM events
+),
+s AS (
+  SELECT symbol, tick_id,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp, tick_id
+               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, tick_id, n,
+       n * sxy - sx * sy AS corr_num,
+       n * sxx - sx * sx AS var_x,
+       n * syy - sy * sy AS var_y
+FROM s
+"""
+
+
+@register("rolling_corr_window", _ROLLING_CORR_ORACLE, tags=("W6", "F-math"))
+def rolling_corr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 100-bar co-moments per symbol — the rolling-beta /
+    pairs-trading shape — as EXACT integer window sums (price
+    quantized to millis, volume integral): corr_num = n*Sxy - Sx*Sy
+    and the two variance terms, from which corr =
+    corr_num / sqrt(var_x * var_y) and covar = corr_num / (n*(n-1))
+    are one display expression away. The engine emits the exact
+    integer terms rather than the float ratio because cross-engine
+    float parity breaks at rounding cliffs (compilers fuse
+    multiply-adds; the JVM does not) — integers make the driver's
+    hash comparison exact by construction and the result
+    partition-order-independent. One exchange + one sort per symbol
+    serves all six frame sums; bounded ROWS frame -> O(frame) state;
+    the blocked evaluator (operators/blocked.py) is the drop-in for
+    symbol-skewed data."""
+    from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol",
+        "timestamp",
+        "tick_id",
+        F.round(F.col("price") * 1000, 0).cast("long").alias("x"),
+        F.round("volume", 0).cast("long").alias("y"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("timestamp", "tick_id")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    sums = t.select(
+        "symbol",
+        "tick_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    return sums.select(
+        "symbol",
+        "tick_id",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("corr_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_x"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("var_y"),
+    )
