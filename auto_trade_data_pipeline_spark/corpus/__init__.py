@@ -178,6 +178,7 @@ _ORDER = [
     "price_histogram",
     "stream_static_enrich_replay",
     "rolling_corr_window",
+    "streaming_cascade_replay",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -299,3 +299,68 @@ def stream_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ticks"),
         F.sum(F.round("volume", 0).cast("long")).alias("total_volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST2 chained: streaming candle cascade (1m -> 5m in one query)
+# ---------------------------------------------------------------------------
+
+_STREAM_CASCADE_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol,
+         to_timestamp(300 * (CAST(floor(epoch(timestamp)) AS BIGINT) // 300)) AS bucket,
+         price, volume, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, 300 * (CAST(floor(epoch(timestamp)) AS BIGINT) // 300)
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, 300 * (CAST(floor(epoch(timestamp)) AS BIGINT) // 300)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+c5 AS (
+  SELECT symbol, bucket,
+         max(CASE WHEN ra = 1 THEN price END) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         max(CASE WHEN rd = 1 THEN price END) AS close,
+         sum(volume) AS volume,
+         count(*) AS number_of_trades
+  FROM cb GROUP BY symbol, bucket
+),
+wm AS (SELECT max(timestamp) - INTERVAL 10 MINUTE AS w FROM ticks)
+SELECT symbol,
+       strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       open, high, low, close,
+       round(volume, 4) AS volume,
+       number_of_trades
+FROM c5, wm
+WHERE bucket + INTERVAL 300 SECOND <= wm.w
+"""
+
+
+@register("streaming_cascade_replay", _STREAM_CASCADE_ORACLE, tags=("ST2", "ST8"))
+def streaming_cascade_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 chained: the 1m -> 5m candle cascade computed as TWO
+    stateful window aggregations in ONE streaming query (Spark 3.4+
+    chained time-window aggregation; the watermark propagates through
+    both operators). Cascaded first/last-by-window-start opens and
+    closes compose to the direct 5-minute candle, so the oracle
+    states the end result relationally, restricted to the windows the
+    final watermark closed — the same emission contract as the
+    single-stage replay, now certified THROUGH the chain."""
+    from auto_trade_data_pipeline_spark.streaming import streaming_candles_cascade
+
+    stream = streaming_candles_cascade(
+        read_ticks_stream(spark, sf_dir), base_seconds=60, factor=5
+    )
+    result = run_available_now(stream, f"corpus_stream_cascade_{uuid.uuid4().hex[:8]}")
+    return result.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("volume"),
+        "number_of_trades",
+    )

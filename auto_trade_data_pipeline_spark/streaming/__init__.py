@@ -40,6 +40,7 @@ from auto_trade_data_pipeline_spark.streaming.candles import (  # noqa: F401
     read_ticks_stream,
     run_available_now,
     streaming_candles,
+    streaming_candles_cascade,
     streaming_dedup,
     streaming_running_vwap,
 )

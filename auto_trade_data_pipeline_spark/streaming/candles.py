@@ -23,6 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = [
     "read_ticks_stream",
     "streaming_candles",
+    "streaming_candles_cascade",
     "streaming_dedup",
     "streaming_running_vwap",
     "run_available_now",
@@ -117,6 +118,67 @@ def streaming_candles(
         "volume",
         "number_of_trades",
         "vwap",
+    )
+
+
+def streaming_candles_cascade(
+    ticks: DataFrame,
+    base_seconds: int = 60,
+    factor: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST2 chained: a two-level candle cascade in ONE streaming query
+    — base-timeframe candles, then candle-of-candle re-aggregation
+    onto the coarser window — using Spark 3.4+ chained time-window
+    aggregation (`window(window_col, ...)` re-windows the first
+    aggregate's window column; the watermark propagates through both
+    stateful operators, so each 5-minute candle emits exactly once).
+
+    Semantics match the batch cascade (operators.candles cascaded
+    twice): open/close are min_by/max_by over the base candles'
+    window START (base candles already carry deterministic
+    first/last-tick opens and closes), extrema and volume re-combine
+    associatively. State: O(symbols x horizon/base) + O(symbols x
+    horizon/coarse) rows — both watermark-evicted."""
+    base = (
+        ticks.withWatermark("timestamp", watermark)
+        .groupBy(F.col("symbol"), F.window("timestamp", f"{base_seconds} seconds"))
+        .agg(
+            F.min_by("price", F.struct("timestamp", "tick_id")).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", F.struct("timestamp", "tick_id")).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.count(F.lit(1)).alias("number_of_trades"),
+        )
+    )
+    # Alias the base window before re-windowing: the coarse aggregate
+    # would otherwise see two columns named `window` (its own group key
+    # and the base struct) and the min_by/max_by ordering key would be
+    # ambiguous.
+    base = base.select(
+        "symbol", F.col("window").alias("w1"),
+        "open", "high", "low", "close", "volume", "number_of_trades",
+    )
+    coarse = base.groupBy(
+        "symbol", F.window(F.col("w1"), f"{base_seconds * factor} seconds")
+    ).agg(
+        F.min_by("open", F.col("w1.start")).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("w1.start")).alias("close"),
+        F.sum("volume").alias("volume"),
+        F.sum("number_of_trades").alias("number_of_trades"),
+    )
+    return coarse.select(
+        "symbol",
+        F.col("window.start").alias("timestamp"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "number_of_trades",
     )
 
 

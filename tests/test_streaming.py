@@ -359,3 +359,54 @@ def test_stream_upsert_sink_exactly_once(spark, tmp_path):
         (r["symbol"], r["k"]): r["price"]
         for r in spark.read.parquet(target).collect()
     } == expected
+
+
+def test_streaming_cascade_equals_batch_cascade(spark, sf_small):
+    """Chained streaming window aggregation (1m -> 5m candle cascade
+    in ONE streaming query): every emitted 5m candle must equal the
+    batch double-cascade exactly; anything withheld sits inside the
+    watermark horizon."""
+    from auto_trade_data_pipeline_spark.streaming import streaming_candles_cascade
+
+    batch1m = aggregate_candles(ticks_from_events(spark, sf_small), 60)
+    # batch 5m-of-1m cascade with the same min_by/max_by-by-start rules
+    w5 = F.window("timestamp", "300 seconds")
+    batch5m = (
+        batch1m.groupBy("symbol", w5)
+        .agg(
+            F.min_by("open", F.col("timestamp")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("timestamp")).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("number_of_trades").alias("number_of_trades"),
+        )
+        .select("symbol", F.col("window.start").alias("timestamp"), "open", "high",
+                "low", "close", "volume", "number_of_trades")
+    )
+    stream = streaming_candles_cascade(
+        read_ticks_stream(spark, sf_small), base_seconds=60, factor=5
+    )
+    got = run_available_now(stream, "t_cascade_stream")
+
+    def canon(df):
+        return {
+            (r["symbol"], r["timestamp"]): (
+                r["open"], r["high"], r["low"], r["close"],
+                round(r["volume"], 6), r["number_of_trades"],
+            )
+            for r in df.collect()
+        }
+
+    b, s = canon(batch5m), canon(got)
+    assert set(s) <= set(b)
+    assert s, "stream emitted nothing — watermark never closed a window"
+    for k in s:
+        assert s[k] == b[k], f"window {k} differs"
+    # withheld windows are all near the stream tail (inside horizon)
+    import datetime
+
+    max_ts = ticks_from_events(spark, sf_small).agg(F.max("timestamp")).first()[0]
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    for _, ts in set(b) - set(s):
+        assert ts + datetime.timedelta(seconds=300) > horizon
