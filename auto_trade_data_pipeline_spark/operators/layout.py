@@ -1,0 +1,93 @@
+"""Multi-dimensional file layout: z-order (Morton) clustering.
+
+Range-clustering (``sinks.compact_table`` with ``order_cols``) gives
+file-level min/max pruning on ONE leading column; queries filtering a
+different column read every file. Z-ordering interleaves the bits of
+several columns' bucket indices so files cover small HYPER-RECTANGLES
+of the key space — parquet footer min/max stats then prune file-level
+for predicates on ANY of the z-ordered columns (the Delta/Iceberg
+OPTIMIZE ZORDER BY technique, here as plain expressions + a
+range-partitioned write).
+
+Scale shape: bucket indices come from broadcast global min/max (one
+tiny aggregate — no rank window, no SinglePartition anywhere), the
+bit interleave is a pure JVM expression, and the write is an ordinary
+``repartitionByRange`` on the z-key. Works unchanged on 100 TB.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["with_zorder_key", "write_zordered"]
+
+#: Bits per dimension: 2 dims x 16 bits = 32-bit z-values (plenty of
+#: resolution for file-level clustering; file counts are << 2^16).
+DEFAULT_BITS = 16
+
+
+def _interleave(buckets: list[Column], bits: int) -> Column:
+    """Morton-interleave ``len(buckets)`` integer columns: output bit
+    (b * ndims + i) takes bit b of dimension i. Pure shift/and/or
+    arithmetic — whole-stage codegen, no UDF."""
+    nd = len(buckets)
+    terms = []
+    for i, col in enumerate(buckets):
+        for b in range(bits):
+            bit = F.shiftright(col, b).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit.cast("long"), b * nd + i))
+    return reduce(add, terms)
+
+
+def with_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS, key_col: str = "__z"
+) -> DataFrame:
+    """Attach a z-order key over ``cols``: each column is mapped to a
+    ``2^bits``-bucket index against its broadcast global [min, max]
+    (equal-width — the footer-stat clustering target; NULLs map to
+    bucket 0), then the indices are bit-interleaved."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    )
+    joined = df.join(F.broadcast(bounds))
+    n = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        idx = F.least(
+            F.floor((F.col(c).cast("double") - lo) / span * (n + 1)).cast("long"),
+            F.lit(n).cast("long"),
+        )
+        buckets.append(F.coalesce(idx, F.lit(0).cast("long")))
+    return joined.withColumn(key_col, _interleave(buckets, bits)).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = DEFAULT_BITS,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` as ``n_files`` files clustered by the z-order of
+    ``cols``: range-partition on the z-key (balanced byte sizes),
+    sort within partitions (tight per-file footer stats), drop the
+    key before writing."""
+    z = with_zorder_key(df, cols, bits)
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
