@@ -179,6 +179,7 @@ _ORDER = [
     "stream_static_enrich_replay",
     "rolling_corr_window",
     "streaming_cascade_replay",
+    "event_transitions",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

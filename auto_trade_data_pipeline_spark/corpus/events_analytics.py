@@ -253,3 +253,55 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_1d",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event path transitions (Markov bigrams per user)
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = f"""
+WITH {_EVENTS_CTE},
+seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM ev
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS out_total FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n, x.out_total,
+       round(t.n / (1.0 * x.out_total), 4) AS p
+FROM trans t JOIN tot x ON x.from_type = t.from_type
+"""
+
+
+@register("event_transitions", _TRANSITIONS_ORACLE, tags=("A4", "W-rank"))
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User path analysis: the event-type transition matrix — per-user
+    ordered `lead` (one exchange keyed by user), then a tiny
+    |types|^2 aggregate with per-source normalization. The transition
+    probability divides two exact integers, so cross-engine parity is
+    safe at 4 decimals. The per-user window is the scale shape: raw
+    events shuffle once by user_id (uniform key), and everything
+    after the bigram count is dimension-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").cast("long").alias("out_total"))
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .withColumn("p", F.round(F.col("n") / (F.col("out_total") * 1.0), 4))
+        .select("from_type", "to_type", "n", "out_total", "p")
+    )
