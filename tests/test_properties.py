@@ -330,3 +330,38 @@ def test_corpus_results_invariant_to_shuffle_partitions(spark, sf_small):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
         spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint guarantees (random corpora)
+# ---------------------------------------------------------------------------
+
+_ALPHA = "abcdefg"  # small alphabet -> heavy gram collisions on purpose
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    prefix_a=st.text(_ALPHA, min_size=0, max_size=40),
+    prefix_b=st.text(_ALPHA, min_size=0, max_size=40),
+    shared=st.text(_ALPHA, min_size=19, max_size=60),  # >= k + w - 1 = 19
+    suffix_a=st.text(_ALPHA, min_size=0, max_size=40),
+    suffix_b=st.text(_ALPHA, min_size=0, max_size=40),
+)
+def test_winnow_shared_substring_guarantee(prefix_a, prefix_b, shared, suffix_a, suffix_b):
+    """The winnowing guarantee, on random text: two documents sharing
+    ANY substring of >= k + w - 1 chars have intersecting sketches,
+    and each sketch obeys the density bound (a fingerprint per full
+    window at most, far fewer than the gram count)."""
+    from auto_trade_data_pipeline_spark.operators.text import winnow_sketch
+
+    k, w = 12, 8
+    df = _spark.createDataFrame(
+        [(1, prefix_a + shared + suffix_a), (2, prefix_b + shared + suffix_b)],
+        "doc_id long, text string",
+    )
+    sk = {r["doc_id"]: set(r["sketch"]) for r in
+          winnow_sketch(df, "text", "doc_id", k=k, w=w).collect()}
+    assert sk[1] & sk[2], "shared >=19-char substring must share a fingerprint"
+    for doc_id, text in ((1, prefix_a + shared + suffix_a),):
+        n_grams = len(text) - k + 1
+        assert len(sk[doc_id]) <= max(1, n_grams - w + 1)
