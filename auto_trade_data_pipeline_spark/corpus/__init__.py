@@ -180,6 +180,7 @@ _ORDER = [
     "rolling_corr_window",
     "streaming_cascade_replay",
     "event_transitions",
+    "table_diff_orders",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -801,3 +801,82 @@ def rolling_corr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_x"),
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("var_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table diff / migration verification
+# ---------------------------------------------------------------------------
+
+_TABLE_DIFF_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CAST('0x' || substr(md5(
+           o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+           || CAST(round(o_totalprice * 100) AS BIGINT) || '|'
+           || strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+         ), 1, 15) AS BIGINT) AS h
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey AS k,
+         CAST('0x' || substr(md5(
+           o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+           || CAST(round(o_totalprice * 100) + CASE WHEN o_orderkey % 997 = 0 THEN 1 ELSE 0 END AS BIGINT) || '|'
+           || strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+         ), 1, 15) AS BIGINT) AS h
+  FROM orders WHERE o_orderkey % 499 <> 0
+)
+SELECT CASE WHEN b.k IS NULL THEN 'missing_in_b'
+            WHEN a.k IS NULL THEN 'extra_in_b'
+            ELSE 'changed' END AS diff_type,
+       coalesce(a.k, b.k) AS o_orderkey
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL OR a.h <> b.h
+"""
+
+
+@register("table_diff_orders", _TABLE_DIFF_ORACLE, tags=("J4", "A9"))
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff — the migration-verification op: full-row md5
+    digests keyed by primary key, full-outer joined, emitting exactly
+    the rows that are missing, extra, or changed. Exercised here
+    against a deterministically mutated copy of `orders` (every
+    499th key dropped, every 997th price bumped a cent) so the
+    expected diff is known. Floats enter the digest as integer cents
+    and dates as formatted strings — the digest is engine-portable.
+
+    At 100 TB: both sides hash in one scan each, the join shuffles
+    16-byte (key, digest) rows, and the output is |diff|-sized. The
+    same digest column aggregated per key-bucket (bit_xor) gives a
+    bucket-level pre-check that prunes identical ranges before the
+    row-level join."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def digest(price_cents):
+        s = F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            price_cents,
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderpriority"),
+        )
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    a = o.select(F.col("o_orderkey").alias("k"), digest(cents).alias("h"))
+    mutated = cents + F.when(F.col("o_orderkey") % 997 == 0, 1).otherwise(0)
+    b = o.filter(F.col("o_orderkey") % 499 != 0).select(
+        F.col("o_orderkey").alias("k"), digest(mutated).alias("h")
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    return j.filter(
+        F.col("a.k").isNull() | F.col("b.k").isNull() | (F.col("a.h") != F.col("b.h"))
+    ).select(
+        F.when(F.col("b.k").isNull(), "missing_in_b")
+        .when(F.col("a.k").isNull(), "extra_in_b")
+        .otherwise("changed")
+        .alias("diff_type"),
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("o_orderkey"),
+    )
