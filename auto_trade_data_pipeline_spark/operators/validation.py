@@ -136,3 +136,27 @@ def has_violations(df: DataFrame, predicate: Column) -> bool:
     """Batch-rejecting any() check (A6), ``src/aggregator_candles.py:147-162``:
     true if any row violates. `limit(1)` short-circuits the scan."""
     return df.filter(~F.coalesce(predicate, F.lit(False))).limit(1).count() > 0
+
+
+def with_observed_quality(df: DataFrame, predicate: Column, observation) -> DataFrame:
+    """Attach OBSERVED quality metrics to a pipeline (`df.observe`):
+    row count, invalid count, and null-predicate count accumulate ON
+    THE EXECUTORS while the query runs its normal action — zero extra
+    passes, zero extra jobs (`tick_quality_report` is the standalone
+    report; this is the always-on production telemetry form). Pass a
+    `pyspark.sql.Observation` for batch (read `.get` after the
+    action) or a string name for streaming (metrics arrive in
+    `StreamingQueryProgress.observedMetrics`) — the Spark analogue of
+    the reference's per-run validation log
+    (src/fetch_historical_trades_nvda.py:394-400).
+
+    The returned DataFrame is the input unchanged; compose it
+    anywhere in a pipeline."""
+    return df.observe(
+        observation,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.coalesce(predicate, F.lit(False)), 1).otherwise(0)).alias(
+            "n_invalid"
+        ),
+        F.sum(F.when(predicate.isNull(), 1).otherwise(0)).alias("n_null_pred"),
+    )

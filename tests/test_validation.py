@@ -58,3 +58,34 @@ def test_table_profile_exact_and_approx_paths(spark):
     assert set(approx) == set(prof)
     for c in prof:
         assert abs(approx[c]["n_distinct"] - prof[c]["n_distinct"]) <= 1
+
+
+def test_observed_quality_metrics_ride_the_action(spark):
+    """with_observed_quality delivers executor-side counts to the
+    driver with NO extra job: one count() action yields both the
+    result and the metrics (Observation wraps the listener)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from auto_trade_data_pipeline_spark.operators.validation import (
+        tick_valid_predicate,
+        with_observed_quality,
+    )
+
+    rows = [
+        ("A", "2024-01-02 14:30:00", 10.0, 5.0, 1),
+        ("A", "2024-01-02 14:30:01", -1.0, 5.0, 2),   # invalid price
+        ("A", "2024-01-02 14:30:02", 11.0, None, 3),  # null -> pred null
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts string, price double, volume double, tick_id long"
+    ).select("symbol", F.to_timestamp("ts").alias("timestamp"), "price", "volume", "tick_id")
+    obs = Observation("quality")
+    observed = with_observed_quality(df, tick_valid_predicate(), obs)
+    assert observed.count() == 3  # the only action
+    m = obs.get
+    assert m["n_rows"] == 3
+    assert m["n_invalid"] == 2       # invalid price + null-volume row both fail
+    # tick_valid_predicate is null-SAFE (isNotNull conjuncts): it never
+    # evaluates to NULL, so the tri-state counter stays zero here.
+    assert m["n_null_pred"] == 0
