@@ -410,3 +410,57 @@ def test_streaming_cascade_equals_batch_cascade(spark, sf_small):
     horizon = max_ts - datetime.timedelta(minutes=10)
     for _, ts in set(b) - set(s):
         assert ts + datetime.timedelta(seconds=300) > horizon
+
+
+def test_observed_metrics_in_streaming_progress(spark, tmp_path):
+    """with_observed_quality(name) on a STREAM surfaces the counters
+    in StreamingQueryProgress.observedMetrics per micro-batch — the
+    production telemetry channel (no extra pass, no extra state)."""
+    from auto_trade_data_pipeline_spark.operators.validation import (
+        tick_valid_predicate,
+        with_observed_quality,
+    )
+
+    rows = [
+        ("A", "2024-01-02 14:30:00", 10.0, 5.0, 1),
+        ("A", "2024-01-02 14:30:01", -1.0, 5.0, 2),  # invalid
+        ("B", "2024-01-02 14:30:02", 11.0, 7.0, 3),
+    ]
+    src = tmp_path / "obs_in"
+    src.mkdir()
+    df = spark.createDataFrame(
+        rows, "symbol string, ts string, price double, volume double, tick_id long"
+    ).select(
+        "symbol", F.to_timestamp("ts").alias("timestamp"), "price", "volume", "tick_id"
+    )
+    df.coalesce(1).write.parquet(str(src / "batch0"))
+    import glob as _glob
+    import shutil as _shutil
+
+    flat = tmp_path / "obs_flat"
+    flat.mkdir()
+    for i, f in enumerate(_glob.glob(f"{src}/batch0/part-*.parquet")):
+        _shutil.copy(f, flat / f"f{i}.parquet")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("symbol string, timestamp timestamp, price double, volume double, tick_id long")
+        .load(str(flat))
+    )
+    observed = with_observed_quality(stream, tick_valid_predicate(), "quality")
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metrics = [
+        p.observedMetrics["quality"]
+        for p in (q.recentProgress or [])
+        if "quality" in (p.observedMetrics or {})
+    ]
+    assert metrics, "no observedMetrics arrived in streaming progress"
+    total_rows = sum(m["n_rows"] for m in metrics)
+    total_invalid = sum(m["n_invalid"] for m in metrics)
+    assert total_rows == 3 and total_invalid == 1
