@@ -100,6 +100,7 @@ _ORDER = [
     "candles_gap_fill",
     "dedup_embedding_srp",
     "winnowing_overlap",
+    "ema_recursive",
     # stable green oracled queries
     "candles_1s",
     "dedup_keep_last",
@@ -121,11 +122,11 @@ _ORDER = [
     "dedup_simhash",
     "similarity_topk_cosine",
     "multimodal_decode_stats",
-    "dedup_embedding_cosine",
     # oracled but past the driver's evaluation budget — verified
     # locally per-round via tools/verify_local.py instead; the ops
     # they pin are either redundant with in-budget queries
     # (salted/json/norm-stats/top-k variants) or additive surface
+    "dedup_embedding_cosine",
     "ngram_jaccard_blocked",
     "symbol_stats",
     "daily_key_levels",

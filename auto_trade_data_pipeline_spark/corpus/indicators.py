@@ -249,3 +249,74 @@ def full_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             sel.append(F.col(f.name))
     return e.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# W3/W7 foundation: per-row EMA with a TRUE cross-engine oracle
+# ---------------------------------------------------------------------------
+
+def _ema_case(n: int) -> str:
+    k = f"(2.0/{n + 1}.0)"
+    seed = f"list_reduce(l[1:{n}], (acc,x) -> acc + x) / {n}.0"
+    return f"""
+  CASE WHEN i < {n} THEN NULL
+       WHEN i = {n} THEN round({seed}, 4)
+       ELSE round(list_reduce([{seed}] || l[{n + 1}:i],
+                              (acc, x) -> (x - acc) * {k} + acc), 4)
+  END"""
+
+
+_EMA_ORACLE = f"""
+WITH {CANDLES_CTE},
+lists AS (
+  SELECT symbol, list(close ORDER BY timestamp) AS l,
+         list(timestamp ORDER BY timestamp) AS bs
+  FROM candles GROUP BY symbol
+),
+idx AS (SELECT symbol, l, bs, unnest(range(1, len(l) + 1)) AS i FROM lists)
+SELECT symbol, strftime(bs[i], '{TS_FMT_DUCK}') AS bucket_ts,
+       {_ema_case(12)} AS ema12,
+       {_ema_case(26)} AS ema26
+FROM idx
+"""
+
+
+@register("ema_recursive", _EMA_ORACLE, tags=("W3", "W7"))
+def ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row EMA(12) and EMA(26) — the recursive foundation of the
+    whole W3/W7 family (MACD, T3) — with a REAL DuckDB oracle: the
+    oracle replays the kernel's exact arithmetic (sequential-fold SMA
+    seed, then `(x - prev) * k + prev`) as a per-row prefix
+    `list_reduce`, so the recursion itself is cross-engine verified,
+    not just golden-pinned. 4-decimal rounding absorbs the only
+    engine difference left (compiler FMA fusion in the last bits).
+
+    Spark side: the production ta.ema kernel in one Arrow-batched
+    applyInPandas per symbol."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        close = pdf["close"].to_numpy(dtype=float)
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "timestamp": pdf["timestamp"],
+                "ema12": ta.ema(close, 12),
+                "ema26": ta.ema(close, 26),
+            }
+        )
+
+    out = candles.select("symbol", "timestamp", "close").groupBy("symbol").applyInPandas(
+        kernel, schema="symbol string, timestamp timestamp, ema12 double, ema26 double"
+    )
+    return out.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        F.round("ema12", 4).alias("ema12"),
+        F.round("ema26", 4).alias("ema26"),
+    )

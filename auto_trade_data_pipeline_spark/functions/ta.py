@@ -52,7 +52,13 @@ def ema(x: np.ndarray, period: int) -> np.ndarray:
         return out
     k = 2.0 / (period + 1.0)
     seed_end = start + period
-    prev = np.mean(x[start:seed_end])
+    # Sequential-fold seed (not np.mean): numpy's pairwise summation
+    # is not reproducible outside numpy, and a left-to-right fold is —
+    # the cross-engine EMA oracle replays this exact arithmetic.
+    acc = 0.0
+    for v in x[start:seed_end]:
+        acc += float(v)
+    prev = acc / period
     out[seed_end - 1] = prev
     for i in range(seed_end, n):
         prev = (x[i] - prev) * k + prev
