@@ -182,6 +182,7 @@ _ORDER = [
     "streaming_cascade_replay",
     "event_transitions",
     "table_diff_orders",
+    "peaks_prominence_d1",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -320,3 +320,113 @@ def ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ema12", 4).alias("ema12"),
         F.round("ema26", 4).alias("ema26"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W11: peak/valley prominence with a TRUE cross-engine oracle
+# (distance=1 restricted config — no greedy suppression to replicate)
+# ---------------------------------------------------------------------------
+
+_PEAK_PROM = 0.9
+
+
+def _peaks_sql(series: str, kind: str) -> str:
+    """Scipy find_peaks(distance=1, prominence=p) re-derived in SQL
+    over a per-symbol list: plateau-midpoint local maxima, then the
+    strictly-higher-crossing prominence definition."""
+    return f"""
+SELECT symbol, bs[m] AS ts, '{kind}' AS kind, l[m] AS level,
+       round(l[m] - greatest(
+         list_aggregate(l[coalesce(list_max(list_filter(range(1, m), j -> l[j] > l[m])), 0) + 1 : m], 'min'),
+         list_aggregate(l[m : coalesce(list_min(list_filter(range(m + 1, n + 1), j -> l[j] > l[m])), n + 1) - 1], 'min')
+       ), 6) AS prominence
+FROM (
+  SELECT symbol, l, bs, n, (i + j) // 2 AS m
+  FROM (
+    SELECT symbol, l, bs, n, i,
+           list_min(list_filter(range(i, n), k -> l[k + 1] != l[i])) AS j
+    FROM (SELECT symbol, {series} AS l, bs, len({series}) AS n,
+                 unnest(range(2, len({series}))) AS i
+          FROM lists)
+    WHERE l[i] > l[i - 1]
+  )
+  WHERE j IS NOT NULL AND l[j + 1] < l[i]
+)
+WHERE l[m] - greatest(
+        list_aggregate(l[coalesce(list_max(list_filter(range(1, m), j -> l[j] > l[m])), 0) + 1 : m], 'min'),
+        list_aggregate(l[m : coalesce(list_min(list_filter(range(m + 1, n + 1), j -> l[j] > l[m])), n + 1) - 1], 'min')
+      ) >= {_PEAK_PROM}
+"""
+
+
+_PEAKS_ORACLE = f"""
+WITH {CANDLES_CTE},
+lists AS (
+  SELECT symbol,
+         list(high ORDER BY timestamp) AS lh,
+         list(-low ORDER BY timestamp) AS ln,
+         list(strftime(timestamp, '{TS_FMT_DUCK}') ORDER BY timestamp) AS bs
+  FROM candles GROUP BY symbol
+),
+pk AS ({_peaks_sql('lh', 'peak')}),
+vl AS ({_peaks_sql('ln', 'valley')})
+SELECT symbol, ts AS bucket_ts, kind, round(level, 6) AS level, prominence FROM pk
+UNION ALL
+SELECT symbol, ts AS bucket_ts, kind, round(-level, 6) AS level, prominence FROM vl
+"""
+
+
+@register("peaks_prominence_d1", _PEAKS_ORACLE, tags=("W11",))
+def peaks_prominence_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 with a REAL oracle: scipy-semantics peaks and valleys at
+    distance=1, prominence>=0.9 — plateau-midpoint local extrema and
+    the strictly-higher-crossing prominence definition, re-derived
+    independently in DuckDB list algebra. This cross-engine-verifies
+    the prominence machinery itself (the O(n log n) monotonic-stack
+    implementation against a direct O(n^2) restatement); the greedy
+    distance suppression stays pytest-pinned (`peaks_valleys`).
+
+    Spark side: the production ta.find_peaks kernel per symbol."""
+    import numpy as np
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        rows = []
+        for series, kind, sign in (
+            (pdf["high"].to_numpy(dtype=float), "peak", 1.0),
+            (-pdf["low"].to_numpy(dtype=float), "valley", -1.0),
+        ):
+            idx = ta.find_peaks(series, 1, _PEAK_PROM)
+            proms = ta._prominences(series, idx)
+            for i, p in zip(idx, proms):
+                rows.append(
+                    (
+                        pdf["symbol"].iloc[0],
+                        pdf["timestamp"].iloc[int(i)],
+                        kind,
+                        float(sign * series[int(i)]),
+                        float(p),
+                    )
+                )
+        return pd.DataFrame(
+            rows, columns=["symbol", "timestamp", "kind", "level", "prominence"]
+        )
+
+    out = candles.select("symbol", "timestamp", "high", "low").groupBy(
+        "symbol"
+    ).applyInPandas(
+        kernel,
+        schema="symbol string, timestamp timestamp, kind string, level double, prominence double",
+    )
+    return out.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        "kind",
+        F.round("level", 6).alias("level"),
+        F.round("prominence", 6).alias("prominence"),
+    )
