@@ -183,6 +183,7 @@ _ORDER = [
     "event_transitions",
     "table_diff_orders",
     "peaks_prominence_d1",
+    "atr_recursive",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -430,3 +430,76 @@ def peaks_prominence_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("level", 6).alias("level"),
         F.round("prominence", 6).alias("prominence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W5: Wilder ATR with a TRUE cross-engine oracle
+# ---------------------------------------------------------------------------
+
+_ATR_N = 14
+
+_ATR_ORACLE = f"""
+WITH {CANDLES_CTE},
+tr AS (
+  SELECT symbol, timestamp,
+         CASE WHEN lag(close) OVER w IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) END AS tr
+  FROM candles
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+),
+lists AS (
+  SELECT symbol, list(tr ORDER BY timestamp) AS t,
+         list(timestamp ORDER BY timestamp) AS bs
+  FROM tr GROUP BY symbol
+),
+idx AS (SELECT symbol, t, bs, unnest(range(1, len(t) + 1)) AS i FROM lists)
+SELECT symbol, strftime(bs[i], '{TS_FMT_DUCK}') AS bucket_ts,
+  CASE WHEN i <= {_ATR_N} THEN NULL
+       WHEN i = {_ATR_N + 1} THEN round(list_reduce(t[2:{_ATR_N + 1}], (acc,x) -> acc + x) / {_ATR_N}.0, 4)
+       ELSE round(list_reduce(
+              [list_reduce(t[2:{_ATR_N + 1}], (acc,x) -> acc + x) / {_ATR_N}.0] || t[{_ATR_N + 2}:i],
+              (acc, x) -> (acc * {_ATR_N - 1}.0 + x) / {_ATR_N}.0), 4)
+  END AS atr
+FROM idx
+"""
+
+
+@register("atr_recursive", _ATR_ORACLE, tags=("W5",))
+def atr_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Wilder ATR(14) with a REAL DuckDB oracle: true range
+    via a lag window, then the TA-Lib seeding (SMA of TR[1..14] at
+    index 14) and Wilder recursion ``(prev*13 + tr)/14`` replayed as
+    a per-row prefix list_reduce — cross-engine verification of the
+    W5 smoothing machinery (the ADX/DI family shares it). Spark side:
+    the production ta.atr kernel."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "timestamp": pdf["timestamp"],
+                "atr": ta.atr(
+                    pdf["high"].to_numpy(dtype=float),
+                    pdf["low"].to_numpy(dtype=float),
+                    pdf["close"].to_numpy(dtype=float),
+                    _ATR_N,
+                ),
+            }
+        )
+
+    out = candles.select("symbol", "timestamp", "high", "low", "close").groupBy(
+        "symbol"
+    ).applyInPandas(kernel, schema="symbol string, timestamp timestamp, atr double")
+    return out.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        F.round("atr", 4).alias("atr"),
+    )

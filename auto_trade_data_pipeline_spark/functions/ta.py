@@ -106,7 +106,12 @@ def atr(high: np.ndarray, low: np.ndarray, close: np.ndarray, period: int = 14) 
     if n <= period:
         return out
     tr = true_range(high, low, close)
-    prev = np.mean(tr[1 : period + 1])
+    # Sequential-fold seed (not np.mean) — reproducible cross-engine;
+    # the ATR oracle replays this exact arithmetic (see ta.ema).
+    acc = 0.0
+    for v in tr[1 : period + 1]:
+        acc += float(v)
+    prev = acc / period
     out[period] = prev
     for i in range(period + 1, n):
         prev = (prev * (period - 1) + tr[i]) / period
