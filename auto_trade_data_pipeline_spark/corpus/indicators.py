@@ -503,3 +503,97 @@ def atr_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
         F.round("atr", 4).alias("atr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W7: Tillson T3 with a TRUE cross-engine oracle (6 chained EMA folds)
+# ---------------------------------------------------------------------------
+
+_T3_P = 60
+_T3_V = 0.7
+# Exact coefficient doubles, inlined with full-precision repr so both
+# engines combine identical constants (power() could differ in the
+# last bit).
+_T3_C1 = repr(-(_T3_V**3))
+_T3_C2 = repr(3 * _T3_V**2 + 3 * _T3_V**3)
+_T3_C3 = repr(-6 * _T3_V**2 - 3 * _T3_V - 3 * _T3_V**3)
+_T3_C4 = repr(1 + 3 * _T3_V + _T3_V**3 + 3 * _T3_V**2)
+
+
+def _ema_stage(src: str, valid_from: int, p: int = _T3_P) -> str:
+    """One SMA-seeded EMA pass over list `src` whose first finite
+    element sits at 1-based index `valid_from` — emitted as a new
+    per-index list (NULL before valid_from + p - 1)."""
+    k = f"(2.0/{p + 1}.0)"
+    seed = f"list_reduce({src}[{valid_from}:{valid_from + p - 1}], (acc,x) -> acc + x) / {p}.0"
+    first = valid_from + p - 1
+    return f"""list_transform(range(1, n + 1), i ->
+      CASE WHEN i < {first} THEN NULL
+           WHEN i = {first} THEN {seed}
+           ELSE list_reduce([{seed}] || {src}[{first + 1}:i],
+                            (acc, x) -> (x - acc) * {k} + acc)
+      END)"""
+
+
+def _t3_oracle() -> str:
+    p = _T3_P
+    stages = []
+    for stage_k in range(1, 7):
+        valid_from = (stage_k - 1) * (p - 1) + 1
+        src = "c" if stage_k == 1 else "e"
+        stages.append(
+            f"s{stage_k} AS (SELECT symbol, bs, n, {_ema_stage(src, valid_from)} AS e"
+            f" FROM {'lists' if stage_k == 1 else f's{stage_k - 1}'})"
+        )
+    t3_first = 6 * (p - 1) + 1
+    return f"""
+WITH {CANDLES_CTE},
+lists AS (
+  SELECT symbol, list(close ORDER BY timestamp) AS c,
+         list(timestamp ORDER BY timestamp) AS bs, len(list(close)) AS n
+  FROM candles GROUP BY symbol
+),
+{"," .join(stages)},
+final AS (
+  SELECT s6.symbol, s6.bs, s6.n, s6.e AS e6, s5.e AS e5, s4.e AS e4, s3.e AS e3
+  FROM s6 JOIN s5 USING (symbol) JOIN s4 USING (symbol) JOIN s3 USING (symbol)
+)
+SELECT symbol, strftime(bs[i], '{TS_FMT_DUCK}') AS bucket_ts,
+       CASE WHEN i < {t3_first} THEN NULL
+            ELSE round({_T3_C1} * e6[i] + {_T3_C2} * e5[i]
+                       + {_T3_C3} * e4[i] + {_T3_C4} * e3[i], 4) END AS t3
+FROM final, unnest(range(1, n + 1)) AS u(i)
+"""
+
+
+@register("t3_recursive", _t3_oracle(), tags=("W7",))
+def t3_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Tillson T3(60, 0.7) with a REAL DuckDB oracle: all six
+    cascaded SMA-seeded EMA stages replayed as chained per-row prefix
+    folds, combined with bit-identical inlined coefficients — the
+    deepest recursive chain in the indicator surface, cross-engine
+    verified end to end. Spark side: the production ta.t3 kernel."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "timestamp": pdf["timestamp"],
+                "t3": ta.t3(pdf["close"].to_numpy(dtype=float), _T3_P, _T3_V),
+            }
+        )
+
+    out = candles.select("symbol", "timestamp", "close").groupBy("symbol").applyInPandas(
+        kernel, schema="symbol string, timestamp timestamp, t3 double"
+    )
+    return out.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        F.round("t3", 4).alias("t3"),
+    )
