@@ -185,6 +185,7 @@ _ORDER = [
     "peaks_prominence_d1",
     "atr_recursive",
     "t3_recursive",
+    "adx_recursive",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -597,3 +597,135 @@ def t3_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
         F.round("t3", 4).alias("t3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W2: Wilder ADX / DI with a TRUE cross-engine oracle
+# ---------------------------------------------------------------------------
+
+_ADX_N = 14
+
+
+def _adx_oracle() -> str:
+    p = _ADX_N
+    wl = f"(acc, x) -> acc - acc / {p}.0 + x"          # Wilder SUM smoothing
+    wa = f"(acc, x) -> (acc * {p - 1}.0 + x) / {p}.0"  # Wilder AVERAGE
+    first = p + 1           # 1-based bar of the first DI value
+    adx_first = 2 * p       # 1-based bar of the first ADX value
+
+    def smoothed(src: str) -> str:
+        seed = f"list_reduce({src}[1:{p}], (acc,x) -> acc + x)"
+        return f"""list_transform(range(1, n + 1), i ->
+          CASE WHEN i < {first} THEN NULL
+               WHEN i = {first} THEN {seed}
+               ELSE list_reduce([{seed}] || {src}[{first}:i - 1], {wl})
+          END)"""
+
+    return f"""
+WITH {CANDLES_CTE},
+lists AS (
+  SELECT symbol, list(high ORDER BY timestamp) AS ph,
+         list(low ORDER BY timestamp) AS pl,
+         list(close ORDER BY timestamp) AS pc,
+         list(timestamp ORDER BY timestamp) AS bs,
+         len(list(high)) AS n
+  FROM candles GROUP BY symbol
+),
+diffs AS (
+  SELECT symbol, bs, n,
+    list_transform(range(1, n), d ->
+      CASE WHEN ph[d+1] - ph[d] > pl[d] - pl[d+1] AND ph[d+1] - ph[d] > 0
+           THEN ph[d+1] - ph[d] ELSE 0.0 END) AS pd,
+    list_transform(range(1, n), d ->
+      CASE WHEN pl[d] - pl[d+1] > ph[d+1] - ph[d] AND pl[d] - pl[d+1] > 0
+           THEN pl[d] - pl[d+1] ELSE 0.0 END) AS md,
+    list_transform(range(1, n), d ->
+      greatest(ph[d+1] - pl[d+1], abs(ph[d+1] - pc[d]), abs(pl[d+1] - pc[d]))) AS trl
+  FROM lists
+),
+sm AS (
+  SELECT symbol, bs, n,
+         {smoothed('pd')} AS sp,
+         {smoothed('md')} AS smn,
+         {smoothed('trl')} AS st
+  FROM diffs
+),
+di AS (
+  SELECT symbol, bs, n,
+    list_transform(range(1, n + 1), i ->
+      CASE WHEN st[i] IS NULL THEN NULL
+           WHEN st[i] = 0.0 THEN 0.0
+           ELSE 100.0 * sp[i] / st[i] END) AS pdi,
+    list_transform(range(1, n + 1), i ->
+      CASE WHEN st[i] IS NULL THEN NULL
+           WHEN st[i] = 0.0 THEN 0.0
+           ELSE 100.0 * smn[i] / st[i] END) AS mdi
+  FROM sm
+),
+dx AS (
+  SELECT symbol, bs, n, pdi, mdi,
+    list_transform(range(1, n - {p} + 1), j ->
+      CASE WHEN pdi[{p} + j] + mdi[{p} + j] > 0.0
+           THEN 100.0 * abs(pdi[{p} + j] - mdi[{p} + j]) / (pdi[{p} + j] + mdi[{p} + j])
+           ELSE 0.0 END) AS dxj
+  FROM di
+)
+SELECT symbol, strftime(bs[i], '{TS_FMT_DUCK}') AS bucket_ts,
+  CASE WHEN i < {adx_first} THEN NULL
+       WHEN i = {adx_first} THEN round(list_reduce(dxj[1:{p}], (acc,x) -> acc + x) / {p}.0, 4)
+       ELSE round(list_reduce(
+              [list_reduce(dxj[1:{p}], (acc,x) -> acc + x) / {p}.0] || dxj[{p + 1}:i - {p}],
+              {wa}), 4)
+  END AS adx,
+  round(pdi[i], 4) AS plus_di,
+  round(mdi[i], 4) AS minus_di
+FROM dx, unnest(range(1, n + 1)) AS u(i)
+"""
+
+
+@register("adx_recursive", _adx_oracle(), tags=("W2",))
+def adx_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Wilder ADX / +DI / -DI with a REAL DuckDB oracle: the
+    directional-movement split, three parallel Wilder SUM smoothings,
+    the DI ratios, the DX series, and the Wilder-AVERAGED ADX are all
+    replayed as chained per-row prefix folds with the kernel's exact
+    arithmetic (including the zero-TR and zero-DI-sum guards) —
+    completing cross-engine verification of the Wilder family (W2 +
+    W5). Spark side: the production ta.adx_di kernel."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        adx, pdi, mdi = ta.adx_di(
+            pdf["high"].to_numpy(dtype=float),
+            pdf["low"].to_numpy(dtype=float),
+            pdf["close"].to_numpy(dtype=float),
+            _ADX_N,
+        )
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "timestamp": pdf["timestamp"],
+                "adx": adx,
+                "plus_di": pdi,
+                "minus_di": mdi,
+            }
+        )
+
+    out = candles.select("symbol", "timestamp", "high", "low", "close").groupBy(
+        "symbol"
+    ).applyInPandas(
+        kernel,
+        schema="symbol string, timestamp timestamp, adx double, plus_di double, minus_di double",
+    )
+    return out.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        F.round("adx", 4).alias("adx"),
+        F.round("plus_di", 4).alias("plus_di"),
+        F.round("minus_di", 4).alias("minus_di"),
+    )

@@ -143,9 +143,13 @@ def adx_di(
     tr = true_range(high, low, close)[1:]  # aligned with dm (index 1..)
 
     # Wilder accumulation: initial sums over the first `period` diffs.
-    sm_p = plus_dm[:period].sum()
-    sm_m = minus_dm[:period].sum()
-    sm_tr = tr[:period].sum()
+    # Sequential folds (not ndarray.sum) — reproducible cross-engine;
+    # the ADX oracle replays this exact arithmetic (see ta.ema).
+    sm_p = sm_m = sm_tr = 0.0
+    for d in range(period):
+        sm_p += float(plus_dm[d])
+        sm_m += float(minus_dm[d])
+        sm_tr += float(tr[d])
 
     def _di(sp, sm, st):
         if st == 0.0:
@@ -170,7 +174,10 @@ def adx_di(
     # `period` DX values; Wilder recursion afterwards.
     if n >= 2 * period:
         dx = np.asarray(dx_vals)  # dx[j] belongs to bar period+j
-        prev = np.mean(dx[:period])
+        acc = 0.0
+        for v in dx[:period]:  # sequential-fold seed, as above
+            acc += float(v)
+        prev = acc / period
         adx_out[2 * period - 1] = prev
         for j in range(period, len(dx)):
             prev = (prev * (period - 1) + dx[j]) / period
