@@ -186,6 +186,7 @@ _ORDER = [
     "atr_recursive",
     "t3_recursive",
     "adx_recursive",
+    "macd_recursive",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

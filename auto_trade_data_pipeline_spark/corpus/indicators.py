@@ -729,3 +729,87 @@ def adx_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("plus_di", 4).alias("plus_di"),
         F.round("minus_di", 4).alias("minus_di"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W3: full MACD (line / signal / histogram) cross-engine oracle
+# ---------------------------------------------------------------------------
+
+def _macd_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
+    first = slow - 1 + signal - 1 + 1  # 1-based first emitted bar (34)
+    return f"""
+WITH {CANDLES_CTE},
+lists AS (
+  SELECT symbol, list(close ORDER BY timestamp) AS c,
+         list(timestamp ORDER BY timestamp) AS bs, len(list(close)) AS n
+  FROM candles GROUP BY symbol
+),
+emas AS (
+  SELECT symbol, bs, n,
+         {_ema_stage('c', 1, fast)} AS e12,
+         {_ema_stage('c', 1, slow)} AS e26
+  FROM lists
+),
+ml AS (
+  SELECT symbol, bs, n,
+    list_transform(range(1, n + 1), i ->
+      CASE WHEN i < {slow} THEN NULL ELSE e12[i] - e26[i] END) AS ll
+  FROM emas
+),
+sg AS (
+  SELECT symbol, bs, n, ll, {_ema_stage('ll', slow, signal)} AS sig FROM ml
+)
+SELECT symbol, strftime(bs[i], '{TS_FMT_DUCK}') AS bucket_ts,
+       CASE WHEN i >= {first} THEN round(ll[i], 4) END AS macd,
+       CASE WHEN i >= {first} THEN round(sig[i], 4) END AS macd_signal,
+       CASE WHEN i >= {first} THEN round(ll[i] - sig[i], 4) END AS macd_diff
+FROM sg, unnest(range(1, n + 1)) AS u(i)
+"""
+
+
+@register("macd_recursive", _macd_oracle(), tags=("W3",))
+def macd_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row MACD(12, 26, 9) — line, signal, histogram — with a
+    REAL DuckDB oracle: both component EMAs, the signal EMA over the
+    (NaN-leading) macd line, and TA-Lib's histogram-aligned output
+    window all replayed exactly. Completes the W3 family's
+    cross-engine verification. Spark side: the production ta.macd
+    kernel."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        line, sig, hist = ta.macd(pdf["close"].to_numpy(dtype=float), 12, 26, 9)
+        import numpy as np
+
+        first = 26 - 1 + 9 - 1
+        sig = sig.copy()
+        hist = hist.copy()
+        if len(sig) > first:
+            sig[:first] = np.nan
+            hist[:first] = np.nan
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "timestamp": pdf["timestamp"],
+                "macd": line,
+                "macd_signal": sig,
+                "macd_diff": hist,
+            }
+        )
+
+    out = candles.select("symbol", "timestamp", "close").groupBy("symbol").applyInPandas(
+        kernel,
+        schema="symbol string, timestamp timestamp, macd double, macd_signal double, macd_diff double",
+    )
+    return out.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        F.round("macd", 4).alias("macd"),
+        F.round("macd_signal", 4).alias("macd_signal"),
+        F.round("macd_diff", 4).alias("macd_diff"),
+    )
