@@ -187,6 +187,7 @@ _ORDER = [
     "t3_recursive",
     "adx_recursive",
     "macd_recursive",
+    "psar_recursive",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

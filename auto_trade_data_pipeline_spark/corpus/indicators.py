@@ -813,3 +813,114 @@ def macd_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("macd_signal", 4).alias("macd_signal"),
         F.round("macd_diff", 4).alias("macd_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W4: Parabolic SAR state machine with a TRUE cross-engine oracle
+# ---------------------------------------------------------------------------
+
+#: SAR fold over list-typed state [lng, af, ep, sar] (element k carries
+#: [high_k, low_k, high_{k-1}, low_{k-1}]). List state ON PURPOSE:
+#: DuckDB 1.0's struct accumulators alias in-place updates across both
+#: same-step field copies and vector batches (verified empirically);
+#: list accumulators evaluate strictly. Every arithmetic step mirrors
+#: ta.psar exactly — separate vectorized ops, no FMA — so branches
+#: (reversals!) agree bit-for-bit with the numpy kernel.
+_PSAR_LAMBDA = """
+  (acc, x) ->
+    CASE
+    WHEN acc[1] = 1.0 AND x[2] < acc[4] THEN
+      [0.0, 0.02, x[2],
+       greatest(greatest(acc[3], x[1], x[3]) + 0.02 * (x[2] - greatest(acc[3], x[1], x[3])), x[1], x[3])]
+    WHEN acc[1] = 1.0 THEN
+      [1.0,
+       CASE WHEN x[1] > acc[3] THEN least(acc[2] + 0.02, 0.2) ELSE acc[2] END,
+       CASE WHEN x[1] > acc[3] THEN x[1] ELSE acc[3] END,
+       least(acc[4] + (CASE WHEN x[1] > acc[3] THEN least(acc[2] + 0.02, 0.2) ELSE acc[2] END)
+             * ((CASE WHEN x[1] > acc[3] THEN x[1] ELSE acc[3] END) - acc[4]), x[2], x[4])]
+    WHEN acc[1] = 0.0 AND x[1] > acc[4] THEN
+      [1.0, 0.02, x[1],
+       least(least(acc[3], x[2], x[4]) + 0.02 * (x[1] - least(acc[3], x[2], x[4])), x[2], x[4])]
+    ELSE
+      [0.0,
+       CASE WHEN x[2] < acc[3] THEN least(acc[2] + 0.02, 0.2) ELSE acc[2] END,
+       CASE WHEN x[2] < acc[3] THEN x[2] ELSE acc[3] END,
+       greatest(acc[4] + (CASE WHEN x[2] < acc[3] THEN least(acc[2] + 0.02, 0.2) ELSE acc[2] END)
+                * ((CASE WHEN x[2] < acc[3] THEN x[2] ELSE acc[3] END) - acc[4]), x[1], x[3])]
+    END
+"""
+
+_PSAR_ORACLE = f"""
+WITH {CANDLES_CTE},
+lists AS (
+  SELECT symbol, list(high ORDER BY timestamp) AS ph,
+         list(low ORDER BY timestamp) AS pl,
+         list(timestamp ORDER BY timestamp) AS bs,
+         len(list(high)) AS n
+  FROM candles GROUP BY symbol
+),
+st AS (
+  SELECT *, [CASE WHEN (pl[1] - pl[2] > ph[2] - ph[1]) AND (pl[1] - pl[2] > 0) THEN 0.0 ELSE 1.0 END,
+             0.02,
+             CASE WHEN (pl[1] - pl[2] > ph[2] - ph[1]) AND (pl[1] - pl[2] > 0) THEN pl[2] ELSE ph[2] END,
+             CASE WHEN (pl[1] - pl[2] > ph[2] - ph[1]) AND (pl[1] - pl[2] > 0) THEN ph[1] ELSE pl[1] END] AS s0
+  FROM lists
+),
+rows AS (
+  SELECT st.symbol, st.ph, st.pl, st.bs, u.i,
+    list_reduce([s0] || list_transform(range(2, u.i), k -> [ph[k], pl[k], ph[k-1], pl[k-1]]),
+      {_PSAR_LAMBDA}) AS sp
+  FROM st, unnest(range(2, n + 1)) AS u(i)
+)
+SELECT symbol, strftime(bs[i], '{TS_FMT_DUCK}') AS bucket_ts,
+  round(CASE WHEN sp[1] = 1.0 AND pl[i] < sp[4] THEN greatest(sp[3], ph[i], ph[i-1])
+             WHEN sp[1] = 1.0 THEN sp[4] + 0.0
+             WHEN sp[1] = 0.0 AND ph[i] > sp[4] THEN least(sp[3], pl[i], pl[i-1])
+             ELSE sp[4] + 0.0 END, 4) AS psar
+FROM rows
+UNION ALL
+SELECT symbol, strftime(bs[1], '{TS_FMT_DUCK}') AS bucket_ts, CAST(NULL AS DOUBLE) AS psar
+FROM lists
+"""
+
+
+@register("psar_recursive", _PSAR_ORACLE, tags=("W4",))
+def psar_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Parabolic SAR — Wilder's branching state machine
+    (trend, acceleration factor, extreme point, reversal clamps) —
+    with a REAL DuckDB oracle: the full state machine replayed as a
+    per-row prefix fold over list-typed state, BIT-exact including
+    every reversal branch (all arithmetic is strict IEEE add/mul/
+    min/max on both engines, so float comparisons branch
+    identically). This closes the last recursive indicator family;
+    only the greedy peak-distance suppression and the anchor machine
+    remain golden-pinned. Spark side: the production ta.psar kernel."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "timestamp": pdf["timestamp"],
+                "psar": ta.psar(
+                    pdf["high"].to_numpy(dtype=float),
+                    pdf["low"].to_numpy(dtype=float),
+                    0.02,
+                    0.2,
+                ),
+            }
+        )
+
+    out = candles.select("symbol", "timestamp", "high", "low").groupBy(
+        "symbol"
+    ).applyInPandas(kernel, schema="symbol string, timestamp timestamp, psar double")
+    return out.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        F.round("psar", 4).alias("psar"),
+    )
