@@ -188,6 +188,7 @@ _ORDER = [
     "adx_recursive",
     "macd_recursive",
     "psar_recursive",
+    "peaks_major_full",
     # rows-only (no SQL oracle by design) — after the driver cut line
     "anchored_vwap_points",
     "anchored_vwap_filled",

@@ -924,3 +924,122 @@ def psar_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
         F.round("psar", 4).alias("psar"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W11 complete: full find_peaks semantics (distance=10, prominence=0.9)
+# ---------------------------------------------------------------------------
+
+_MAJOR_DIST = 10
+_MAJOR_PROM = 0.9
+
+
+def _full_peaks_sql(series: str, kind: str, sign: str) -> str:
+    """scipy find_peaks(distance, prominence) complete: plateau-mid
+    local maxima -> greedy suppression by descending height (stable
+    ties -> later candidate first, matching argsort[::-1]) as a fold
+    over a keep-mask list -> prominence threshold."""
+    d, pr = _MAJOR_DIST, _MAJOR_PROM
+    prom = (
+        f"l[pp[c]] - greatest("
+        f"list_aggregate(l[coalesce(list_max(list_filter(range(1, pp[c]), q -> l[q] > l[pp[c]])), 0) + 1 : pp[c]], 'min'),"
+        f"list_aggregate(l[pp[c] : coalesce(list_min(list_filter(range(pp[c] + 1, n + 1), q -> l[q] > l[pp[c]])), n + 1) - 1], 'min'))"
+    )
+    return f"""
+SELECT symbol, bs[pp[c]] AS ts, '{kind}' AS kind, round({sign}l[pp[c]], 6) AS level
+FROM (
+  SELECT symbol, l, bs, n, pp, hh, p,
+    list_reduce(
+      [list_transform(range(1, p + 1), c -> 1.0)] ||
+      list_transform(
+        list_transform(
+          list_sort(list_transform(range(1, p + 1), c -> [-hh[c], -CAST(c AS DOUBLE)])),
+          e -> -e[2]),
+        v -> [v]),
+      (acc, x) ->
+        CASE WHEN acc[CAST(x[1] AS BIGINT)] = 0.0
+             THEN list_transform(acc, vv -> vv + 0.0)
+             ELSE list_transform(range(1, p + 1), j ->
+                    CASE WHEN j = CAST(x[1] AS BIGINT) THEN 1.0
+                         WHEN abs(pp[j] - pp[CAST(x[1] AS BIGINT)]) < {d} THEN 0.0
+                         ELSE acc[j] + 0.0 END)
+        END) AS keep
+  FROM (
+    SELECT symbol, any_value(l) AS l, any_value(bs) AS bs, any_value(n) AS n,
+           list(m ORDER BY m) AS pp, list(h ORDER BY m) AS hh, count(*) AS p
+    FROM (
+      SELECT symbol, l, bs, n, (i + j) // 2 AS m, l[i] AS h
+      FROM (
+        SELECT symbol, l, bs, n, i,
+               list_min(list_filter(range(i, n), k -> l[k + 1] != l[i])) AS j
+        FROM (SELECT symbol, {series} AS l, bs, len({series}) AS n,
+                     unnest(range(2, len({series}))) AS i FROM lists)
+        WHERE l[i] > l[i - 1]
+      )
+      WHERE j IS NOT NULL AND l[j + 1] < l[i]
+    )
+    GROUP BY symbol
+  )
+), unnest(range(1, p + 1)) t(c)
+WHERE keep[c] = 1.0 AND {prom} >= {pr}
+"""
+
+
+_FULL_PEAKS_ORACLE = f"""
+WITH {CANDLES_CTE},
+lists AS (
+  SELECT symbol,
+         list(high ORDER BY timestamp) AS lh,
+         list(-low ORDER BY timestamp) AS lnn,
+         list(strftime(timestamp, '{TS_FMT_DUCK}') ORDER BY timestamp) AS bs
+  FROM candles GROUP BY symbol
+),
+pk AS ({_full_peaks_sql('lh', 'peak', '')}),
+vl AS ({_full_peaks_sql('lnn', 'valley', '-')})
+SELECT symbol, ts AS bucket_ts, kind, level FROM pk
+UNION ALL
+SELECT symbol, ts AS bucket_ts, kind, level FROM vl
+"""
+
+
+@register("peaks_major_full", _FULL_PEAKS_ORACLE, tags=("W11",))
+def peaks_major_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 at FULL semantics: the major-scale peaks and valleys
+    (distance=10, prominence=0.9) — exactly the kernel's
+    is_major_peak / is_major_valley flags — with a complete DuckDB
+    oracle including the greedy distance suppression (descending
+    height, stable-tie order) as a keep-mask fold. Together with
+    `peaks_prominence_d1`, the whole scipy find_peaks subset is now
+    cross-engine verified; nothing of W11 remains golden-only.
+    Spark side: the production ta.find_peaks kernel."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        rows = []
+        for series, kind, sign in (
+            (pdf["high"].to_numpy(dtype=float), "peak", 1.0),
+            (-pdf["low"].to_numpy(dtype=float), "valley", -1.0),
+        ):
+            for i in ta.find_peaks(series, _MAJOR_DIST, _MAJOR_PROM):
+                rows.append(
+                    (pdf["symbol"].iloc[0], pdf["timestamp"].iloc[int(i)], kind,
+                     float(sign * series[int(i)]))
+                )
+        return pd.DataFrame(rows, columns=["symbol", "timestamp", "kind", "level"])
+
+    out = candles.select("symbol", "timestamp", "high", "low").groupBy(
+        "symbol"
+    ).applyInPandas(
+        kernel, schema="symbol string, timestamp timestamp, kind string, level double"
+    )
+    return out.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        "kind",
+        F.round("level", 6).alias("level"),
+    )
