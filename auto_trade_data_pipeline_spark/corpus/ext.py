@@ -250,13 +250,17 @@ sp AS (
   FROM base
 ),
 pk AS (
-  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  -- sum(BIGINT) OVER is HUGEINT in DuckDB; a pandas-based fetch turns
+  -- HUGEINT into float64 ("3" -> "3.0"), flipping the driver's value
+  -- hash. Cast back to BIGINT immediately so every derived integer
+  -- stays an int64 end to end.
+  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
   FROM sp
 )
 SELECT doc_id, source, bucket, split, n_tokens,
-       prefix // {PACK_BUDGET} AS seq_id,
-       prefix % {PACK_BUDGET} AS seq_offset
+       CAST(prefix // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(prefix % {PACK_BUDGET} AS BIGINT) AS seq_offset
 FROM pk
 """
 

@@ -934,12 +934,26 @@ _MAJOR_DIST = 10
 _MAJOR_PROM = 0.9
 
 
-def _full_peaks_sql(series: str, kind: str, sign: str) -> str:
+def full_peaks_sql(
+    series: str,
+    kind: str,
+    sign: str,
+    d: int = _MAJOR_DIST,
+    pr: float = _MAJOR_PROM,
+    select_cols: str | None = None,
+) -> str:
     """scipy find_peaks(distance, prominence) complete: plateau-mid
     local maxima -> greedy suppression by descending height (stable
     ties -> later candidate first, matching argsort[::-1]) as a fold
-    over a keep-mask list -> prominence threshold."""
-    d, pr = _MAJOR_DIST, _MAJOR_PROM
+    over a keep-mask list -> prominence threshold.
+
+    Parameterized over (distance, prominence) and the emitted columns
+    so the anchor-machine oracle (corpus/anchors.py) can instantiate
+    all three reference scales and read back the kept positions."""
+    if select_cols is None:
+        select_cols = (
+            f"symbol, bs[pp[c]] AS ts, '{kind}' AS kind, round({sign}l[pp[c]], 6) AS level"
+        )
     prom = (
         f"l[pp[c]] - greatest("
         f"list_aggregate(l[coalesce(list_max(list_filter(range(1, pp[c]), q -> l[q] > l[pp[c]])), 0) + 1 : pp[c]], 'min'),"
@@ -994,8 +1008,8 @@ lists AS (
          list(strftime(timestamp, '{TS_FMT_DUCK}') ORDER BY timestamp) AS bs
   FROM candles GROUP BY symbol
 ),
-pk AS ({_full_peaks_sql('lh', 'peak', '')}),
-vl AS ({_full_peaks_sql('lnn', 'valley', '-')})
+pk AS ({full_peaks_sql('lh', 'peak', '')}),
+vl AS ({full_peaks_sql('lnn', 'valley', '-')})
 SELECT symbol, ts AS bucket_ts, kind, level FROM pk
 UNION ALL
 SELECT symbol, ts AS bucket_ts, kind, level FROM vl

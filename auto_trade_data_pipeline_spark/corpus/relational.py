@@ -458,10 +458,12 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
 SELECT l.l_returnflag,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       -- sum(int) is HUGEINT in DuckDB -> float64 under a pandas
+       -- fetch; cast so the driver renders int like Spark does.
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
@@ -736,11 +738,13 @@ WITH ticks AS (
   FROM events
 ),
 s AS (
+  -- sum(BIGINT) OVER is HUGEINT in DuckDB; cast back to BIGINT so a
+  -- pandas-based driver fetch renders ints like Spark ("3" not "3.0").
   SELECT symbol, tick_id,
          count(*) OVER w AS n,
-         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
-         sum(x * y) OVER w AS sxy,
-         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+         CAST(sum(x) OVER w AS BIGINT) AS sx, CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx, CAST(sum(y * y) OVER w AS BIGINT) AS syy
   FROM ticks
   WINDOW w AS (PARTITION BY symbol ORDER BY timestamp, tick_id
                ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)

@@ -6,6 +6,17 @@ order-insensitive value hash (columns sorted by name, rows sorted by
 their canonical string form). Strict string equality on canonical
 forms — if this passes, any reasonable driver comparison passes.
 
+Additionally enforces a **pandas-dtype-drift gate**: a driver that
+fetches the DuckDB result through pandas (``rel.df()``) silently
+converts HUGEINT/DECIMAL columns to float64, so an oracle column like
+``sum(bigint) OVER (...)`` renders as ``3.0`` while Spark renders
+``3`` — rows and column names match but the value hash flips (this is
+exactly how ``training_mix_pack`` went driver-red in round 3 while
+passing fetchall-based local checks). We therefore map every oracle
+output column's DuckDB type and the Spark schema type into render
+classes and fail any query whose classes disagree, *before* the value
+comparison can mask it.
+
 Usage:  python tools/verify_local.py [sf_dir] [query ...]
 """
 
@@ -45,6 +56,57 @@ def canon(v) -> str:
             "the driver's canonicalizer cannot hash lists"
         )
     return str(v)
+
+
+def _duck_render_class(t: str) -> str:
+    """How a pandas-based driver will RENDER values of this DuckDB
+    type. HUGEINT and DECIMAL become float64 in ``rel.df()`` — the
+    silent int→``3.0`` drift this gate exists to catch."""
+    t = str(t).upper()
+    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT", "FLOAT", "DOUBLE"):
+        return "float"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    return f"other:{t}"
+
+
+def _spark_render_class(dt) -> str:
+    n = dt.simpleString()
+    if n in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if n in ("float", "double") or n.startswith("decimal"):
+        return "float"
+    if n == "boolean":
+        return "bool"
+    if n == "string":
+        return "str"
+    if n.startswith("timestamp"):
+        return "ts"
+    if n == "date":
+        return "date"
+    return f"other:{n}"
+
+
+def dtype_drift(sdf_schema, duck_cols: list[str], duck_types: list) -> list[str]:
+    """Columns whose Spark vs pandas-fetched-DuckDB render classes
+    disagree (empty list == no drift)."""
+    spark_cls = {f.name: _spark_render_class(f.dataType) for f in sdf_schema.fields}
+    bad = []
+    for c, t in zip(duck_cols, duck_types):
+        dc = _duck_render_class(t)
+        sc = spark_cls.get(c)
+        if sc is not None and sc != dc:
+            bad.append(f"{c}: spark={sc} duck={t}->{dc}")
+    return bad
 
 
 def table_hash(rows: list[tuple], colnames: list[str]) -> str:
@@ -91,10 +153,18 @@ def main() -> int:
         try:
             rel = con.sql(q.oracle)
             ocols = rel.columns
+            otypes = rel.types
             orows = rel.fetchall()
         except Exception:
             print(f"FAIL  {name}: oracle raised")
             traceback.print_exc()
+            failures.append(name)
+            continue
+        drift = dtype_drift(sdf.schema, ocols, otypes)
+        if drift:
+            print(f"FAIL  {name}: pandas-dtype drift (driver would hash-mismatch)")
+            for d in drift:
+                print(f"    {d}")
             failures.append(name)
             continue
         ok_cols = sorted(scols) == sorted(ocols)
