@@ -62,6 +62,8 @@ DRIVER_QUERY_SLOTS = 50
 #: a driver row (round-2 positions >= 50) or whose semantics changed
 #: this round, then long-stable green queries, then rows-only.
 _ORDER = [
+    # new this round: the anchor state machine's cross-engine oracle
+    "anchor_machine_recursive",
     # previously driver-dark relational surface (round-2 pos 50-59)
     "rank_parts_in_brand",
     "rollup_lineitem_sales",

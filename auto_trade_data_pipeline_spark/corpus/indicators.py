@@ -960,7 +960,7 @@ def full_peaks_sql(
         f"list_aggregate(l[pp[c] : coalesce(list_min(list_filter(range(pp[c] + 1, n + 1), q -> l[q] > l[pp[c]])), n + 1) - 1], 'min'))"
     )
     return f"""
-SELECT symbol, bs[pp[c]] AS ts, '{kind}' AS kind, round({sign}l[pp[c]], 6) AS level
+SELECT {select_cols}
 FROM (
   SELECT symbol, l, bs, n, pp, hh, p,
     list_reduce(
