@@ -58,108 +58,56 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 #: goldens instead) after the cut line.
 DRIVER_QUERY_SLOTS = 50
 
-#: Explicit registry order. Front-loaded: queries that have never had
-#: a driver row (round-2 positions >= 50) or whose semantics changed
-#: this round, then long-stable green queries, then rows-only.
-_ORDER = [
-    # new this round: the anchor state machine's cross-engine oracle
-    "anchor_machine_recursive",
-    # previously driver-dark relational surface (round-2 pos 50-59)
-    "rank_parts_in_brand",
-    "rollup_lineitem_sales",
-    "cube_order_priorities",
-    "set_ops_customers",
-    "range_join_price_bands",
-    "asof_join_latest_bar",
-    "pivot_unpivot_status_metrics",
-    "percentiles_order_value",
-    # new or semantics-extended this round
-    "anchored_vwap_fill",
-    "candles_cascade",
-    "doc_tokens_fingerprint",
-    "tick_quality_report",
-    "upsert_merge",
-    "similarity_topk_ivf",
-    "dedup_groups_cc",
-    "tfidf_top_terms",
-    "training_mix_pack",
-    "sliding_window_agg",
-    "text_quality_langid",
-    "join_customer_order_profile",
-    "semi_anti_join_customers",
-    "pii_redaction",
-    "doc_chunks",
-    "repetition_profile",
-    "contamination_check",
-    # round-3 novel mechanisms — rotated INTO the driver window this
-    # round (custom machinery benefits most from a driver row); the
-    # three rotated out (daily_key_levels, join_broadcast_nation_region,
-    # symbol_stats) stay oracled + locally verified, and their
-    # operators (A7, J4, A4/A9) remain driver-covered by
-    # rolling_window_features, join_order_revenue, and
-    # tick_quality_report respectively
-    "global_rank_orders",
-    "candles_gap_fill",
-    "dedup_embedding_srp",
-    "winnowing_overlap",
-    "ema_recursive",
-    # stable green oracled queries
-    "candles_1s",
-    "dedup_keep_last",
-    "validation_split_invalid",
-    "filter_time_symbol_weekend",
-    "session_flags",
-    "rolling_window_features",
-    "gap_report",
-    "trend_labels",
-    "default_projection",
-    "cdl_patterns_simple",
-    "streaming_candles_replay",
-    "streaming_dedup_replay",
-    "session_window_agg",
-    "tpch_q1_pricing_summary",
-    "join_order_revenue",
-    "dedup_exact_text",
-    "dedup_near_minhash_lsh",
-    "dedup_simhash",
-    "similarity_topk_cosine",
-    "multimodal_decode_stats",
-    # oracled but past the driver's evaluation budget — verified
-    # locally per-round via tools/verify_local.py instead; the ops
-    # they pin are either redundant with in-budget queries
-    # (salted/json/norm-stats/top-k variants) or additive surface
-    "dedup_embedding_cosine",
-    "ngram_jaccard_blocked",
-    "symbol_stats",
-    "daily_key_levels",
-    "join_broadcast_nation_region",
-    "salted_symbol_stats",
-    "json_props_stats",
-    "embedding_norm_stats",
-    "top_k_orders",
+#: Oracled queries explicitly scheduled for the NEXT round's window
+#: (the window only holds 50; these lost the tiebreak because their
+#: operators already have green driver rows via sibling queries).
+#: tests/test_rotation.py fails if any oracled query is stranded
+#: OUTSIDE this declared set — deferral must be a visible decision,
+#: never an accident. This set must empty out as rotation proceeds.
+DEFERRED_TO_NEXT_ROUND = frozenset({
     "heavy_hitter_bigrams",
     "dedup_priority_keep",
+    "lm_quality_score",
+    "table_profile_orders",
+    "sql_hourly_ohlc",
+    "corpus_keep_decision",
+    "quality_percentile_gate",
+    "source_mix_sample",
+})
+
+#: Explicit registry order — the ROUND-4 rotation. Window layout:
+#: slot 0 = the new anchor-machine oracle; slots 1-3 = the round-3
+#: driver-red row (training_mix_pack) plus the two queries whose
+#: oracles changed for the pandas-dtype-drift fix; slots 4-47 = every
+#: remaining never-driver-checked oracled query (TPC-H deep shapes,
+#: events analytics, SCD2, table diff, co-moments, histogram,
+#: streaming replays, recursive-indicator oracles); last 2 = stable
+#: green fillers. Deferred to round 5 (driver-covered by green
+#: siblings in the clean family): heavy_hitter_bigrams,
+#: dedup_priority_keep, table_profile_orders, sql_hourly_ohlc,
+#: source_mix_sample, lm_quality_score, corpus_keep_decision,
+#: quality_percentile_gate. tests/test_rotation.py enforces that
+#: every oracled query is either in this window or already has a
+#: recorded driver row.
+_ORDER = [
+    "anchor_machine_recursive",
+    "training_mix_pack",
+    "rolling_corr_window",
+    "tpch_q12_late_priority_counts",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    "tpch_q12_late_priority_counts",
     "tpch_q14_promo_revenue",
-    "lm_quality_score",
     "funnel_conversion",
     "cohort_retention",
-    "table_profile_orders",
     "window_function_family",
     "grouping_sets_revenue",
     "scalar_subquery_above_avg",
     "stream_interval_join_replay",
-    "sql_hourly_ohlc",
     "multimodal_frame_sample",
     "multimodal_byte_histogram",
-    "corpus_keep_decision",
-    "quality_percentile_gate",
-    "source_mix_sample",
     "scd2_user_state",
     "tpch_q13_custdist",
     "tpch_q17_small_quantity_revenue",
@@ -180,7 +128,6 @@ _ORDER = [
     "symbol_corr_stats",
     "price_histogram",
     "stream_static_enrich_replay",
-    "rolling_corr_window",
     "streaming_cascade_replay",
     "event_transitions",
     "table_diff_orders",
@@ -191,7 +138,72 @@ _ORDER = [
     "macd_recursive",
     "psar_recursive",
     "peaks_major_full",
-    # rows-only (no SQL oracle by design) — after the driver cut line
+    "rank_parts_in_brand",
+    "rollup_lineitem_sales",
+    "cube_order_priorities",
+    "set_ops_customers",
+    "range_join_price_bands",
+    "asof_join_latest_bar",
+    "pivot_unpivot_status_metrics",
+    "percentiles_order_value",
+    "anchored_vwap_fill",
+    "candles_cascade",
+    "doc_tokens_fingerprint",
+    "tick_quality_report",
+    "upsert_merge",
+    "similarity_topk_ivf",
+    "dedup_groups_cc",
+    "tfidf_top_terms",
+    "sliding_window_agg",
+    "text_quality_langid",
+    "join_customer_order_profile",
+    "semi_anti_join_customers",
+    "pii_redaction",
+    "doc_chunks",
+    "repetition_profile",
+    "contamination_check",
+    "global_rank_orders",
+    "candles_gap_fill",
+    "dedup_embedding_srp",
+    "winnowing_overlap",
+    "ema_recursive",
+    "candles_1s",
+    "dedup_keep_last",
+    "validation_split_invalid",
+    "filter_time_symbol_weekend",
+    "session_flags",
+    "rolling_window_features",
+    "gap_report",
+    "trend_labels",
+    "default_projection",
+    "cdl_patterns_simple",
+    "streaming_candles_replay",
+    "streaming_dedup_replay",
+    "session_window_agg",
+    "tpch_q1_pricing_summary",
+    "join_order_revenue",
+    "dedup_exact_text",
+    "dedup_near_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "multimodal_decode_stats",
+    "dedup_embedding_cosine",
+    "ngram_jaccard_blocked",
+    "symbol_stats",
+    "daily_key_levels",
+    "join_broadcast_nation_region",
+    "salted_symbol_stats",
+    "json_props_stats",
+    "embedding_norm_stats",
+    "top_k_orders",
+    "heavy_hitter_bigrams",
+    "dedup_priority_keep",
+    "lm_quality_score",
+    "table_profile_orders",
+    "sql_hourly_ohlc",
+    "corpus_keep_decision",
+    "quality_percentile_gate",
+    "source_mix_sample",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

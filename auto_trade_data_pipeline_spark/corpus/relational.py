@@ -689,8 +689,12 @@ bounds AS (
   SELECT min(price) AS lo, max(price) AS hi FROM ticks
 ),
 binned AS (
+  -- degenerate-range guard (all prices equal): span 1.0 puts every
+  -- row in bin 0 on both engines instead of NULL-division drift
   SELECT t.symbol,
-         CAST(least(floor((t.price - b.lo) / (b.hi - b.lo) * 20), 19) AS BIGINT) AS bin
+         CAST(least(floor((t.price - b.lo) /
+                          (CASE WHEN b.hi > b.lo THEN b.hi - b.lo ELSE 1.0 END) * 20),
+                    19) AS BIGINT) AS bin
   FROM ticks t, bounds b
 )
 SELECT symbol, bin, count(*) AS n
@@ -711,8 +715,11 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = ticks_from_events(spark, sf_dir).select("symbol", "price")
     bounds = t.agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+    span = F.when(F.col("hi") > F.col("lo"), F.col("hi") - F.col("lo")).otherwise(
+        F.lit(1.0)
+    )
     bin_col = F.least(
-        F.floor((F.col("price") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
+        F.floor((F.col("price") - F.col("lo")) / span * 20),
         F.lit(19),
     ).cast("long")
     return (

@@ -35,6 +35,14 @@ def _interleave(buckets: list[Column], bits: int) -> Column:
     (b * ndims + i) takes bit b of dimension i. Pure shift/and/or
     arithmetic — whole-stage codegen, no UDF."""
     nd = len(buckets)
+    if nd * bits > 63:
+        raise ValueError(
+            f"{nd} z-order dimensions x {bits} bits = {nd * bits} interleaved "
+            "bits does not fit a signed 64-bit key (the top bit would land in "
+            "the sign, making negative keys sort before positive ones and "
+            "silently breaking Morton clustering) - lower bits to "
+            f"<= {63 // nd} for {nd} dimensions"
+        )
     terms = []
     for i, col in enumerate(buckets):
         for b in range(bits):
@@ -49,7 +57,15 @@ def with_zorder_key(
     """Attach a z-order key over ``cols``: each column is mapped to a
     ``2^bits``-bucket index against its broadcast global [min, max]
     (equal-width — the footer-stat clustering target; NULLs map to
-    bucket 0), then the indices are bit-interleaved."""
+    bucket 0), then the indices are bit-interleaved.
+
+    ``len(cols) * bits`` must fit in 63 bits (signed-long key).
+
+    NOTE: the bucket bounds are a SEPARATE aggregate over ``df``
+    cross-joined back, so the upstream plan executes twice; if the
+    upstream is expensive (or non-deterministic — the bounds could
+    then disagree with the joined rows), persist/checkpoint ``df``
+    before calling this or ``write_zordered``."""
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],

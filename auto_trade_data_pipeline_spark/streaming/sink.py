@@ -35,7 +35,24 @@ __all__ = ["apply_upsert_batch", "stream_upsert_writer", "committed_batches"]
 
 
 def _commits_dir(path: str) -> str:
+    _require_local_path(path)
     return f"{path}.__commits"
+
+
+def _require_local_path(path: str) -> None:
+    """The commit markers use driver-local os.path/os.rename; against
+    a remote URI (hdfs://, s3a://, ...) the marker dir would silently
+    land on the driver's local disk and the transactional-skip layer
+    would degrade to value-idempotence only. Refuse loudly instead —
+    a remote deployment should route marker IO through the Hadoop
+    FileSystem API (or use a transactional table format)."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"stream upsert sink requires a local filesystem path, got "
+            f"{scheme}:// - commit markers are written with driver-local "
+            "os.rename and would not be transactional against a remote store"
+        )
 
 
 def committed_batches(path: str) -> set[int]:
@@ -69,7 +86,12 @@ def apply_upsert_batch(
 
 
 def stream_upsert_writer(path: str, keys: list[str], order_col: str):
-    """The function to hand to ``stream.writeStream.foreachBatch``."""
+    """The function to hand to ``stream.writeStream.foreachBatch``.
+
+    ``path`` must be on a local (POSIX-rename) filesystem — the
+    exactly-once commit markers are driver-local files (see
+    ``_require_local_path``)."""
+    _require_local_path(path)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         apply_upsert_batch(batch_df, batch_id, path, keys, order_col)

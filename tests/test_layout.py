@@ -71,3 +71,18 @@ def test_zorder_key_null_and_constant_columns(spark):
     out = with_zorder_key(df, ["a", "b"], bits=4).collect()
     assert len(out) == 3
     assert all(r["__z"] is not None and r["__z"] >= 0 for r in out)
+
+
+def test_interleave_rejects_sign_bit_overflow():
+    """4 dims x 16 bits = 64 interleaved bits — the top bit would land
+    in the signed long's sign bit, producing negative z-keys that sort
+    before positive ones. The guard must refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from auto_trade_data_pipeline_spark.operators.layout import _interleave
+
+    with pytest.raises(ValueError, match="sign"):
+        _interleave([F.col(c) for c in "abcd"], 16)
+    # 4 dims x 15 bits = 60 bits fits
+    _interleave([F.col(c) for c in "abcd"], 15)
