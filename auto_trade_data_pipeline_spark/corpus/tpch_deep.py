@@ -230,7 +230,7 @@ LIMIT 10
 """
 
 
-@register("tpch_q21_waiting_supplier", _Q21_ORACLE, tags=("J1", "J6", "A4", "O2"))
+@register("tpch_q21_waiting_supplier", _Q21_ORACLE, tags=("J1", "J6", "A4", "O2", "bench"))
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
     finished multi-supplier order. The EXISTS / NOT EXISTS pair

@@ -108,6 +108,48 @@ def test_dedup_and_upsert_idempotence(rows):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, once.collect()))
 
 
+@given(rows=ticks_strategy, cut=st.integers(min_value=0, max_value=60))
+@_settings
+def test_upsert_batch_split_equivalence(rows, cut):
+    """Merging an update stream in two arrival-ordered batches must
+    equal merging it in one shot: the ingest pipeline's batching is an
+    operational choice, not a semantic one (tick_id is the arrival
+    order, so the later batch always wins key collisions either way)."""
+    cut = min(cut, len(rows))
+    base = _df(rows)
+    data = [
+        (s, BASE + timedelta(seconds=sec, microseconds=us), float(p), float(v), i)
+        for i, (s, sec, us, p, v) in enumerate(rows)
+    ]  # tick_id is GLOBAL arrival order; batches slice it, never renumber
+    keys, order = ["symbol", "timestamp"], ["tick_id"]
+    one_shot = upsert(base.limit(0), base, keys, order)
+    staged = base.limit(0)
+    for chunk in (data[:cut], data[cut:]):
+        if chunk:
+            staged = upsert(staged, _spark.createDataFrame(chunk, TICKS), keys, order)
+    # `first`'s rows carry smaller tick_ids than `second`'s for any
+    # shared key, so sequential (second wins) == one-shot (max tick_id).
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, one_shot.collect()))
+
+
+@given(rows=ticks_strategy)
+@_settings
+def test_dedup_keep_last_tie_contract(rows):
+    """When order_cols tie (duplicate prices as the sort key), the
+    operator must still emit exactly one row per key, and that row's
+    order tuple must be the key's maximum — the deterministic part of
+    the contract that holds regardless of which tied payload wins."""
+    ticks = _df(rows)
+    out = dedup_keep_last(ticks, ["symbol"], ["price"]).collect()
+    max_price = {
+        r["symbol"]: r["mx"]
+        for r in ticks.groupBy("symbol").agg(F.max("price").alias("mx")).collect()
+    }
+    assert len(out) == len(max_price)
+    for r in out:
+        assert r["price"] == max_price[r["symbol"]]
+
+
 @given(rows=ticks_strategy)
 @_settings
 def test_session_flags_partition_the_day(rows):
