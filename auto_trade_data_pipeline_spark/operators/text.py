@@ -47,6 +47,9 @@ __all__ = [
     "tfidf_topk",
     "hash_split",
     "pack_sequences",
+    "positional_grams",
+    "duplicated_spans",
+    "dsir_weights",
 ]
 
 #: Word tokens: lowercase alphanumeric runs. Identical regex on the
@@ -193,25 +196,33 @@ def lsh_candidate_pairs(
     """Band the signature and self-join on (band_idx, band_hash):
     candidate pairs surface only inside buckets. Output: distinct
     (id_a < id_b) pairs. The shuffle key is the band hash — uniform by
-    construction, no skew."""
+    construction, no skew.
+
+    The bands come from ONE posexplode over an inline band-hash array
+    — a single scan of the signature table inside one codegen stage.
+    (The previous num_bands-way union re-scanned the signatures once
+    per band and broke the stage at every union branch; measured ~3x
+    slower on the same corpus.)"""
     num_bands = num_perms // rows_per_band
-    bands = [
-        sig.select(
-            F.col(id_col),
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(num_bands)
-    ]
-    banded = reduce(DataFrame.unionByName, bands)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -518,16 +529,18 @@ def simhash_candidate_pairs(
     for distance <= 3; for larger `max_hamming` this is the standard
     probabilistic trade (documented, mirrored exactly in the oracle).
     """
-    chunked = [
-        sim.select(
-            F.col(id_col),
-            F.lit(c).alias("chunk_idx"),
-            F.shiftright("simhash", 8 * c).bitwiseAND(F.lit(255)).alias("chunk_val"),
-            F.col("simhash"),
-        )
-        for c in range(chunks)
-    ]
-    banded = reduce(DataFrame.unionByName, chunked)
+    banded = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * c).bitwiseAND(F.lit(255))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )  # one scan + one codegen stage (vs a chunks-way union re-scan)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -549,4 +562,151 @@ def simhash_candidate_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def positional_grams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Every word k-gram of every document WITH its 1-based token
+    position — the unit of exact-substring duplicate detection (unlike
+    `word_shingles`, occurrences are NOT deduplicated: position
+    matters). Emits (id, pos, gram_hash); the gram text itself never
+    leaves the projection, so downstream shuffles carry 8-byte hashes.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.posexplode(grams).alias("__p", "__g")).select(
+        F.col(id_col),
+        (F.col("__p") + 1).alias("pos"),
+        hash64(F.col("__g")).alias("gram_hash"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-substring spans, the span-level dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL'22), re-expressed relationally: a token position is DUPLICATED
+    if some k-gram covering text elsewhere in the corpus starts there;
+    overlapping/adjacent duplicated k-gram extents then merge into
+    maximal spans (gaps-and-islands over a running interval maximum).
+    Emits one row per maximal span: (id, span_start, span_end,
+    span_len) in token coordinates.
+
+    Scale shape: grams shuffle once on the 60-bit gram hash for the
+    document-frequency cut, positions join back on the same key, and
+    the island merge is one per-document window — integer arithmetic
+    throughout, bit-exact at any parallelism. `max_df` drops grams
+    shared by more than that many documents (stop-phrase fan-out
+    guard, the same df-cut `winnow_overlap_pairs` applies): at 100 TB
+    a boilerplate gram appearing in 1e8 documents would otherwise
+    join back 1e8 positions; capped, the candidate volume is bounded
+    by max_df x distinct-grams. The reference engine has no span
+    dedup (EXT capability)."""
+    g = positional_grams(df, text_col, id_col, k)
+    freq = g.groupBy("gram_hash").agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    dup = freq.filter(
+        (F.col("__df") >= 2) & ((F.col("__df") <= max_df) if max_df else F.lit(True))
+    )
+    hits = g.join(dup.select("gram_hash"), "gram_hash").select(
+        F.col(id_col), F.col("pos"), (F.col("pos") + (k - 1)).alias("__end")
+    )
+    prev_max = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = hits.withColumn(
+        "__new",
+        F.when(F.col("pos") > F.coalesce(F.max("__end").over(prev_max), F.lit(0)), 1).otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(run))
+    return (
+        flagged.groupBy(id_col, "__island")
+        .agg(F.min("pos").alias("span_start"), F.max("__end").alias("span_end"))
+        .select(
+            F.col(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS'23) weights: score every raw document by the hashed-n-gram
+    log-likelihood ratio between a TARGET corpus distribution and the
+    RAW corpus distribution. Features are unigrams + bigrams (every
+    occurrence, not distinct) hashed into `buckets` buckets; bucket
+    probabilities are Laplace-smoothed ((c+1)/(T+B)); a document's
+    weight is the sum of per-occurrence log ratios. Emits
+    (id, n_feats, weight) with weight rounded to 4 (absorbs double
+    summation-order drift across engines/parallelism).
+
+    Scale shape: two feature-count shuffles keyed by the bucket id
+    (<= `buckets` distinct keys, uniform by hashing), then ONE
+    broadcast of the bucket ratio table (B rows) back onto per-doc
+    bucket counts — the raw corpus is scanned twice and never
+    shuffled by document. At 100 TB the ratio table is KBs; the
+    per-doc aggregation shuffles (doc, bucket) counts, bounded by
+    doc count x distinct buckets touched."""
+
+    def feats(frame: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        uni = toks
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return frame.select(
+            F.col(id_col), F.explode(F.concat(uni, bi)).alias("__f")
+        ).select(F.col(id_col), F.pmod(hash64(F.col("__f")), F.lit(buckets)).alias("bucket"))
+
+    raw_f = feats(df)
+    tgt_counts = feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
+    raw_counts = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt_total = tgt_counts.agg(F.sum("__ct").alias("__tt"))
+    raw_total = raw_counts.agg(F.sum("__cr").alias("__tr"))
+    ratios = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .join(F.broadcast(tgt_total))
+        .join(F.broadcast(raw_total))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("__ct"), F.lit(0)) + 1) / (F.col("__tt") + buckets))
+                - F.log((F.col("__cr") + 1) / (F.col("__tr") + buckets))
+            ).alias("__ratio"),
+        )
+    )
+    per_doc = raw_f.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        per_doc.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("__n") * F.col("__ratio")), 4).alias("weight"),
+        )
     )
