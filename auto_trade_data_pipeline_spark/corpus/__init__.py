@@ -73,6 +73,11 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "corpus_keep_decision",
     "quality_percentile_gate",
     "source_mix_sample",
+    # New in round 4 (locally verified hash-exact; the round-4 window
+    # was already committed to the 44 never-driver-checked queries):
+    "span_dedup_exact",
+    "dsir_importance",
+    "dedup_semantic_kmeans",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -204,6 +209,9 @@ _ORDER = [
     "corpus_keep_decision",
     "quality_percentile_gate",
     "source_mix_sample",
+    "span_dedup_exact",
+    "dsir_importance",
+    "dedup_semantic_kmeans",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

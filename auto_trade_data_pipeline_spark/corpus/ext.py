@@ -668,12 +668,14 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
-def _ivf_kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """DuckDB twin of operators.vectors.kmeans_cells + ivf_topk: the
-    same seed selection (smallest md5-60bit of the id), the same
-    round-6 cosine argmax assignment, the same integer-scaled centroid
-    means — iteration for iteration, so the trained quantizer is
-    bit-reproducible cross-engine."""
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Shared DuckDB twin of operators.vectors.kmeans_cells: the same
+    seed selection (smallest md5-60bit of the id), the same round-6
+    cosine argmax assignment, the same integer-scaled centroid means —
+    iteration for iteration, so the trained quantizer is
+    bit-reproducible cross-engine. Returns the CTE body ending with
+    ``afin`` (the final cell assignment) and ``c{iters}`` (the trained
+    centroids); callers append their own consumers."""
 
     def assign(prev_cents: str, out: str) -> str:
         return f"""{out} AS (
@@ -708,9 +710,12 @@ def _ivf_kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         ctes.append(assign(f"c{i}", f"a{i + 1}"))
         ctes.append(update(f"a{i + 1}", f"c{i + 1}"))
     ctes.append(assign(f"c{iters}", "afin"))
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def _ivf_kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     return f"""
-WITH {body},
+WITH {_kmeans_ctes(k, iters)},
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 probes AS (
   SELECT query_id, qv, cell FROM (
@@ -1036,3 +1041,164 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the result bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     return VX.srp_near_dup(emb, threshold=0.4, nbits=16, band_bits=4, dims=64)
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact-substring dedup (Lee et al., ACL'22)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # token-gram length: the minimum duplicated run worth removing
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH {_DOCS_CTE},
+posn AS (
+  SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - {SPAN_K} + 1, 0) + 1)) AS pos
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, pos,
+         {_duck_hash(f"array_to_string(ts[pos:pos+{SPAN_K - 1}], ' ')")} AS gh
+  FROM posn
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos, g.pos + {SPAN_K - 1} AS e FROM grams g JOIN dup USING (gh)),
+flagged AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           THEN 1 ELSE 0 END AS nw
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register("span_dedup_exact", _SPAN_DEDUP_ORACLE, tags=("EXT1",))
+def span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring SPANS (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22) — the
+    span-level complement of document-level dedup: every maximal run
+    of tokens covered by some 8-gram that also appears in ANOTHER
+    document, found by positional gram hashing + a document-frequency
+    cut + a gaps-and-islands interval merge
+    (operators/text.py:duplicated_spans). One row per maximal span
+    (doc_id, span_start, span_end, span_len) in token coordinates —
+    the removal list a span-level cleaner consumes. Integer
+    arithmetic end-to-end; the oracle replays the identical hashes
+    and window algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.duplicated_spans(docs, "text", "doc_id", k=SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al., NeurIPS'23)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCE = "src0"  # the "high-quality target corpus" stand-in
+
+_DSIR_ORACLE = f"""
+WITH {_DOCS_CTE},
+uni AS (SELECT doc_id, source, unnest(ts) AS f FROM toks),
+bi AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+                               i -> ts[i] || ' ' || ts[i+1])) AS f
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, source, {_duck_hash('f')} % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+tgt AS (
+  SELECT bucket, count(*) AS ct FROM feats WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket
+),
+raw AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY bucket),
+tot AS (
+  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt,
+         (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr
+),
+ratios AS (
+  SELECT r.bucket,
+         ln((coalesce(t.ct, 0) + 1) / (1.0 * (tot.tt + {DSIR_BUCKETS})))
+           - ln((r.cr + 1) / (1.0 * (tot.tr + {DSIR_BUCKETS}))) AS ratio
+  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket, tot
+),
+per_doc AS (SELECT doc_id, bucket, count(*) AS n FROM feats GROUP BY doc_id, bucket)
+SELECT d.doc_id,
+       CAST(sum(d.n) AS BIGINT) AS n_feats,
+       round(sum(d.n * r.ratio), 4) AS weight
+FROM per_doc d JOIN ratios r ON d.bucket = r.bucket
+GROUP BY d.doc_id
+"""
+
+
+@register("dsir_importance", _DSIR_ORACLE, tags=("EXT3",))
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS'23): score every document by the hashed-n-gram (unigram +
+    bigram, 1024 buckets) log-likelihood ratio between a TARGET
+    distribution (here: the 'src0' source, standing in for the
+    curated corpus) and the RAW corpus distribution — the standard
+    recipe for choosing pretraining data that "looks like" a trusted
+    corpus without training a classifier
+    (operators/text.py:dsir_weights). Emits (doc_id, n_feats,
+    weight); a selection step keeps the top fraction by weight. The
+    bucket ratio table is broadcast-sized (B rows) at any corpus
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    return TX.dsir_weights(docs, target, "text", "doc_id", buckets=DSIR_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means cells (Abbas et al., 2023)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_T = 0.4
+
+
+def _semdedup_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS, t: float = SEMDEDUP_T) -> str:
+    return f"""
+WITH {_kmeans_ctes(k, iters)},
+dups AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_cos('a.embedding', 'b.embedding')}, 6) >= {t}
+)
+SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
+       CASE WHEN d.dup_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM afin f LEFT JOIN dups d ON f.vec_id = d.dup_id
+"""
+
+
+@register("dedup_semantic_kmeans", _semdedup_oracle(), tags=("EXT1", "EXT2"))
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic near-duplicate removal
+    confined to k-means cells — the SAME trained deterministic
+    quantizer the IVF search uses (hash-sampled seeds, round-6 cosine
+    argmax, integer-exact centroid means), then greedy keep-lowest-id
+    within each cell at cosine >= 0.4
+    (operators/vectors.py:semantic_dedup). One row per vector:
+    (vec_id, cell, kept). The oracle retrains the quantizer
+    iteration-for-iteration and replays the greedy drop — even the
+    clustering is hash-checked. Finds the 25 planted embedding
+    near-dup pairs; pairwise work is sum(|cell|^2), bounded by
+    k ∝ N at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = VX.kmeans_cells(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    out = VX.semantic_dedup(assigned, threshold=SEMDEDUP_T)
+    return out.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), F.col("kept").cast("int")
+    )

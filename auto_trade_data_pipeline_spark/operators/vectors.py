@@ -36,6 +36,7 @@ __all__ = [
     "kmeans_cells",
     "srp_signature",
     "srp_near_dup",
+    "semantic_dedup",
 ]
 
 
@@ -210,6 +211,51 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): embedding-space
+    near-duplicate removal WITHIN k-means clusters — a vector is
+    dropped iff a smaller-id vector in the SAME cell has cosine >=
+    threshold (greedy keep-first; the paper keeps the point closest
+    to the centroid — lowest-id is the deterministic, oracle-checkable
+    stand-in for that policy). Input is a cell-assigned corpus
+    (`kmeans_cells`); output keeps every input row with a 0/1 `kept`
+    flag.
+
+    Scale shape: the pairwise comparison is CONFINED to cells — the
+    self-join key is the cell id, never a crossJoin — so the work is
+    sum(|cell|^2), the SemDeDup trade. At 100 TB k grows with the
+    corpus (k ≈ N/target_cell_size) so cells stay bounded; a skewed
+    cell would hit the `split_oversized_blocks` pair-work cap
+    (operators/skew.py) before exploding."""
+    a = assigned.select(
+        F.col(cell_col).alias("__cell"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col(cell_col).alias("__cell"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    dups = (
+        a.join(b, "__cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn("__cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .withColumn("kept", F.when(F.col("__dup").isNull(), 1).otherwise(0))
+        .drop("__dup")
     )
 
 

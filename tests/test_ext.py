@@ -292,3 +292,63 @@ def test_decode_stats_codec_selection(spark):
         batch = _pd.DataFrame({"payload": [b"x"], "meta": [{"doc_id": 1, "lang": "en"}]})
         with _pytest.raises(ImportError):
             list(pil_decode_stats(iter([batch])))
+
+
+def test_duplicated_spans_planted_and_merged(spark):
+    # Docs 1 and 2 share a 10-token run; doc 3 is clean. k=4 grams
+    # over the run produce overlapping hits that must merge into ONE
+    # maximal span per doc.
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(
+        spark,
+        [
+            (1, "intro words " + shared + " outro"),
+            (2, shared + " completely other ending here"),
+            (3, "unrelated text with no duplicated runs at all whatsoever"),
+        ],
+    )
+    out = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+           for r in TX.duplicated_spans(df, "text", "doc_id", k=4).collect()}
+    # doc 1: shared run occupies tokens 3..12; doc 2: tokens 1..10.
+    assert out == {1: (3, 12, 10), 2: (1, 10, 10)}
+
+
+def test_duplicated_spans_max_df_drops_boilerplate(spark):
+    # A 4-gram present in EVERY doc is boilerplate; max_df=2 must
+    # suppress it while keeping the rarer duplicated run.
+    boiler = "all rights reserved footer"
+    rare = "rare duplicated payload run"
+    df = _docs(
+        spark,
+        [
+            (1, f"{boiler} x {rare}"),
+            (2, f"{boiler} y {rare}"),
+            (3, f"{boiler} something else entirely different"),
+        ],
+    )
+    capped = TX.duplicated_spans(df, "text", "doc_id", k=4, max_df=2)
+    spans = {(r["doc_id"], r["span_start"]) for r in capped.collect()}
+    assert spans == {(1, 6), (2, 6)}  # only the rare run survives the cut
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    target_like = "spark shuffle partition join broadcast spark shuffle partition"
+    off_target = "banana orange apple grape melon banana orange apple"
+    df = _docs(spark, [(1, target_like), (2, off_target), (3, target_like + " extra")])
+    target = df.filter(F.col("doc_id") == 1)
+    w = {r["doc_id"]: r["weight"] for r in
+         TX.dsir_weights(df, target, "text", "doc_id", buckets=64).collect()}
+    assert w[3] > w[2]  # target-like doc outranks the off-target one
+    assert w[1] > w[2]
+
+
+def test_semantic_dedup_drops_cellmates_above_threshold(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.001, 0.0, 0.0], 0),   # near-dup of 0, same cell
+        (2, [0.0, 1.0, 0.0, 0.0], 1),       # different cell
+        (3, [-1.0, 0.0, 0.0, 0.0], 0),      # same cell, opposite -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, cell int")
+    out = {r["vec_id"]: r["kept"] for r in VX.semantic_dedup(df, threshold=0.9).collect()}
+    assert out == {0: 1, 1: 0, 2: 1, 3: 1}
