@@ -78,6 +78,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "span_dedup_exact",
     "dsir_importance",
     "dedup_semantic_kmeans",
+    "stream_outer_join_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -212,6 +213,7 @@ _ORDER = [
     "span_dedup_exact",
     "dsir_importance",
     "dedup_semantic_kmeans",
+    "stream_outer_join_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

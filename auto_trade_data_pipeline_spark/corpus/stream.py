@@ -19,6 +19,7 @@ from auto_trade_data_pipeline_spark.corpus.trade import (
 )
 from auto_trade_data_pipeline_spark.streaming import (
     interval_join_after_anchor,
+    interval_left_outer_orphans,
     read_ticks_stream,
     run_available_now,
     streaming_candles,
@@ -363,4 +364,77 @@ def streaming_cascade_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         F.round("volume", 4).alias("volume"),
         "number_of_trades",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST10b: stream-stream LEFT OUTER interval join (watermark-gated nulls)
+# ---------------------------------------------------------------------------
+
+_OUTER_JOIN_ORACLE = f"""
+WITH {TICKS_CTE},
+anchors AS (
+  SELECT symbol, timestamp AS anchor_ts, tick_id AS anchor_id, price AS anchor_price
+  FROM ticks WHERE volume >= {BIG_VOLUME}
+),
+wm AS (
+  SELECT least((SELECT max(timestamp) FROM ticks),
+               (SELECT max(anchor_ts) FROM anchors)) - INTERVAL 10 MINUTE AS w
+),
+matched AS (
+  SELECT a.symbol, a.anchor_id, t.tick_id,
+         strftime(a.anchor_ts, '{TS_FMT_DUCK}') AS anchor_ts,
+         strftime(t.timestamp, '{TS_FMT_DUCK}') AS tick_ts,
+         round(t.price - a.anchor_price, 4) AS drift
+  FROM anchors a
+  JOIN ticks t
+    ON t.symbol = a.symbol
+   AND t.timestamp > a.anchor_ts
+   AND t.timestamp <= a.anchor_ts + INTERVAL 3600 SECOND
+),
+orphans AS (
+  SELECT a.symbol, a.anchor_id, CAST(NULL AS BIGINT) AS tick_id,
+         strftime(a.anchor_ts, '{TS_FMT_DUCK}') AS anchor_ts,
+         CAST(NULL AS VARCHAR) AS tick_ts,
+         CAST(NULL AS DOUBLE) AS drift
+  FROM anchors a, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM ticks t
+          WHERE t.symbol = a.symbol
+            AND t.timestamp > a.anchor_ts
+            AND t.timestamp <= a.anchor_ts + INTERVAL 3600 SECOND)
+    AND a.anchor_ts + INTERVAL 3600 SECOND < wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM orphans
+"""
+
+
+@register("stream_outer_join_replay", _OUTER_JOIN_ORACLE, tags=("ST10", "J5"))
+def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10b: LEFT OUTER stream-stream interval join — the
+    null-emission contract on top of the inner variant: a high-volume
+    anchor with NO same-symbol tick in the following hour (an orphan:
+    the last burst before a session gap) emits exactly once with null
+    tick columns, and ONLY after the global watermark (min over both
+    sides of max event time minus the 10-minute delay) passes its
+    interval end — Spark's proof that no late match can still
+    arrive. Anchors whose interval the watermark has not yet closed
+    stay in state and are withheld; the oracle states both the
+    matches and that flush rule relationally
+    (streaming/joins.py:interval_left_outer_orphans)."""
+    import uuid as _uuid
+
+    anchors = read_ticks_stream(spark, sf_dir).filter(F.col("volume") >= BIG_VOLUME)
+    ticks = read_ticks_stream(spark, sf_dir)
+    joined = interval_left_outer_orphans(anchors, ticks, window_seconds=3600)
+    result = run_available_now(
+        joined, f"corpus_stream_oivjoin_{_uuid.uuid4().hex[:8]}"
+    )
+    return result.select(
+        F.col("a_symbol").alias("symbol"),
+        "anchor_id",
+        "tick_id",
+        F.date_format("anchor_ts", TS_FMT_SPARK).alias("anchor_ts"),
+        F.date_format("timestamp", TS_FMT_SPARK).alias("tick_ts"),
+        F.round(F.col("price") - F.col("anchor_price"), 4).alias("drift"),
     )

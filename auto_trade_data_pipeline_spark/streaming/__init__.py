@@ -35,6 +35,7 @@ from auto_trade_data_pipeline_spark.streaming.indicators import (  # noqa: F401
 )
 from auto_trade_data_pipeline_spark.streaming.joins import (  # noqa: F401
     interval_join_after_anchor,
+    interval_left_outer_orphans,
 )
 from auto_trade_data_pipeline_spark.streaming.candles import (  # noqa: F401
     read_ticks_stream,

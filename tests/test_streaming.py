@@ -464,3 +464,70 @@ def test_observed_metrics_in_streaming_progress(spark, tmp_path):
     total_rows = sum(m["n_rows"] for m in metrics)
     total_invalid = sum(m["n_invalid"] for m in metrics)
     assert total_rows == 3 and total_invalid == 1
+
+
+@pytest.mark.parametrize("splits", [1, 3])
+def test_outer_interval_join_orphan_flush_across_splits(spark, tmp_path, splits):
+    """ST10b: the LEFT OUTER stream-stream join must emit (a) exactly
+    the batch join's matched pairs and (b) a null row for each orphan
+    anchor whose interval end the final watermark passed — and no
+    null for the tail anchor the watermark cannot yet prove
+    unmatched. Parity must hold however the input is sliced."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from auto_trade_data_pipeline_spark.streaming import interval_left_outer_orphans
+
+    start = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = []
+    # Dense run 0..49 (one tick/30s), a 2h gap, dense run 50..99.
+    # Anchors (big volume): i=7 (matched), i=49 (right before the gap
+    # -> provable orphan), i=99 (final tick -> orphan but NOT provable:
+    # watermark stops 10 min before it).
+    for i in range(100):
+        ts = start + dt.timedelta(seconds=30 * i + (7200 if i >= 50 else 0))
+        big = i in (7, 49, 99)
+        rows.append(("A", ts, 100.0 + i, 50_000.0 if big else 100.0, i))
+
+    data_dir = tmp_path / f"oivj_{splits}"
+    data_dir.mkdir()
+    k = len(rows) // splits
+    for b in range(splits):
+        part = rows[b * k : (b + 1) * k if b < splits - 1 else len(rows)]
+        spark.createDataFrame(part, _TICKS_SCHEMA).coalesce(1).write.parquet(
+            f"{tmp_path}/oivb_{splits}_{b}"
+        )
+        for i, f in enumerate(glob.glob(f"{tmp_path}/oivb_{splits}_{b}/part-*.parquet")):
+            shutil.copy(f, data_dir / f"f_{b}_{i}.parquet")
+
+    def _stream():
+        return (
+            spark.readStream.format("parquet")
+            .schema(_TICKS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(data_dir))
+        )
+
+    got = run_available_now(
+        interval_left_outer_orphans(
+            _stream().filter(F.col("volume") >= 40_000), _stream(), window_seconds=900
+        ),
+        f"t_oivjoin_{splits}",
+    ).collect()
+    matched = {(r["anchor_id"], r["tick_id"]) for r in got if r["tick_id"] is not None}
+    nulls = {r["anchor_id"] for r in got if r["tick_id"] is None}
+    # Batch truth for the matched half.
+    batch = spark.createDataFrame(rows, _TICKS_SCHEMA)
+    want = interval_left_outer_orphans(
+        batch.filter(F.col("volume") >= 40_000), batch, window_seconds=900
+    ).collect()
+    want_matched = {
+        (r["anchor_id"], r["tick_id"]) for r in want if r["tick_id"] is not None
+    }
+    assert matched == want_matched
+    assert len(want_matched) == 30  # anchor 7 catches ticks 8..37 — not vacuous
+    # Orphan flush: anchor 49's window closed long before the final
+    # watermark (the 2h gap); anchor 99 is unmatched too but its
+    # window end is beyond max(event time) - 10min, so it is withheld.
+    assert nulls == {49}
