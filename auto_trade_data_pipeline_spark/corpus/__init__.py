@@ -79,6 +79,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "dsir_importance",
     "dedup_semantic_kmeans",
     "stream_outer_join_replay",
+    "temperature_mix_sample",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -214,6 +215,7 @@ _ORDER = [
     "dsir_importance",
     "dedup_semantic_kmeans",
     "stream_outer_join_replay",
+    "temperature_mix_sample",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -543,3 +543,45 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(F.col("c") / F.col("s"))), 4).alias("avg_neg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (mT5 / XLM-R sampling rule)
+# ---------------------------------------------------------------------------
+
+TMIX_ALPHA = 0.5
+TMIX_TARGET = 0.5
+
+_TMIX_ORACLE = f"""
+WITH c AS (SELECT source, count(*) AS n_group FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_group) AS BIGINT) AS n_total,
+             sum(pow(n_group, {TMIX_ALPHA})) AS w FROM c),
+r AS (
+  SELECT source, n_group,
+         CAST(round(least(1.0,
+               (pow(n_group, {TMIX_ALPHA}) / t.w) * ({TMIX_TARGET} * t.n_total) / n_group
+             ) * 1000000) AS BIGINT) AS rate_ppm
+  FROM c, t
+)
+SELECT d.doc_id, d.source, r.n_group, r.rate_ppm,
+       ({_duck_hash("d.source || '|' || CAST(d.doc_id AS VARCHAR)", "tmix")} % 1000000)
+         < r.rate_ppm AS sampled
+FROM documents d JOIN r USING (source)
+"""
+
+
+@register("temperature_mix_sample", _TMIX_ORACLE, tags=("EXT3",))
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (mT5/XLM-R: keep source s with
+    probability ∝ n_s^0.5, renormalized to a 50% total budget, capped
+    at 1) as deterministic per-row keep decisions — the data-driven
+    counterpart of source_mix_sample's fixed rates: dominant sources
+    down-sample, small sources keep everything
+    (operators/clean.py:temperature_sampling_rates). One broadcast
+    rate table; the corpus never shuffles. The ppm integer threshold
+    makes the keep decision exact cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = CL.temperature_sampling_rates(
+        docs, "source", "doc_id", alpha=TMIX_ALPHA, target_frac=TMIX_TARGET
+    )
+    return out.select("doc_id", "source", "n_group", "rate_ppm", "sampled")

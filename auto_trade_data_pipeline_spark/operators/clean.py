@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from auto_trade_data_pipeline_spark.operators.text import hash64, word_shingles
 
 __all__ = [
+    "temperature_sampling_rates",
     "PII_PATTERNS",
     "redact_pii",
     "chunk_tokens",
@@ -195,4 +196,67 @@ def ngram_contamination(
         F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"),
         ratio.alias("contamination_ratio"),
         (ratio >= flag_ratio).alias("contaminated"),
+    )
+
+
+def temperature_sampling_rates(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/multi-source
+    balancing rule of mT5 / XLM-R: sample source s with probability
+    proportional to n_s^alpha, alpha<1 UP-samples small sources and
+    DOWN-samples dominant ones), materialized as deterministic
+    per-row keep decisions: rate_s = min(1, p_s * target / n_s) with
+    p_s = n_s^alpha / sum n^alpha and target = target_frac * N; a row
+    is sampled iff its salted 60-bit hash mod 1e6 falls under
+    round(rate_s * 1e6). Emits every input row with (n_group,
+    rate_ppm, sampled).
+
+    Scale shape: ONE count aggregate over the group key (sources are
+    few — the rate table is broadcast-sized at any corpus size), one
+    broadcast join back, and a per-row hash — no sampling state, no
+    shuffle of the corpus, reproducible across runs/engines, and
+    stable under growth within a source only via the rate (the hash
+    keeps membership stable when rates do not change). The ppm
+    integer threshold keeps the keep decision exact cross-engine
+    (double pow differs at ~1 ulp; a 1e-6-granular threshold absorbs
+    it)."""
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    tot = counts.agg(
+        F.sum("n_group").alias("__N"),
+        F.sum(F.pow(F.col("n_group").cast("double"), F.lit(alpha))).alias("__W"),
+    )
+    rates = (
+        counts.join(F.broadcast(tot))
+        .withColumn(
+            "__rate",
+            F.least(
+                F.lit(1.0),
+                (F.pow(F.col("n_group").cast("double"), F.lit(alpha)) / F.col("__W"))
+                * (F.lit(target_frac) * F.col("__N"))
+                / F.col("n_group"),
+            ),
+        )
+        .select(
+            group_col,
+            "n_group",
+            F.round(F.col("__rate") * 1e6, 0).cast("long").alias("rate_ppm"),
+        )
+    )
+    bucket = F.pmod(
+        hash64(
+            F.concat_ws("|", F.col(group_col), F.col(id_col).cast("string")), salt=salt
+        ),
+        F.lit(1_000_000),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("sampled", bucket < F.col("rate_ppm"))
     )

@@ -352,3 +352,19 @@ def test_semantic_dedup_drops_cellmates_above_threshold(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, cell int")
     out = {r["vec_id"]: r["kept"] for r in VX.semantic_dedup(df, threshold=0.9).collect()}
     assert out == {0: 1, 1: 0, 2: 1, 3: 1}
+
+
+def test_temperature_sampling_upsamples_small_sources(spark):
+    from auto_trade_data_pipeline_spark.operators.clean import temperature_sampling_rates
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sampling_rates(df, "source", "doc_id", alpha=0.5, target_frac=0.5)
+    rates = {r["source"]: r["rate_ppm"] for r in
+             out.select("source", "rate_ppm").distinct().collect()}
+    # alpha=0.5 with a 50% budget: the 10-doc source keeps everything
+    # (rate capped at 1.0), the 90-doc source drops more than half.
+    assert rates["small"] == 1_000_000
+    assert rates["big"] < 500_000
+    kept = out.filter("sampled").count()
+    assert 0 < kept < 100
