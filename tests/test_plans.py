@@ -360,3 +360,51 @@ def test_q18_aggregates_before_joining_customers(spark, sf_med):
     agg_pos = plan.find("partial_sum(l_quantity")
     join_pos = plan.find("BroadcastHashJoin")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_span_dedup_no_cartesian_and_hash_only_shuffle(spark, sf_small):
+    """Span dedup must never materialize a cross product: the dup-gram
+    cut and the position join are both keyed on the 60-bit gram hash,
+    and the island merge is a per-doc window — no
+    CartesianProduct/BroadcastNestedLoopJoin anywhere, and the gram
+    TEXT never reaches an exchange (only the hash does)."""
+    from auto_trade_data_pipeline_spark.operators.text import duplicated_spans
+
+    docs = load_table(spark, sf_small, "documents")
+    plan = _plan(duplicated_spans(docs, "text", "doc_id", k=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # Every hash exchange partitions on gram_hash or the doc id — the
+    # shuffled payload is (id, pos, 8-byte hash), never the gram text.
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, "expected hash exchanges in the span-dedup plan"
+    for keys in exchanges:
+        assert "gram_hash" in keys or "doc_id" in keys
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_small):
+    """The B-row bucket ratio table must reach the per-doc join as a
+    broadcast — the corpus side is never shuffled by document for the
+    scoring join."""
+    from auto_trade_data_pipeline_spark.operators.text import dsir_weights
+
+    docs = load_table(spark, sf_small, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    plan = _plan(dsir_weights(docs, target, "text", "doc_id", buckets=64))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_join_is_cell_keyed(spark):
+    """SemDeDup's pairwise stage must be an equi-join ON THE CELL id
+    (work confined to cells), never a cartesian over the corpus."""
+    from auto_trade_data_pipeline_spark.operators.vectors import semantic_dedup
+
+    rows = [(i, [float(i % 7), 1.0, 0.0, 0.0], i % 3) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, cell int")
+    plan = _plan(semantic_dedup(df, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "__cell" in plan  # the join key actually is the cell

@@ -407,3 +407,49 @@ def test_winnow_shared_substring_guarantee(prefix_a, prefix_b, shared, suffix_a,
     for doc_id, text in ((1, prefix_a + shared + suffix_a),):
         n_grams = len(text) - k + 1
         assert len(sk[doc_id]) <= max(1, n_grams - w + 1)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=0, max_size=30),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_duplicated_spans_match_bruteforce(docs, k):
+    """Span dedup vs a brute-force reference on random small-vocab
+    corpora: the Spark spans must equal the maximal merged intervals
+    of cross-document duplicated k-gram extents, per document."""
+    from auto_trade_data_pipeline_spark.operators.text import duplicated_spans
+
+    texts = [" ".join(toks) for toks in docs]
+    df = _spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, list] = {}
+    for r in duplicated_spans(df, "text", "doc_id", k=k).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    # Brute force: gram -> set of docs; dup extents; merge intervals.
+    grams: dict[str, set] = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            grams.setdefault(" ".join(toks[p : p + k]), set()).add(i)
+    want: dict[int, list] = {}
+    for i, toks in enumerate(docs):
+        ivs = [
+            (p + 1, p + k)
+            for p in range(len(toks) - k + 1)
+            if len(grams[" ".join(toks[p : p + k])]) >= 2
+        ]
+        merged = []
+        for s, e in ivs:  # already sorted by start
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        if merged:
+            want[i] = merged
+    got = {i: sorted(v) for i, v in got.items()}
+    assert got == want
