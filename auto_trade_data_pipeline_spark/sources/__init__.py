@@ -1,5 +1,6 @@
-"""Sources & sinks: schema-asserting scans, append/upsert sinks, and
-the REST-paginated batch source adapter."""
+"""Sources & sinks: schema-asserting scans, append/upsert sinks, the
+REST-paginated batch source adapter, and the Spark 4 Python
+DataSource form of the same API (`format("trade_rest")`)."""
 
 from auto_trade_data_pipeline_spark.sources.files import (
     load_table,
@@ -7,5 +8,12 @@ from auto_trade_data_pipeline_spark.sources.files import (
     read_ticks,
     ticks_from_events,
 )
+from auto_trade_data_pipeline_spark.sources.pyds import TickRestDataSource
 
-__all__ = ["load_table", "read_ticks", "read_candles", "ticks_from_events"]
+__all__ = [
+    "load_table",
+    "read_ticks",
+    "read_candles",
+    "ticks_from_events",
+    "TickRestDataSource",
+]

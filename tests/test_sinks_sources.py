@@ -301,3 +301,86 @@ def test_compact_table_preserves_partitioned_layout(spark, sf_small, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == n_rows
     assert len(glob.glob(f"{path}/date=*/part-*.parquet")) == n_dirs  # 1 file each
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource form of the REST source (format("trade_rest"))
+# ---------------------------------------------------------------------------
+
+
+def _register_trade_rest(spark):
+    from auto_trade_data_pipeline_spark.sources.pyds import TickRestDataSource
+
+    spark.dataSource.register(TickRestDataSource)
+
+
+def test_trade_rest_datasource_grid_and_weekends(spark):
+    """One partition per (symbol, weekday); NY weekends never fetch.
+    Jan 4-9 2024 spans Sat 6 / Sun 7 -> 4 trading days."""
+    _register_trade_rest(spark)
+    df = (
+        spark.read.format("trade_rest")
+        .option("symbols", "NVDA,AAPL")
+        .option("start", "2024-01-04")
+        .option("end", "2024-01-09")
+        .load()
+    )
+    assert df.count() == 2 * 4 * 100
+    days = {r["d"] for r in df.select(F.to_date("timestamp").alias("d")).distinct().collect()}
+    assert {d.isoweekday() for d in days} <= {1, 2, 3, 4, 5}
+
+
+def test_trade_rest_pagination_invariant(spark):
+    """The result must be IDENTICAL whatever the page size — the
+    skip/limit pagination loop is an implementation detail."""
+    _register_trade_rest(spark)
+
+    def rows(batch):
+        return sorted(
+            map(
+                tuple,
+                spark.read.format("trade_rest")
+                .option("symbols", "NVDA")
+                .option("start", "2024-01-08")
+                .option("end", "2024-01-08")
+                .option("batch_size", str(batch))
+                .load()
+                .collect(),
+            )
+        )
+
+    assert rows(7) == rows(1000)
+    assert len(rows(7)) == 100
+
+
+def test_trade_rest_matches_mapinpandas_fetch(spark):
+    """The DataSource form and the mapInPandas fetch_trades form must
+    produce the same ticks from the same provider."""
+    import datetime as dt
+
+    from auto_trade_data_pipeline_spark.sources.pyds import synthetic_fetch
+    from auto_trade_data_pipeline_spark.sources.rest import fetch_trades, trading_day_plan
+
+    _register_trade_rest(spark)
+    ds = (
+        spark.read.format("trade_rest")
+        .option("symbols", "NVDA")
+        .option("start", "2024-01-08")
+        .option("end", "2024-01-09")
+        .load()
+    )
+    plan = trading_day_plan(spark, ["NVDA"], dt.date(2024, 1, 8), dt.date(2024, 1, 9))
+    mp = fetch_trades(plan, fetch_fn=synthetic_fetch)
+    assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, mp.collect()))
+
+
+def test_trade_rest_missing_options_fail_loudly(spark):
+    _register_trade_rest(spark)
+    with pytest.raises(Exception, match="symbols"):
+        (
+            spark.read.format("trade_rest")
+            .option("start", "2024-01-08")
+            .option("end", "2024-01-09")
+            .load()
+            .count()
+        )
