@@ -384,3 +384,68 @@ def test_trade_rest_missing_options_fail_loudly(spark):
             .load()
             .count()
         )
+
+
+def test_trade_rest_stream_offsets_skip_weekends_and_park():
+    """Offset progression is pure driver-side logic: one trading day
+    per batch, weekends skipped, offset parked past `end`."""
+    from auto_trade_data_pipeline_spark.sources.pyds import _TickRestStreamReader
+
+    r = _TickRestStreamReader(
+        {"symbols": "NVDA", "start": "2024-01-05", "end": "2024-01-08", "batch_size": "40"}
+    )
+    off = r.initialOffset()
+    assert off == {"next_day": "2024-01-05"}
+    rows1, off = r.read(off)
+    assert len(rows1) == 100 and off == {"next_day": "2024-01-06"}
+    assert {t.date().isoformat() for _, t, *_ in rows1} == {"2024-01-05"}
+    rows2, off = r.read(off)  # Sat 6 + Sun 7 skipped -> Mon 8
+    assert {t.date().isoformat() for _, t, *_ in rows2} == {"2024-01-08"}
+    assert off == {"next_day": "2024-01-09"}
+    rows3, off2 = r.read(off)  # past end: empty, offset parked
+    assert rows3 == [] and off2 == off
+
+
+def test_trade_rest_stream_replay_is_exact():
+    """readBetweenOffsets must reproduce a committed batch exactly —
+    the replay contract checkpoint recovery depends on."""
+    from auto_trade_data_pipeline_spark.sources.pyds import _TickRestStreamReader
+
+    r = _TickRestStreamReader(
+        {"symbols": "NVDA,AAPL", "start": "2024-01-08", "end": "2024-01-09"}
+    )
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert list(r.readBetweenOffsets(start, end)) == rows
+
+
+def test_trade_rest_stream_drains_to_batch_parity(spark):
+    """A continuous-trigger run over the whole date range must land
+    exactly the batch read's rows."""
+    import time
+
+    _register_trade_rest(spark)
+    opts = {"symbols": "NVDA,AAPL", "start": "2024-01-04", "end": "2024-01-09"}
+    reader = spark.readStream.format("trade_rest")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName("t_rest_stream")
+        .outputMode("append")
+        .start()
+    )
+    batch_reader = spark.read.format("trade_rest")
+    for k, v in opts.items():
+        batch_reader = batch_reader.option(k, v)
+    want = sorted(map(tuple, batch_reader.load().collect()))
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table("t_rest_stream").count() >= len(want):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(map(tuple, spark.table("t_rest_stream").collect())) == want
