@@ -80,6 +80,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "dedup_semantic_kmeans",
     "stream_outer_join_replay",
     "temperature_mix_sample",
+    "llm_corpus_pipeline",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -216,6 +217,7 @@ _ORDER = [
     "dedup_semantic_kmeans",
     "stream_outer_join_replay",
     "temperature_mix_sample",
+    "llm_corpus_pipeline",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -49,14 +49,19 @@ docs AS (SELECT doc_id, lang, source, n_chars, text, lower(text) AS lt FROM docu
 toks AS (SELECT *, regexp_extract_all(lt, '\\w+') AS ts FROM docs)
 """
 
-_SHINGLES_CTE = f"""
+def _shingles_cte(src: str = "toks") -> str:
+    """``sh`` CTE over any source relation exposing (doc_id, ts)."""
+    return f"""
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(ts) - {SHINGLE_N - 1}, 0) + 1),
            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
-  FROM toks
+  FROM {src}
 )
 """
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 
 # ---------------------------------------------------------------------------
@@ -349,10 +354,13 @@ def doc_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(src: str | None = None) -> str:
     """The MinHash-LSH pipeline as a CTE chain ending in ``njpairs``
-    (the verified near-dup pairs) — shared by the pair query and the
-    connected-components grouping query."""
+    (the verified near-dup pairs) — shared by the pair query, the
+    connected-components grouping query, and (parameterized over its
+    source relation) the composed corpus pipeline. With ``src`` the
+    chain starts at a caller-provided (doc_id, ts) relation instead
+    of the full documents table."""
     from auto_trade_data_pipeline_spark.operators.text import (
         MINHASH_PRIME,
         minhash_coeffs,
@@ -375,8 +383,8 @@ def _minhash_ctes() -> str:
         )
         for b in range(num_bands)
     )
-    return f"""{_DOCS_CTE},
-{_SHINGLES_CTE},
+    prefix = f"{_DOCS_CTE},\n" if src is None else ""
+    return f"""{prefix}{_shingles_cte(src or "toks")},
 mh AS (
   SELECT doc_id,
          {mh_cols}
@@ -1202,3 +1210,116 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.col("cell").cast("long").alias("cell"), F.col("kept").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed corpus pipeline: quality -> exact dedup -> near-dup CC
+# -> split -> pack, end-to-end in ONE oracled query
+# ---------------------------------------------------------------------------
+
+PIPE_MIN_TOKENS = 20
+PIPE_BUDGET = 2048
+
+_PIPELINE_ORACLE = f"""
+WITH RECURSIVE {_DOCS_CTE},
+q AS (
+  SELECT t.doc_id, t.text, CAST(len(t.ts) AS BIGINT) AS n_tokens, t.ts
+  FROM toks t WHERE len(t.ts) >= {PIPE_MIN_TOKENS}
+),
+exk AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(lower(trim(text)))),
+s1 AS (SELECT q.* FROM q JOIN exk USING (doc_id)),
+{_minhash_ctes(src="s1")},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM njpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM njpairs
+),
+walk(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS group_id FROM walk GROUP BY u),
+s2 AS (
+  SELECT s1.doc_id, s1.n_tokens
+  FROM s1 LEFT JOIN comp ON s1.doc_id = comp.doc_id
+  WHERE comp.doc_id IS NULL OR comp.group_id = s1.doc_id
+),
+sp AS (
+  SELECT doc_id, n_tokens,
+         {_duck_hash("CAST(doc_id AS VARCHAR)", "split")} % 100 AS bucket
+  FROM s2
+),
+sp2 AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM sp
+),
+packed AS (
+  SELECT doc_id, split, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM sp2
+)
+SELECT doc_id, split, n_tokens,
+       CAST(floor(prefix / {PIPE_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(prefix % {PIPE_BUDGET} AS BIGINT) AS seq_offset
+FROM packed
+"""
+
+
+@register("llm_corpus_pipeline", _PIPELINE_ORACLE, tags=("EXT1", "EXT3", "W14"))
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-corpus pipeline, end-to-end in one
+    oracled query — what an LLM data team actually runs nightly:
+
+      quality gate (>= 20 tokens)
+      -> exact dedup (sha256 keep-lowest-id)
+      -> near-dup dedup (MinHash-LSH pairs -> connected components ->
+         keep the component minimum)
+      -> train/val/test hash split (stable under corpus growth)
+      -> concat-and-chunk sequence packing per split (budget 2048)
+
+    emitting (doc_id, split, n_tokens, seq_id, seq_offset) for every
+    surviving document. Each stage is the SAME operator its
+    standalone query exercises (operators/text.py, operators/graph.py)
+    — this query pins their composition: survivors feed the LSH, the
+    CC keep-decision feeds the split, the split partitions the
+    packing. The oracle replays the whole chain (recursive-CTE
+    reachability included) hash-exact.
+
+    100 TB shape: adds NOTHING beyond the component costs — the gate
+    and split are scans, exact dedup shuffles 64-byte digests, LSH is
+    banded, CC is O(log n) rounds on a pair list, packing is one
+    window per split."""
+    from auto_trade_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = TX.tokens(F.col("text"))
+    q = docs.select(
+        "doc_id", "text", F.size(toks).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= PIPE_MIN_TOKENS)
+    fp = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    keep = (
+        q.select(fp.alias("__fp"), "doc_id")
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    s1 = q.join(keep.select("doc_id"), "doc_id", "left_semi")
+    rows = TX.shingle_rows(s1, "text", "doc_id", SHINGLE_N).persist()
+    sig = TX.minhash_signature_rows(rows, "shingle", "doc_id", NUM_PERMS).persist()
+    cand = TX.lsh_candidate_pairs(sig, "doc_id", NUM_PERMS, ROWS_PER_BAND)
+    nd_pairs = TX.jaccard_verify_rows(cand, rows, "doc_id", "shingle", JACCARD_T)
+    labels = connected_components(nd_pairs)
+    drops = labels.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    s2 = s1.join(drops, "doc_id", "left_anti")
+    _bucket, split = TX.hash_split(F.col("doc_id"))
+    s3 = s2.select("doc_id", "n_tokens", split.alias("split"))
+    packed = TX.pack_sequences(s3, "n_tokens", "doc_id", ["split"], budget=PIPE_BUDGET)
+    return packed.select("doc_id", "split", "n_tokens", "seq_id", "seq_offset")
