@@ -1270,7 +1270,7 @@ FROM packed
 """
 
 
-@register("llm_corpus_pipeline", _PIPELINE_ORACLE, tags=("EXT1", "EXT3", "W14"))
+@register("llm_corpus_pipeline", _PIPELINE_ORACLE, tags=("EXT1", "EXT3", "W14", "bench"))
 def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-corpus pipeline, end-to-end in one
     oracled query — what an LLM data team actually runs nightly:
