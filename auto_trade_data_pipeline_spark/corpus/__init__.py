@@ -81,6 +81,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "stream_outer_join_replay",
     "temperature_mix_sample",
     "llm_corpus_pipeline",
+    "incremental_dedup_delta",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -218,6 +219,7 @@ _ORDER = [
     "stream_outer_join_replay",
     "temperature_mix_sample",
     "llm_corpus_pipeline",
+    "incremental_dedup_delta",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -354,6 +354,38 @@ def doc_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _mh_cols_sql() -> str:
+    """The NUM_PERMS minhash columns over a ``shingles`` list column."""
+    from auto_trade_data_pipeline_spark.operators.text import (
+        MINHASH_PRIME,
+        minhash_coeffs,
+    )
+
+    base = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    return ",\n         ".join(
+        "list_aggregate(list_transform(shingles, s -> ({base} * {a} + {b}) % {m}), 'min') AS mh{p}".format(
+            base=base, a=minhash_coeffs(p)[0], b=minhash_coeffs(p)[1], m=MINHASH_PRIME, p=p
+        )
+        for p in range(NUM_PERMS)
+    )
+
+
+def _band_rows_sql(mh_src: str = "mh") -> str:
+    """The banded (doc_id, band_idx, band_hash) rows over a minhash
+    signature relation."""
+    num_bands = NUM_PERMS // ROWS_PER_BAND
+    return "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM {src}".format(
+            b=b,
+            src=mh_src,
+            parts=" || ',' || ".join(
+                f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(num_bands)
+    )
+
+
 def _minhash_ctes(src: str | None = None) -> str:
     """The MinHash-LSH pipeline as a CTE chain ending in ``njpairs``
     (the verified near-dup pairs) — shared by the pair query, the
@@ -361,28 +393,8 @@ def _minhash_ctes(src: str | None = None) -> str:
     source relation) the composed corpus pipeline. With ``src`` the
     chain starts at a caller-provided (doc_id, ts) relation instead
     of the full documents table."""
-    from auto_trade_data_pipeline_spark.operators.text import (
-        MINHASH_PRIME,
-        minhash_coeffs,
-    )
-
-    base = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
-    mh_cols = ",\n         ".join(
-        "list_aggregate(list_transform(shingles, s -> ({base} * {a} + {b}) % {m}), 'min') AS mh{p}".format(
-            base=base, a=minhash_coeffs(p)[0], b=minhash_coeffs(p)[1], m=MINHASH_PRIME, p=p
-        )
-        for p in range(NUM_PERMS)
-    )
-    num_bands = NUM_PERMS // ROWS_PER_BAND
-    band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM mh".format(
-            b=b,
-            parts=" || ',' || ".join(
-                f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
-            ),
-        )
-        for b in range(num_bands)
-    )
+    mh_cols = _mh_cols_sql()
+    band_rows = _band_rows_sql()
     prefix = f"{_DOCS_CTE},\n" if src is None else ""
     return f"""{prefix}{_shingles_cte(src or "toks")},
 mh AS (
@@ -1323,3 +1335,141 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = s2.select("doc_id", "n_tokens", split.alias("split"))
     packed = TX.pack_sequences(s3, "n_tokens", "doc_id", ["split"], budget=PIPE_BUDGET)
     return packed.select("doc_id", "split", "n_tokens", "seq_id", "seq_offset")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a delta batch against the standing corpus
+# ---------------------------------------------------------------------------
+
+INCR_DELTA_START = 400  # docs >= this id play the "tonight's crawl" role
+
+
+def _incremental_oracle() -> str:
+    shc = _shingles_cte("corp").replace("sh AS (", "shc AS (")
+    shd = _shingles_cte("delt").replace("sh AS (", "shd AS (")
+    return f"""
+WITH {_DOCS_CTE},
+corp AS (SELECT * FROM toks WHERE doc_id < {INCR_DELTA_START}),
+delt AS (SELECT * FROM toks WHERE doc_id >= {INCR_DELTA_START}),
+exact AS (
+  SELECT d.doc_id, min(c.doc_id) AS exact_id
+  FROM delt d JOIN corp c
+    ON sha256(lower(trim(d.text))) = sha256(lower(trim(c.text)))
+  GROUP BY d.doc_id
+),
+{shc},
+{shd},
+mhc AS (
+  SELECT doc_id,
+         {_mh_cols_sql()}
+  FROM shc
+),
+mhd AS (
+  SELECT doc_id,
+         {_mh_cols_sql()}
+  FROM shd
+),
+bandsc AS (
+{_band_rows_sql("mhc")}
+),
+bandsd AS (
+{_band_rows_sql("mhd")}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsd a JOIN bandsc b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id <> b.doc_id
+),
+ver AS (
+  SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.shingles, sb.shingles))
+             / (1.0 * (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))) AS j
+    FROM cand
+    JOIN shd sa ON sa.doc_id = id_a
+    JOIN shc sb ON sb.doc_id = id_b
+  ) WHERE j >= {JACCARD_T}
+),
+near AS (
+  SELECT id_a AS doc_id, id_b AS near_id, jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b) AS rn
+    FROM ver
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+            WHEN n.near_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS status,
+       coalesce(e.exact_id, n.near_id) AS match_id,
+       CASE WHEN e.exact_id IS NULL THEN n.jaccard END AS jaccard
+FROM delt d LEFT JOIN exact e USING (doc_id) LEFT JOIN near n USING (doc_id)
+"""
+
+
+@register("incremental_dedup_delta", _incremental_oracle(), tags=("EXT1",))
+def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the nightly-crawl shape every standing
+    corpus needs: classify each DELTA document (doc_id >= 400,
+    playing tonight's batch) against the CORPUS (doc_id < 400)
+    WITHOUT ever re-pairing corpus x corpus:
+
+      exact  — sha256(normalized) matches a corpus doc (lowest id);
+      near   — banded MinHash candidates BETWEEN the delta and corpus
+               signature sets (operators/text.py:
+               lsh_candidate_pairs_between), exact-Jaccard verified,
+               best match by (jaccard desc, id);
+      new    — neither.
+
+    Emits (doc_id, status, match_id, jaccard). At 100 TB the corpus
+    side's signatures/digests are precomputed and stored — a nightly
+    run costs |delta| signatures + banded collisions, and the
+    corpus's own pair graph is never touched. The exact path's
+    standing-side prefilter at scale is the Bloom join pruning
+    asserted in tests/test_plans.py."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    corpus = docs.filter(F.col("doc_id") < INCR_DELTA_START)
+    delta = docs.filter(F.col("doc_id") >= INCR_DELTA_START)
+    fp = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    cfp = corpus.select(fp.alias("__fp"), F.col("doc_id").alias("__cid"))
+    exact = (
+        delta.select("doc_id", fp.alias("__fp"))
+        .join(cfp, "__fp")
+        .groupBy("doc_id")
+        .agg(F.min("__cid").alias("exact_id"))
+    )
+    rows_c = TX.shingle_rows(corpus, "text", "doc_id", SHINGLE_N).persist()
+    rows_d = TX.shingle_rows(delta, "text", "doc_id", SHINGLE_N).persist()
+    sig_c = TX.minhash_signature_rows(rows_c, "shingle", "doc_id", NUM_PERMS)
+    sig_d = TX.minhash_signature_rows(rows_d, "shingle", "doc_id", NUM_PERMS)
+    cand = TX.lsh_candidate_pairs_between(sig_d, sig_c, "doc_id", NUM_PERMS, ROWS_PER_BAND)
+    ver = TX.jaccard_verify_rows(
+        cand, rows_d.unionByName(rows_c), "doc_id", "shingle", JACCARD_T
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b"))
+    near = (
+        ver.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id_a").alias("doc_id"),
+            F.col("id_b").alias("near_id"),
+            "jaccard",
+        )
+    )
+    return (
+        delta.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), "exact")
+            .when(F.col("near_id").isNotNull(), "near")
+            .otherwise("new")
+            .alias("status"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+            F.when(F.col("exact_id").isNull(), F.col("jaccard")).alias("jaccard"),
+        )
+    )

@@ -37,6 +37,7 @@ __all__ = [
     "minhash_signature",
     "minhash_signature_rows",
     "lsh_candidate_pairs",
+    "lsh_candidate_pairs_between",
     "jaccard_verify",
     "jaccard_verify_rows",
     "simhash32",
@@ -190,21 +191,14 @@ def minhash_signature_rows(
     )
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_perms: int, rows_per_band: int
-) -> DataFrame:
-    """Band the signature and self-join on (band_idx, band_hash):
-    candidate pairs surface only inside buckets. Output: distinct
-    (id_a < id_b) pairs. The shuffle key is the band hash — uniform by
-    construction, no skew.
-
-    The bands come from ONE posexplode over an inline band-hash array
-    — a single scan of the signature table inside one codegen stage.
-    (The previous num_bands-way union re-scanned the signatures once
-    per band and broke the stage at every union branch; measured ~3x
+def _banded(sig: DataFrame, id_col: str, num_perms: int, rows_per_band: int) -> DataFrame:
+    """(id, band_idx, band_hash) rows from ONE posexplode over an
+    inline band-hash array — a single scan of the signature table
+    inside one codegen stage. (An N-way union re-scans the signatures
+    once per band and breaks the stage at every branch; measured ~3x
     slower on the same corpus.)"""
     num_bands = num_perms // rows_per_band
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -223,6 +217,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_perms: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_hash):
+    candidate pairs surface only inside buckets. Output: distinct
+    (id_a < id_b) pairs. The shuffle key is the band hash — uniform by
+    construction, no skew."""
+    banded = _banded(sig, id_col, num_perms, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -233,6 +237,30 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_between(
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    id_col: str,
+    num_perms: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Candidates BETWEEN two signature sets — the incremental-dedup
+    shape: a delta batch's signatures band-join against the standing
+    corpus's (pre-computed, stored) signatures, so each nightly run
+    costs |delta| x collision-rate, never corpus x corpus again.
+    Output: distinct (id_a from sig_a, id_b from sig_b) pairs; ids
+    need not be disjoint-ordered (the two sides are different sets).
+    """
+    a = _banded(sig_a, id_col, num_perms, rows_per_band).withColumnRenamed(id_col, "id_a")
+    b = _banded(sig_b, id_col, num_perms, rows_per_band).withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 

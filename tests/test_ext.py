@@ -368,3 +368,22 @@ def test_temperature_sampling_upsamples_small_sources(spark):
     assert rates["big"] < 500_000
     kept = out.filter("sampled").count()
     assert 0 < kept < 100
+
+
+def test_lsh_between_finds_cross_set_dups(spark):
+    """Delta-vs-corpus banding must surface a delta doc whose text
+    near-duplicates a corpus doc — without any corpus x corpus pair."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = _docs(spark, [(1, base), (2, "totally unrelated corpus content here words")])
+    delta = _docs(spark, [(10, base.replace("today", "tomorrow")), (11, "fresh new text")])
+
+    def sig(df):
+        rows = df.select("doc_id", TX.word_shingles(TX.tokens(F.col("text")), 3).alias("sh"))
+        return TX.minhash_signature(rows, "sh", "doc_id", 20)
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in TX.lsh_candidate_pairs_between(sig(delta), sig(corpus), "doc_id", 20, 2).collect()
+    }
+    assert (10, 1) in pairs
+    assert all(a >= 10 and b < 10 for a, b in pairs)  # strictly cross-set
