@@ -126,7 +126,19 @@ def main() -> int:
     from auto_trade_data_pipeline_spark.corpus import load_all
     from auto_trade_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("verify_local")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Mimic an untuned external driver: plain session, none of
+        # session.py's configs. Queries must survive this (load_table
+        # pins the tz/nanos conventions at read time).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
