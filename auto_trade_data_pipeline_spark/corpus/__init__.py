@@ -82,6 +82,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "temperature_mix_sample",
     "llm_corpus_pipeline",
     "incremental_dedup_delta",
+    "incremental_dedup_embedding",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -220,6 +221,7 @@ _ORDER = [
     "temperature_mix_sample",
     "llm_corpus_pipeline",
     "incremental_dedup_delta",
+    "incremental_dedup_embedding",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

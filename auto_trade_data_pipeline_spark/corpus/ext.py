@@ -1473,3 +1473,114 @@ def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("exact_id").isNull(), F.col("jaccard")).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding dedup: delta vectors against the standing corpus
+# ---------------------------------------------------------------------------
+
+INCR_VEC_START = 400  # vec_id >= this plays tonight's embedding batch
+
+_INCR_EMB_ORACLE = f"""
+WITH planes AS (
+  SELECT j, i,
+         CASE WHEN CAST('0x' || substr(md5('srp:' || j || ':' || i), 1, 15) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM range(0, 16) t1(j), range(0, 64) t2(i)
+),
+scaled AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT s.vec_id, p.j, sum(s.v[p.i + 1] * p.s) AS dotp
+  FROM scaled s, planes p
+  GROUP BY s.vec_id, p.j
+),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dotp >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+           AS signature
+  FROM proj GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, b AS band_idx, (signature >> (b * 4)) & 15 AS band_val
+  FROM sig, range(0, 4) t(b)
+),
+cand AS (
+  SELECT DISTINCT d.vec_id AS id_a, c.vec_id AS id_b
+  FROM bands d JOIN bands c ON d.band_idx = c.band_idx AND d.band_val = c.band_val
+  WHERE d.vec_id >= {INCR_VEC_START} AND c.vec_id < {INCR_VEC_START}
+),
+ver AS (
+  SELECT id_a, id_b, round({_SRP_COS}, 6) AS cos
+  FROM cand
+  JOIN embeddings a ON a.vec_id = id_a
+  JOIN embeddings b ON b.vec_id = id_b
+  WHERE round({_SRP_COS}, 6) >= 0.4
+),
+best AS (
+  SELECT id_a, id_b, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+    FROM ver
+  ) WHERE rn = 1
+)
+SELECT e.vec_id,
+       CASE WHEN b.id_b IS NOT NULL THEN 'near' ELSE 'new' END AS status,
+       b.id_b AS match_id,
+       b.cos
+FROM embeddings e LEFT JOIN best b ON e.vec_id = b.id_a
+WHERE e.vec_id >= {INCR_VEC_START}
+"""
+
+
+@register("incremental_dedup_embedding", _INCR_EMB_ORACLE, tags=("EXT1", "EXT2"))
+def incremental_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING dedup — the vector-modality twin of
+    incremental_dedup_delta: classify each delta vector
+    (vec_id >= 400) against the standing corpus via signed-random-
+    projection cosine LSH, banding the delta signatures against the
+    corpus's (at scale: precomputed, stored) signatures — the corpus
+    is never self-joined. Candidates verify with exact cosine >= 0.4;
+    best match by (cos desc, id); emits (vec_id, status, match_id,
+    cos). The oracle regenerates the identical md5-parity hyperplanes
+    and integer-scaled projections, so even the banding is
+    cross-engine bit-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding", VX.srp_signature(F.col("embedding"), 16, 64).alias("__sig")
+    ).persist()
+    bands = VX.srp_bands(sig, "vec_id", "__sig", 16, 4)
+    d = bands.filter(F.col("vec_id") >= INCR_VEC_START).withColumnRenamed("vec_id", "id_a")
+    c = bands.filter(F.col("vec_id") < INCR_VEC_START).withColumnRenamed("vec_id", "id_b")
+    cand = d.join(c, ["band_idx", "band_val"]).select("id_a", "id_b").distinct()
+    va = sig.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    vb = sig.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    ver = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(VX.cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", "cos")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
+    best = (
+        ver.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("match_id"), "cos")
+    )
+    return (
+        emb.filter(F.col("vec_id") >= INCR_VEC_START)
+        .select("vec_id")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("match_id").isNotNull(), "near").otherwise("new").alias("status"),
+            "match_id",
+            "cos",
+        )
+    )

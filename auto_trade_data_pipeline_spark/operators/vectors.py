@@ -35,6 +35,7 @@ __all__ = [
     "assign_cells",
     "kmeans_cells",
     "srp_signature",
+    "srp_bands",
     "srp_near_dup",
     "semantic_dedup",
 ]
@@ -299,6 +300,34 @@ def srp_signature(
     return sig
 
 
+def srp_bands(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str = "__sig",
+    nbits: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_val) rows from an SRP signature column —
+    one explode per vector, shared by the self-join near-dup and the
+    delta-vs-corpus incremental variant."""
+    nbands = nbits // band_bits
+    mask = (1 << band_bits) - 1
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(sig_col, b * band_bits).bitwiseAND(mask).alias("band_val"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "__b.band_idx", "__b.band_val")
+
+
 def srp_near_dup(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -319,25 +348,10 @@ def srp_near_dup(
     nbits/band_bits tune the recall/candidate-volume trade
     (production sizing: 64-128 bits, 8-16 bit bands).
     Output: (id_a, id_b, cos)."""
-    nbands = nbits // band_bits
-    mask = (1 << band_bits) - 1
     sig = corpus.select(
         F.col(id_col), F.col(vec_col), srp_signature(F.col(vec_col), nbits, dims).alias("__sig")
     ).persist()
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright("__sig", b * band_bits).bitwiseAND(mask).alias("band_val"),
-                    )
-                    for b in range(nbands)
-                ]
-            )
-        ).alias("__b"),
-    ).select(id_col, "__b.band_idx", "__b.band_val")
+    bands = srp_bands(sig, id_col, "__sig", nbits, band_bits)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band_idx", "band_val"])
