@@ -159,7 +159,8 @@ w AS (
          lag(color) OVER o AS color_1,
          lag(rb10) OVER o AS rb10_1,
          lag(hl10) OVER o AS hl10_1,
-         lag(hl5) OVER o AS hl5_1
+         lag(hl5) OVER o AS hl5_1,
+         lag(low) OVER o AS l_1
   FROM avgs
   WINDOW o AS (PARTITION BY symbol ORDER BY timestamp)
 )
@@ -187,16 +188,46 @@ SELECT symbol,
             THEN 100 ELSE 0 END AS CDLDRAGONFLYDOJI,
        CASE WHEN rb < rb10 AND ls > rb AND us < 0.1 * hl10
                  AND bot >= h_1 - 0.2 * hl5_1
-            THEN -100 ELSE 0 END AS CDLHANGINGMAN
+            THEN -100 ELSE 0 END AS CDLHANGINGMAN,
+       CASE WHEN rb <= 0.1 * hl10 AND (ls > rb OR us > rb) THEN 100 ELSE 0 END AS CDLLONGLEGGEDDOJI,
+       CASE WHEN rb <= 0.1 * hl10 AND ls < 0.1 * hl10 AND us > 0.1 * hl10
+            THEN 100 ELSE 0 END AS CDLGRAVESTONEDOJI,
+       CASE WHEN rb <= 0.1 * hl10 AND us < 0.1 * hl10 AND ls > 2 * rb
+            THEN 100 ELSE 0 END AS CDLTAKURI,
+       CASE WHEN rb <= 0.1 * hl10 AND ls > rb AND us > rb
+                 AND bot <= low + hl / 2 + 0.2 * hl5
+                 AND top >= low + hl / 2 - 0.2 * hl5
+            THEN 100 ELSE 0 END AS CDLRICKSHAWMAN,
+       CASE WHEN rb < rb10 AND ls > rb AND us < 0.1 * hl10
+                 AND bot <= l_1 + 0.2 * hl5_1
+            THEN 100 ELSE 0 END AS CDLHAMMER,
+       CASE WHEN rb < rb10 AND us > rb AND ls < 0.1 * hl10 AND top < bot_1
+            THEN 100 ELSE 0 END AS CDLINVERTEDHAMMER,
+       CASE WHEN rb < rb10 AND us > rb AND ls < 0.1 * hl10 AND bot > top_1
+            THEN -100 ELSE 0 END AS CDLSHOOTINGSTAR,
+       CASE WHEN rb > rb10 AND ((color = 1 AND us < 0.1 * hl10) OR (color = -1 AND ls < 0.1 * hl10))
+            THEN 100 * color ELSE 0 END AS CDLCLOSINGMARUBOZU,
+       CASE WHEN rb < rb10 AND us < ss10 AND ls < ss10
+            THEN 100 * color ELSE 0 END AS CDLSHORTLINE,
+       CASE WHEN rb_1 > rb10_1 AND rb <= 0.1 * hl10
+                 AND top < top_1 AND bot > bot_1
+            THEN -100 * color_1 ELSE 0 END AS CDLHARAMICROSS,
+       CASE WHEN color_1 = -1 AND rb_1 > rb10_1 AND color = 1 AND rb > rb10
+                 AND open < l_1 AND close > c_1 + rb_1 * 0.5 AND close < o_1
+            THEN 100 ELSE 0 END AS CDLPIERCING,
+       CASE WHEN color_1 = 1 AND rb_1 > rb10_1 AND color = -1
+                 AND open > h_1 AND close > o_1 AND close < c_1 - rb_1 * 0.5
+            THEN -100 ELSE 0 END AS CDLDARKCLOUDCOVER
 FROM w
 """
 
 
 @register("cdl_patterns_simple", _CDL_SIMPLE_ORACLE, tags=("W9",))
 def cdl_patterns_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five CDL patterns whose rules are pure lag comparisons +
-    trailing setting-averages (doji, engulfing, matching low, harami,
-    spinning top), emitted from the SAME kernel as the full pack and
+    """23 of the 59 CDL patterns — every rule that reduces to lag
+    comparisons + trailing setting-averages (all dojis, hammers,
+    marubozus, stars, engulfing/harami/piercing families) — emitted
+    from the SAME kernel as the full pack and
     verified against an independent DuckDB SQL reimplementation of
     the TA-Lib candle-setting framework — the cross-engine
     differential for W9."""
@@ -215,6 +246,18 @@ def cdl_patterns_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CDLHIGHWAVE",
         "CDLDRAGONFLYDOJI",
         "CDLHANGINGMAN",
+        "CDLLONGLEGGEDDOJI",
+        "CDLGRAVESTONEDOJI",
+        "CDLTAKURI",
+        "CDLRICKSHAWMAN",
+        "CDLHAMMER",
+        "CDLINVERTEDHAMMER",
+        "CDLSHOOTINGSTAR",
+        "CDLCLOSINGMARUBOZU",
+        "CDLSHORTLINE",
+        "CDLHARAMICROSS",
+        "CDLPIERCING",
+        "CDLDARKCLOUDCOVER",
     )
 
 
