@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus.cdl_oracle import cdl_full_oracle_sql
 from auto_trade_data_pipeline_spark.corpus.trade import CANDLES_CTE, TS_FMT_DUCK, TS_FMT_SPARK
 from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles
 from auto_trade_data_pipeline_spark.operators.indicators import (
@@ -29,6 +30,10 @@ from auto_trade_data_pipeline_spark.operators.windows import (
     with_volume_spike,
 )
 from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+
+def _cdl_full_oracle() -> str:
+    return cdl_full_oracle_sql(CANDLES_CTE, TS_FMT_DUCK)
 
 
 def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,11 +89,14 @@ def indicators_chunked_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("candle_patterns_pack", None, tags=("W9", "A8"))
+@register("candle_patterns_pack", _cdl_full_oracle(), tags=("W9", "A8"))
 def candle_patterns_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 59 CDL pattern columns + candle_pattern_sum
-    (``src/candle_to_calcs.py:454-515``). Rows-only; the
-    SQL-expressible subset is cross-checked by cdl_patterns_simple."""
+    (``src/candle_to_calcs.py:454-515``), now FULLY ORACLED: every
+    pattern rule (max lookback 4 bars) re-expressed in DuckDB as lag
+    comparisons + trailing candle-setting averages
+    (corpus/cdl_oracle.py) and hash-checked against the numpy kernel
+    bit-for-bit, including the horizontal pattern sum (A8)."""
     e = _enriched(spark, sf_dir)
     return e.select(
         "symbol",
