@@ -106,12 +106,124 @@ def candle_patterns_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("peaks_valleys", None, tags=("W11",))
+_MAJOR_DIST = 10
+_MAJOR_PROM = 0.9
+
+
+def full_peaks_sql(
+    series: str,
+    kind: str,
+    sign: str,
+    d: int = _MAJOR_DIST,
+    pr: float = _MAJOR_PROM,
+    select_cols: str | None = None,
+) -> str:
+    """scipy find_peaks(distance, prominence) complete: plateau-mid
+    local maxima -> greedy suppression by descending height (stable
+    ties -> later candidate first, matching argsort[::-1]) as a fold
+    over a keep-mask list -> prominence threshold.
+
+    Parameterized over (distance, prominence) and the emitted columns
+    so the anchor-machine oracle (corpus/anchors.py) can instantiate
+    all three reference scales and read back the kept positions."""
+    if select_cols is None:
+        select_cols = (
+            f"symbol, bs[pp[c]] AS ts, '{kind}' AS kind, round({sign}l[pp[c]], 6) AS level"
+        )
+    prom = (
+        f"l[pp[c]] - greatest("
+        f"list_aggregate(l[coalesce(list_max(list_filter(range(1, pp[c]), q -> l[q] > l[pp[c]])), 0) + 1 : pp[c]], 'min'),"
+        f"list_aggregate(l[pp[c] : coalesce(list_min(list_filter(range(pp[c] + 1, n + 1), q -> l[q] > l[pp[c]])), n + 1) - 1], 'min'))"
+    )
+    return f"""
+SELECT {select_cols}
+FROM (
+  SELECT symbol, l, bs, n, pp, hh, p,
+    list_reduce(
+      [list_transform(range(1, p + 1), c -> 1.0)] ||
+      list_transform(
+        list_transform(
+          list_sort(list_transform(range(1, p + 1), c -> [-hh[c], -CAST(c AS DOUBLE)])),
+          e -> -e[2]),
+        v -> [v]),
+      (acc, x) ->
+        CASE WHEN acc[CAST(x[1] AS BIGINT)] = 0.0
+             THEN list_transform(acc, vv -> vv + 0.0)
+             ELSE list_transform(range(1, p + 1), j ->
+                    CASE WHEN j = CAST(x[1] AS BIGINT) THEN 1.0
+                         WHEN abs(pp[j] - pp[CAST(x[1] AS BIGINT)]) < {d} THEN 0.0
+                         ELSE acc[j] + 0.0 END)
+        END) AS keep
+  FROM (
+    SELECT symbol, any_value(l) AS l, any_value(bs) AS bs, any_value(n) AS n,
+           list(m ORDER BY m) AS pp, list(h ORDER BY m) AS hh, count(*) AS p
+    FROM (
+      SELECT symbol, l, bs, n, (i + j) // 2 AS m, l[i] AS h
+      FROM (
+        SELECT symbol, l, bs, n, i,
+               list_min(list_filter(range(i, n), k -> l[k + 1] != l[i])) AS j
+        FROM (SELECT symbol, {series} AS l, bs, len({series}) AS n,
+                     unnest(range(2, len({series}))) AS i FROM lists)
+        WHERE l[i] > l[i - 1]
+      )
+      WHERE j IS NOT NULL AND l[j + 1] < l[i]
+    )
+    GROUP BY symbol
+  )
+), unnest(range(1, p + 1)) t(c)
+WHERE keep[c] = 1.0 AND {prom} >= {pr}
+"""
+
+
+
+def _peaks_valleys_oracle() -> str:
+    """All six peak/valley flags (3 scales x 2 kinds) via the
+    parameterized full find_peaks generator: each scale instantiates
+    the complete semantics (plateau-mid candidates, greedy descending-
+    height distance suppression, prominence threshold), and the flags
+    left-join back onto the candle grid."""
+    scales = (("major", 10, 0.9), ("minor", 7, 0.7), ("micro", 5, 0.5))
+    ctes, joins, flags = [], [], []
+    for prefix, d, pr in scales:
+        for kind, series in (("peak", "lh"), ("valley", "lnn")):
+            n = f"{prefix}_{kind}"
+            ctes.append(
+                f"{n} AS ({full_peaks_sql(series, kind, '', d, pr, select_cols='symbol, bs[pp[c]] AS ts')})"
+            )
+            joins.append(
+                f"LEFT JOIN {n} ON {n}.symbol = c.symbol AND {n}.ts = strftime(c.timestamp, '{TS_FMT_DUCK}')"
+            )
+            flags.append(
+                f"CAST(CASE WHEN {n}.ts IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_{n}"
+            )
+    cte_block = ",\n".join(ctes)
+    join_block = "\n".join(joins)
+    flag_block = ",\n       ".join(flags)
+    return f"""
+WITH {CANDLES_CTE},
+lists AS (
+  SELECT symbol,
+         list(high ORDER BY timestamp) AS lh,
+         list(-low ORDER BY timestamp) AS lnn,
+         list(strftime(timestamp, '{TS_FMT_DUCK}') ORDER BY timestamp) AS bs
+  FROM candles GROUP BY symbol
+),
+{cte_block}
+SELECT c.symbol,
+       strftime(c.timestamp, '{TS_FMT_DUCK}') AS bucket_ts,
+       {flag_block}
+FROM candles c
+{join_block}
+"""
+
+
+@register("peaks_valleys", _peaks_valleys_oracle(), tags=("W11",))
 def peaks_valleys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak/valley flags at three (distance, prominence) scales
-    (``src/candle_to_calcs.py:528-558``). Prominence needs a global
-    per-series scan — rows-only; pinned by pytest vs hand-verified
-    scipy semantics."""
+    (``src/candle_to_calcs.py:528-558``), FULLY ORACLED: each scale
+    instantiates the complete find_peaks semantics in DuckDB via the
+    parameterized generator and the flags are hash-checked against
+    the production kernel."""
     e = _enriched(spark, sf_dir)
     return e.select(
         "symbol",
@@ -980,75 +1092,6 @@ def psar_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # W11 complete: full find_peaks semantics (distance=10, prominence=0.9)
 # ---------------------------------------------------------------------------
-
-_MAJOR_DIST = 10
-_MAJOR_PROM = 0.9
-
-
-def full_peaks_sql(
-    series: str,
-    kind: str,
-    sign: str,
-    d: int = _MAJOR_DIST,
-    pr: float = _MAJOR_PROM,
-    select_cols: str | None = None,
-) -> str:
-    """scipy find_peaks(distance, prominence) complete: plateau-mid
-    local maxima -> greedy suppression by descending height (stable
-    ties -> later candidate first, matching argsort[::-1]) as a fold
-    over a keep-mask list -> prominence threshold.
-
-    Parameterized over (distance, prominence) and the emitted columns
-    so the anchor-machine oracle (corpus/anchors.py) can instantiate
-    all three reference scales and read back the kept positions."""
-    if select_cols is None:
-        select_cols = (
-            f"symbol, bs[pp[c]] AS ts, '{kind}' AS kind, round({sign}l[pp[c]], 6) AS level"
-        )
-    prom = (
-        f"l[pp[c]] - greatest("
-        f"list_aggregate(l[coalesce(list_max(list_filter(range(1, pp[c]), q -> l[q] > l[pp[c]])), 0) + 1 : pp[c]], 'min'),"
-        f"list_aggregate(l[pp[c] : coalesce(list_min(list_filter(range(pp[c] + 1, n + 1), q -> l[q] > l[pp[c]])), n + 1) - 1], 'min'))"
-    )
-    return f"""
-SELECT {select_cols}
-FROM (
-  SELECT symbol, l, bs, n, pp, hh, p,
-    list_reduce(
-      [list_transform(range(1, p + 1), c -> 1.0)] ||
-      list_transform(
-        list_transform(
-          list_sort(list_transform(range(1, p + 1), c -> [-hh[c], -CAST(c AS DOUBLE)])),
-          e -> -e[2]),
-        v -> [v]),
-      (acc, x) ->
-        CASE WHEN acc[CAST(x[1] AS BIGINT)] = 0.0
-             THEN list_transform(acc, vv -> vv + 0.0)
-             ELSE list_transform(range(1, p + 1), j ->
-                    CASE WHEN j = CAST(x[1] AS BIGINT) THEN 1.0
-                         WHEN abs(pp[j] - pp[CAST(x[1] AS BIGINT)]) < {d} THEN 0.0
-                         ELSE acc[j] + 0.0 END)
-        END) AS keep
-  FROM (
-    SELECT symbol, any_value(l) AS l, any_value(bs) AS bs, any_value(n) AS n,
-           list(m ORDER BY m) AS pp, list(h ORDER BY m) AS hh, count(*) AS p
-    FROM (
-      SELECT symbol, l, bs, n, (i + j) // 2 AS m, l[i] AS h
-      FROM (
-        SELECT symbol, l, bs, n, i,
-               list_min(list_filter(range(i, n), k -> l[k + 1] != l[i])) AS j
-        FROM (SELECT symbol, {series} AS l, bs, len({series}) AS n,
-                     unnest(range(2, len({series}))) AS i FROM lists)
-        WHERE l[i] > l[i - 1]
-      )
-      WHERE j IS NOT NULL AND l[j + 1] < l[i]
-    )
-    GROUP BY symbol
-  )
-), unnest(range(1, p + 1)) t(c)
-WHERE keep[c] = 1.0 AND {prom} >= {pr}
-"""
-
 
 _FULL_PEAKS_ORACLE = f"""
 WITH {CANDLES_CTE},
