@@ -33,44 +33,6 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchored_vwap_points(_candles(spark, sf_dir), "1s", flush_secs=300)
 
 
-@register("anchored_vwap_points", None, tags=("ST5", "ST6", "ST7", "bench"))
-def anchored_vwap_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's fourth output table
-    (``src/candle_to_calcs.py:236-247``): per-symbol anchor snapshots
-    from the daily/peak state machine with event-time 300 s flushes,
-    deduped keep-last per anchor. Rows-only (stateful replay)."""
-    p = _points(spark, sf_dir)
-    return p.select(
-        "symbol",
-        "timeframe",
-        "anchor_type",
-        F.date_format("anchor_timestamp", TS_FMT_SPARK).alias("anchor_ts"),
-        "anchor_idx",
-        F.round("price_at_anchor", 4).alias("price_at_anchor"),
-        F.date_format("current_snapshot_timestamp", TS_FMT_SPARK).alias("snapshot_ts"),
-        "current_idx",
-        "anchored_vwap",
-    )
-
-
-@register("anchored_vwap_filled", None, tags=("ST5", "J5"))
-def anchored_vwap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The anchored VWAP the reference leaves as a NULL placeholder
-    (``:246``), actually computed: per-symbol cumulative prefix sums +
-    two equi joins (no range explosion). Rows-only (depends on the
-    stateful anchor table)."""
-    candles = _candles(spark, sf_dir)
-    filled = fill_anchored_vwap(anchored_vwap_points(candles, "1s", 300), candles)
-    return filled.select(
-        "symbol",
-        "anchor_type",
-        F.date_format("anchor_timestamp", TS_FMT_SPARK).alias("anchor_ts"),
-        F.date_format("current_snapshot_timestamp", TS_FMT_SPARK).alias("snapshot_ts"),
-        F.round("price_at_anchor", 4).alias("price_at_anchor"),
-        F.round("anchored_vwap", 4).alias("anchored_vwap"),
-    )
-
-
 _FILL_ORACLE = f"""
 WITH {CANDLES_CTE},
 ny AS (
@@ -425,4 +387,83 @@ def anchor_machine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_at_anchor",
         F.date_format("current_snapshot_timestamp", TS_FMT_SPARK).alias("snapshot_ts"),
         "current_idx",
+    )
+
+
+def _points_oracle() -> str:
+    """The machine oracle re-shaped to the points table: rounded
+    anchor price + the reference's NULL anchored_vwap placeholder
+    (src/candle_to_calcs.py:246 leaves it null; the FILL query
+    computes it)."""
+    return f"""
+SELECT symbol, timeframe, anchor_type, anchor_ts, anchor_idx,
+       round(price_at_anchor, 4) AS price_at_anchor,
+       snapshot_ts, current_idx,
+       CAST(NULL AS DOUBLE) AS anchored_vwap
+FROM ({_MACHINE_ORACLE}) m
+"""
+
+
+@register("anchored_vwap_points", _points_oracle(), tags=("ST5", "ST6", "ST7", "bench"))
+def anchored_vwap_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's fourth output table
+    (``src/candle_to_calcs.py:236-247``): per-symbol anchor snapshots
+    from the daily/peak state machine with event-time 300 s flushes,
+    deduped keep-last per anchor — ORACLED via the anchor-machine
+    flush-window decomposition (rounded price, NULL vwap
+    placeholder)."""
+    p = _points(spark, sf_dir)
+    return p.select(
+        "symbol",
+        "timeframe",
+        "anchor_type",
+        F.date_format("anchor_timestamp", TS_FMT_SPARK).alias("anchor_ts"),
+        "anchor_idx",
+        F.round("price_at_anchor", 4).alias("price_at_anchor"),
+        F.date_format("current_snapshot_timestamp", TS_FMT_SPARK).alias("snapshot_ts"),
+        "current_idx",
+        "anchored_vwap",
+    )
+
+
+def _filled_oracle() -> str:
+    """The points oracle composed with the relational fill: per
+    anchor snapshot, VWAP over the candles in
+    [anchor_ts, snapshot_ts] — sum(close*volume)/sum(volume),
+    NULL when the range's volume is zero. (The Spark side computes
+    the same windows via per-symbol prefix sums + two equi joins;
+    round-4 absorbs summation-order drift.)"""
+    return f"""
+WITH {CANDLES_CTE},
+pts AS ({_points_oracle()}),
+rng AS (
+  SELECT p.symbol, p.anchor_type, p.anchor_ts, p.snapshot_ts, p.price_at_anchor,
+         sum(c.close * c.volume) AS pv, sum(c.volume) AS v
+  FROM pts p LEFT JOIN candles c
+    ON c.symbol = p.symbol
+   AND c.timestamp >= strptime(p.anchor_ts, '{TS_FMT_DUCK}')
+   AND c.timestamp <= strptime(p.snapshot_ts, '{TS_FMT_DUCK}')
+  GROUP BY p.symbol, p.anchor_type, p.anchor_ts, p.snapshot_ts, p.price_at_anchor
+)
+SELECT symbol, anchor_type, anchor_ts, snapshot_ts, price_at_anchor,
+       CASE WHEN v > 0 THEN round(pv / v, 4) END AS anchored_vwap
+FROM rng
+"""
+
+
+@register("anchored_vwap_filled", _filled_oracle(), tags=("ST5", "J5"))
+def anchored_vwap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchored VWAP the reference leaves as a NULL placeholder
+    (``:246``), actually computed: per-symbol cumulative prefix sums +
+    two equi joins (no range explosion) — now ORACLED end-to-end by
+    composing the anchor-machine oracle with the relational fill."""
+    candles = _candles(spark, sf_dir)
+    filled = fill_anchored_vwap(anchored_vwap_points(candles, "1s", 300), candles)
+    return filled.select(
+        "symbol",
+        "anchor_type",
+        F.date_format("anchor_timestamp", TS_FMT_SPARK).alias("anchor_ts"),
+        F.date_format("current_snapshot_timestamp", TS_FMT_SPARK).alias("snapshot_ts"),
+        F.round("price_at_anchor", 4).alias("price_at_anchor"),
+        F.round("anchored_vwap", 4).alias("anchored_vwap"),
     )
