@@ -41,33 +41,6 @@ def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_indicators(candles)
 
 
-@register("indicators_recursive_pack", None, tags=("W2", "W3", "W4", "W5", "W7", "W8", "bench"))
-def indicators_recursive_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADX/DI, MACD, PSAR, ATR and T3 packs from the per-symbol
-    kernel — the reference's recursive indicator surface
-    (``src/candle_to_calcs.py:386-452``). Rows-only at the driver
-    (recursive EMAs are not ANSI-SQL-expressible); pinned by pytest
-    golden fixtures instead."""
-    e = _enriched(spark, sf_dir)
-    return e.select(
-        "symbol",
-        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
-        *[F.round(c, 6).alias(c) for c in (
-            "typical_price", "adx", "di_pos", "di_neg", "di_diff",
-            "macd", "macd_signal", "macd_diff", "psar",
-        )],
-        "psar_trend",
-        F.round("psar_reversal", 6).alias("psar_reversal"),
-        *[F.round(c, 6).alias(c) for c in ("atr", "atr_norm", "atr_change")],
-        "high_volatility",
-        F.round("t3", 6).alias("t3"),
-        F.round("t3_slope", 6).alias("t3_slope"),
-        "is_uptrend",
-        "is_downtrend",
-        "is_no_trend",
-    )
-
-
 @register("indicators_chunked_pack", None, tags=("W2", "W3", "W5", "W7", "skew"))
 def indicators_chunked_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recursive pack via the tail-chunked evaluator
@@ -379,39 +352,6 @@ def cdl_patterns_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CDLPIERCING",
         "CDLDARKCLOUDCOVER",
     )
-
-
-@register("full_enrichment", None, tags=("W14", "P9", "bench"))
-def full_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W14 composition pipeline: the complete calculated-candle table
-    — candles -> NY-local columns -> session flags (native) ->
-    indicator kernel (recursive pack + patterns + peaks) -> Bollinger
-    + volume spike (native windows) — every column family of the
-    reference's ``candles_1s_calculated`` (~119 cols,
-    ``src/candle_to_calcs.py:316-350``)."""
-    # Native (narrow) column families first, the wide applyInPandas
-    # kernel last: the window shuffles move ~25-column candle rows,
-    # and nothing reshuffles the 119-column kernel output. The
-    # families are mutually independent, so order is free.
-    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
-    e = with_local_time(candles)
-    e = with_session_flags(e)
-    e = with_bollinger(e)
-    e = with_volume_spike(e)
-    e = enrich_indicators(e)
-    # Stable output: format timestamps, round floating columns.
-    ts_cols = {"timestamp", "local_timestamp"}
-    sel = ["symbol"]
-    for f in e.schema.fields:
-        if f.name == "symbol":
-            continue
-        if f.name in ts_cols:
-            sel.append(F.date_format(f.name, TS_FMT_SPARK).alias(f.name))
-        elif f.dataType.typeName() == "double":
-            sel.append(F.round(f.name, 6).alias(f.name))
-        else:
-            sel.append(F.col(f.name))
-    return e.select(*sel)
 
 
 # ---------------------------------------------------------------------------
@@ -1151,3 +1091,389 @@ def peaks_major_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.round("level", 6).alias("level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The COMPLETE recursive pack, oracled: every indicator family's
+# unrounded fold composed per (symbol, i), plus all derived columns
+# ---------------------------------------------------------------------------
+
+
+def _pack_oracle() -> str:
+    """indicators_recursive_pack's full DuckDB twin: ADX/DI, MACD,
+    PSAR (+trend/reversal), ATR (+norm/change/volatility), T3
+    (+slope/trend labels) and typical price — the same per-row prefix
+    folds as the standalone oracles but UNROUNDED, joined per
+    (symbol, i), with the kernel's nan_to_num / placeholder-fill /
+    diff semantics applied before the pack's round-6."""
+    p = _ADX_N
+    wl = f"(acc, x) -> acc - acc / {p}.0 + x"
+    wa = f"(acc, x) -> (acc * {p - 1}.0 + x) / {p}.0"
+    first = p + 1
+    adx_first = 2 * p
+
+    def smoothed(src: str) -> str:
+        seed = f"list_reduce({src}[1:{p}], (acc,x) -> acc + x)"
+        return f"""list_transform(range(1, n + 1), i ->
+          CASE WHEN i < {first} THEN NULL
+               WHEN i = {first} THEN {seed}
+               ELSE list_reduce([{seed}] || {src}[{first}:i - 1], {wl})
+          END)"""
+
+    atr_seed = f"list_reduce(t[2:{_ATR_N + 1}], (acc,x) -> acc + x) / {_ATR_N}.0"
+    atr_expr = f"""list_transform(range(1, n + 1), i ->
+      CASE WHEN i <= {_ATR_N} THEN NULL
+           WHEN i = {_ATR_N + 1} THEN {atr_seed}
+           ELSE list_reduce([{atr_seed}] || t[{_ATR_N + 2}:i],
+                            (acc, x) -> (acc * {_ATR_N - 1}.0 + x) / {_ATR_N}.0)
+      END)"""
+
+    t3_stages = []
+    for stage_k in range(1, 7):
+        valid_from = (stage_k - 1) * (_T3_P - 1) + 1
+        src = "pc" if stage_k == 1 else "e"
+        prev = "lists" if stage_k == 1 else f"ps{stage_k - 1}"
+        t3_stages.append(
+            f"ps{stage_k} AS (SELECT symbol, n, {_ema_stage(src, valid_from)} AS e"
+            f" FROM {prev}" + (" JOIN lists USING (symbol, n)" if stage_k > 1 and False else "") + ")"
+        )
+    t3_first = 6 * (_T3_P - 1) + 1
+    adx_val = f"""CASE WHEN i < {adx_first} THEN NULL
+       WHEN i = {adx_first} THEN list_reduce(dxj[1:{p}], (acc,x) -> acc + x) / {p}.0
+       ELSE list_reduce(
+              [list_reduce(dxj[1:{p}], (acc,x) -> acc + x) / {p}.0] || dxj[{p + 1}:i - {p}],
+              {wa})
+  END"""
+
+    return f"""
+WITH {CANDLES_CTE},
+lists AS (
+  SELECT symbol, list(high ORDER BY timestamp) AS ph,
+         list(low ORDER BY timestamp) AS pl,
+         list(close ORDER BY timestamp) AS pc,
+         list(timestamp ORDER BY timestamp) AS bs,
+         len(list(high)) AS n
+  FROM candles GROUP BY symbol
+),
+diffs AS (
+  SELECT symbol, n,
+    list_transform(range(1, n), d ->
+      CASE WHEN ph[d+1] - ph[d] > pl[d] - pl[d+1] AND ph[d+1] - ph[d] > 0
+           THEN ph[d+1] - ph[d] ELSE 0.0 END) AS pd,
+    list_transform(range(1, n), d ->
+      CASE WHEN pl[d] - pl[d+1] > ph[d+1] - ph[d] AND pl[d] - pl[d+1] > 0
+           THEN pl[d] - pl[d+1] ELSE 0.0 END) AS md,
+    list_transform(range(1, n), d ->
+      greatest(ph[d+1] - pl[d+1], abs(ph[d+1] - pc[d]), abs(pl[d+1] - pc[d]))) AS trl
+  FROM lists
+),
+sm AS (
+  SELECT symbol, n,
+         {smoothed('pd')} AS sp,
+         {smoothed('md')} AS smn,
+         {smoothed('trl')} AS st
+  FROM diffs
+),
+dil AS (
+  SELECT symbol,
+    list_transform(range(1, n + 1), i ->
+      CASE WHEN st[i] IS NULL THEN NULL
+           WHEN st[i] = 0.0 THEN 0.0
+           ELSE 100.0 * sp[i] / st[i] END) AS pdi,
+    list_transform(range(1, n + 1), i ->
+      CASE WHEN st[i] IS NULL THEN NULL
+           WHEN st[i] = 0.0 THEN 0.0
+           ELSE 100.0 * smn[i] / st[i] END) AS mdi
+  FROM sm
+),
+dxl AS (
+  SELECT symbol, pdi, mdi,
+    list_transform(range(1, n - {p} + 1), j ->
+      CASE WHEN pdi[{p} + j] + mdi[{p} + j] > 0.0
+           THEN 100.0 * abs(pdi[{p} + j] - mdi[{p} + j]) / (pdi[{p} + j] + mdi[{p} + j])
+           ELSE 0.0 END) AS dxj
+  FROM dil JOIN lists USING (symbol)
+),
+trn AS (
+  SELECT symbol,
+    list_transform(range(1, n + 1), i ->
+      CASE WHEN i = 1 THEN ph[1] - pl[1]
+           ELSE greatest(ph[i] - pl[i], abs(ph[i] - pc[i-1]), abs(pl[i] - pc[i-1])) END) AS t
+  FROM lists
+),
+atrl AS (
+  SELECT trn.symbol, {atr_expr} AS atr
+  FROM trn JOIN lists USING (symbol)
+),
+norml AS (
+  SELECT atrl.symbol,
+    list_transform(range(1, n + 1), i ->
+      CASE WHEN pc[i] != 0 THEN coalesce(atr[i], 0.0) / pc[i] ELSE 0.0 END) AS nrm
+  FROM atrl JOIN lists USING (symbol)
+),
+emas AS (
+  SELECT symbol, n,
+         {_ema_stage('pc', 1, 12)} AS e12,
+         {_ema_stage('pc', 1, 26)} AS e26
+  FROM lists
+),
+ml AS (
+  SELECT symbol, n,
+    list_transform(range(1, n + 1), i ->
+      CASE WHEN i < 26 THEN NULL ELSE e12[i] - e26[i] END) AS ll
+  FROM emas
+),
+sg AS (
+  SELECT symbol, ll, {_ema_stage('ll', 26, 9)} AS sig FROM ml
+),
+{", ".join(t3_stages)},
+t3f AS (
+  SELECT ps6.symbol,
+    list_transform(range(1, n + 1), i ->
+      CASE WHEN i < {t3_first} THEN NULL
+           ELSE {_T3_C1} * ps6.e[i] + {_T3_C2} * ps5.e[i]
+                + {_T3_C3} * ps4.e[i] + {_T3_C4} * ps3.e[i] END) AS t3r
+  FROM ps6 JOIN ps5 USING (symbol, n) JOIN ps4 USING (symbol, n) JOIN ps3 USING (symbol, n)
+),
+pst AS (
+  SELECT *, [CASE WHEN (pl[1] - pl[2] > ph[2] - ph[1]) AND (pl[1] - pl[2] > 0) THEN 0.0 ELSE 1.0 END,
+             0.02,
+             CASE WHEN (pl[1] - pl[2] > ph[2] - ph[1]) AND (pl[1] - pl[2] > 0) THEN pl[2] ELSE ph[2] END,
+             CASE WHEN (pl[1] - pl[2] > ph[2] - ph[1]) AND (pl[1] - pl[2] > 0) THEN ph[1] ELSE pl[1] END] AS s0
+  FROM lists
+),
+psr AS (
+  SELECT pst.symbol, u.i,
+    list_reduce([s0] || list_transform(range(2, u.i), k -> [ph[k], pl[k], ph[k-1], pl[k-1]]),
+      {_PSAR_LAMBDA}) AS sp
+  FROM pst, unnest(range(2, n + 1)) AS u(i)
+),
+psl0 AS (
+  SELECT psr.symbol, psr.i,
+    CASE WHEN sp[1] = 1.0 AND pl[i] < sp[4] THEN greatest(sp[3], ph[i], ph[i-1])
+         WHEN sp[1] = 1.0 THEN sp[4] + 0.0
+         WHEN sp[1] = 0.0 AND ph[i] > sp[4] THEN least(sp[3], pl[i], pl[i-1])
+         ELSE sp[4] + 0.0 END AS ps
+  FROM psr JOIN lists ON lists.symbol = psr.symbol
+),
+psl AS (
+  SELECT symbol, list(ps ORDER BY i) AS pslist FROM psl0 GROUP BY symbol
+),
+joined AS (
+  SELECT lists.symbol AS symbol, bs, n, ph, pl, pc,
+         pdi, mdi, dxj, atr, nrm, ll, sig, t3r, pslist
+  FROM lists
+  JOIN dxl USING (symbol)
+  JOIN atrl ON atrl.symbol = lists.symbol
+  JOIN norml ON norml.symbol = lists.symbol
+  JOIN sg ON sg.symbol = lists.symbol
+  JOIN t3f ON t3f.symbol = lists.symbol
+  JOIN psl ON psl.symbol = lists.symbol
+)
+SELECT symbol,
+  strftime(bs[i], '{TS_FMT_DUCK}') AS bucket_ts,
+  round((ph[i] + pl[i] + pc[i]) / 3.0, 6) AS typical_price,
+  round(coalesce({adx_val}, 0.0), 6) AS adx,
+  round(coalesce(pdi[i], 0.0), 6) AS di_pos,
+  round(coalesce(mdi[i], 0.0), 6) AS di_neg,
+  round(coalesce(pdi[i], 0.0) - coalesce(mdi[i], 0.0), 6) AS di_diff,
+  round(coalesce(CASE WHEN i >= 34 THEN ll[i] END, 0.0), 6) AS macd,
+  round(coalesce(sig[i], 0.0), 6) AS macd_signal,
+  round(coalesce(ll[i] - sig[i], 0.0), 6) AS macd_diff,
+  round(coalesce(CASE WHEN i >= 2 THEN pslist[i - 1] END, pc[i]), 6) AS psar,
+  CAST(CASE WHEN pc[i] > coalesce(CASE WHEN i >= 2 THEN pslist[i - 1] END, pc[i])
+            THEN 1 ELSE 0 END AS INTEGER) AS psar_trend,
+  round(CASE WHEN i = 1 THEN 0.0 ELSE abs(
+      (CASE WHEN pc[i] > coalesce(pslist[i - 1], pc[i]) THEN 1.0 ELSE 0.0 END)
+      - (CASE WHEN pc[i-1] > coalesce(CASE WHEN i >= 3 THEN pslist[i - 2] END, pc[i-1]) THEN 1.0 ELSE 0.0 END)
+    ) END, 6) AS psar_reversal,
+  round(coalesce(atr[i], 0.0), 6) AS atr,
+  round(nrm[i], 6) AS atr_norm,
+  round(CASE WHEN i = 1 THEN 0.0
+             ELSE coalesce(atr[i], 0.0) - coalesce(atr[i-1], 0.0) END, 6) AS atr_change,
+  CAST(CASE WHEN nrm[i] > coalesce(
+          CASE WHEN i >= 14 THEN list_reduce(nrm[i-13:i], (acc,x) -> acc + x) / 14.0 END, 0.0)
+       THEN 1 ELSE 0 END AS INTEGER) AS high_volatility,
+  round(CASE WHEN n < {_T3_P} THEN pc[i] ELSE coalesce(t3r[i], pc[i]) END, 6) AS t3,
+  round(CASE WHEN n < {_T3_P} OR i <= {_T3_P} THEN 0.0
+             ELSE coalesce(t3r[i], pc[i]) - coalesce(t3r[i - {_T3_P}], pc[i - {_T3_P}]) END, 6) AS t3_slope,
+  CAST(CASE WHEN (CASE WHEN n < {_T3_P} OR i <= {_T3_P} THEN 0.0
+             ELSE coalesce(t3r[i], pc[i]) - coalesce(t3r[i - {_T3_P}], pc[i - {_T3_P}]) END) > 0.2
+       THEN 1 ELSE 0 END AS INTEGER) AS is_uptrend,
+  CAST(CASE WHEN (CASE WHEN n < {_T3_P} OR i <= {_T3_P} THEN 0.0
+             ELSE coalesce(t3r[i], pc[i]) - coalesce(t3r[i - {_T3_P}], pc[i - {_T3_P}]) END) < -0.2
+       THEN 1 ELSE 0 END AS INTEGER) AS is_downtrend,
+  CAST(CASE WHEN abs(CASE WHEN n < {_T3_P} OR i <= {_T3_P} THEN 0.0
+             ELSE coalesce(t3r[i], pc[i]) - coalesce(t3r[i - {_T3_P}], pc[i - {_T3_P}]) END) <= 0.2
+       THEN 1 ELSE 0 END AS INTEGER) AS is_no_trend
+FROM joined, unnest(range(1, n + 1)) AS u(i)
+"""
+
+
+@register("indicators_recursive_pack", _pack_oracle(), tags=("W2", "W3", "W4", "W5", "W7", "W8", "bench"))
+def indicators_recursive_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADX/DI, MACD, PSAR, ATR and T3 packs from the per-symbol
+    kernel — the reference's recursive indicator surface
+    (``src/candle_to_calcs.py:386-452``). FULLY ORACLED: each family's
+    per-row prefix fold is composed unrounded per (symbol, i) in
+    DuckDB (corpus/indicators.py:_pack_oracle) with the kernel's
+    nan_to_num / placeholder-fill / diff semantics, so the whole
+    22-column pack is hash-checked cross-engine."""
+    e = _enriched(spark, sf_dir)
+    return e.select(
+        "symbol",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
+        *[F.round(c, 6).alias(c) for c in (
+            "typical_price", "adx", "di_pos", "di_neg", "di_diff",
+            "macd", "macd_signal", "macd_diff", "psar",
+        )],
+        "psar_trend",
+        F.round("psar_reversal", 6).alias("psar_reversal"),
+        *[F.round(c, 6).alias(c) for c in ("atr", "atr_norm", "atr_change")],
+        "high_volatility",
+        F.round("t3", 6).alias("t3"),
+        F.round("t3_slope", 6).alias("t3_slope"),
+        "is_uptrend",
+        "is_downtrend",
+        "is_no_trend",
+    )
+
+
+# ---------------------------------------------------------------------------
+# The COMPLETE enrichment table (~119 columns), oracled end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _full_enrichment_oracle() -> str:
+    """full_enrichment's DuckDB twin: candles + NY-local columns +
+    12 session flags + Bollinger/volume-spike + the full recursive
+    pack + all 59 patterns + the 6 peak flags, joined per
+    (symbol, bucket) — the reference's entire calculated-candle
+    table hash-checked as ONE statement (every component oracle
+    already exists; this pins their composition)."""
+    flags = [
+        ("is_overnight_early", "lh >= 0 AND lh < 2"),
+        ("is_overnight_late", "lh >= 2 AND lh < 4"),
+        ("is_early_morning", "lh >= 4 AND lh < 8"),
+        ("is_premarket_early", "lh >= 8 AND lh < 9"),
+        ("is_premarket_morn", "lh = 9 AND lm < 30"),
+        ("is_morning", "(lh = 9 AND lm >= 30) OR lh = 10"),
+        ("is_late_morning", "lh = 11 OR (lh = 12 AND lm < 30)"),
+        ("is_midday", "(lh = 12 AND lm >= 30) OR lh = 13"),
+        ("is_early_afternoon", "lh = 14 OR (lh = 15 AND lm < 30)"),
+        ("is_late_afternoon", "(lh = 15 AND lm >= 30) OR (lh = 16 AND lm < 30)"),
+        ("is_closing", "(lh = 16 AND lm >= 30) OR (lh = 17 AND lm < 1)"),
+        ("is_afterhours", "(lh = 17 AND lm >= 1) OR lh >= 18"),
+    ]
+    flag_cols = ",\n    ".join(
+        f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS INTEGER) AS {name}"
+        for name, cond in flags
+    )
+    ny = "CAST(timestamp AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS TIMESTAMP)"
+    from auto_trade_data_pipeline_spark.functions.cdl import ALL_PATTERNS
+
+    cdl_cols = ", ".join(f"c.{n}" for n in ALL_PATTERNS)
+    pack_cols = ", ".join(
+        f"p.{n}"
+        for n in (
+            "typical_price adx di_pos di_neg di_diff macd macd_signal macd_diff "
+            "psar psar_trend psar_reversal atr atr_norm atr_change high_volatility "
+            "t3 t3_slope is_uptrend is_downtrend is_no_trend"
+        ).split()
+    )
+    pk_cols = ", ".join(
+        f"k.is_{sc}_{kd}" for sc in ("major", "minor", "micro") for kd in ("peak", "valley")
+    )
+    return f"""
+WITH {CANDLES_CTE},
+fe_loc AS (
+  SELECT symbol, timestamp, {ny} AS lts,
+         hour({ny}) AS lh, minute({ny}) AS lm
+  FROM candles
+),
+fe_w AS (
+  SELECT symbol, timestamp, open, high, low, close, volume, number_of_trades, vwap,
+         count(close) OVER roll20 AS cnt20,
+         avg(close) OVER roll20 AS sma20,
+         stddev_pop(close) OVER roll20 AS sd20,
+         avg(volume) OVER roll60 AS rav
+  FROM candles
+  WINDOW
+    roll20 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+    roll60 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+),
+fe_b AS (
+  SELECT *,
+         CASE WHEN cnt20 >= 20 THEN sma20 ELSE close END AS bbm,
+         CASE WHEN cnt20 >= 20 THEN sma20 + 2 * sd20 ELSE close END AS bbu,
+         CASE WHEN cnt20 >= 20 THEN sma20 - 2 * sd20 ELSE close END AS bbl
+  FROM fe_w
+),
+fe_pack AS ({_pack_oracle()}),
+fe_cdl AS ({_cdl_full_oracle()}),
+fe_pk AS ({_peaks_valleys_oracle()})
+SELECT b.symbol,
+  strftime(b.timestamp, '{TS_FMT_DUCK}') AS timestamp,
+  round(b.open, 6) AS open,
+  round(b.high, 6) AS high,
+  round(b.low, 6) AS low,
+  round(b.close, 6) AS close,
+  round(b.volume, 6) AS volume,
+  b.number_of_trades,
+  round(b.vwap, 6) AS vwap,
+  strftime(l.lts, '{TS_FMT_DUCK}') AS local_timestamp,
+  CAST(l.lts AS DATE) AS local_date,
+  CAST(l.lh AS INTEGER) AS local_hour,
+  CAST(l.lm AS INTEGER) AS local_minute,
+  {flag_cols},
+  round(b.bbm, 6) AS bb_mid,
+  round(b.bbu, 6) AS bb_upper,
+  round(b.bbl, 6) AS bb_lower,
+  round(b.bbu - b.bbl, 6) AS bb_width,
+  round(CASE WHEN b.bbu - b.bbl != 0 THEN (b.close - b.bbl) / (b.bbu - b.bbl) ELSE 0 END, 6) AS bb_pos,
+  CAST(CASE WHEN b.close > b.bbu OR b.close < b.bbl THEN 1 ELSE 0 END AS INTEGER) AS bb_breakout,
+  round(b.rav, 6) AS rolling_avg_volume,
+  CAST(CASE WHEN b.volume > b.rav * 1.5 THEN 1 ELSE 0 END AS INTEGER) AS is_volume_spike,
+  {pack_cols},
+  {cdl_cols},
+  CAST(c.candle_pattern_sum AS BIGINT) AS candle_pattern_sum,
+  {pk_cols}
+FROM fe_b b
+JOIN fe_loc l ON l.symbol = b.symbol AND l.timestamp = b.timestamp
+JOIN fe_pack p ON p.symbol = b.symbol AND p.bucket_ts = strftime(b.timestamp, '{TS_FMT_DUCK}')
+JOIN fe_cdl c ON c.symbol = b.symbol AND c.bucket_ts = strftime(b.timestamp, '{TS_FMT_DUCK}')
+JOIN fe_pk k ON k.symbol = b.symbol AND k.bucket_ts = strftime(b.timestamp, '{TS_FMT_DUCK}')
+"""
+
+
+@register("full_enrichment", _full_enrichment_oracle(), tags=("W14", "P9", "bench"))
+def full_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 composition pipeline: the complete calculated-candle table
+    — candles -> NY-local columns -> session flags (native) ->
+    indicator kernel (recursive pack + patterns + peaks) -> Bollinger
+    + volume spike (native windows) — every column family of the
+    reference's ``candles_1s_calculated`` (~119 cols,
+    ``src/candle_to_calcs.py:316-350``)."""
+    # Native (narrow) column families first, the wide applyInPandas
+    # kernel last: the window shuffles move ~25-column candle rows,
+    # and nothing reshuffles the 119-column kernel output. The
+    # families are mutually independent, so order is free.
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    e = with_local_time(candles)
+    e = with_session_flags(e)
+    e = with_bollinger(e)
+    e = with_volume_spike(e)
+    e = enrich_indicators(e)
+    # Stable output: format timestamps, round floating columns.
+    ts_cols = {"timestamp", "local_timestamp"}
+    sel = ["symbol"]
+    for f in e.schema.fields:
+        if f.name == "symbol":
+            continue
+        if f.name in ts_cols:
+            sel.append(F.date_format(f.name, TS_FMT_SPARK).alias(f.name))
+        elif f.dataType.typeName() == "double":
+            sel.append(F.round(f.name, 6).alias(f.name))
+        else:
+            sel.append(F.col(f.name))
+    return e.select(*sel)
