@@ -86,19 +86,17 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
-#: slot 0 = the new anchor-machine oracle; slots 1-3 = the round-3
-#: driver-red row (training_mix_pack) plus the two queries whose
-#: oracles changed for the pandas-dtype-drift fix; slots 4-47 = every
-#: remaining never-driver-checked oracled query (TPC-H deep shapes,
-#: events analytics, SCD2, table diff, co-moments, histogram,
-#: streaming replays, recursive-indicator oracles); last 2 = stable
-#: green fillers. Deferred to round 5 (driver-covered by green
-#: siblings in the clean family): heavy_hitter_bigrams,
-#: dedup_priority_keep, table_profile_orders, sql_hourly_ohlc,
-#: source_mix_sample, lm_quality_score, corpus_keep_decision,
-#: quality_percentile_gate. tests/test_rotation.py enforces that
-#: every oracled query is either in this window or already has a
-#: recorded driver row.
+#: slot 0 = the anchor-machine oracle; slots 1-3 = the round-3
+#: driver-red row (training_mix_pack) plus the two dtype-drift-fixed
+#: oracles; slots 4-47 = every round-3 never-driver-checked oracled
+#: query; last 2 = stable green fillers. All 50 verified hash-exact
+#: on a VANILLA untuned SparkSession (SPARK_GRAFT_VANILLA=1).
+#: Round-4 additions (span dedup, DSIR, SemDeDup, temperature mix,
+#: outer stream join, composed pipeline, incremental dedup x2) are
+#: declared round-5 deferrals; by end of round 4 every query in the
+#: corpus is oracled except the intentionally-approximate
+#: indicators_chunked_pack. tests/test_rotation.py enforces that no
+#: oracled query can silently stagnate outside the window.
 _ORDER = [
     "anchor_machine_recursive",
     "training_mix_pack",
