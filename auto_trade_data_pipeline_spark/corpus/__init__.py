@@ -83,6 +83,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "llm_corpus_pipeline",
     "incremental_dedup_delta",
     "incremental_dedup_embedding",
+    "similarity_topk_pq",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -220,6 +221,7 @@ _ORDER = [
     "llm_corpus_pipeline",
     "incremental_dedup_delta",
     "incremental_dedup_embedding",
+    "similarity_topk_pq",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1584,3 +1584,152 @@ def incremental_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT2: product-quantization ANN (PQ/ADC, Jegou et al. TPAMI'11)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  #: subspaces (64 dims -> 4 x 16)
+PQ_KSUB = 8  #: codes per subspace codebook
+PQ_ITERS = 2  #: Lloyd iterations per subspace
+
+
+def _pq_sq(a: str, b: str, dsub: int = 16) -> str:
+    """Sequential-order squared-L2 over a dsub-dim subvector — the
+    DuckDB twin of operators.vectors.sq_l2."""
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), "
+        f"i -> {diff} * {diff}), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_ctes(m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS) -> str:
+    """DuckDB twin of operators.vectors.pq_train/pq_encode: identical
+    seed selection (smallest md5-60bit of the id, per subspace),
+    round-6 squared-L2 argmin with code tiebreak, integer-scaled
+    centroid means — so the codebooks AND the codes are
+    bit-reproducible cross-engine. Ends with ``pq_codes`` (vec_id,
+    codes ordered by subspace) and ``pq_c{iters}`` (the codebooks)."""
+    dsub = 64 // m
+
+    def assign(prev: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, sub, subvec, code FROM (
+    SELECT s.vec_id, s.sub, s.subvec, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY round({_pq_sq('s.subvec', 'c.centroid', dsub)}, 6), c.code) AS pr
+    FROM pq_sub s JOIN {prev} c ON c.sub = s.sub
+  ) WHERE pr = 1
+)"""
+
+    def update(assigned: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT sub, code, list(mean ORDER BY pos) AS centroid FROM (
+    SELECT sub, code, pos,
+           (CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*) AS mean
+    FROM (SELECT sub, code, i AS pos, subvec[i] AS v FROM {assigned}, range(1, {dsub + 1}) t(i))
+    GROUP BY sub, code, pos
+  ) GROUP BY sub, code
+)"""
+
+    ctes = [
+        f"""pq_nrm AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) / sqrt({_DOT.format(a='embedding', b='embedding')})) AS embedding
+  FROM embeddings
+)""",
+        f"""pq_sub AS (
+  SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+         list_transform(list_slice(embedding, t.sub * {dsub} + 1, t.sub * {dsub} + {dsub}),
+                        x -> CAST(x AS DOUBLE)) AS subvec
+  FROM pq_nrm, range(0, {m}) t(sub)
+)""",
+        f"""pq_c0 AS (
+  SELECT sub, code, subvec AS centroid FROM (
+    SELECT sub, subvec,
+           row_number() OVER (PARTITION BY sub
+                              ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS code
+    FROM pq_sub
+  ) WHERE code < {ksub}
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(assign(f"pq_c{i}", f"pq_a{i + 1}"))
+        ctes.append(update(f"pq_a{i + 1}", f"pq_c{i + 1}"))
+    ctes.append(assign(f"pq_c{iters}", "pq_afin"))
+    ctes.append(
+        "pq_codes AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM pq_afin GROUP BY vec_id)"
+    )
+    return ",\n".join(ctes)
+
+
+def _pq_oracle(m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS) -> str:
+    dsub = 64 // m
+    return f"""
+WITH {_pq_ctes(m, ksub, iters)},
+pq_q AS (SELECT vec_id AS query_id, sub, subvec FROM pq_sub WHERE vec_id < 10),
+pq_dt AS (
+  SELECT q.query_id, q.sub, c.code,
+         CAST(round(round({_pq_sq('q.subvec', 'c.centroid', dsub)}, 6) * 1000000) AS BIGINT) AS dq
+  FROM pq_q q JOIN pq_c{iters} c ON c.sub = q.sub
+),
+pq_dtab AS (
+  SELECT query_id, list(drow ORDER BY sub) AS dtab FROM (
+    SELECT query_id, sub, list(dq ORDER BY code) AS drow FROM pq_dt GROUP BY query_id, sub
+  ) GROUP BY query_id
+),
+pq_scored AS (
+  SELECT d.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, {m + 1}), j -> d.dtab[j][e.codes[j] + 1]),
+                     (acc, x) -> acc + x) AS ds
+  FROM pq_codes e, pq_dtab d
+  WHERE e.vec_id <> d.query_id
+),
+pq_cand AS (
+  SELECT query_id, neighbor_id, ds FROM (
+    SELECT query_id, neighbor_id, ds,
+           row_number() OVER (PARTITION BY query_id ORDER BY ds, neighbor_id) AS cr
+    FROM pq_scored
+  ) WHERE cr <= 15
+),
+pq_rr AS (
+  SELECT c.query_id, c.neighbor_id, c.ds,
+         round({_cos('q.embedding', 'e.embedding')}, 6) AS cos
+  FROM pq_cand c
+  JOIN pq_nrm q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+),
+pq_ranked AS (
+  SELECT query_id, neighbor_id, round(ds / 1000000.0, 6) AS adist, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pq_rr
+)
+SELECT query_id, neighbor_id, adist, cos, rank FROM pq_ranked WHERE rank <= 5
+"""
+
+
+@register("similarity_topk_pq", _pq_oracle(), tags=("EXT2",))
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou/Douze/Schmid, TPAMI 2011):
+    per-subspace codebooks trained with the deterministic k-means
+    recipe, every vector encoded as m=4 codes (64x compression at
+    production m=8/ksub=256 — a billion-vector index fits executor
+    memory), then asymmetric-distance (ADC) top-k: the per-query
+    m x ksub distance table rides a broadcast, the compressed corpus
+    is scanned with m exact bigint lookups per vector (zero shuffle
+    until the per-query top-k window), and the refine*k best
+    candidates are reranked by exact cosine against raw vectors. The
+    oracle retrains the codebooks, re-encodes, and re-scans entirely
+    in SQL — the whole index build is hash-checked cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Unit-normalize for the index: on unit vectors squared-L2 is
+    # 2 - 2*cos, so ADC candidate order agrees with the cosine rerank.
+    unit = emb.select("vec_id", VX.l2_normalize(F.col("embedding")).alias("embedding"))
+    books = VX.pq_train(unit, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    enc = VX.pq_encode(unit, books, m=PQ_M)
+    return VX.pq_adc_topk(
+        enc, unit.filter(F.col("vec_id") < 10), books, emb, k=5, refine=3, m=PQ_M
+    )

@@ -38,6 +38,11 @@ __all__ = [
     "srp_bands",
     "srp_near_dup",
     "semantic_dedup",
+    "sq_l2",
+    "l2_normalize",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -53,6 +58,14 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize (deterministic: sequential-order norm, one
+    double division per component). On unit vectors squared-L2 is
+    2 - 2*cos, so L2-based ANN (PQ/ADC) ranks identically to cosine."""
+    nrm = l2_norm(a)
+    return F.transform(a.cast("array<double>"), lambda x: x / nrm)
 
 
 def cosine_topk(
@@ -257,6 +270,215 @@ def semantic_dedup(
         assigned.join(dups, id_col, "left")
         .withColumn("kept", F.when(F.col("__dup").isNull(), 1).otherwise(0))
         .drop("__dup")
+    )
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Sequential-order squared-L2 distance (deterministic across
+    engines/parallelism — same contract as :func:`dot`)."""
+    diffs = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: (x - y) * (x - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _subspace_rows(
+    corpus: DataFrame, m: int, dsub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, subvec) — one row per vector per PQ subspace."""
+    return corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub).alias(
+                            "subvec"
+                        ),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select(id_col, "__s.sub", "__s.subvec")
+
+
+def _pq_assign(subrows: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-code assignment per (vector, subspace): argmin round-6
+    squared-L2 vs the broadcast codebook, code-id tiebreak."""
+    w = Window.partitionBy(id_col, "sub").orderBy("__d", "code")
+    return (
+        subrows.join(F.broadcast(codebooks), "sub")
+        .withColumn("__d", F.round(sq_l2(F.col("subvec"), F.col("centroid")), 6))
+        .withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") == 1)
+        .select(id_col, "sub", "subvec", "code")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Product-quantization codebooks (Jegou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into `m` subvectors of dims/m components and train an
+    independent `ksub`-centroid k-means per subspace. Deterministic by
+    the same recipe as :func:`kmeans_cells` — hash-sampled seeds
+    (smallest 60-bit md5 of the id, shared across subspaces), round-6
+    squared-L2 argmin with code-id tiebreak, integer-scaled centroid
+    means — so an oracle engine retrains bit-identical codebooks.
+
+    Returns ``(sub, code, centroid: array<double>)`` — m*ksub rows, a
+    dimension-sized table that broadcasts everywhere it is used. At
+    100 TB codebooks are trained on a hash-sample of the corpus (the
+    seed hash already defines one); training cost per iteration is one
+    corpus scan over (id, sub, subvec) rows."""
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+
+    dsub = dims // m
+    subrows = _subspace_rows(corpus, m, dsub, id_col, vec_col)
+    hashed = subrows.withColumn("__h", hash64(F.col(id_col).cast("string")))
+    seed_w = Window.partitionBy("sub").orderBy("__h", id_col)
+    books = (
+        hashed.withColumn("code", F.row_number().over(seed_w) - 1)
+        .filter(F.col("code") < ksub)
+        .select("sub", "code", F.col("subvec").alias("centroid"))
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subrows, books, id_col)
+        per_dim = assigned.select(
+            "sub", "code", F.posexplode("subvec").alias("pos", "v")
+        ).groupBy("sub", "code", "pos").agg(
+            (
+                F.sum(F.round(F.col("v") * scale, 0).cast("long"))
+                / F.lit(float(scale))
+                / F.count(F.lit(1))
+            ).alias("mean")
+        )
+        books = per_dim.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean"))), lambda s: s["mean"]
+            ).alias("centroid")
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as `m` codebook indices — ``(id, codes:
+    array<int>)`` ordered by subspace. This is the 100 TB payoff: a
+    64-dim float32 vector (256 B) compresses to m bytes (64x at m=4,
+    ksub<=256), so a billion-vector index fits executor memory and the
+    ADC scan is compressed-domain — the raw vectors are read once at
+    encode time and never shuffled again."""
+    dsub = dims // m
+    assigned = _pq_assign(_subspace_rows(corpus, m, dsub, id_col, vec_col), codebooks, id_col)
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    refine: int = 3,
+    m: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes with exact
+    rerank: per query, precompute the m x ksub table of integer-scaled
+    squared-L2 distances from each query subvector to each codebook
+    centroid, scan the encoded corpus summing m exact bigint lookups
+    (``adist``), keep the ``refine * k`` best candidates, then rerank
+    those few by exact cosine against the raw vectors.
+
+    Scale shape: the distance table is per-query dimension-sized and
+    rides a broadcast; the corpus side touches only (id, codes) — one
+    narrow broadcast join, zero shuffle until the per-query top-k
+    window; the exact-rerank join fetches refine*k*|queries| raw
+    vectors, not the corpus. Output: (query_id, neighbor_id, adist,
+    cos, rank)."""
+    dsub = dims // m
+    q_sub = _subspace_rows(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        m,
+        dsub,
+        "query_id",
+        vec_col,
+    )
+    dtab = (
+        q_sub.join(F.broadcast(codebooks), "sub")
+        .withColumn(
+            "__dq", F.round(F.round(sq_l2(F.col("subvec"), F.col("centroid")), 6) * scale, 0).cast("long")
+        )
+        .groupBy("query_id", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "__dq"))), lambda s: s["__dq"]
+            ).alias("__row")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "__row"))), lambda s: s["__row"]
+            ).alias("__dtab")
+        )
+    )
+    scored = (
+        encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .join(F.broadcast(dtab), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "__ds",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("__dtab"),
+                    lambda c, row: F.element_at(row, c + F.lit(1)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("adist", F.col("__ds") / F.lit(float(scale)))
+    )
+    cw = Window.partitionBy("query_id").orderBy("__ds", "neighbor_id")
+    cands = (
+        scored.withColumn("__cr", F.row_number().over(cw))
+        .filter(F.col("__cr") <= refine * k)
+        .select("query_id", "neighbor_id", "adist")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    rw = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "cos", "rank")
     )
 
 

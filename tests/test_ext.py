@@ -387,3 +387,45 @@ def test_lsh_between_finds_cross_set_dups(spark):
     }
     assert (10, 1) in pairs
     assert all(a >= 10 and b < 10 for a, b in pairs)  # strictly cross-set
+
+
+def test_pq_codebooks_deterministic_and_adc_recall_scales_with_refine(spark, sf_small):
+    """Product quantization: (a) per-subspace codebooks are
+    bit-deterministic run to run; (b) every vector encodes to m codes
+    in [0, ksub); (c) ADC recall@5 vs the brute-force baseline is
+    non-decreasing in the refine factor (candidates grow, the exact
+    rerank picks the best of a superset)."""
+    from auto_trade_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    unit = emb.select("vec_id", VX.l2_normalize(F.col("embedding")).alias("embedding"))
+    q = unit.filter(F.col("vec_id") < 10)
+    brute = {(r.query_id, r.neighbor_id) for r in VX.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()}
+
+    books = VX.pq_train(unit, m=4, ksub=8, iters=2)
+    books2 = VX.pq_train(unit, m=4, ksub=8, iters=2)
+    assert sorted(map(tuple, books.collect())) == sorted(map(tuple, books2.collect()))
+    assert books.count() == 4 * 8
+
+    enc = VX.pq_encode(unit, books, m=4)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == 4 and all(0 <= c < 8 for c in r.codes) for r in rows)
+
+    def recall(refine):
+        adc = {
+            (r.query_id, r.neighbor_id)
+            for r in VX.pq_adc_topk(enc, q, books, emb, k=5, refine=refine, m=4).collect()
+        }
+        return len(brute & adc) / len(brute)
+
+    # The synthetic embeddings are near-random 64-dim noise — PQ can
+    # only capture what low-dim structure exists (measured here:
+    # ~18% of variance at m=4/ksub=8), so absolute recall at small
+    # refine is data-limited. The operator contract is: recall is
+    # non-decreasing in refine, and refine covering the whole corpus
+    # IS the exact search (rerank of everything, same tiebreaks).
+    r1, r10, r_all = recall(1), recall(10), recall(100)
+    assert r1 <= r10 <= r_all
+    assert r10 >= 0.3
+    assert r_all == 1.0
