@@ -84,6 +84,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "incremental_dedup_delta",
     "incremental_dedup_embedding",
     "similarity_topk_pq",
+    "quality_classifier_gd",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -222,6 +223,7 @@ _ORDER = [
     "incremental_dedup_delta",
     "incremental_dedup_embedding",
     "similarity_topk_pq",
+    "quality_classifier_gd",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

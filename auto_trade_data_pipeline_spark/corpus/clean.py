@@ -585,3 +585,107 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", "doc_id", alpha=TMIX_ALPHA, target_frac=TMIX_TARGET
     )
     return out.select("doc_id", "source", "n_group", "rate_ppm", "sampled")
+
+
+# ---------------------------------------------------------------------------
+# In-engine trained quality classifier (hashed-feature GD)
+# ---------------------------------------------------------------------------
+
+CLS_BUCKETS = 16
+CLS_ITERS = 3
+CLS_LR = 5.0
+
+
+def _cls_oracle() -> str:
+    """DuckDB twin of operators.classifier.train_logistic_gd: the
+    SAME hashed features, rational sigmoid, integer-scaled margin and
+    gradient sums, and iteration-for-iteration weight updates — the
+    distributed training loop itself is hash-checked cross-engine."""
+    h = _duck_hash("tok", "feat")
+    nb, iters, lr = CLS_BUCKETS, CLS_ITERS, CLS_LR
+    ctes = [
+        "cls_base AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, ts FROM toks)",
+        "cls_tok AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS tok FROM cls_base WHERE len(ts) > 0)",
+        f"""cls_feat AS (
+  SELECT doc_id, bucket, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS val FROM (
+    SELECT doc_id, CAST({h} % {nb} AS INTEGER) AS bucket, n, count(*) AS c
+    FROM cls_tok GROUP BY doc_id, bucket, n
+  )
+  UNION ALL
+  SELECT doc_id, {nb} AS bucket, 1.0 AS val FROM cls_base WHERE len(ts) > 0
+)""",
+        "cls_tot AS (SELECT count(*) AS N FROM docs)",
+        f"cls_w0 AS (SELECT CAST(i AS INTEGER) AS bucket, 0.0 AS w FROM range(0, {nb + 1}) t(i))",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"""cls_z{i} AS (
+  SELECT f.doc_id,
+         CAST(sum(CAST(round(f.val * w.w * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS z
+  FROM cls_feat f JOIN cls_w{i} w USING (bucket) GROUP BY f.doc_id
+)""",
+            f"""cls_r{i} AS (
+  SELECT b.doc_id, (0.5 + (z.z / 2) / (1 + abs(z.z))) - b.y AS r
+  FROM cls_z{i} z JOIN cls_base b USING (doc_id)
+)""",
+            f"""cls_g{i} AS (
+  SELECT f.bucket,
+         CAST(sum(CAST(round(r.r * f.val * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS g
+  FROM cls_feat f JOIN cls_r{i} r USING (doc_id) GROUP BY f.bucket
+)""",
+            f"""cls_w{i + 1} AS (
+  SELECT w.bucket, w.w - {lr} * coalesce(g.g, 0.0) / (SELECT N FROM cls_tot) AS w
+  FROM cls_w{i} w LEFT JOIN cls_g{i} g USING (bucket)
+)""",
+        ]
+    ctes.append(
+        f"""cls_zf AS (
+  SELECT f.doc_id,
+         CAST(sum(CAST(round(f.val * w.w * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS z
+  FROM cls_feat f JOIN cls_w{iters} w USING (bucket) GROUP BY f.doc_id
+)"""
+    )
+    body = ",\n".join(ctes)
+    zc = "coalesce(z.z, 0.0)"
+    score = f"round(0.5 + ({zc} / 2) / (1 + abs({zc})), 6)"
+    return f"""
+WITH {_DOCS_CTE},
+{body}
+SELECT d.doc_id,
+       CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INTEGER) AS label_en,
+       round({zc}, 6) AS margin,
+       {score} AS score,
+       CAST(CASE WHEN {score} >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS predicted
+FROM docs d LEFT JOIN cls_zf z USING (doc_id)
+"""
+
+
+@register("quality_classifier_gd", _cls_oracle(), tags=("EXT3",))
+def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality/language filter trained IN the engine: a
+    fast-sigmoid linear classifier over hashed bag-of-words features
+    (label: lang == 'en'), fit by 3 full-batch gradient-descent
+    iterations of DataFrame ops (operators/classifier.py), then used
+    to score every document. The oracle re-runs the whole training
+    loop in SQL — weights, margins, and scores are bit-identical
+    cross-engine (rational sigmoid + integer-scaled sums; no
+    transcendental functions anywhere)."""
+    from auto_trade_data_pipeline_spark.operators import classifier as CF
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", TX.tokens(F.col("text")).alias("__ts"))
+    feats = CF.hashed_features(base, "__ts", "doc_id", n_buckets=CLS_BUCKETS).persist()
+    labels = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+    )
+    w = CF.train_logistic_gd(
+        feats, labels, "doc_id", n_buckets=CLS_BUCKETS, iters=CLS_ITERS, lr=CLS_LR
+    )
+    scored = CF.predict_scores(feats, w, docs, "doc_id")
+    return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("int").alias("label_en"),
+        "margin",
+        "score",
+        F.when(F.col("score") >= 0.5, 1).otherwise(0).cast("int").alias("predicted"),
+    )

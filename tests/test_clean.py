@@ -129,3 +129,35 @@ def test_lm_quality_score_orders_common_before_rare(spark):
     assert out[0]["n_tokens"] == 6 and out[9]["n_tokens"] == 3
     assert out[0]["avg_neg_logprob"] < out[9]["avg_neg_logprob"]
     assert all(out[i]["avg_neg_logprob"] == out[0]["avg_neg_logprob"] for i in range(9))
+
+
+def test_gd_classifier_learns_separable_signal_and_is_deterministic(spark):
+    """The in-engine GD classifier: (a) on a linearly separable toy
+    corpus (label-1 docs say 'good', label-0 docs say 'bad') three
+    full-batch iterations reach perfect train accuracy; (b) the
+    trained weights are bit-identical run to run; (c) a document with
+    no features scores exactly 0.5 (zero margin)."""
+    from auto_trade_data_pipeline_spark.operators import classifier as CF
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "good fine great good quality text here", 1.0))
+        else:
+            rows.append((i, "bad junk spam bad noise garbage here", 0.0))
+    rows.append((99, "", 0.0))  # empty doc -> no features
+    df = spark.createDataFrame(rows, "doc_id long, text string, y double")
+    base = df.select("doc_id", TX.tokens(F.col("text")).alias("ts"))
+    feats = CF.hashed_features(base, "ts", "doc_id", n_buckets=16)
+    labels = df.select("doc_id", "y")
+
+    w1 = CF.train_logistic_gd(feats, labels, "doc_id", n_buckets=16, iters=3, lr=5.0)
+    w2 = CF.train_logistic_gd(feats, labels, "doc_id", n_buckets=16, iters=3, lr=5.0)
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+
+    scored = {r.doc_id: r.score for r in CF.predict_scores(feats, w1, df, "doc_id").collect()}
+    assert scored[99] == 0.5
+    acc = sum(
+        1 for i in range(40) if (scored[i] >= 0.5) == (i % 2 == 0)
+    ) / 40
+    assert acc == 1.0
