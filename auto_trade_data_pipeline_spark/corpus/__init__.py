@@ -85,6 +85,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "incremental_dedup_embedding",
     "similarity_topk_pq",
     "quality_classifier_gd",
+    "ann_recall_report",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -224,6 +225,7 @@ _ORDER = [
     "incremental_dedup_embedding",
     "similarity_topk_pq",
     "quality_classifier_gd",
+    "ann_recall_report",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1733,3 +1733,136 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VX.pq_adc_topk(
         enc, unit.filter(F.col("vec_id") < 10), books, emb, k=5, refine=3, m=PQ_M
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT2: ANN quality evaluation — recall@k of IVF and PQ vs exact, in-engine
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    """Composes the brute-force, IVF (trained k-means, nprobe=2) and
+    PQ-ADC (refine=3) retrievals — each already individually oracled —
+    and scores the two ANN paths against the exact baseline. CTE
+    namespaces (c*/afin vs pq_*) do not collide."""
+    return f"""
+WITH {_kmeans_ctes()},
+{_pq_ctes()},
+arq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+ar_exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cos('q.qv', 'e.embedding')}, 6) DESC, e.vec_id) AS rank
+    FROM arq q JOIN embeddings e ON e.vec_id <> q.query_id
+  ) WHERE rank <= 5
+),
+ar_probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cos('q.qv', 'c.centroid')}, 6) DESC, c.cell) AS pr
+    FROM arq q, c{KMEANS_ITERS} c
+  ) WHERE pr <= 2
+),
+ar_ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY round({_cos('p.qv', 'e.embedding')}, 6) DESC, e.vec_id) AS rank
+    FROM ar_probes p JOIN afin e ON e.cell = p.cell AND e.vec_id <> p.query_id
+  ) WHERE rank <= 5
+),
+ar_pqq AS (SELECT vec_id AS query_id, sub, subvec FROM pq_sub WHERE vec_id < 10),
+ar_pqdt AS (
+  SELECT q.query_id, q.sub, c.code,
+         CAST(round(round({_pq_sq('q.subvec', 'c.centroid', 64 // PQ_M)}, 6) * 1000000) AS BIGINT) AS dq
+  FROM ar_pqq q JOIN pq_c{PQ_ITERS} c ON c.sub = q.sub
+),
+ar_pqtab AS (
+  SELECT query_id, list(drow ORDER BY sub) AS dtab FROM (
+    SELECT query_id, sub, list(dq ORDER BY code) AS drow FROM ar_pqdt GROUP BY query_id, sub
+  ) GROUP BY query_id
+),
+ar_pqsc AS (
+  SELECT d.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, PQM + 1), j -> d.dtab[j][e.codes[j] + 1]),
+                     (acc, x) -> acc + x) AS ds
+  FROM pq_codes e, ar_pqtab d
+  WHERE e.vec_id <> d.query_id
+),
+ar_pqcand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY ds, neighbor_id) AS cr
+    FROM ar_pqsc
+  ) WHERE cr <= 15
+),
+ar_pq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY round({_cos('q.embedding', 'e.embedding')}, 6) DESC, c.neighbor_id) AS rank
+    FROM ar_pqcand c
+    JOIN pq_nrm q ON q.vec_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+  ) WHERE rank <= 5
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_ivf,
+       CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_pq,
+       round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / (1.0 * count(*)), 4) AS recall_ivf,
+       round(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / (1.0 * count(*)), 4) AS recall_pq
+FROM ar_exact x
+LEFT JOIN ar_ivf i ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+LEFT JOIN ar_pq p ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+""".replace("PQM", str(PQ_M))
+
+
+@register("ann_recall_report", _ann_recall_oracle(), tags=("EXT2",))
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation IN the engine: recall@5 of the IVF path
+    (trained k-means coarse quantizer, nprobe=2) and the PQ-ADC path
+    (m=4 codebooks, refine=3) against the exact cosine baseline, per
+    query — the measurement harness a production ANN deployment runs
+    on a hash-sample before trusting an index. All three retrievals
+    reuse the already-oracled operators; the joins that score them
+    touch only (query_id, neighbor_id) pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_raw = emb.filter(F.col("vec_id") < 10)
+    exact = VX.cosine_topk(emb, q_raw, k=5).select("query_id", "neighbor_id")
+
+    assigned, cents = VX.kmeans_cells(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    ivf = VX.ivf_topk(assigned, q_raw, cents, k=5, nprobe=2, cell_col="cell").select(
+        "query_id", "neighbor_id"
+    )
+
+    unit = emb.select("vec_id", VX.l2_normalize(F.col("embedding")).alias("embedding"))
+    books = VX.pq_train(unit, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    enc = VX.pq_encode(unit, books, m=PQ_M)
+    pq = VX.pq_adc_topk(
+        enc, unit.filter(F.col("vec_id") < 10), books, emb, k=5, refine=3, m=PQ_M
+    ).select("query_id", "neighbor_id")
+
+    i = ivf.withColumn("__ivf", F.lit(1))
+    p = pq.withColumn("__pq", F.lit(1))
+    joined = (
+        exact.join(i, ["query_id", "neighbor_id"], "left")
+        .join(p, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__ivf", F.lit(0))).alias("hits_ivf"),
+            F.sum(F.coalesce("__pq", F.lit(0))).alias("hits_pq"),
+        )
+    )
+    return joined.select(
+        "query_id",
+        "n_exact",
+        "hits_ivf",
+        "hits_pq",
+        F.round(F.col("hits_ivf") / (F.col("n_exact") * 1.0), 4).alias("recall_ivf"),
+        F.round(F.col("hits_pq") / (F.col("n_exact") * 1.0), 4).alias("recall_pq"),
+    )
