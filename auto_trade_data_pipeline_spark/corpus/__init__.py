@@ -86,6 +86,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "similarity_topk_pq",
     "quality_classifier_gd",
     "ann_recall_report",
+    "distribution_drift_report",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -226,6 +227,7 @@ _ORDER = [
     "similarity_topk_pq",
     "quality_classifier_gd",
     "ann_recall_report",
+    "distribution_drift_report",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

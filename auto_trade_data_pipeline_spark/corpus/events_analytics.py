@@ -305,3 +305,135 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p", F.round(F.col("n") / (F.col("out_total") * 1.0), 4))
         .select("from_type", "to_type", "n", "out_total", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift report (data-quality monitoring between windows)
+# ---------------------------------------------------------------------------
+
+DRIFT_BINS = 10
+DRIFT_TV_FLAG = 0.05
+
+_DRIFT_ORACLE = f"""
+WITH {_EVENTS_CTE},
+evu AS (SELECT event_type, epoch_us(ts) AS us, value FROM ev),
+bd AS (
+  SELECT min(us) AS ts_lo, max(us) AS ts_hi, min(value) AS v_lo, max(value) AS v_hi FROM evu
+),
+binned AS (
+  SELECT e.event_type,
+         CAST(least(floor(((e.value - b.v_lo) /
+               (CASE WHEN b.v_hi > b.v_lo THEN b.v_hi - b.v_lo ELSE 1.0 END)) * {DRIFT_BINS}),
+             {DRIFT_BINS - 1}) AS INTEGER) AS bin,
+         CASE WHEN e.us < b.ts_lo + CAST(floor((b.ts_hi - b.ts_lo) / 2) AS BIGINT)
+              THEN 1 ELSE 0 END AS is_base
+  FROM evu e, bd b
+),
+cnts AS (
+  SELECT event_type, bin,
+         CAST(sum(is_base) AS BIGINT) AS cb,
+         CAST(sum(1 - is_base) AS BIGINT) AS cc
+  FROM binned GROUP BY event_type, bin
+),
+grid AS (
+  SELECT g.event_type, CAST(t.i AS INTEGER) AS bin
+  FROM (SELECT DISTINCT event_type FROM evu) g, range(0, {DRIFT_BINS}) t(i)
+),
+filled AS (
+  SELECT g.event_type, g.bin, coalesce(c.cb, 0) AS cb, coalesce(c.cc, 0) AS cc
+  FROM grid g LEFT JOIN cnts c ON c.event_type = g.event_type AND c.bin = g.bin
+),
+tot AS (SELECT event_type, CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(cc) AS BIGINT) AS nc FROM filled GROUP BY event_type),
+p AS (
+  SELECT f.event_type, t.nb, t.nc,
+         CAST(f.cb + 1 AS DOUBLE) / CAST(t.nb + {DRIFT_BINS} AS DOUBLE) AS pb,
+         CAST(f.cc + 1 AS DOUBLE) / CAST(t.nc + {DRIFT_BINS} AS DOUBLE) AS pc
+  FROM filled f JOIN tot t ON t.event_type = f.event_type
+),
+agg AS (
+  SELECT event_type, nb, nc,
+         CAST(sum(CAST(round((((pc - pb) * (pc - pb)) / pb) * 1000000000) AS BIGINT)) AS BIGINT) / 1000000000.0 AS chi2s,
+         CAST(sum(CAST(round(abs(pc - pb) * 1000000000) AS BIGINT)) AS BIGINT) / 1000000000.0 AS tvs
+  FROM p GROUP BY event_type, nb, nc
+)
+SELECT event_type, nb AS n_base, nc AS n_cur,
+       round(chi2s, 6) AS chi2_drift,
+       round(0.5 * tvs, 6) AS tv_distance,
+       CAST(CASE WHEN round(0.5 * tvs, 6) >= {DRIFT_TV_FLAG} THEN 1 ELSE 0 END AS INTEGER) AS drifted
+FROM agg
+"""
+
+
+@register("distribution_drift_report", _DRIFT_ORACLE, tags=("A5", "EXT3"))
+def distribution_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift monitor: per event_type, compare the value
+    distribution of the first half of the time range (baseline) to
+    the second half (current) over 10 equal-width bins — chi-square
+    drift statistic and total-variation distance on Laplace-smoothed
+    bin probabilities, plus a drift flag. Uses RATIONAL divergences
+    (no ln as in classic PSI) so every number is bit-exact
+    cross-engine; bin sums are integer-scaled.
+
+    Scale shape: one conditional-aggregate scan of the fact table
+    (bounds ride a broadcast one-row aggregate), a dimension-sized
+    type x bin grid, and a per-type rollup — the same plan monitors a
+    100 TB table between any two snapshots."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    bounds = F.broadcast(
+        ev.agg(
+            F.min(us).alias("ts_lo"),
+            F.max(us).alias("ts_hi"),
+            F.min("value").alias("v_lo"),
+            F.max("value").alias("v_hi"),
+        )
+    )
+    B = DRIFT_BINS
+    span = F.when(F.col("v_hi") > F.col("v_lo"), F.col("v_hi") - F.col("v_lo")).otherwise(1.0)
+    mid = F.col("ts_lo") + F.floor((F.col("ts_hi") - F.col("ts_lo")) / 2).cast("long")
+    binned = ev.join(bounds).select(
+        "event_type",
+        F.least(F.floor(((F.col("value") - F.col("v_lo")) / span) * B), F.lit(B - 1))
+        .cast("int")
+        .alias("bin"),
+        F.when(us < mid, 1).otherwise(0).alias("is_base"),
+    )
+    cnts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_base").alias("cb"), F.sum(1 - F.col("is_base")).alias("cc")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(B).select(F.col("id").cast("int").alias("bin")))
+    )
+    full = (
+        grid.join(cnts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    tot = full.groupBy("event_type").agg(F.sum("cb").alias("nb"), F.sum("cc").alias("nc"))
+    p = full.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "nb",
+        "nc",
+        ((F.col("cb") + 1) / (F.col("nb") + B)).alias("pb"),
+        ((F.col("cc") + 1) / (F.col("nc") + B)).alias("pc"),
+    )
+    d = F.col("pc") - F.col("pb")
+    agg = p.groupBy("event_type", "nb", "nc").agg(
+        (F.sum(F.round(((d * d) / F.col("pb")) * 1e9, 0).cast("long")) / F.lit(1e9)).alias("chi2s"),
+        (F.sum(F.round(F.abs(d) * 1e9, 0).cast("long")) / F.lit(1e9)).alias("tvs"),
+    )
+    tv = F.round(0.5 * F.col("tvs"), 6)
+    return agg.select(
+        "event_type",
+        F.col("nb").alias("n_base"),
+        F.col("nc").alias("n_cur"),
+        F.round("chi2s", 6).alias("chi2_drift"),
+        tv.alias("tv_distance"),
+        F.when(tv >= DRIFT_TV_FLAG, 1).otherwise(0).cast("int").alias("drifted"),
+    )
