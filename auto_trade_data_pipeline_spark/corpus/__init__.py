@@ -87,6 +87,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "quality_classifier_gd",
     "ann_recall_report",
     "distribution_drift_report",
+    "streaming_classifier_scores_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -228,6 +229,7 @@ _ORDER = [
     "quality_classifier_gd",
     "ann_recall_report",
     "distribution_drift_report",
+    "streaming_classifier_scores_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -596,11 +596,10 @@ CLS_ITERS = 3
 CLS_LR = 5.0
 
 
-def _cls_oracle() -> str:
-    """DuckDB twin of operators.classifier.train_logistic_gd: the
-    SAME hashed features, rational sigmoid, integer-scaled margin and
-    gradient sums, and iteration-for-iteration weight updates — the
-    distributed training loop itself is hash-checked cross-engine."""
+def _cls_train_ctes() -> str:
+    """CTE body of the GD training loop (ends with ``cls_w{iters}``,
+    the trained weights) — shared by the batch classifier oracle and
+    the streaming-scoring oracle."""
     h = _duck_hash("tok", "feat")
     nb, iters, lr = CLS_BUCKETS, CLS_ITERS, CLS_LR
     ctes = [
@@ -638,14 +637,24 @@ def _cls_oracle() -> str:
   FROM cls_w{i} w LEFT JOIN cls_g{i} g USING (bucket)
 )""",
         ]
-    ctes.append(
-        f"""cls_zf AS (
+    return ",\n".join(ctes)
+
+
+def _cls_oracle() -> str:
+    """DuckDB twin of operators.classifier.train_logistic_gd: the
+    SAME hashed features, rational sigmoid, integer-scaled margin and
+    gradient sums, and iteration-for-iteration weight updates — the
+    distributed training loop itself is hash-checked cross-engine."""
+    body = ",\n".join(
+        [
+            _cls_train_ctes(),
+            f"""cls_zf AS (
   SELECT f.doc_id,
          CAST(sum(CAST(round(f.val * w.w * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS z
-  FROM cls_feat f JOIN cls_w{iters} w USING (bucket) GROUP BY f.doc_id
-)"""
+  FROM cls_feat f JOIN cls_w{CLS_ITERS} w USING (bucket) GROUP BY f.doc_id
+)""",
+        ]
     )
-    body = ",\n".join(ctes)
     zc = "coalesce(z.z, 0.0)"
     score = f"round(0.5 + ({zc} / 2) / (1 + abs({zc})), 6)"
     return f"""

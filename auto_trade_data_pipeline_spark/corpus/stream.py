@@ -438,3 +438,100 @@ def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("timestamp", TS_FMT_SPARK).alias("tick_ts"),
         F.round(F.col("price") - F.col("anchor_price"), 4).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST+: score an unbounded document stream with an in-engine-trained model
+# ---------------------------------------------------------------------------
+
+
+def _stream_cls_oracle() -> str:
+    from auto_trade_data_pipeline_spark.corpus.clean import CLS_BUCKETS, CLS_ITERS, _cls_train_ctes
+    from auto_trade_data_pipeline_spark.corpus.ext import _DOCS_CTE, _duck_hash
+
+    tok_w = (
+        f"CAST(round(w.w_arr[({_duck_hash('tok', 'feat')} % {CLS_BUCKETS}) + 1] * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH {_DOCS_CTE},
+{_cls_train_ctes()},
+wtab AS (SELECT list(w ORDER BY bucket) AS w_arr FROM cls_w{CLS_ITERS}),
+sc AS (
+  SELECT t.doc_id,
+         CASE WHEN len(t.ts) > 0 THEN
+           (CAST(list_reduce(list_transform(t.ts, tok -> {tok_w}), (a, x) -> a + x) AS DOUBLE)
+            / 1000000.0) / len(t.ts) + w.w_arr[{CLS_BUCKETS + 1}]
+         ELSE 0.0 END AS z
+  FROM toks t, wtab w
+)
+SELECT doc_id, round(z, 6) AS margin,
+       round(0.5 + (z / 2) / (1 + abs(z)), 6) AS score
+FROM sc
+"""
+
+
+@register("streaming_classifier_scores_replay", _stream_cls_oracle(), tags=("ST2", "EXT3"))
+def streaming_classifier_scores_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model inference: the GD-trained quality classifier
+    (corpus/clean.py:quality_classifier_gd) scores an unbounded
+    document stream. The model is trained in BATCH, collapsed to one
+    dimension-sized weight array, and joined stream-static on a
+    constant key — rebroadcast per micro-batch, zero stream-side
+    state, fully stateless plan (the per-token margin is a sequential
+    integer-scaled fold, so streaming scores are bit-identical to the
+    oracle's). This is the standard shape for model-in-the-loop
+    filtering of a 100 TB/day ingest: retraining swaps the static
+    side; the stream never repartitions."""
+    from auto_trade_data_pipeline_spark.corpus.clean import CLS_BUCKETS, CLS_ITERS, CLS_LR
+    from auto_trade_data_pipeline_spark.operators import classifier as CF
+    from auto_trade_data_pipeline_spark.operators import text as TX
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+    from auto_trade_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", TX.tokens(F.col("text")).alias("__ts"))
+    feats = CF.hashed_features(base, "__ts", "doc_id", n_buckets=CLS_BUCKETS)
+    labels = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+    )
+    w = CF.train_logistic_gd(
+        feats, labels, "doc_id", n_buckets=CLS_BUCKETS, iters=CLS_ITERS, lr=CLS_LR
+    )
+    wrow = F.broadcast(
+        w.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "w"))), lambda s: s["w"]
+            ).alias("w_arr")
+        ).withColumn("__k", F.lit(1))
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    toks = TX.tokens(F.col("text"))
+    joined = stream.withColumn("__k", F.lit(1)).join(wrow, "__k")
+    term = lambda t: F.round(  # noqa: E731
+        F.element_at(
+            F.col("w_arr"),
+            (F.pmod(hash64(t, salt="feat"), F.lit(CLS_BUCKETS)) + 1).cast("int"),
+        )
+        * 1000000,
+        0,
+    ).cast("long")
+    s = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + term(t))
+    n = F.size(toks)
+    z = F.when(
+        n > 0,
+        (s / F.lit(1000000.0)) / n + F.element_at(F.col("w_arr"), CLS_BUCKETS + 1),
+    ).otherwise(0.0)
+    scored = joined.select(
+        "doc_id",
+        F.round(z, 6).alias("margin"),
+        F.round(F.lit(0.5) + (z / 2) / (1 + F.abs(z)), 6).alias("score"),
+    )
+    return run_available_now(
+        scored, f"corpus_stream_cls_{uuid.uuid4().hex[:8]}"
+    ).select("doc_id", "margin", "score")
