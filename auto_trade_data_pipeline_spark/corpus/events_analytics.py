@@ -364,7 +364,7 @@ FROM agg
 """
 
 
-@register("distribution_drift_report", _DRIFT_ORACLE, tags=("A5", "EXT3"))
+@register("distribution_drift_report", _DRIFT_ORACLE, tags=("A5", "EXT3", "bench"))
 def distribution_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality drift monitor: per event_type, compare the value
     distribution of the first half of the time range (baseline) to

@@ -346,6 +346,10 @@ _INVARIANCE_QUERIES = [
     "dedup_near_minhash_lsh",
     "winnowing_overlap",
     "rolling_active_users",
+    # round-4 second push: iterative ML training, PQ ANN, drift stats
+    "quality_classifier_gd",
+    "similarity_topk_pq",
+    "distribution_drift_report",
 ]
 
 
