@@ -88,6 +88,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "ann_recall_report",
     "distribution_drift_report",
     "streaming_classifier_scores_replay",
+    "similarity_topk_ivfpq",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -230,6 +231,7 @@ _ORDER = [
     "ann_recall_report",
     "distribution_drift_report",
     "streaming_classifier_scores_replay",
+    "similarity_topk_ivfpq",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

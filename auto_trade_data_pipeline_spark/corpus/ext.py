@@ -1866,3 +1866,113 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hits_ivf") / (F.col("n_exact") * 1.0), 4).alias("recall_ivf"),
         F.round(F.col("hits_pq") / (F.col("n_exact") * 1.0), 4).alias("recall_pq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT2: IVF-PQ composite (the IndexIVFPQ layout: coarse routing + ADC scan)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    """Coarse k-means routing (nprobe=2) + PQ/ADC scan confined to the
+    probed cells + exact rerank — the non-residual IVFADC variant
+    (Jegou et al. TPAMI'11 §V; FAISS IndexIVFPQ with by_residual
+    off). Reuses the trained-k-means and PQ CTE builders; both index
+    builds are re-trained inside the oracle."""
+    return f"""
+WITH {_kmeans_ctes()},
+{_pq_ctes()},
+ipq_q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+ipq_probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cos('q.qv', 'c.centroid')}, 6) DESC, c.cell) AS pr
+    FROM ipq_q q, c{KMEANS_ITERS} c
+  ) WHERE pr <= 2
+),
+ipq_qsub AS (SELECT vec_id AS query_id, sub, subvec FROM pq_sub WHERE vec_id < 10),
+ipq_dt AS (
+  SELECT q.query_id, q.sub, c.code,
+         CAST(round(round({_pq_sq('q.subvec', 'c.centroid', 64 // PQ_M)}, 6) * 1000000) AS BIGINT) AS dq
+  FROM ipq_qsub q JOIN pq_c{PQ_ITERS} c ON c.sub = q.sub
+),
+ipq_dtab AS (
+  SELECT query_id, list(drow ORDER BY sub) AS dtab FROM (
+    SELECT query_id, sub, list(dq ORDER BY code) AS drow FROM ipq_dt GROUP BY query_id, sub
+  ) GROUP BY query_id
+),
+ipq_scored AS (
+  SELECT d.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, {PQ_M + 1}), j -> d.dtab[j][e.codes[j] + 1]),
+                     (acc, x) -> acc + x) AS ds
+  FROM pq_codes e
+  JOIN afin a ON a.vec_id = e.vec_id
+  JOIN ipq_probes p ON p.cell = a.cell
+  JOIN ipq_dtab d ON d.query_id = p.query_id
+  WHERE e.vec_id <> d.query_id
+),
+ipq_cand AS (
+  SELECT query_id, neighbor_id, ds FROM (
+    SELECT query_id, neighbor_id, ds,
+           row_number() OVER (PARTITION BY query_id ORDER BY ds, neighbor_id) AS cr
+    FROM ipq_scored
+  ) WHERE cr <= 15
+),
+ipq_rr AS (
+  SELECT c.query_id, c.neighbor_id, c.ds,
+         round({_cos('q.embedding', 'e.embedding')}, 6) AS cos
+  FROM ipq_cand c
+  JOIN pq_nrm q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(ds / 1000000.0, 6) AS adist, cos, rank FROM (
+  SELECT query_id, neighbor_id, ds, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM ipq_rr
+) WHERE rank <= 5
+"""
+
+
+@register("similarity_topk_ivfpq", _ivfpq_oracle(), tags=("EXT2",))
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN — the production billion-vector layout
+    (FAISS IndexIVFPQ, non-residual variant): the trained coarse
+    quantizer routes each query to nprobe=2 cells, the PQ/ADC
+    compressed-domain scan runs ONLY inside probed cells (at scale,
+    with cell-partitioned storage, unprobed cells are never read),
+    and the surviving refine*k candidates get an exact cosine rerank.
+    Both index builds (coarse k-means AND per-subspace codebooks) are
+    re-trained inside the SQL oracle, so the entire composite index
+    is hash-checked cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = VX.kmeans_cells(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    unit = emb.select("vec_id", VX.l2_normalize(F.col("embedding")).alias("embedding"))
+    books = VX.pq_train(unit, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    enc = VX.pq_encode(unit, books, m=PQ_M)
+
+    from pyspark.sql.window import Window
+
+    q_raw = emb.filter(F.col("vec_id") < 10)
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("__ccos").desc(), F.col("cell"))
+    probes = (
+        q_raw.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+        .join(F.broadcast(cents))
+        .withColumn("__ccos", F.round(VX.cosine(F.col("__qv"), F.col("centroid")), 6))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= 2)
+        .select("query_id", "cell")
+    )
+    cell_enc = enc.join(assigned.select("vec_id", "cell"), "vec_id").join(
+        F.broadcast(probes), "cell"
+    )
+    return VX.pq_adc_topk(
+        cell_enc.select("vec_id", "codes", "query_id"),
+        unit.filter(F.col("vec_id") < 10),
+        books,
+        emb,
+        k=5,
+        refine=3,
+        m=PQ_M,
+        precomputed_routing=True,
+    )

@@ -406,6 +406,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10**6,
+    precomputed_routing: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes with exact
     rerank: per query, precompute the m x ksub table of integer-scaled
@@ -419,7 +420,13 @@ def pq_adc_topk(
     narrow broadcast join, zero shuffle until the per-query top-k
     window; the exact-rerank join fetches refine*k*|queries| raw
     vectors, not the corpus. Output: (query_id, neighbor_id, adist,
-    cos, rank)."""
+    cos, rank).
+
+    With ``precomputed_routing`` the encoded side already carries a
+    ``query_id`` routing column (e.g. IVF cell probes matched the
+    candidates to queries); the scan then equi-joins the distance
+    table on query_id instead of fanning every code row out to every
+    query — the IVF-PQ composite path."""
     dsub = dims // m
     q_sub = _subspace_rows(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
@@ -446,9 +453,18 @@ def pq_adc_topk(
             ).alias("__dtab")
         )
     )
+    if precomputed_routing:
+        routed = encoded.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "query_id"
+        ).join(F.broadcast(dtab), "query_id").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        routed = encoded.select(F.col(id_col).alias("neighbor_id"), "codes").join(
+            F.broadcast(dtab), F.col("query_id") != F.col("neighbor_id")
+        )
     scored = (
-        encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
-        .join(F.broadcast(dtab), F.col("query_id") != F.col("neighbor_id"))
+        routed
         .withColumn(
             "__ds",
             F.aggregate(
