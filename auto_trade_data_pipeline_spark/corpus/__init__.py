@@ -89,6 +89,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "distribution_drift_report",
     "streaming_classifier_scores_replay",
     "similarity_topk_ivfpq",
+    "bm25_retrieval_topk",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -232,6 +233,7 @@ _ORDER = [
     "distribution_drift_report",
     "streaming_classifier_scores_replay",
     "similarity_topk_ivfpq",
+    "bm25_retrieval_topk",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1976,3 +1976,153 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         precomputed_routing=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT3: BM25 retrieval top-k (in-engine search scoring)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "fast query join"),
+    (1, "stream window sort"),
+    (2, "table merge batch"),
+)
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({qid}, '{terms}')" for qid, terms in BM25_QUERIES)
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH {_DOCS_CTE},
+bm_q AS (
+  SELECT qid, unnest(string_split(terms, ' ')) AS term
+  FROM (VALUES {vals}) v(qid, terms)
+),
+bm_dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+bm_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) / (1.0 * count(*)) AS avgdl
+  FROM bm_dl
+),
+bm_tf AS (
+  SELECT t.doc_id, q.term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) t
+  JOIN (SELECT DISTINCT term FROM bm_q) q ON q.term = t.tok
+  GROUP BY t.doc_id, q.term
+),
+bm_df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bm_tf GROUP BY term),
+bm_idf AS (
+  SELECT d.term,
+         CAST(round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1000000) AS BIGINT) AS idf_ppm
+  FROM bm_df d, bm_stats s
+),
+bm_contrib AS (
+  SELECT q.qid, f.doc_id,
+         CAST(round(
+           (i.idf_ppm / 1000000.0)
+           * ((f.tf * ({k1} + 1.0)) / (f.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)))
+           * 1000000) AS BIGINT) AS c_ppm
+  FROM bm_q q
+  JOIN bm_tf f ON f.term = q.term
+  JOIN bm_idf i ON i.term = q.term
+  JOIN bm_dl l ON l.doc_id = f.doc_id
+  CROSS JOIN bm_stats s
+),
+bm_scores AS (
+  SELECT qid, doc_id,
+         CAST(sum(c_ppm) AS BIGINT) / 1000000.0 AS score
+  FROM bm_contrib GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, round(score, 4) AS score, rank FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM bm_scores
+) WHERE rank <= 10
+"""
+
+
+@register("bm25_retrieval_topk", _bm25_oracle(), tags=("EXT3",))
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; the Okapi
+    scoring used by every search engine and RAG retriever): top-10
+    documents per query with k1=1.2, b=0.75. The corpus side is
+    filtered to QUERY TERMS before any aggregation (a broadcast
+    semi-join on the term), so at 100 TB only postings for the query
+    vocabulary ever shuffle — the classic inverted-index access
+    pattern expressed relationally. Per-(doc, term) contributions are
+    integer-scaled before the per-doc sum, and the IDF's ln() is
+    snapped to ppm so a last-ulp libm difference cannot flip the
+    hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("__ts"))
+    q = spark.createDataFrame(list(BM25_QUERIES), "qid int, terms string").select(
+        "qid", F.explode(F.split("terms", " ")).alias("term")
+    )
+    terms = F.broadcast(q.select("term").distinct())
+
+    dl = toks.select("doc_id", F.size("__ts").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / (1.0 * F.count(F.lit(1)))).alias("avgdl"),
+        )
+    )
+    tf = (
+        toks.select("doc_id", F.explode("__ts").alias("tok"))
+        .join(terms.withColumnRenamed("term", "tok"), "tok")
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.broadcast(
+        df_t.join(stats).select(
+            "term",
+            F.round(
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("idf_ppm"),
+        )
+    )
+    k1, b = BM25_K1, BM25_B
+    contrib = (
+        F.broadcast(q)
+        .join(tf, "term")
+        .join(idf, "term")
+        .join(dl, "doc_id")
+        .join(stats)
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                (F.col("idf_ppm") / F.lit(1000000.0))
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                    )
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("c_ppm"),
+        )
+    )
+    scores = contrib.groupBy("qid", "doc_id").agg(
+        (F.sum("c_ppm") / F.lit(1000000.0)).alias("score")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "doc_id", F.round("score", 4).alias("score"), "rank")
+    )
