@@ -90,6 +90,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_classifier_scores_replay",
     "similarity_topk_ivfpq",
     "bm25_retrieval_topk",
+    "source_cap_sample",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -234,6 +235,7 @@ _ORDER = [
     "streaming_classifier_scores_replay",
     "similarity_topk_ivfpq",
     "bm25_retrieval_topk",
+    "source_cap_sample",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -698,3 +698,51 @@ def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.when(F.col("score") >= 0.5, 1).otherwise(0).cast("int").alias("predicted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source contribution cap (exact stratified sampling)
+# ---------------------------------------------------------------------------
+
+CAP_PER_SOURCE = 60
+
+_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_duck_hash("CAST(doc_id AS VARCHAR)", "cap")}, doc_id
+         ) AS pick_order
+  FROM documents
+)
+SELECT doc_id, source, CAST(pick_order AS BIGINT) AS pick_order,
+       CAST(CASE WHEN pick_order <= {CAP_PER_SOURCE} THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM ranked
+"""
+
+
+@register("source_cap_sample", _CAP_ORACLE, tags=("EXT3",))
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap — the 'no domain dominates'
+    dataset rule (FineWeb/C4-style): keep exactly min(cap, n_s)
+    documents per source, selected by salted-hash order so the choice
+    is uniform, reproducible, and STABLE under corpus growth (a new
+    document displaces at most one pick; no reservoir state, no
+    randomness). One window over the source key; emits every row with
+    its pick_order and keep flag. At 100 TB: sources are the natural
+    partition key, the hash order is computed scan-side, and the cap
+    needs no global coordination."""
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash64(F.col("doc_id").cast("string"), salt="cap"), "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("pick_order"),
+    ).withColumn(
+        "kept",
+        F.when(F.col("pick_order") <= CAP_PER_SOURCE, 1).otherwise(0).cast("int"),
+    )
