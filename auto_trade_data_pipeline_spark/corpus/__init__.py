@@ -83,8 +83,6 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "llm_corpus_pipeline",
     "incremental_dedup_delta",
     "incremental_dedup_embedding",
-    "similarity_topk_pq",
-    "quality_classifier_gd",
     "ann_recall_report",
     "distribution_drift_report",
     "streaming_classifier_scores_replay",
@@ -97,14 +95,19 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
 #: slot 0 = the anchor-machine oracle; slots 1-3 = the round-3
 #: driver-red row (training_mix_pack) plus the two dtype-drift-fixed
 #: oracles; slots 4-47 = every round-3 never-driver-checked oracled
-#: query; last 2 = stable green fillers. All 50 verified hash-exact
-#: on a VANILLA untuned SparkSession (SPARK_GRAFT_VANILLA=1).
-#: Round-4 additions (span dedup, DSIR, SemDeDup, temperature mix,
-#: outer stream join, composed pipeline, incremental dedup x2) are
-#: declared round-5 deferrals; by end of round 4 every query in the
-#: corpus is oracled except the intentionally-approximate
-#: indicators_chunked_pack. tests/test_rotation.py enforces that no
-#: oracled query can silently stagnate outside the window.
+#: query; slots 48-49 = the second-push flagships
+#: (quality_classifier_gd, similarity_topk_pq), swapped in for the
+#: two fillers that already hold round-3 driver-green rows
+#: (rank_parts_in_brand, rollup_lineitem_sales). All 50 verified
+#: hash-exact on a VANILLA untuned SparkSession
+#: (SPARK_GRAFT_VANILLA=1). The remaining round-4 additions (span
+#: dedup, DSIR, SemDeDup, temperature mix, outer stream join,
+#: composed pipeline, incremental dedup x2, ANN recall, drift
+#: monitor, streaming inference, IVF-PQ, BM25, source cap) are
+#: declared round-5 deferrals; every query in the corpus is oracled
+#: except the intentionally-approximate indicators_chunked_pack.
+#: tests/test_rotation.py enforces that no oracled query can
+#: silently stagnate outside the window.
 _ORDER = [
     "anchor_machine_recursive",
     "training_mix_pack",
@@ -154,6 +157,8 @@ _ORDER = [
     "macd_recursive",
     "psar_recursive",
     "peaks_major_full",
+    "quality_classifier_gd",
+    "similarity_topk_pq",
     "rank_parts_in_brand",
     "rollup_lineitem_sales",
     "cube_order_priorities",
@@ -228,8 +233,6 @@ _ORDER = [
     "llm_corpus_pipeline",
     "incremental_dedup_delta",
     "incremental_dedup_embedding",
-    "similarity_topk_pq",
-    "quality_classifier_gd",
     "ann_recall_report",
     "distribution_drift_report",
     "streaming_classifier_scores_replay",

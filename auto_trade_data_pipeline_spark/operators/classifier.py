@@ -56,6 +56,8 @@ def hashed_features(
     count / document token count, plus one bias row (bucket =
     n_buckets, val = 1.0) per non-empty document. Empty documents
     emit nothing (their margin is 0 ⇒ score 0.5)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
     toks = df.select(F.col(id_col), F.col(tokens_col).alias("__ts")).filter(
         F.size("__ts") > 0
     )

@@ -343,6 +343,10 @@ def pq_train(
     corpus scan over (id, sub, subvec) rows."""
     from auto_trade_data_pipeline_spark.operators.text import hash64
 
+    if m <= 0 or dims % m != 0:
+        raise ValueError(f"dims ({dims}) must divide evenly into m ({m}) subspaces")
+    if ksub < 1 or iters < 0:
+        raise ValueError("ksub must be >= 1 and iters >= 0")
     dsub = dims // m
     subrows = _subspace_rows(corpus, m, dsub, id_col, vec_col)
     hashed = subrows.withColumn("__h", hash64(F.col(id_col).cast("string")))
