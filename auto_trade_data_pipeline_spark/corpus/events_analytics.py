@@ -401,8 +401,12 @@ def distribution_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = binned.groupBy("event_type", "bin").agg(
         F.sum("is_base").alias("cb"), F.sum(1 - F.col("is_base")).alias("cc")
     )
+    # The type x bin grid comes from the (dimension-sized) counts
+    # aggregate, not another scan of the fact table — every observed
+    # event_type has at least one observed bin, so the distinct set is
+    # identical and the fact table is read once for the whole grid.
     grid = (
-        ev.select("event_type")
+        cnts.select("event_type")
         .distinct()
         .crossJoin(spark.range(B).select(F.col("id").cast("int").alias("bin")))
     )
