@@ -89,6 +89,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "similarity_topk_ivfpq",
     "bm25_retrieval_topk",
     "source_cap_sample",
+    "kmv_distinct_sketch",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -239,6 +240,7 @@ _ORDER = [
     "similarity_topk_ivfpq",
     "bm25_retrieval_topk",
     "source_cap_sample",
+    "kmv_distinct_sketch",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -441,3 +441,90 @@ def distribution_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         tv.alias("tv_distance"),
         F.when(tv >= DRIFT_TV_FLAG, 1).otherwise(0).cast("int").alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (mergeable cardinality estimation, exact oracle)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # hash64 is uniform on [0, 2^60)
+
+_KMV_ORACLE = f"""
+WITH {_EVENTS_CTE},
+h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM ev
+),
+rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n_distinct
+  FROM h
+),
+kth AS (
+  SELECT event_type, CAST(max(n_distinct) AS BIGINT) AS n_exact,
+         max(CASE WHEN r = least({KMV_K}, n_distinct) THEN hv END) AS kth_hv,
+         CAST(least({KMV_K}, max(n_distinct)) AS BIGINT) AS k_used
+  FROM rk GROUP BY event_type
+)
+SELECT event_type, n_exact, k_used, kth_hv,
+       round(CASE WHEN n_exact <= {KMV_K} THEN CAST(n_exact AS DOUBLE)
+                  ELSE (({KMV_K} - 1.0) * {_KMV_SPACE}) / kth_hv END, 4) AS est_distinct,
+       round(abs(CASE WHEN n_exact <= {KMV_K} THEN CAST(n_exact AS DOUBLE)
+                      ELSE (({KMV_K} - 1.0) * {_KMV_SPACE}) / kth_hv END - n_exact)
+             / n_exact, 4) AS rel_error
+FROM kth
+"""
+
+
+@register("kmv_distinct_sketch", _KMV_ORACLE, tags=("A5", "A9"))
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) cardinality sketch (Bar-Yossef et al.,
+    RANDOM'02; the bottom-k estimator behind theta sketches): per
+    event_type keep the k=64 smallest 60-bit hashes of user_id and
+    estimate distinct users as (k-1) * hash_space / kth_min. Unlike
+    HLL the whole sketch is DETERMINISTIC given the hash family, so
+    the estimate itself is hash-checked cross-engine — alongside the
+    exact count and the realized relative error.
+
+    Scale shape: the sketch is mergeable — each partition keeps its
+    k smallest hashes (map-side combine via the bottom-k window
+    rewrite at scale; here rank-per-group), merges are union+bottom-k,
+    and the shuffle carries at most k longs per group. Groups are few
+    (event types); a high-cardinality group key would ride the same
+    salted two-stage pattern as operators/skew.py."""
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", hash64(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wc = Window.partitionBy("event_type")
+    rk = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wc).alias("n_distinct"),
+    )
+    kth = rk.groupBy("event_type").agg(
+        F.max("n_distinct").alias("n_exact"),
+        F.max(
+            F.when(F.col("r") == F.least(F.lit(KMV_K), F.col("n_distinct")), F.col("hv"))
+        ).alias("kth_hv"),
+        F.least(F.lit(KMV_K), F.max("n_distinct")).cast("long").alias("k_used"),
+    )
+    est = F.when(
+        F.col("n_exact") <= KMV_K, F.col("n_exact").cast("double")
+    ).otherwise((F.lit(float(KMV_K - 1)) * F.lit(_KMV_SPACE)) / F.col("kth_hv"))
+    return kth.select(
+        "event_type",
+        "n_exact",
+        "k_used",
+        "kth_hv",
+        F.round(est, 4).alias("est_distinct"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
+    )
