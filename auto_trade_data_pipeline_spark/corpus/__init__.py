@@ -90,6 +90,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "bm25_retrieval_topk",
     "source_cap_sample",
     "kmv_distinct_sketch",
+    "kmv_set_overlap",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -241,6 +242,7 @@ _ORDER = [
     "bm25_retrieval_topk",
     "source_cap_sample",
     "kmv_distinct_sketch",
+    "kmv_set_overlap",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -528,3 +528,113 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 4).alias("est_distinct"),
         F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: pairwise audience overlap from sketches alone
+# ---------------------------------------------------------------------------
+
+_KMV_HASH = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+_KMV_OVERLAP_ORACLE = f"""
+WITH {_EVENTS_CTE},
+sk0 AS (SELECT DISTINCT event_type, {_KMV_HASH} AS hv FROM ev),
+sk AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+    FROM sk0
+  ) WHERE r <= {KMV_K}
+),
+prs AS (
+  SELECT a.event_type AS group_a, b.event_type AS group_b
+  FROM (SELECT DISTINCT event_type FROM sk) a, (SELECT DISTINCT event_type FROM sk) b
+  WHERE a.event_type < b.event_type
+),
+mg AS (
+  SELECT DISTINCT group_a, group_b, hv FROM (
+    SELECT p.group_a, p.group_b, s.hv FROM prs p JOIN sk s ON s.event_type = p.group_a
+    UNION ALL
+    SELECT p.group_a, p.group_b, s.hv FROM prs p JOIN sk s ON s.event_type = p.group_b
+  )
+),
+tk AS (
+  SELECT group_a, group_b, hv, ur FROM (
+    SELECT group_a, group_b, hv,
+           row_number() OVER (PARTITION BY group_a, group_b ORDER BY hv) AS ur
+    FROM mg
+  ) WHERE ur <= {KMV_K}
+),
+th AS (
+  SELECT group_a, group_b, count(*) AS ku,
+         max(CASE WHEN ur = {KMV_K} THEN hv END) AS theta_hv
+  FROM tk GROUP BY group_a, group_b
+),
+cm AS (
+  SELECT sa.event_type AS group_a, sb.event_type AS group_b, count(*) AS n_common
+  FROM sk sa
+  JOIN sk sb ON sb.hv = sa.hv AND sa.event_type < sb.event_type
+  JOIN th t ON t.group_a = sa.event_type AND t.group_b = sb.event_type
+  WHERE t.theta_hv IS NULL OR sa.hv < t.theta_hv
+  GROUP BY sa.event_type, sb.event_type
+),
+est AS (
+  SELECT t.group_a, t.group_b, t.ku, coalesce(c.n_common, 0) AS n_common, t.theta_hv
+  FROM th t LEFT JOIN cm c ON c.group_a = t.group_a AND c.group_b = t.group_b
+),
+ex AS (
+  SELECT x.event_type AS group_a, y.event_type AS group_b,
+         CAST(count(*) AS BIGINT) AS n_exact_inter
+  FROM (SELECT DISTINCT event_type, user_id FROM ev) x
+  JOIN (SELECT DISTINCT event_type, user_id FROM ev) y
+       ON y.user_id = x.user_id AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type
+)
+SELECT e.group_a, e.group_b,
+       coalesce(x.n_exact_inter, 0) AS n_exact_inter,
+       round(CASE WHEN e.theta_hv IS NULL THEN CAST(e.ku AS DOUBLE)
+                  ELSE {KMV_K - 1}.0 * {float(1 << 60)!r} / e.theta_hv END, 4) AS est_union,
+       round(CASE WHEN e.theta_hv IS NULL THEN CAST(e.n_common AS DOUBLE)
+                  ELSE e.n_common * {float(1 << 60)!r} / e.theta_hv END, 4) AS est_inter,
+       round(e.n_common / (1.0 * e.ku), 6) AS jaccard_est
+FROM est e LEFT JOIN ex x ON x.group_a = e.group_a AND x.group_b = e.group_b
+"""
+
+
+@register("kmv_set_overlap", _KMV_OVERLAP_ORACLE, tags=("A9", "J1"))
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style set algebra from sketches alone
+    (operators/sketch.py:kmv_pair_overlap): pairwise audience overlap
+    between event types — union / intersection / Jaccard estimated
+    ONLY from the per-type bottom-64 sketches (at most 2k longs per
+    pair; all-pairs across G groups costs O(G^2 k) regardless of data
+    size), with the exact intersection joined alongside as the error
+    reference. The exact path is the expensive raw-data join the
+    sketch replaces at 100 TB; both are deterministic and
+    hash-checked."""
+    from auto_trade_data_pipeline_spark.operators.sketch import kmv_pair_overlap, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=KMV_K)
+    est = kmv_pair_overlap(sk, "event_type", k=KMV_K)
+
+    ut = ev.select("event_type", "user_id").distinct()
+    ex = (
+        ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("y.user_id") == F.col("x.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("group_a"), F.col("y.event_type").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact_inter"))
+    )
+    return est.join(ex, ["group_a", "group_b"], "left").select(
+        "group_a",
+        "group_b",
+        F.coalesce("n_exact_inter", F.lit(0)).alias("n_exact_inter"),
+        "est_union",
+        "est_inter",
+        "jaccard_est",
+    )

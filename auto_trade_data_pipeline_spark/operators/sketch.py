@@ -1,0 +1,136 @@
+"""Deterministic cardinality sketches (KMV / bottom-k, the estimator
+family behind theta sketches — Bar-Yossef et al. RANDOM'02, Beyer et
+al. SIGMOD'07).
+
+Why KMV here instead of HLL: given the portable md5-60bit hash family
+(`operators.text.hash64`) the ENTIRE sketch — the retained hashes,
+the threshold, every estimate — is a deterministic function of the
+input set, so sketch results are cross-engine oracle-able and
+partition-invariant, unlike implementation-defined HLL registers.
+
+Scale shape: a bottom-k sketch is mergeable state of at most k longs
+per group — each partition keeps its k smallest locally (map-side),
+merges are union + bottom-k, and every downstream set-algebra answer
+(distinct count, union, intersection, Jaccard) is computed from the
+KB-sized sketch table, never from the raw data again. That is the
+whole point at 100 TB: scan once, answer all overlap queries from
+sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_trade_data_pipeline_spark.operators.text import hash64
+
+__all__ = ["KMV_SPACE", "kmv_sketch", "kmv_estimate", "kmv_pair_overlap"]
+
+#: hash64 is uniform on [0, 2^60)
+KMV_SPACE = float(1 << 60)
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Bottom-k sketch per group: the k smallest distinct 60-bit
+    hashes of `value_col` — (group, hv, r) with rank r in [1, k].
+    The shuffle after this carries at most k longs per group."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = df.select(
+        F.col(group_col), hash64(F.col(value_col).cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("hv")
+    return (
+        h.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(group_col, "hv", "r")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group from a bottom-k sketch:
+    (k-1) * space / kth_min when the sketch is full, else the exact
+    retained count (a sketch with fewer than k hashes IS the distinct
+    set). Returns (group, sketch_n, est_distinct)."""
+    agg = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("sketch_n"),
+        F.max(F.when(F.col("r") == k, F.col("hv"))).alias("kth_hv"),
+    )
+    est = F.when(F.col("sketch_n") < k, F.col("sketch_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hv")
+    )
+    return agg.select(group_col, "sketch_n", F.round(est, 4).alias("est_distinct"))
+
+
+def kmv_pair_overlap(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Theta-style set algebra for every group pair, computed ONLY
+    from the sketches: merge the two bottom-k sets, take the k
+    smallest of the union (threshold theta = the kth, or the full
+    merged set if it has fewer than k hashes), count the common
+    hashes below theta, and estimate
+
+        |A u B|   = (k-1) * space / theta      (exact if merged < k)
+        |A n B|   = common_below_theta * space / theta
+        jaccard   = common_below_theta / k'    (k' = union sample size)
+
+    Emits (group_a, group_b, est_union, est_inter, jaccard_est). The
+    pair computation touches sketch rows only — at most 2k longs per
+    pair — so all-pairs overlap across G groups costs O(G^2 k) longs,
+    independent of the data size."""
+    a = sketch.select(
+        F.col(group_col).alias("group_a"), F.col("hv"), F.lit(1).alias("in_a")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("group_b"), F.col("hv"), F.lit(1).alias("in_b")
+    )
+    pairs = (
+        a.select("group_a").distinct()
+        .join(b.select("group_b").distinct())
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    ha = pairs.join(a.select("group_a", "hv"), "group_a").select(
+        "group_a", "group_b", "hv"
+    )
+    hb = pairs.join(b.select("group_b", "hv"), "group_b").select(
+        "group_a", "group_b", "hv"
+    )
+    merged = ha.unionByName(hb).distinct()
+    w = Window.partitionBy("group_a", "group_b").orderBy("hv")
+    topk = merged.withColumn("ur", F.row_number().over(w)).filter(F.col("ur") <= k)
+    theta = topk.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("ku"),
+        F.max(F.when(F.col("ur") == k, F.col("hv"))).alias("theta_hv"),
+    )
+    common = (
+        a.select(F.col("group_a"), "hv")
+        .join(b.select("group_b", "hv"), "hv")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .join(theta, ["group_a", "group_b"])
+        .filter(F.col("theta_hv").isNull() | (F.col("hv") < F.col("theta_hv")))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = theta.join(common, ["group_a", "group_b"], "left").select(
+        "group_a",
+        "group_b",
+        "ku",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        "theta_hv",
+    )
+    est_union = F.when(F.col("theta_hv").isNull(), F.col("ku").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("theta_hv")
+    )
+    est_inter = F.when(
+        F.col("theta_hv").isNull(), F.col("n_common").cast("double")
+    ).otherwise(F.col("n_common") * F.lit(KMV_SPACE) / F.col("theta_hv"))
+    jac = F.col("n_common") / F.col("ku")
+    return out.select(
+        "group_a",
+        "group_b",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(est_inter, 4).alias("est_inter"),
+        F.round(jac, 6).alias("jaccard_est"),
+    )

@@ -1,0 +1,65 @@
+"""KMV bottom-k sketch invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.operators.sketch import (
+    KMV_SPACE,
+    kmv_estimate,
+    kmv_pair_overlap,
+    kmv_sketch,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, user_id long")
+
+
+def test_kmv_merge_property_and_estimate(spark):
+    """The load-bearing sketch property: bottom-k of a union equals
+    bottom-k of the merged per-part sketches (mergeability — what
+    makes the sketch map-side combinable); small sets are exact."""
+    rows_a = [("a", i) for i in range(300)]
+    rows_b = [("b", i) for i in range(150, 450)]
+    df = _events(spark, rows_a + rows_b)
+    k = 32
+
+    sk = kmv_sketch(df, "event_type", "user_id", k=k)
+    # merged union sketch from the two sketches only
+    union_from_sketches = sorted(
+        r.hv for r in sk.select("hv").distinct().orderBy("hv").limit(k).collect()
+    )
+    # ground truth: sketch of the union set
+    u = _events(spark, [("u", i) for i in range(450)])
+    union_direct = sorted(
+        r.hv for r in kmv_sketch(u, "event_type", "user_id", k=k).collect()
+    )
+    assert union_from_sketches == union_direct
+
+    # estimates: within a loose multiplicative band (k=32 -> ~18% sd)
+    est = {r.event_type: r.est_distinct for r in kmv_estimate(sk, "event_type", k=k).collect()}
+    assert 150 <= est["a"] <= 600 and 150 <= est["b"] <= 600
+
+    # small group is exact
+    small = _events(spark, [("s", i) for i in range(10)])
+    sk_s = kmv_sketch(small, "event_type", "user_id", k=k)
+    est_s = kmv_estimate(sk_s, "event_type", k=k).collect()[0]
+    assert est_s.sketch_n == 10 and est_s.est_distinct == 10.0
+
+
+def test_kmv_pair_overlap_jaccard_sane(spark):
+    """Overlap estimates from sketches alone: disjoint pairs estimate
+    ~zero intersection; heavily overlapping pairs estimate a Jaccard
+    well above the disjoint pair's."""
+    rows = (
+        [("a", i) for i in range(400)]
+        + [("b", i) for i in range(200, 600)]   # ~33% Jaccard with a
+        + [("c", i) for i in range(10_000, 10_400)]  # disjoint from both
+    )
+    df = _events(spark, rows)
+    sk = kmv_sketch(df, "event_type", "user_id", k=64)
+    out = {(r.group_a, r.group_b): r for r in kmv_pair_overlap(sk, "event_type", k=64).collect()}
+    assert out[("a", "c")].jaccard_est <= 0.05
+    assert out[("b", "c")].jaccard_est <= 0.05
+    assert out[("a", "b")].jaccard_est > out[("a", "c")].jaccard_est + 0.1
