@@ -91,6 +91,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "source_cap_sample",
     "kmv_distinct_sketch",
     "kmv_set_overlap",
+    "streaming_kmv_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -243,6 +244,7 @@ _ORDER = [
     "source_cap_sample",
     "kmv_distinct_sketch",
     "kmv_set_overlap",
+    "streaming_kmv_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

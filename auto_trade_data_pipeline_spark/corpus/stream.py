@@ -535,3 +535,71 @@ def streaming_classifier_scores_replay(spark: SparkSession, sf_dir: str) -> Data
     return run_available_now(
         scored, f"corpus_stream_cls_{uuid.uuid4().hex[:8]}"
     ).select("doc_id", "margin", "score")
+
+
+# ---------------------------------------------------------------------------
+# ST4+: streaming KMV distinct sketch (bounded-state stateful operator)
+# ---------------------------------------------------------------------------
+
+_STREAM_KMV_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT event_type AS group_key,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events
+),
+rk AS (
+  SELECT group_key, hv,
+         row_number() OVER (PARTITION BY group_key ORDER BY hv) AS r,
+         count(*) OVER (PARTITION BY group_key) AS n
+  FROM h
+)
+SELECT group_key,
+       CAST(least(64, max(n)) AS INT) AS sketch_n,
+       max(CASE WHEN r = 64 THEN hv END) AS kth_hv,
+       round(CASE WHEN max(n) < 64 THEN CAST(least(64, max(n)) AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0 / max(CASE WHEN r = 64 THEN hv END) END,
+             4) AS est_distinct
+FROM rk GROUP BY group_key
+"""
+
+
+@register("streaming_kmv_replay", _STREAM_KMV_ORACLE, tags=("ST4", "A9"))
+def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch (streaming/sketch.py): keyed
+    state holds at most k=64 hashes per event type — bounded memory
+    forever, no watermark needed — and every micro-batch merges its
+    hashes into the bottom-k. Because bottom-k merge is exact, the
+    REPLAYED streaming state is bit-identical to the batch sketch, so
+    this stateful streaming operator carries a full SQL oracle (the
+    batch KMV formula). `updates` picks each group's latest row from
+    the update-mode sink."""
+    from auto_trade_data_pipeline_spark.streaming.sketch import (
+        kmv_estimate_cols,
+        streaming_kmv_sketch,
+    )
+    from pyspark.sql.window import Window as W
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, user_id long, event_type string")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    vals = stream.select("event_type", F.col("user_id").cast("string").alias("v"))
+    sk = streaming_kmv_sketch(vals, "event_type", k=64)
+    out = run_available_now(
+        sk, f"corpus_stream_kmv_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    latest = (
+        out.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("group_key").orderBy(F.col("updates").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "updates")
+    )
+    return kmv_estimate_cols(latest, k=64).select(
+        "group_key", "sketch_n", "kth_hv", "est_distinct"
+    )

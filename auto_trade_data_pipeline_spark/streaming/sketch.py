@@ -1,0 +1,106 @@
+"""Streaming KMV (bottom-k) distinct sketch — a custom stateful
+streaming operator whose state is the MERGEABLE sketch itself
+(operators/sketch.py): per group, the keyed state store holds at most
+k 60-bit hashes; every micro-batch hashes its values, merges into the
+state, and keeps the k smallest. Because bottom-k merge is exact
+(bottom-k of a union == bottom-k of merged bottom-k's), the replayed
+streaming sketch is BIT-IDENTICAL to the batch sketch over the same
+data — which is what lets the corpus query carry a full SQL oracle
+for a stateful streaming operator.
+
+State size is O(k longs) per group forever — no watermark needed; the
+sketch never grows. This is the streaming shape of "count distinct
+users per key over an unbounded stream in bounded memory".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["streaming_kmv_sketch", "kmv_estimate_cols"]
+
+_STATE_SCHEMA = "hvs string, updates int"
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("sketch_n", T.IntegerType()),
+        T.StructField("kth_hv", T.LongType(), True),
+        T.StructField("updates", T.IntegerType()),
+    ]
+)
+
+
+def _hash60(v: str) -> int:
+    """Python twin of operators.text.hash64: first 15 hex chars of
+    md5, parsed as an integer."""
+    return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+
+def _make_fn(k: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (grp,) = key
+        if state.exists:
+            hvs_js, updates = state.get
+            cur = set(json.loads(hvs_js))
+        else:
+            cur, updates = set(), 0
+        for pdf in pdfs:
+            for v in pdf["v"]:
+                cur.add(_hash60(str(v)))
+                if len(cur) > 4 * k:  # opportunistic trim, keeps merge exact
+                    cur = set(sorted(cur)[:k])
+        bottom = sorted(cur)[:k]
+        updates += 1
+        state.update((json.dumps(bottom), updates))
+        yield pd.DataFrame(
+            {
+                "group_key": [grp],
+                "sketch_n": [len(bottom)],
+                "kth_hv": pd.array(
+                    [bottom[k - 1] if len(bottom) == k else None], dtype="Int64"
+                ),
+                "updates": [updates],
+            }
+        )
+
+    return fn
+
+
+def streaming_kmv_sketch(values: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Stateful streaming sketch over a stream with columns
+    (`group_col`, v: string). Emits one row per group per micro-batch
+    with the current sketch summary (group_key, sketch_n, kth_hv,
+    updates); `updates` counts micro-batches so a consumer can select
+    each group's latest row from an update-mode sink."""
+    return (
+        values.select(F.col(group_col).alias("group_key"), F.col("v"))
+        .groupBy("group_key")
+        .applyInPandasWithState(
+            _make_fn(k),
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def kmv_estimate_cols(df: DataFrame, k: int, space: float = float(1 << 60)) -> DataFrame:
+    """Attach the KMV estimate to sketch-summary rows (same formula as
+    operators.sketch.kmv_estimate)."""
+    est = F.when(F.col("sketch_n") < k, F.col("sketch_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(space) / F.col("kth_hv")
+    )
+    return df.withColumn("est_distinct", F.round(est, 4))

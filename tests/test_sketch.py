@@ -63,3 +63,50 @@ def test_kmv_pair_overlap_jaccard_sane(spark):
     assert out[("a", "c")].jaccard_est <= 0.05
     assert out[("b", "c")].jaccard_est <= 0.05
     assert out[("a", "b")].jaccard_est > out[("a", "c")].jaccard_est + 0.1
+
+
+def test_streaming_kmv_multibatch_equals_batch(spark, tmp_path):
+    """Multi-batch replay parity: two micro-batches of disjoint-ish
+    user sets merge in keyed state to EXACTLY the batch sketch of the
+    union — the mergeability property, live in Structured Streaming."""
+    import uuid as _uuid
+
+    from auto_trade_data_pipeline_spark.streaming.sketch import streaming_kmv_sketch
+
+    d = str(tmp_path / "ev")
+    part1 = spark.createDataFrame(
+        [(i, i, "a") for i in range(200)], "event_id long, user_id long, event_type string"
+    )
+    part2 = spark.createDataFrame(
+        [(i, i + 150, "a") for i in range(200)],
+        "event_id long, user_id long, event_type string",
+    )
+    part1.coalesce(1).write.mode("append").parquet(d)
+    part2.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    vals = stream.select("event_type", F.col("user_id").cast("string").alias("v"))
+    name = f"t_kmv_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_kmv_sketch(vals, "event_type", k=32)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).orderBy("updates").collect()
+    assert rows[-1].updates >= 2  # genuinely multiple micro-batches
+    final = rows[-1]
+
+    batch = spark.createDataFrame(
+        [("a", i) for i in range(350)], "event_type string, user_id long"
+    )
+    bsk = kmv_sketch(batch, "event_type", "user_id", k=32).orderBy("hv").collect()
+    assert final.sketch_n == 32
+    assert final.kth_hv == bsk[31].hv
