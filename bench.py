@@ -61,9 +61,13 @@ def main() -> int:
     # query's passes), so query N+1 never pays query N's
     # executor-memory pressure and timings match single-query
     # isolation.
+    # Three passes, min: pass 1 additionally pays whole-stage-codegen
+    # JIT compilation, which for the codegen-heavy LSH shapes can be
+    # 5-10x the steady state — with only two cold-ish passes the min
+    # still carried multi-second JIT noise run to run.
     timings: dict[str, float] = {}
     for name in names:
-        for _pass in range(2):
+        for _pass in range(3):
             t0 = time.perf_counter()
             try:
                 df = registry[name].fn(spark, sf_dir)
