@@ -346,10 +346,13 @@ _INVARIANCE_QUERIES = [
     "dedup_near_minhash_lsh",
     "winnowing_overlap",
     "rolling_active_users",
-    # round-4 second push: iterative ML training, PQ ANN, drift stats
+    # round-4 second push: iterative ML training, PQ ANN, drift stats,
+    # BM25 retrieval, KMV sketch algebra
     "quality_classifier_gd",
     "similarity_topk_pq",
     "distribution_drift_report",
+    "bm25_retrieval_topk",
+    "kmv_set_overlap",
 ]
 
 
