@@ -408,3 +408,33 @@ def test_semantic_dedup_join_is_cell_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "__cell" in plan  # the join key actually is the cell
+
+
+def test_ivf_cell_partitioned_layout_prunes_unprobed_cells(spark, sf_small, tmp_path):
+    """The IVF/IVF-PQ scale claim made concrete: with the corpus laid
+    out partitioned by coarse cell, a probe query's cell predicate
+    reaches PartitionFilters — unprobed cell directories are never
+    read. (At 100 TB this is the difference between scanning nprobe/k
+    of the index and scanning all of it.)"""
+    from auto_trade_data_pipeline_spark.operators import vectors as VX
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, sf_small, "embeddings")
+    assigned, _cents = VX.kmeans_cells(emb, k=8, iters=1)
+    path = str(tmp_path / "emb_by_cell")
+    assigned.write.partitionBy("cell").parquet(path)
+
+    back = spark.read.parquet(path)
+    probed = back.filter(F.col("cell").isin(2, 5)).select("vec_id", "embedding")
+    plan = _plan(probed)
+    part_filters = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell" in part_filters  # probe predicate reached the pruner
+    import pathlib
+
+    n_cells = len(
+        [p for p in pathlib.Path(path).iterdir() if p.name.startswith("cell=")]
+    )
+    assert n_cells >= 4  # pruning has room to matter
+    # and the probe reads exactly the rows of the probed cells
+    want = assigned.filter(F.col("cell").isin(2, 5)).count()
+    assert probed.count() == want
