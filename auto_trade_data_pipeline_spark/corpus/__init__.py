@@ -92,6 +92,9 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "kmv_distinct_sketch",
     "kmv_set_overlap",
     "streaming_kmv_replay",
+    # Third round-4 push (locally verified hash-exact on registration):
+    "graph_pagerank",
+    "candles_gap_interpolate",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -245,6 +248,8 @@ _ORDER = [
     "kmv_distinct_sketch",
     "kmv_set_overlap",
     "streaming_kmv_replay",
+    "graph_pagerank",
+    "candles_gap_interpolate",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

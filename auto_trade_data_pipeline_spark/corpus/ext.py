@@ -510,6 +510,99 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (corpus-authority signal)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_TOTAL = 10**12  # one unit of probability mass, in integer rank units
+PR_DNUM, PR_DDEN = 85, 100  # damping d = 0.85 as an exact rational
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB twin of operators.graph.pagerank over the MinHash
+    near-dup edges: symmetrize, degree, then PR_ITERS chained power
+    iterations in pure BIGINT arithmetic (``//`` floor division =
+    Spark's ``div``) with full dangling-mass redistribution — the
+    iterative update itself is hash-checked cross-engine."""
+    ctes = [
+        # MATERIALIZED throughout: each pr{{i}} is referenced by THREE
+        # downstream CTEs (contrib, dangling, update); inlined, the
+        # expansion re-runs the whole LSH pipeline per reference and
+        # the oracle goes exponential in the iteration count
+        # (observed: 424 s inlined vs ~15 s materialized).
+        f"""pr_edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM njpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM njpairs
+)""",
+        "pr_deg AS (SELECT u, count(*) AS degree FROM pr_edges GROUP BY u)",
+        """pr_nodes AS MATERIALIZED (
+  SELECT d.doc_id AS node, CAST(coalesce(g.degree, 0) AS BIGINT) AS degree
+  FROM docs d LEFT JOIN pr_deg g ON g.u = d.doc_id
+)""",
+        "pr_n AS MATERIALIZED (SELECT count(*) AS n FROM pr_nodes)",
+        f"""pr0 AS MATERIALIZED (
+  SELECT node, degree, CAST({PR_TOTAL} // (SELECT n FROM pr_n) AS BIGINT) AS rank_units
+  FROM pr_nodes
+)""",
+    ]
+    for i in range(PR_ITERS):
+        ctes += [
+            f"""pr_c{i} AS (
+  SELECT e.v AS node,
+         CAST(sum(({PR_DNUM} * r.rank_units) // ({PR_DDEN} * r.degree)) AS BIGINT) AS contrib
+  FROM pr_edges e JOIN pr{i} r ON r.node = e.u
+  GROUP BY e.v
+)""",
+            f"""pr_d{i} AS (
+  SELECT CAST(({PR_DNUM} * coalesce(sum(rank_units), 0))
+              // ({PR_DDEN} * (SELECT n FROM pr_n)) AS BIGINT) AS dang
+  FROM pr{i} WHERE degree = 0
+)""",
+            f"""pr{i + 1} AS MATERIALIZED (
+  SELECT b.node, b.degree,
+         CAST((SELECT (({PR_DDEN} - {PR_DNUM}) * {PR_TOTAL}) // ({PR_DDEN} * n) FROM pr_n)
+              + coalesce(c.contrib, 0) + d.dang AS BIGINT) AS rank_units
+  FROM pr_nodes b LEFT JOIN pr_c{i} c ON c.node = b.node, pr_d{i} d
+)""",
+        ]
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_minhash_ctes()},
+{body}
+SELECT node AS doc_id, degree, rank_units FROM pr{PR_ITERS}
+"""
+
+
+@register("graph_pagerank", _pagerank_oracle(), tags=("EXT1",))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-authority ranking: integer-exact PageRank over the
+    MinHash near-dup pair graph (operators/graph.py:pagerank) — the
+    'domain ranking' stage a pretraining pipeline uses to weight
+    sources, here scoring how central each document is in its
+    duplication neighborhood. 5 power iterations, damping 85/100,
+    dangling mass redistributed; every node of the documents table is
+    ranked (isolated docs converge to the teleport+dangling floor).
+    All mass is BIGINT rank units updated with integer floor-division,
+    so the iterative fixpoint is bit-identical at any parallelism and
+    the DuckDB oracle replays the exact iterations."""
+    from auto_trade_data_pipeline_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_near_minhash_lsh(spark, sf_dir)
+    ranks = pagerank(
+        docs,
+        pairs,
+        node_col="doc_id",
+        iters=PR_ITERS,
+        d_num=PR_DNUM,
+        d_den=PR_DDEN,
+        total_units=PR_TOTAL,
+    )
+    return ranks.select(F.col("node").alias("doc_id"), "degree", "rank_units")
+
+
+# ---------------------------------------------------------------------------
 # Near-dup dedup: SimHash + Hamming-LSH
 # ---------------------------------------------------------------------------
 

@@ -689,3 +689,93 @@ def candles_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "number_of_trades",
         "is_gap_fill",
     )
+
+
+_GAP_INTERP_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, volume,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+c1m AS (
+  SELECT symbol, bucket,
+         max(CASE WHEN rd = 1 THEN price END) AS close,
+         sum(volume) AS volume, count(*) AS number_of_trades
+  FROM cb GROUP BY symbol, bucket
+),
+days AS (
+  SELECT DISTINCT symbol, date_trunc('day', bucket) AS day FROM c1m
+  WHERE bucket < TIMESTAMP '2024-01-08'
+),
+grid AS (
+  SELECT symbol,
+         unnest(generate_series(day, day + INTERVAL 23 HOURS + INTERVAL 59 MINUTES,
+                                INTERVAL 1 MINUTE)) AS ts
+  FROM days
+),
+j AS (
+  SELECT g.symbol, g.ts, c.close, c.volume, c.number_of_trades
+  FROM grid g LEFT JOIN c1m c ON c.symbol = g.symbol AND c.bucket = g.ts
+),
+nbrs AS (
+  SELECT symbol, ts, close, volume, number_of_trades,
+         CAST(epoch(ts) AS BIGINT) AS sec,
+         last_value(close IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         last_value(CASE WHEN close IS NOT NULL THEN CAST(epoch(ts) AS BIGINT) END
+           IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_sec,
+         first_value(close IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt,
+         first_value(CASE WHEN close IS NOT NULL THEN CAST(epoch(ts) AS BIGINT) END
+           IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_sec
+  FROM j
+)
+SELECT symbol,
+       strftime(ts, '{TS_FMT_DUCK}') AS bucket_ts,
+       CAST(round((CASE WHEN close IS NOT NULL THEN close
+                  WHEN prev IS NULL THEN nxt
+                  WHEN nxt IS NULL THEN prev
+                  ELSE prev + (nxt - prev)
+                       * (CAST(sec - prev_sec AS DOUBLE) / CAST(nxt_sec - prev_sec AS DOUBLE))
+             END) * 10000) AS BIGINT) AS close_interp_e4,
+       round(coalesce(volume, 0.0), 4) AS volume,
+       coalesce(number_of_trades, 0) AS number_of_trades,
+       CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_gap_fill
+FROM nbrs
+"""
+
+
+@register("candles_gap_interpolate", _GAP_INTERP_ORACLE, tags=("A1", "W13", "J4"))
+def candles_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-minute candle grid with LINEAR interpolation across
+    gaps (operators.candles.interpolate_candles) — the time-series
+    `resample().interpolate()` the forward fill approximates with a
+    step function. Nearest real closes come from running
+    last/first-ignorenulls windows; the interpolation weight is the
+    epoch-second fraction of the gap elapsed, computed with one fixed
+    IEEE expression so Spark and the DuckDB oracle agree bit-exactly.
+    Edges carry back/forward the single available neighbor."""
+    from auto_trade_data_pipeline_spark.operators.candles import interpolate_candles
+
+    c1m = aggregate_candles(ticks_from_events(spark, sf_dir), 60).filter(
+        F.col("timestamp") < F.lit("2024-01-08")
+    )
+    dense = interpolate_candles(c1m, seconds=60)
+    # Emit the interpolated close as an integer-scaled BIGINT: the
+    # engines' round(x, 4) implementations disagree when x * 1e4
+    # lands exactly on .5 after the double multiply (DuckDB
+    # multiplies-then-rounds, Spark rounds the decimal expansion —
+    # observed on 64/50400 rows); doing the multiply explicitly on
+    # BOTH sides makes them round the identical double.
+    return dense.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        F.round(F.col("close_interp") * 10000, 0).cast("long").alias("close_interp_e4"),
+        F.round("volume", 4).alias("volume"),
+        "number_of_trades",
+        "is_gap_fill",
+    )

@@ -163,3 +163,83 @@ def gap_fill_candles(candles: DataFrame, seconds: int = 60) -> DataFrame:
         F.coalesce("number_of_trades", F.lit(0)).alias("number_of_trades"),
         F.when(F.col("close").isNull(), 1).otherwise(0).alias("is_gap_fill"),
     )
+
+
+def interpolate_candles(candles: DataFrame, seconds: int = 60) -> DataFrame:
+    """Dense the candle series with LINEAR interpolation across gaps —
+    the time-series `resample().interpolate()` counterpart of
+    `gap_fill_candles`'s step-function forward fill (the reference
+    logs gaps only, ``src/candle_to_calcs.py:113-128``; ML feature
+    pipelines want the linear variant so gap length doesn't flatten
+    derivatives).
+
+    Per missing slot: close_interp = prev + (next - prev) * elapsed /
+    span, where prev/next are the nearest REAL closes (running
+    last/first ignorenulls windows — one incremental pass per symbol,
+    same execution class as the forward fill) and elapsed/span are
+    epoch-second differences. Before the first real candle the next
+    value is carried back; after the last, the prev value carries
+    forward. The arithmetic is a fixed IEEE expression (sub, div,
+    mul, add in one order), so results are bit-identical cross-engine.
+    Grid construction parallelizes across (symbol, day) rows exactly
+    as in `gap_fill_candles`.
+    """
+    from pyspark.sql.window import Window
+
+    day = F.date_trunc("day", F.col("timestamp"))
+    step = F.expr(f"INTERVAL {seconds} SECONDS")
+    last_slot = F.col("day") + F.expr("INTERVAL 1 DAY") - step
+    days = candles.select("symbol", day.alias("day")).distinct()
+    grid = days.select(
+        "symbol",
+        F.explode(F.sequence(F.col("day"), last_slot, step)).alias("timestamp"),
+    )
+    joined = grid.join(
+        candles.select("symbol", "timestamp", "close", "volume", "number_of_trades"),
+        ["symbol", "timestamp"],
+        "left",
+    )
+    wb = (
+        Window.partitionBy("symbol")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("symbol")
+        .orderBy("timestamp")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ts_sec = F.unix_timestamp("timestamp")
+    with_nbrs = joined.select(
+        "symbol",
+        "timestamp",
+        "close",
+        F.coalesce("volume", F.lit(0.0)).alias("volume"),
+        F.coalesce("number_of_trades", F.lit(0)).alias("number_of_trades"),
+        F.last("close", ignorenulls=True).over(wb).alias("__prev"),
+        F.last(F.when(F.col("close").isNotNull(), ts_sec), ignorenulls=True)
+        .over(wb)
+        .alias("__prev_sec"),
+        F.first("close", ignorenulls=True).over(wf).alias("__next"),
+        F.first(F.when(F.col("close").isNotNull(), ts_sec), ignorenulls=True)
+        .over(wf)
+        .alias("__next_sec"),
+        ts_sec.alias("__sec"),
+    )
+    frac = (F.col("__sec") - F.col("__prev_sec")).cast("double") / (
+        F.col("__next_sec") - F.col("__prev_sec")
+    ).cast("double")
+    interp = (
+        F.when(F.col("close").isNotNull(), F.col("close"))
+        .when(F.col("__prev").isNull(), F.col("__next"))
+        .when(F.col("__next").isNull(), F.col("__prev"))
+        .otherwise(F.col("__prev") + (F.col("__next") - F.col("__prev")) * frac)
+    )
+    return with_nbrs.select(
+        "symbol",
+        "timestamp",
+        interp.alias("close_interp"),
+        "volume",
+        "number_of_trades",
+        F.when(F.col("close").isNull(), 1).otherwise(0).alias("is_gap_fill"),
+    )

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["connected_components", "connected_components_star", "component_sizes"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "component_sizes",
+    "pagerank",
+]
 
 
 def connected_components(
@@ -181,6 +186,104 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iters} rounds"
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+    d_num: int = 85,
+    d_den: int = 100,
+    total_units: int = 10**12,
+) -> DataFrame:
+    """Integer-exact PageRank over a (near-dup / citation / domain)
+    graph — the corpus-authority signal a pretraining pipeline uses to
+    weight sources (the CommonCrawl "harmonic centrality / PageRank
+    domain ranking" stage). ``iters`` fixed power iterations with
+    damping ``d = d_num/d_den``, full dangling-mass redistribution.
+
+    Determinism contract: all mass lives in BIGINT ``rank_units``
+    (``total_units`` = one unit of probability mass) and every update
+    uses integer floor-division (`div`) — so the result is
+    bit-identical at ANY parallelism and cross-engine (a DuckDB
+    oracle replays the same iterations with ``//``). Floating-point
+    PageRank can differ in the last ulp under different partial-sum
+    orders; integer mass cannot.
+
+    Scale shape: per iteration, one shuffle join (ranks |x| edges on
+    the src key) + one groupBy-sum on the dst key + one single-row
+    dangling aggregate that rides a broadcast — the canonical
+    data-parallel PageRank layout (Pregel/GraphX semantics, plain
+    DataFrame ops). Ranks are localCheckpoint'ed per round to cut
+    lineage growth (same iterative-plan trap as connected_components;
+    use reliable checkpoint on a cluster).
+
+    Returns one row per node: (node, degree, rank_units).
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # Symmetrize: near-dup pair graphs are undirected; every endpoint
+    # both emits and receives mass.
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    base = (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .join(deg.withColumnRenamed("u", "node"), "node", "left")
+        .withColumn("degree", F.coalesce("degree", F.lit(0)))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = base.count()
+    if n_nodes == 0:
+        return base.withColumn("rank_units", F.lit(0).cast("long"))
+    r0 = total_units // n_nodes
+    teleport = ((d_den - d_num) * total_units) // (d_den * n_nodes)
+    ranks = base.withColumn("rank_units", F.lit(r0).cast("long"))
+    for _ in range(iters):
+        # Mass each node sends along EACH of its edges this round.
+        send = ranks.filter(F.col("degree") > 0).select(
+            F.col("node").alias("u"),
+            F.expr(f"({d_num} * rank_units) div ({d_den} * degree)").alias("share"),
+        )
+        contrib = (
+            und.join(send, "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        # Dangling nodes spread their damped mass uniformly. One-row
+        # aggregate — rides a broadcast into the per-node update.
+        dang = ranks.filter(F.col("degree") == 0).agg(
+            F.expr(
+                f"({d_num} * coalesce(sum(rank_units), 0)) div ({d_den} * {n_nodes})"
+            ).alias("dang_share")
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "degree",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.coalesce("contrib", F.lit(0)).cast("long")
+                    + F.col("dang_share")
+                ).alias("rank_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
 
 
 def component_sizes(labels: DataFrame) -> DataFrame:

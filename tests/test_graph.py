@@ -111,3 +111,72 @@ def test_star_cc_reversed_and_duplicate_edges(spark):
     a = connected_components_star(_edges(spark, [(9, 5), (5, 9), (7, 9), (7, 9)]))
     assert {r.component for r in a.collect()} == {5}
     assert {r.node for r in a.collect()} == {5, 7, 9}
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer-exact power iteration)
+# ---------------------------------------------------------------------------
+
+
+def _pr(spark, pairs, node_ids, **kw):
+    from auto_trade_data_pipeline_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id long")
+    return {
+        r.node: (r.degree, r.rank_units)
+        for r in pagerank(nodes, _edges(spark, pairs), node_col="doc_id", **kw).collect()
+    }
+
+
+def test_pagerank_mass_is_conserved_and_symmetry_respected(spark):
+    # Symmetric star 0-{1,2,3}: leaves tie exactly; center outranks.
+    out = _pr(spark, [(0, 1), (0, 2), (0, 3)], range(4))
+    assert out[1] == out[2] == out[3]
+    assert out[0][1] > out[1][1]
+    # Mass conservation up to integer floor loss: each node's update
+    # floors at most 1 unit per in-edge + teleport + dangling term.
+    total = sum(v[1] for v in out.values())
+    assert abs(total - 10**12) < 100 * len(out)
+
+
+def test_pagerank_isolated_nodes_get_teleport_floor(spark):
+    # Node 99 has no edges: it ends at teleport + dangling share,
+    # strictly below every connected node.
+    out = _pr(spark, [(1, 2)], [1, 2, 99])
+    assert out[99][0] == 0
+    assert out[99][1] < out[1][1]
+    assert out[1] == out[2]
+
+
+def test_pagerank_deterministic_across_parallelism(spark):
+    pairs = [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23]
+    a = _pr(spark, pairs, range(25))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        b = _pr(spark, pairs, range(25))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_pagerank_matches_float_reference(spark):
+    # Float power iteration on the same graph agrees to ~1e-9 of the
+    # total mass (integer floors lose <1 unit per term per round).
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    out = _pr(spark, pairs, range(5), iters=5)
+    und = {}
+    for u, v in pairs:
+        und.setdefault(u, set()).add(v)
+        und.setdefault(v, set()).add(u)
+    n = 5
+    rank = {i: 1.0 / n for i in range(5)}
+    for _ in range(5):
+        dang = sum(rank[i] for i in range(5) if i not in und)
+        new = {}
+        for i in range(5):
+            contrib = sum(rank[u] / len(und[u]) for u in und if i in und[u])
+            new[i] = 0.15 / n + 0.85 * contrib + 0.85 * dang / n
+        rank = new
+    for i in range(5):
+        assert abs(out[i][1] / 1e12 - rank[i]) < 1e-6
