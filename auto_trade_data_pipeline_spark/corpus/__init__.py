@@ -95,6 +95,9 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     # Third round-4 push (locally verified hash-exact on registration):
     "graph_pagerank",
     "candles_gap_interpolate",
+    "cms_heavy_hitters",
+    "bpe_train_merges",
+    "bpe_encode_stats",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -250,6 +253,9 @@ _ORDER = [
     "streaming_kmv_replay",
     "graph_pagerank",
     "candles_gap_interpolate",
+    "cms_heavy_hitters",
+    "bpe_train_merges",
+    "bpe_encode_stats",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

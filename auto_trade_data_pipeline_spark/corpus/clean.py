@@ -746,3 +746,182 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept",
         F.when(F.col("pick_order") <= CAP_PER_SOURCE, 1).otherwise(0).cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine BPE tokenizer training (distributed pair-merge loop)
+# ---------------------------------------------------------------------------
+
+BPE_ITERS = 8
+BPE_PASSES = 3
+
+
+def _bpe_ctes() -> str:
+    """CTE chain of the BPE training loop (ends at ``bpe_s{BPE_ITERS}``,
+    the final segmentation of every word) — shared by the training
+    oracle and the encode-stats oracle."""
+    ctes = [
+        """bpe_w AS MATERIALIZED (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wcount
+  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok
+)""",
+        """bpe_s0 AS MATERIALIZED (
+  SELECT word, wcount, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq FROM bpe_w
+)""",
+    ]
+    for i in range(BPE_ITERS):
+        nested = "seq"
+        for _ in range(BPE_PASSES):
+            nested = (
+                f"replace({nested}, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
+            )
+        ctes += [
+            f"""bpe_p{i} AS (
+  SELECT a, b, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+    SELECT wcount, t[j] AS a, t[j + 1] AS b FROM (
+      SELECT wcount, t, unnest(range(1, len(t))) AS j
+      FROM (SELECT wcount, str_split(trim(seq), ' ') AS t FROM bpe_s{i})
+    )
+  ) GROUP BY a, b
+)""",
+            f"bpe_b{i} AS MATERIALIZED (SELECT a, b, cnt FROM bpe_p{i} ORDER BY cnt DESC, a, b LIMIT 1)",
+            f"""bpe_s{i + 1} AS MATERIALIZED (
+  SELECT word, wcount, {nested} AS seq FROM bpe_s{i}, bpe_b{i}
+)""",
+        ]
+    return ",\n".join(ctes)
+
+
+def _bpe_oracle() -> str:
+    """DuckDB twin of operators.bpe.bpe_train: the same word
+    histogram, character-split seed segmentation, and
+    iteration-for-iteration pair-count -> argmax -> literal-replace
+    merge loop — the distributed tokenizer TRAINING itself is
+    hash-checked cross-engine."""
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS row_type, CAST({i + 1} AS INTEGER) AS idx, a || b AS token, "
+        f"a || '+' || b AS detail, cnt AS freq FROM bpe_b{i}"
+        for i in range(BPE_ITERS)
+    )
+    return f"""
+WITH {_DOCS_CTE},
+{_bpe_ctes()}
+{merge_rows}
+UNION ALL
+SELECT 'vocab' AS row_type, CAST(0 AS INTEGER) AS idx, tok AS token, '' AS detail,
+       CAST(sum(wcount) AS BIGINT) AS freq
+FROM (SELECT wcount, unnest(str_split(trim(seq), ' ')) AS tok FROM bpe_s{BPE_ITERS})
+GROUP BY tok
+UNION ALL
+SELECT 'word' AS row_type, CAST(0 AS INTEGER) AS idx, word AS token, trim(seq) AS detail,
+       wcount AS freq
+FROM bpe_s{BPE_ITERS}
+"""
+
+
+@register("bpe_train_merges", _bpe_oracle(), tags=("EXT3",))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training IN the engine: learn 8 BPE merges over the
+    corpus word histogram by the distributed pair-count -> argmax ->
+    merge loop (operators/bpe.py — per iteration one uniform-key
+    shuffle over the histogram, a 1-row TakeOrdered broadcast into a
+    literal-replace merge, lineage cut per round). Emits the learned
+    merge table, the final weighted sub-token vocabulary, AND every
+    word's final segmentation — so the oracle (which replays the
+    whole training loop in SQL) checks each iteration's argmax and
+    every merge application, not just the end state."""
+    from auto_trade_data_pipeline_spark.operators.bpe import bpe_train, word_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, segmented = bpe_train(
+        word_histogram(docs), iters=BPE_ITERS, replace_passes=BPE_PASSES
+    )
+    m = merges.select(
+        F.lit("merge").alias("row_type"),
+        F.col("merge_idx").alias("idx"),
+        F.concat("left", "right").alias("token"),
+        F.concat(F.col("left"), F.lit("+"), F.col("right")).alias("detail"),
+        F.col("pair_count").alias("freq"),
+    )
+    vocab = (
+        segmented.select(F.explode(F.split(F.trim(F.col("seq")), " ")).alias("token"), "wcount")
+        .groupBy("token")
+        .agg(F.sum("wcount").alias("freq"))
+        .select(
+            F.lit("vocab").alias("row_type"),
+            F.lit(0).alias("idx"),
+            "token",
+            F.lit("").alias("detail"),
+            "freq",
+        )
+    )
+    wrows = segmented.select(
+        F.lit("word").alias("row_type"),
+        F.lit(0).alias("idx"),
+        F.col("word").alias("token"),
+        F.trim(F.col("seq")).alias("detail"),
+        F.col("wcount").alias("freq"),
+    )
+    return m.unionByName(vocab).unionByName(wrows)
+
+
+_BPE_ENCODE_ORACLE = f"""
+WITH {_DOCS_CTE},
+{_bpe_ctes()}
+, enc AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
+),
+seg AS (
+  SELECT word, len(str_split(trim(seq), ' ')) AS n_sub FROM bpe_s{BPE_ITERS}
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(s.n_sub) AS BIGINT) AS n_subtokens,
+       CAST(sum(len(e.tok)) AS BIGINT) AS n_chars,
+       CAST((CAST(sum(len(e.tok)) AS BIGINT) * 1000000)
+            // CAST(sum(s.n_sub) AS BIGINT) AS BIGINT) AS chars_per_subtoken_ppm
+FROM enc e JOIN seg s ON s.word = e.tok
+GROUP BY e.doc_id
+"""
+
+
+@register("bpe_encode_stats", _BPE_ENCODE_ORACLE, tags=("EXT3",))
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the
+    just-trained BPE merges and report per-document subtoken counts
+    and the chars-per-subtoken compression ratio (the fertility
+    metric tokenizer work optimizes). The encode is a broadcast join
+    of the corpus token stream against the dimension-sized trained
+    segmentation table (word -> subtoken count) — the 100 TB shape:
+    the model rides a broadcast, the corpus is scanned once, and the
+    per-doc aggregation shuffles uniform doc keys. The ratio is
+    integer floor-division in ppm, exact cross-engine; the oracle
+    re-runs the whole training loop before encoding."""
+    from auto_trade_data_pipeline_spark.operators.bpe import bpe_train, word_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, segmented = bpe_train(
+        word_histogram(docs), iters=BPE_ITERS, replace_passes=BPE_PASSES
+    )
+    seg = segmented.select(
+        "word", F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_sub")
+    )
+    enc = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    agg = (
+        enc.join(F.broadcast(seg), enc.tok == seg.word)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subtokens"),
+            F.sum(F.length("tok")).alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_subtokens",
+        "n_chars",
+        F.expr("(n_chars * 1000000) div n_subtokens").alias("chars_per_subtoken_ppm"),
+    )

@@ -2219,3 +2219,88 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("qid", "doc_id", F.round("score", 4).alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: heavy-hitter frequency estimation from bounded state
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPN = 30
+
+
+def _cms_oracle() -> str:
+    """DuckDB twin of operators.sketch.cms_sketch + cms_lookup: the
+    depth x width counter grid from the salted md5-60bit hash family,
+    point estimates as min-over-rows for the top-N exact tokens."""
+    grid = "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS r, {_duck_hash('tok', f'cms{r}')} % {CMS_WIDTH} AS bucket FROM tk"
+        for r in range(CMS_DEPTH)
+    )
+    probe_buckets = "\n  UNION ALL\n".join(
+        f"  SELECT tok, exact_cnt, {r} AS r, {_duck_hash('tok', f'cms{r}')} % {CMS_WIDTH} AS bucket FROM probes"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH {_DOCS_CTE},
+tk AS (SELECT unnest(ts) AS tok FROM toks),
+cells AS (
+{grid}
+),
+cms AS MATERIALIZED (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY r, bucket
+),
+exact AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM tk GROUP BY tok
+),
+probes AS MATERIALIZED (
+  SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT {CMS_TOPN}
+),
+pb AS (
+{probe_buckets}
+),
+est AS (
+  SELECT p.tok, p.exact_cnt, min(coalesce(c.c, 0)) AS cms_est
+  FROM pb p LEFT JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY p.tok, p.exact_cnt
+)
+SELECT tok AS token, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@register("cms_heavy_hitters", _cms_oracle(), tags=("EXT3",))
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation
+    (operators/sketch.py:cms_sketch): a 4 x 512 counter grid over the
+    corpus token stream — bounded, mergeable state that answers
+    point-frequency queries without re-touching the data — probed
+    with the top-30 exact tokens and reported next to the exact
+    counts with the (always >= 0) overcount. Because the bucket
+    hashes are the salted portable md5-60bit family, the sketch AND
+    every estimate are deterministic and hash-checked cross-engine —
+    unlike seeded-RNG CMS implementations. One token scan builds the
+    sketch (depth buckets per token ride one inline array explode,
+    then a uniform-key shuffle with map-side partial sums); the
+    lookup broadcasts the KB-sized grid."""
+    from auto_trade_data_pipeline_spark.operators.sketch import cms_lookup, cms_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tk = tk.persist()  # scanned by both the sketch and the exact counts
+    cms = cms_sketch(tk, "tok", depth=CMS_DEPTH, width=CMS_WIDTH)
+    probes = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+        .limit(CMS_TOPN)
+    )
+    out = cms_lookup(cms, probes, "tok", depth=CMS_DEPTH, width=CMS_WIDTH)
+    return out.select(
+        F.col("tok").alias("token"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

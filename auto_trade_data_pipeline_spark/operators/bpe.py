@@ -1,0 +1,144 @@
+"""In-engine BPE tokenizer training (EXT, SURVEY §2.11 extension):
+learn byte-pair-encoding merges over the corpus word histogram with
+distributed DataFrame ops — the "train the tokenizer on the data you
+are about to tokenize" stage of an LLM data pipeline (Sennrich et
+al., ACL'16), expressed so the TRAINING LOOP itself runs where the
+data lives and is cross-engine oracle-able.
+
+Algorithm (word-level BPE, the standard formulation):
+1. collapse the corpus to its word histogram (word, weight) — pair
+   statistics over the histogram equal pair statistics over the raw
+   token stream, at a fraction of the size;
+2. represent each word as its character sequence, space-separated
+   inside a sentinel-padded string (`" a b c "`);
+3. per iteration: count adjacent token pairs weighted by word
+   frequency (one explode + one uniform-key shuffle with map-side
+   combine), pick the most frequent pair with a total tiebreak
+   (count DESC, then lexicographic), and merge its occurrences in
+   every word.
+
+Merge semantics — the determinism contract: occurrences are merged
+by LITERAL string replacement of ``" a b "`` with ``" ab "``,
+applied ``replace_passes`` times. A single left-to-right scan cannot
+merge two occurrences that share a boundary space (the trailing
+space of one match is the leading space of the next), so each pass
+picks up alternate occurrences; the pass count is part of the
+operator definition and both engines (Spark `replace`, DuckDB
+`replace`) scan identically — leftmost, non-overlapping, resuming
+after the replacement — so the fixpoint is bit-identical
+cross-engine. (For pathological same-char runs this differs from
+HuggingFace's strictly-greedy merge ORDER, by design: greedy
+left-to-right within a run is inherently sequential, while repeated
+literal replacement is a pure engine expression.)
+
+Scale shape: the histogram is built once (one shuffle on the word
+key); each iteration is one explode + one pair-keyed shuffle over
+the histogram (NOT the corpus), a 1-row TakeOrdered for the argmax
+that rides a broadcast into the merge, and a localCheckpoint to cut
+the iterative-plan lineage growth. At 100 TB the word histogram is
+millions of rows — cluster-trivial — and the corpus itself is
+touched exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_train", "word_histogram"]
+
+
+def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word histogram: (word, wcount) over lowercased word
+    tokens — the compressed input BPE trains on."""
+    from auto_trade_data_pipeline_spark.operators.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+
+def _pairs(toks):
+    """Adjacent token pairs of an array column, guarded for size < 2
+    (sequence(1, 0) counts DOWN — the word_shingles trap)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda j: F.struct(
+            F.element_at(toks, j).alias("a"), F.element_at(toks, j + 1).alias("b")
+        ),
+    )
+    return F.when(F.size(toks) >= 2, grams).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+
+
+def bpe_train(
+    words: DataFrame,
+    iters: int = 8,
+    replace_passes: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``iters`` BPE merges over a (word, wcount) histogram.
+
+    Returns ``(merges, segmented)``:
+    - merges: (merge_idx, left, right, pair_count) — one row per
+      learned merge, in learning order;
+    - segmented: (word, wcount, seq) — the final space-padded
+      segmentation of every word under the learned merges.
+
+    Both stay DataFrames end-to-end: the per-iteration argmax is a
+    1-row TakeOrderedAndProject that crossJoin-broadcasts into the
+    merge expression (no driver-side collect of model state).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    seqs = words.select(
+        "word",
+        F.col("wcount").cast("long").alias("wcount"),
+        F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("seq"),
+    ).localCheckpoint(eager=True)
+    merges: list[DataFrame] = []
+    for i in range(iters):
+        toks = F.split(F.trim(F.col("seq")), " ")
+        counts = (
+            seqs.select(F.explode(_pairs(toks)).alias("p"), "wcount")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wcount").alias("cnt"))
+        )
+        best = (
+            counts.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .select(
+                F.col("a").alias("__a"), F.col("b").alias("__b"), F.col("cnt").alias("__cnt")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if best.isEmpty():  # degenerate corpus: nothing left to merge
+            break
+        merges.append(
+            best.select(
+                F.lit(i + 1).alias("merge_idx"),
+                F.col("__a").alias("left"),
+                F.col("__b").alias("right"),
+                F.col("__cnt").alias("pair_count"),
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("__a"), F.lit(" "), F.col("__b"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("__a"), F.col("__b"), F.lit(" "))
+        s = F.col("seq")
+        for _ in range(replace_passes):
+            s = F.replace(s, pat, rep)
+        seqs = (
+            seqs.crossJoin(F.broadcast(best))
+            .select("word", "wcount", s.alias("seq"))
+            .localCheckpoint(eager=True)
+        )
+    merged = merges[0]
+    for m in merges[1:]:
+        merged = merged.unionByName(m)
+    return merged, seqs

@@ -134,3 +134,84 @@ def kmv_pair_overlap(sketch: DataFrame, group_col: str, k: int = 64) -> DataFram
         F.round(est_inter, 4).alias("est_inter"),
         F.round(jac, 6).alias("jaccard_est"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05): a
+    depth x width grid of counters; row r counts items at bucket
+    hash_r(item) % width. Point estimate = min over rows — always an
+    OVER-estimate (collisions only add), error <= 2N/width with
+    probability 1 - (1/2)^depth.
+
+    Returns the sketch as (r, bucket, c) rows — depth*width longs of
+    mergeable state (merge = sum by cell), the frequency-table
+    analogue of the KMV distinct sketch. Deterministic: buckets come
+    from the portable md5-60bit hash family salted per row, so the
+    whole sketch (and every estimate off it) is cross-engine
+    oracle-able, unlike seeded-RNG CMS implementations.
+
+    Scale shape: ONE scan — the depth buckets per item ride a single
+    posexplode'd inline array (no per-row re-scan per hash row) —
+    then one shuffle on the uniform (r, bucket) key with map-side
+    partial sums. The sketch is KB-sized and broadcastable; point
+    lookups never touch the raw data again."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    wcol = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (hash64(F.col(value_col).cast("string"), salt=f"{salt}{r}") % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    ex = df.select(F.explode(rb).alias("rb"), wcol.alias("__w"))
+    return (
+        ex.groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("__w").alias("c"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for `probes[value_col]` from a CMS
+    built with the same (depth, width, salt): re-derive each probe's
+    depth buckets, join the (KB-sized, broadcast) sketch on (r,
+    bucket), take the min cell per probe. Missing cells count 0 (an
+    empty cell proves absence). Adds a `cms_est` long column."""
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (hash64(F.col(value_col).cast("string"), salt=f"{salt}{r}") % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    ex = probes.select(value_col, F.explode(rb).alias("rb")).select(
+        value_col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    )
+    joined = ex.join(F.broadcast(cms), ["r", "bucket"], "left").select(
+        value_col, F.coalesce("c", F.lit(0)).alias("c")
+    )
+    est = joined.groupBy(value_col).agg(F.min("c").alias("cms_est"))
+    return probes.join(est, value_col)

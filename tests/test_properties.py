@@ -353,6 +353,12 @@ _INVARIANCE_QUERIES = [
     "distribution_drift_report",
     "bm25_retrieval_topk",
     "kmv_set_overlap",
+    # round-4 third push: integer-exact PageRank, linear gap
+    # interpolation, Count-Min frequency estimation, BPE training
+    "graph_pagerank",
+    "candles_gap_interpolate",
+    "cms_heavy_hitters",
+    "bpe_train_merges",
 ]
 
 

@@ -110,3 +110,55 @@ def test_streaming_kmv_multibatch_equals_batch(spark, tmp_path):
     bsk = kmv_sketch(batch, "event_type", "user_id", k=32).orderBy("hv").collect()
     assert final.sketch_n == 32
     assert final.kth_hv == bsk[31].hv
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _items(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "tok string")
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    from auto_trade_data_pipeline_spark.operators.sketch import cms_lookup, cms_sketch
+
+    words = ["apple"] * 40 + ["pear"] * 7 + ["plum"] * 1 + ["fig"] * 13
+    df = _items(spark, words)
+    cms = cms_sketch(df, "tok", depth=4, width=256)
+    exact = df.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    out = cms_lookup(cms, exact, "tok", depth=4, width=256).collect()
+    got = {r.tok: (r.exact_cnt, r.cms_est) for r in out}
+    for tok, (ex, est) in got.items():
+        assert est >= ex, tok  # CMS can only overcount
+    # 4 distinct items in a 4x256 grid: no collisions, estimates exact.
+    assert all(est == ex for ex, est in got.values())
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    """Sketch(A ++ B) == cellwise sum of Sketch(A) and Sketch(B) —
+    the mergeability that makes CMS map-side combinable and
+    cross-shard aggregable."""
+    from auto_trade_data_pipeline_spark.operators.sketch import cms_sketch
+
+    a = ["x"] * 5 + ["y"] * 3
+    b = ["y"] * 4 + ["z"] * 2
+    whole = {
+        (r.r, r.bucket): r.c
+        for r in cms_sketch(_items(spark, a + b), "tok", depth=3, width=64).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms_sketch(_items(spark, part), "tok", depth=3, width=64).collect():
+            merged[(r.r, r.bucket)] = merged.get((r.r, r.bucket), 0) + r.c
+    assert whole == merged
+
+
+def test_cms_absent_item_estimates_zero_when_cell_empty(spark):
+    from auto_trade_data_pipeline_spark.operators.sketch import cms_lookup, cms_sketch
+
+    cms = cms_sketch(_items(spark, ["only"] * 9), "tok", depth=4, width=512)
+    probe = _items(spark, ["missing"]).withColumn("exact_cnt", F.lit(0))
+    [row] = cms_lookup(cms, probe, "tok", depth=4, width=512).collect()
+    assert row.cms_est == 0
