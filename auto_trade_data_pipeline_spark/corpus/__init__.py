@@ -98,6 +98,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "cms_heavy_hitters",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "streaming_cms_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -256,6 +257,7 @@ _ORDER = [
     "cms_heavy_hitters",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "streaming_cms_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

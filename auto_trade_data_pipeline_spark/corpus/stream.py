@@ -603,3 +603,81 @@ def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate_cols(latest, k=64).select(
         "group_key", "sketch_n", "kth_hv", "est_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# ST4+: streaming Count-Min sketch (bounded-state frequency estimation)
+# ---------------------------------------------------------------------------
+
+
+def _stream_cms_oracle() -> str:
+    # The replayed streaming sketch is bit-identical to the batch CMS
+    # (cellwise addition is exact under any batching), so the batch
+    # CMS oracle IS the streaming oracle.
+    from auto_trade_data_pipeline_spark.corpus.ext import _cms_oracle
+
+    return _cms_oracle()
+
+
+@register("streaming_cms_replay", _stream_cms_oracle(), tags=("ST4", "EXT3"))
+def streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency sketch (streaming/sketch.py
+    :streaming_cms_sketch): the document token stream is bucketed
+    scan-side into (r, bucket) cells (same salted-hash derivation as
+    the batch sketch) and a stateful operator keyed by sketch row
+    accumulates the counters — bounded state (width cells per row)
+    forever, no watermark. CMS merge is exact cellwise addition, so
+    the REPLAYED streaming state is bit-identical to the batch
+    sketch; probing it with the exact top-30 tokens therefore
+    hash-matches the batch CMS oracle end-to-end — a custom stateful
+    streaming operator with a full SQL oracle."""
+    from auto_trade_data_pipeline_spark.corpus.ext import CMS_DEPTH, CMS_TOPN, CMS_WIDTH
+    from auto_trade_data_pipeline_spark.operators import text as TX
+    from auto_trade_data_pipeline_spark.operators.sketch import (
+        cms_bucket_array,
+        cms_lookup,
+    )
+    from auto_trade_data_pipeline_spark.sources import load_table
+    from auto_trade_data_pipeline_spark.streaming.sketch import streaming_cms_sketch
+    from pyspark.sql.window import Window as W
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    pairs = (
+        stream.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .select(F.explode(cms_bucket_array("tok", CMS_DEPTH, CMS_WIDTH)).alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    )
+    sk = streaming_cms_sketch(pairs)
+    out = run_available_now(
+        sk, f"corpus_stream_cms_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    latest = (
+        out.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("r", "bucket").orderBy(F.col("updates").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("r", "bucket", "c")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    probes = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+        .limit(CMS_TOPN)
+    )
+    est = cms_lookup(latest, probes, "tok", depth=CMS_DEPTH, width=CMS_WIDTH)
+    return est.select(
+        F.col("tok").alias("token"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

@@ -25,7 +25,15 @@ from pyspark.sql.window import Window
 
 from auto_trade_data_pipeline_spark.operators.text import hash64
 
-__all__ = ["KMV_SPACE", "kmv_sketch", "kmv_estimate", "kmv_pair_overlap"]
+__all__ = [
+    "KMV_SPACE",
+    "kmv_sketch",
+    "kmv_estimate",
+    "kmv_pair_overlap",
+    "cms_bucket_array",
+    "cms_sketch",
+    "cms_lookup",
+]
 
 #: hash64 is uniform on [0, 2^60)
 KMV_SPACE = float(1 << 60)
@@ -136,6 +144,26 @@ def kmv_pair_overlap(sketch: DataFrame, group_col: str, k: int = 64) -> DataFram
     )
 
 
+def cms_bucket_array(
+    value_col: str, depth: int, width: int, salt: str = "cms"
+):
+    """The depth (r, bucket) cells an item of `value_col` lands in,
+    as one inline array of structs — shared by the batch sketch, the
+    point lookup, and the streaming form so all three bucket
+    identically."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (hash64(F.col(value_col).cast("string"), salt=f"{salt}{r}") % width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     value_col: str,
@@ -165,18 +193,10 @@ def cms_sketch(
     if depth < 1 or width < 2:
         raise ValueError("depth must be >= 1 and width >= 2")
     wcol = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    rb = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                (hash64(F.col(value_col).cast("string"), salt=f"{salt}{r}") % width)
-                .cast("int")
-                .alias("bucket"),
-            )
-            for r in range(depth)
-        ]
+    ex = df.select(
+        F.explode(cms_bucket_array(value_col, depth, width, salt)).alias("rb"),
+        wcol.alias("__w"),
     )
-    ex = df.select(F.explode(rb).alias("rb"), wcol.alias("__w"))
     return (
         ex.groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
         .agg(F.sum("__w").alias("c"))
@@ -196,18 +216,9 @@ def cms_lookup(
     depth buckets, join the (KB-sized, broadcast) sketch on (r,
     bucket), take the min cell per probe. Missing cells count 0 (an
     empty cell proves absence). Adds a `cms_est` long column."""
-    rb = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                (hash64(F.col(value_col).cast("string"), salt=f"{salt}{r}") % width)
-                .cast("int")
-                .alias("bucket"),
-            )
-            for r in range(depth)
-        ]
-    )
-    ex = probes.select(value_col, F.explode(rb).alias("rb")).select(
+    ex = probes.select(
+        value_col, F.explode(cms_bucket_array(value_col, depth, width, salt)).alias("rb")
+    ).select(
         value_col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
     )
     joined = ex.join(F.broadcast(cms), ["r", "bucket"], "left").select(

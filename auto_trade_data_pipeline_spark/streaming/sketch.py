@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_kmv_sketch", "kmv_estimate_cols"]
+__all__ = ["streaming_kmv_sketch", "kmv_estimate_cols", "streaming_cms_sketch"]
 
 _STATE_SCHEMA = "hvs string, updates int"
 
@@ -104,3 +104,73 @@ def kmv_estimate_cols(df: DataFrame, k: int, space: float = float(1 << 60)) -> D
         F.lit(float(k - 1)) * F.lit(space) / F.col("kth_hv")
     )
     return df.withColumn("est_distinct", F.round(est, 4))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min sketch: keyed state = one sketch ROW of counters
+# ---------------------------------------------------------------------------
+
+_CMS_STATE_SCHEMA = "cells string, updates int"
+
+_CMS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("r", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("c", T.LongType()),
+        T.StructField("updates", T.IntegerType()),
+    ]
+)
+
+
+def _make_cms_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (r,) = key
+        if state.exists:
+            cells_js, updates = state.get
+            cells = {int(k): int(v) for k, v in json.loads(cells_js).items()}
+        else:
+            cells, updates = {}, 0
+        for pdf in pdfs:
+            for b, n in pdf["bucket"].value_counts().items():
+                cells[int(b)] = cells.get(int(b), 0) + int(n)
+        updates += 1
+        state.update((json.dumps(cells), updates))
+        buckets = sorted(cells)
+        yield pd.DataFrame(
+            {
+                "r": [int(r)] * len(buckets),
+                "bucket": buckets,
+                "c": [cells[b] for b in buckets],
+                "updates": [updates] * len(buckets),
+            }
+        )
+
+    return fn
+
+
+def streaming_cms_sketch(pairs: DataFrame) -> DataFrame:
+    """Stateful streaming Count-Min sketch over a stream of
+    pre-bucketed (r, bucket) rows (operators.sketch.cms_sketch's
+    bucket derivation, applied stream-side): the keyed state for
+    group r is that sketch ROW — at most `width` counters, bounded
+    forever, no watermark. Because CMS merge is exact cellwise
+    addition, the replayed streaming state is BIT-IDENTICAL to the
+    batch sketch over the same data, which is what lets the corpus
+    query carry the batch CMS SQL oracle.
+
+    Emits every nonzero cell per group per micro-batch (update mode);
+    `updates` counts micro-batches so a consumer selects the latest.
+    Depth rows give depth-way parallelism — at production width,
+    shard the state key to (r, bucket_range) for more."""
+    return (
+        pairs.groupBy("r")
+        .applyInPandasWithState(
+            _make_cms_fn(),
+            outputStructType=_CMS_OUT_SCHEMA,
+            stateStructType=_CMS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -162,3 +162,61 @@ def test_cms_absent_item_estimates_zero_when_cell_empty(spark):
     probe = _items(spark, ["missing"]).withColumn("exact_cnt", F.lit(0))
     [row] = cms_lookup(cms, probe, "tok", depth=4, width=512).collect()
     assert row.cms_est == 0
+
+
+def test_streaming_cms_multibatch_equals_batch(spark, tmp_path):
+    """Streaming CMS parity: the replayed keyed state after N
+    micro-batches equals the batch sketch of the union, cell for
+    cell — exact cellwise-addition mergeability, live in Structured
+    Streaming."""
+    import uuid as _uuid
+
+    from auto_trade_data_pipeline_spark.operators.sketch import (
+        cms_bucket_array,
+        cms_sketch,
+    )
+    from auto_trade_data_pipeline_spark.streaming.sketch import streaming_cms_sketch
+
+    d = str(tmp_path / "docs")
+    words1 = ["alpha"] * 9 + ["beta"] * 4 + ["gamma"] * 2
+    words2 = ["beta"] * 6 + ["delta"] * 3
+    spark.createDataFrame([(w,) for w in words1], "tok string").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame([(w,) for w in words2], "tok string").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema("tok string").option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    pairs = stream.select(
+        F.explode(cms_bucket_array("tok", 3, 64)).alias("rb")
+    ).select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    name = f"t_cms_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_cms_sketch(pairs)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    assert out.agg(F.max("updates")).first()[0] >= 2  # multiple micro-batches
+    from pyspark.sql.window import Window as W
+
+    latest = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("r", "bucket").orderBy(F.col("updates").desc())),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    streamed = {(r.r, r.bucket): r.c for r in latest.collect()}
+    both = spark.createDataFrame([(w,) for w in words1 + words2], "tok string")
+    batch = {
+        (r.r, r.bucket): r.c for r in cms_sketch(both, "tok", depth=3, width=64).collect()
+    }
+    assert streamed == batch
