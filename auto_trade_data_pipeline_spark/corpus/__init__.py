@@ -99,6 +99,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "bpe_train_merges",
     "bpe_encode_stats",
     "streaming_cms_replay",
+    "tick_rule_flow",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -258,6 +259,7 @@ _ORDER = [
     "bpe_train_merges",
     "bpe_encode_stats",
     "streaming_cms_replay",
+    "tick_rule_flow",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

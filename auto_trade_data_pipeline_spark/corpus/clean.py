@@ -819,7 +819,7 @@ FROM bpe_s{BPE_ITERS}
 """
 
 
-@register("bpe_train_merges", _bpe_oracle(), tags=("EXT3",))
+@register("bpe_train_merges", _bpe_oracle(), tags=("EXT3", "bench"))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training IN the engine: learn 8 BPE merges over the
     corpus word histogram by the distributed pair-count -> argmax ->

@@ -779,3 +779,87 @@ def candles_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "number_of_trades",
         "is_gap_fill",
     )
+
+
+# ---------------------------------------------------------------------------
+# Tick-rule trade classification + order-flow imbalance (Lee-Ready)
+# ---------------------------------------------------------------------------
+
+_TICK_RULE_ORACLE = f"""
+WITH {TICKS_CTE},
+lagged AS (
+  SELECT symbol, timestamp, price, volume, tick_id,
+         price - lag(price) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id) AS dp
+  FROM ticks
+),
+signed AS (
+  SELECT symbol, timestamp, volume,
+         last_value(CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+  FROM lagged
+),
+m AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket,
+         CAST(sum(CASE WHEN side = 1 THEN CAST(round(volume) AS BIGINT) ELSE 0 END) AS BIGINT) AS buy_vol,
+         CAST(sum(CASE WHEN side = -1 THEN CAST(round(volume) AS BIGINT) ELSE 0 END) AS BIGINT) AS sell_vol,
+         CAST(sum(CASE WHEN side IS NULL THEN CAST(round(volume) AS BIGINT) ELSE 0 END) AS BIGINT) AS neutral_vol,
+         CAST(count(*) AS BIGINT) AS n_ticks
+  FROM signed GROUP BY symbol, bucket
+)
+SELECT symbol, strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       buy_vol, sell_vol, neutral_vol, n_ticks,
+       CAST(CASE WHEN buy_vol + sell_vol = 0 THEN 0
+                 ELSE (CASE WHEN buy_vol >= sell_vol THEN 1 ELSE -1 END)
+                      * ((abs(buy_vol - sell_vol) * 1000000) // (buy_vol + sell_vol))
+            END AS BIGINT) AS imbalance_ppm
+FROM m
+"""
+
+
+@register("tick_rule_flow", _TICK_RULE_ORACLE, tags=("W1", "A4"))
+def tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule trade classification (Lee & Ready, J.Finance'91) +
+    per-minute order-flow imbalance: each tick is buyer-initiated
+    (+1) if it traded on an uptick, seller-initiated (-1) on a
+    downtick, and CARRIES THE LAST CLASSIFICATION through zero-tick
+    runs — the recursive carry expressed as a running
+    last-ignorenulls window (one incremental pass per symbol, the
+    engine's core ordered-window shape). Imbalance is integer-exact:
+    sign * (|buy-sell| * 1e6 // (buy+sell)) keeps the division on a
+    POSITIVE numerator because Spark's `div` truncates toward zero
+    while DuckDB's `//` floors — they agree only on non-negative
+    operands (the same class of trap as the round(x, 4) divergence)."""
+    from pyspark.sql.window import Window
+
+    ticks = ticks_from_events(spark, sf_dir)
+    wo = Window.partitionBy("symbol").orderBy("timestamp", "tick_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dp = F.col("price") - F.lag("price").over(wo)
+    lagged = ticks.select("symbol", "timestamp", "volume", "tick_id", dp.alias("dp"))
+    side = F.last(
+        F.when(F.col("dp") > 0, 1).when(F.col("dp") < 0, -1), ignorenulls=True
+    ).over(wrun)
+    signed = lagged.select("symbol", "timestamp", "volume", side.alias("side"))
+    vol = F.round("volume", 0).cast("long")
+    m = signed.groupBy(
+        "symbol", F.date_trunc("minute", F.col("timestamp")).alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("side") == 1, vol).otherwise(0)).alias("buy_vol"),
+        F.sum(F.when(F.col("side") == -1, vol).otherwise(0)).alias("sell_vol"),
+        F.sum(F.when(F.col("side").isNull(), vol).otherwise(0)).alias("neutral_vol"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    imb = F.when(F.col("buy_vol") + F.col("sell_vol") == 0, F.lit(0).cast("long")).otherwise(
+        F.when(F.col("buy_vol") >= F.col("sell_vol"), 1).otherwise(-1).cast("long")
+        * F.expr("(abs(buy_vol - sell_vol) * 1000000) div (buy_vol + sell_vol)")
+    )
+    return m.select(
+        "symbol",
+        _fmt("bucket").alias("bucket_ts"),
+        "buy_vol",
+        "sell_vol",
+        "neutral_vol",
+        "n_ticks",
+        imb.alias("imbalance_ppm"),
+    )

@@ -438,3 +438,38 @@ def test_ivf_cell_partitioned_layout_prunes_unprobed_cells(spark, sf_small, tmp_
     # and the probe reads exactly the rows of the probed cells
     want = assigned.filter(F.col("cell").isin(2, 5)).count()
     assert probed.count() == want
+
+
+def test_cms_lookup_broadcasts_the_sketch(spark, sf_small):
+    """The CMS grid is KB-sized model state: the probe join must be a
+    BroadcastHashJoin (sketch side broadcast), never a shuffle of the
+    probed stream."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    plan = _plan(load_all()["cms_heavy_hitters"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_broadcasts_the_segmentation(spark, sf_small):
+    """Tokenizer application: the trained word->subtokens table rides
+    a broadcast into the corpus scan — the corpus itself never
+    shuffles for the encode."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    plan = _plan(load_all()["bpe_encode_stats"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iteration_has_no_cartesian_blowup(spark):
+    """Each PageRank round is ranks |x| edges on the src key plus a
+    single-row dangling broadcast; the only cross join allowed is
+    that 1-row broadcast."""
+    from auto_trade_data_pipeline_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "id_a long, id_b long")
+    out = pagerank(nodes, edges, node_col="doc_id", iters=1)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan

@@ -359,6 +359,7 @@ _INVARIANCE_QUERIES = [
     "candles_gap_interpolate",
     "cms_heavy_hitters",
     "bpe_train_merges",
+    "tick_rule_flow",
 ]
 
 
