@@ -100,6 +100,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "bpe_encode_stats",
     "streaming_cms_replay",
     "tick_rule_flow",
+    "robust_price_stats",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -260,6 +261,7 @@ _ORDER = [
     "bpe_encode_stats",
     "streaming_cms_replay",
     "tick_rule_flow",
+    "robust_price_stats",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

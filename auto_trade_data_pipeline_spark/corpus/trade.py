@@ -863,3 +863,61 @@ def tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ticks",
         imb.alias("imbalance_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust per-symbol statistics (median / MAD / winsorization bounds)
+# ---------------------------------------------------------------------------
+
+_ROBUST_THR = repr(5.0 * 1.4826)  # z_cut * consistency constant, exact literal
+
+_ROBUST_ORACLE = f"""
+WITH {{TICKS}},
+p1 AS MATERIALIZED (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         quantile_cont(price, 0.5) AS med,
+         quantile_cont(price, 0.01) AS p01,
+         quantile_cont(price, 0.99) AS p99
+  FROM ticks GROUP BY symbol
+),
+p2 AS MATERIALIZED (
+  SELECT t.symbol, quantile_cont(abs(t.price - p.med), 0.5) AS mad
+  FROM ticks t JOIN p1 p USING (symbol) GROUP BY t.symbol
+),
+o AS (
+  SELECT t.symbol,
+         CAST(sum(CASE WHEN abs(t.price - p.med) > {{THR}} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+  FROM ticks t JOIN p1 p USING (symbol) JOIN p2 m USING (symbol)
+  GROUP BY t.symbol
+)
+SELECT p1.symbol, p1.n,
+       CAST(round(p1.med * 10000) AS BIGINT) AS med_e4,
+       CAST(round(p2.mad * 10000) AS BIGINT) AS mad_e4,
+       CAST(round(p1.p01 * 10000) AS BIGINT) AS p01_e4,
+       CAST(round(p1.p99 * 10000) AS BIGINT) AS p99_e4,
+       o.n_outliers
+FROM p1 JOIN p2 USING (symbol) JOIN o USING (symbol)
+""".replace("{TICKS}", TICKS_CTE.strip()).replace("{THR}", _ROBUST_THR)
+
+
+@register("robust_price_stats", _ROBUST_ORACLE, tags=("A5", "A-quantile"))
+def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-symbol feature gating (operators/robust.py): exact
+    median, MAD, p01/p99 winsorization bounds, and the robust
+    z-score outlier census (|x - med| > 5 * 1.4826 * MAD) — the
+    clip-the-fat-tails stage a feature pipeline runs before model
+    ingestion, where mean/stddev would be dragged by the outliers
+    themselves. Three grouped passes with dimension-sized broadcast
+    joins back; float outputs are integer-scaled e4 on both sides
+    (the explicit-multiply rounding convention). The oracle mirrors
+    Spark's exact-percentile (n-1)p interpolation with
+    quantile_cont."""
+    from auto_trade_data_pipeline_spark.operators.robust import robust_stats
+
+    ticks = ticks_from_events(spark, sf_dir)
+    st = robust_stats(ticks, "symbol", "price", z_cut=5.0)
+    e4 = lambda c: F.round(F.col(c) * 10000, 0).cast("long").alias(f"{c}_e4")  # noqa: E731
+    return st.select(
+        "symbol", "n", e4("med"), e4("mad"), e4("p01"), e4("p99"), "n_outliers"
+    )

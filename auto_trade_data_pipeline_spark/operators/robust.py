@@ -1,0 +1,71 @@
+"""Robust (median/MAD) statistics and outlier gating — the
+feature-engineering stage that clips fat-tailed market data before it
+reaches a model (winsorization / robust z-scores), where mean/stddev
+would be dragged by the very outliers being hunted.
+
+Execution shape: exact `percentile` aggregates (Spark evaluates the
+grouped exact percentile with a per-group sort — at 100 TB swap in
+`approx_percentile` or t-digest state for the first pass; the corpus
+keeps the exact form because it is cross-engine oracle-able against
+DuckDB's `quantile_cont`, which uses the same (n-1)p linear
+interpolation). MAD needs the median first, so the computation is two
+grouped passes with the dimension-sized median table broadcast back —
+the fact table never shuffles by row, only its per-group aggregates
+move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["robust_stats", "MAD_K"]
+
+#: Consistency constant: MAD * 1.4826 estimates sigma under normality.
+MAD_K = 1.4826
+
+
+def robust_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_cut: float = 5.0,
+) -> DataFrame:
+    """Per-group robust location/scale + outlier census:
+
+    (group, n, med, mad, p01, p99, n_outliers) where an outlier is
+    |x - med| > z_cut * MAD_K * mad (the robust z-score rule; with
+    mad = 0 every deviating point is an outlier, matching the
+    degenerate-scale convention).
+
+    Pass 1 computes median + clip bounds per group; pass 2 joins the
+    broadcast medians back to compute MAD; pass 3 counts outliers
+    against the broadcast (median, MAD) table. Three scans, zero
+    row-level shuffles of the fact table.
+    """
+    v = F.col(value_col)
+    p1 = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
+        F.expr(f"percentile({value_col}, 0.01)").alias("p01"),
+        F.expr(f"percentile({value_col}, 0.99)").alias("p99"),
+    )
+    j = df.join(F.broadcast(p1.select(group_col, "med")), group_col)
+    p2 = j.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+    )
+    bounds = p1.join(p2, group_col)
+    out = (
+        df.join(F.broadcast(bounds.select(group_col, "med", "mad")), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(v - F.col("med")) > F.lit(z_cut * MAD_K) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return bounds.join(out, group_col).select(
+        group_col, "n", "med", "mad", "p01", "p99", "n_outliers"
+    )

@@ -360,6 +360,7 @@ _INVARIANCE_QUERIES = [
     "cms_heavy_hitters",
     "bpe_train_merges",
     "tick_rule_flow",
+    "robust_price_stats",
 ]
 
 
