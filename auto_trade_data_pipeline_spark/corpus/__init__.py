@@ -101,6 +101,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_cms_replay",
     "tick_rule_flow",
     "robust_price_stats",
+    "pattern_momentum_spike",
+    "streaming_pattern_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -262,6 +264,8 @@ _ORDER = [
     "streaming_cms_replay",
     "tick_rule_flow",
     "robust_price_stats",
+    "pattern_momentum_spike",
+    "streaming_pattern_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -681,3 +681,50 @@ def streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST+: streaming CEP pattern matching (bounded tail-buffer state)
+# ---------------------------------------------------------------------------
+
+
+def _stream_pattern_oracle() -> str:
+    """The batch pattern oracle restricted to FINALIZED matches (two
+    later ticks exist) — exactly the streaming emission contract."""
+    from auto_trade_data_pipeline_spark.corpus.trade import _PATTERN_ORACLE
+
+    return _PATTERN_ORACLE.replace(
+        "QUALIFY three_up",
+        "QUALIFY three_up AND lead(tick_id, 2) OVER w IS NOT NULL",
+    )
+
+
+@register("streaming_pattern_replay", _stream_pattern_oracle(), tags=("ST4", "W8"))
+def streaming_pattern_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP (streaming/patterns.py): the three-upticks +
+    volume-spike-confirmation pattern evaluated in bounded keyed
+    state (last 25 ticks per symbol + a finalized-through watermark);
+    a match emits exactly once, in the micro-batch where its second
+    confirming tick arrives. That emission contract is itself
+    relational — the oracle is the batch pattern query QUALIFYed to
+    matches whose confirmation window exists — so a custom stateful
+    streaming CEP operator carries a full SQL oracle. Append output
+    mode: no reconciliation window needed downstream."""
+    from auto_trade_data_pipeline_spark.streaming.candles import read_ticks_stream
+    from auto_trade_data_pipeline_spark.streaming.patterns import (
+        streaming_pattern_matches,
+    )
+
+    ticks = read_ticks_stream(spark, sf_dir)
+    out = run_available_now(
+        streaming_pattern_matches(ticks),
+        f"corpus_stream_cep_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return out.select(
+        "symbol",
+        "match_ts",
+        "tick_id",
+        F.round("price", 4).alias("price"),
+        "volume_confirmed",
+    )

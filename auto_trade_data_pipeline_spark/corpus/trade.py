@@ -921,3 +921,101 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select(
         "symbol", "n", e4("med"), e4("mad"), e4("p01"), e4("p99"), "n_outliers"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern detection (CEP / MATCH_RECOGNIZE shape)
+# ---------------------------------------------------------------------------
+
+_PATTERN_ORACLE = f"""
+WITH {TICKS_CTE},
+seq AS (
+  SELECT symbol, timestamp, price, volume, tick_id,
+         CASE WHEN price > lag(price) OVER w THEN 1 ELSE 0 END AS up,
+         avg(volume) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS vol_avg
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp, tick_id)
+),
+flags AS (
+  SELECT symbol, timestamp, price, volume, tick_id,
+         up = 1 AND lag(up, 1) OVER w = 1 AND lag(up, 2) OVER w = 1 AS three_up,
+         CASE WHEN vol_avg IS NOT NULL AND volume > 3 * vol_avg THEN 1 ELSE 0 END AS spike
+  FROM seq
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp, tick_id)
+),
+matches AS (
+  SELECT symbol, timestamp, price, tick_id,
+         greatest(spike,
+                  coalesce(lead(spike, 1) OVER w, 0),
+                  coalesce(lead(spike, 2) OVER w, 0)) AS spike_near
+  FROM flags
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp, tick_id)
+  QUALIFY three_up
+)
+SELECT symbol,
+       strftime(timestamp, '{TS_FMT_DUCK}') AS match_ts,
+       tick_id,
+       round(price, 4) AS price,
+       CAST(spike_near AS INTEGER) AS volume_confirmed
+FROM matches
+"""
+
+
+@register("pattern_momentum_spike", _PATTERN_ORACLE, tags=("W8", "F"))
+def pattern_momentum_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection — the MATCH_RECOGNIZE / CEP query
+    shape expressed as composable lag/lead windows: find every tick
+    that completes THREE consecutive upticks and report whether a
+    volume spike (> 3x the trailing-20 average) confirms it within
+    the next two ticks. One ordered window family per symbol (a
+    single exchange; Spark evaluates all the lag/lead/avg frames in
+    one pass), so the pattern scan costs the same as any per-symbol
+    window — no state machine, no per-row Python."""
+    from pyspark.sql.window import Window
+
+    ticks = ticks_from_events(spark, sf_dir)
+    wo = Window.partitionBy("symbol").orderBy("timestamp", "tick_id")
+    wavg = wo.rowsBetween(-20, -1)
+    up = F.when(F.col("price") > F.lag("price").over(wo), 1).otherwise(0)
+    seq = ticks.select(
+        "symbol",
+        "timestamp",
+        "price",
+        "volume",
+        "tick_id",
+        up.alias("up"),
+        F.avg("volume").over(wavg).alias("vol_avg"),
+    )
+    three_up = (
+        (F.col("up") == 1)
+        & (F.lag("up", 1).over(wo) == 1)
+        & (F.lag("up", 2).over(wo) == 1)
+    )
+    spike = F.when(
+        F.col("vol_avg").isNotNull() & (F.col("volume") > 3 * F.col("vol_avg")), 1
+    ).otherwise(0)
+    flags = seq.select(
+        "symbol",
+        "timestamp",
+        "price",
+        "tick_id",
+        three_up.alias("three_up"),
+        spike.alias("spike"),
+    )
+    spike_near = F.greatest(
+        F.col("spike"),
+        F.coalesce(F.lead("spike", 1).over(wo), F.lit(0)),
+        F.coalesce(F.lead("spike", 2).over(wo), F.lit(0)),
+    )
+    m = flags.select(
+        "symbol", "timestamp", "price", "tick_id", "three_up",
+        spike_near.alias("spike_near"),
+    ).filter(F.col("three_up"))
+    return m.select(
+        "symbol",
+        _fmt("timestamp").alias("match_ts"),
+        "tick_id",
+        F.round("price", 4).alias("price"),
+        F.col("spike_near").cast("int").alias("volume_confirmed"),
+    )

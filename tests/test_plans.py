@@ -473,3 +473,14 @@ def test_pagerank_iteration_has_no_cartesian_blowup(spark):
     out = pagerank(nodes, edges, node_col="doc_id", iters=1)
     plan = _plan(out)
     assert "CartesianProduct" not in plan
+
+
+def test_pattern_query_single_exchange(spark, sf_small):
+    """The CEP lag/lead pattern scan rides ONE symbol-keyed exchange:
+    every window frame (upticks, trailing avg, lookahead spike) reuses
+    the same sort — no re-shuffle between pattern stages."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    plan = _plan(load_all()["pattern_momentum_spike"].fn(spark, sf_small))
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, plan

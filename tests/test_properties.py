@@ -361,6 +361,7 @@ _INVARIANCE_QUERIES = [
     "bpe_train_merges",
     "tick_rule_flow",
     "robust_price_stats",
+    "pattern_momentum_spike",
 ]
 
 
