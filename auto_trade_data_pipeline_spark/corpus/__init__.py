@@ -103,6 +103,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "robust_price_stats",
     "pattern_momentum_spike",
     "streaming_pattern_replay",
+    "multimodal_png_roundtrip",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -266,6 +267,7 @@ _ORDER = [
     "robust_price_stats",
     "pattern_momentum_spike",
     "streaming_pattern_replay",
+    "multimodal_png_roundtrip",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

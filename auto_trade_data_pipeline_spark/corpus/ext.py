@@ -2304,3 +2304,50 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: REAL PNG codec round trip (pure-stdlib encoder/decoder)
+# ---------------------------------------------------------------------------
+
+_PNG_N_PX = 16 * 16 * 3
+
+_PNG_ROUNDTRIP_ORACLE = f"""
+WITH {_DOCS_CTE},
+px AS (
+  SELECT d.doc_id,
+         CASE WHEN len(d.text) = 0 THEN 0
+              ELSE ord(substr(d.text, CAST(u.i % len(d.text) AS INTEGER) + 1, 1)) % 256
+         END AS b
+  FROM docs d, unnest(range({_PNG_N_PX})) AS u(i)
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(count(*) AS INTEGER) AS n_px,
+       CAST(sum(b) AS BIGINT) AS px_sum,
+       CAST(min(b) AS INTEGER) AS px_min,
+       CAST(max(b) AS INTEGER) AS px_max
+FROM px GROUP BY doc_id
+"""
+
+
+@register("multimodal_png_roundtrip", _PNG_ROUNDTRIP_ORACLE, tags=("EXT4",))
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec in-engine, no external libs: every document is
+    rasterized to a 16x16 RGB PNG (pure-stdlib encoder — Sub-filtered
+    scanlines, zlib IDAT; functions/png.py) and decoded back by a
+    real PNG decoder (IHDR parse, inflate, per-filter unfilter) in a
+    second mapInPandas stage, emitting dimension + pixel statistics.
+    The rasterization recipe (pixel[i] = ord(text[i mod n]) % 256) is
+    restated relationally by the oracle, so any bug anywhere in the
+    codec round trip — filter arithmetic, compression framing, header
+    layout — breaks the hash. The blob lives only between the two
+    Arrow-batched stages and never reaches a shuffle
+    (extract-early-drop-blob; upgrades the documented decode stub of
+    `multimodal_decode_stats` to a working codec path)."""
+    from auto_trade_data_pipeline_spark.operators.multimodal import png_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_roundtrip_stats(docs)

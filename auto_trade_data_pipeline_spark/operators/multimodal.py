@@ -187,3 +187,75 @@ def byte_histogram_features(docs: DataFrame) -> DataFrame:
             ).astype("int64")
 
     return attach_payload(docs).mapInPandas(kernel, schema=HIST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec path: pure-stdlib PNG encode -> decode -> features
+# ---------------------------------------------------------------------------
+
+PNG_W, PNG_H, PNG_C = 16, 16, 3
+
+PNG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "n_px int, px_sum bigint, px_min int, px_max int"
+)
+
+
+def render_png_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic rasterizer: each document becomes a 16x16 RGB
+    PNG whose pixel bytes are the text's code points repeated
+    (`pixel[i] = ord(text[i mod n]) % 256`, 0 for empty text) —
+    a recipe an SQL oracle can restate, so the ENTIRE codec round
+    trip (delta filter, zlib, header) is hash-checkable."""
+    from auto_trade_data_pipeline_spark.functions.png import encode_png
+
+    n_px = PNG_W * PNG_H * PNG_C
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            s = str(text) if text is not None else ""
+            if s:
+                px = bytes(ord(s[i % len(s)]) % 256 for i in range(n_px))
+            else:
+                px = bytes(n_px)
+            payloads.append(encode_png(px, PNG_W, PNG_H, PNG_C))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def png_decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode: parse IHDR, inflate IDAT, unfilter scanlines
+    (functions/png.py — pure stdlib, runs in this container), emit
+    per-image dimension + pixel-statistics features. Any codec bug
+    corrupts px_sum/min/max and fails the oracle."""
+    from auto_trade_data_pipeline_spark.functions.png import decode_png
+
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "width", "height", "channels",
+                                "n_px", "px_sum", "px_min", "px_max")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, c, px = decode_png(bytes(payload))
+            rows["doc_id"].append(int(doc_id))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["channels"].append(c)
+            rows["n_px"].append(len(px))
+            rows["px_sum"].append(int(sum(px)))
+            rows["px_min"].append(min(px) if px else 0)
+            rows["px_max"].append(max(px) if px else 0)
+        out = pd.DataFrame(rows)
+        for col, dt in (("doc_id", "int64"), ("width", "int32"), ("height", "int32"),
+                        ("channels", "int32"), ("n_px", "int32"), ("px_sum", "int64"),
+                        ("px_min", "int32"), ("px_max", "int32")):
+            out[col] = out[col].astype(dt)
+        yield out
+
+
+def png_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Two chained mapInPandas stages — rasterize (text -> PNG binary
+    payload), then decode (PNG -> features). The blob exists only
+    between the stages and never reaches a shuffle: the classic
+    extract-early-drop-blob layout, now with a REAL codec."""
+    payload = docs.select("doc_id", "text").mapInPandas(
+        render_png_payload, schema="doc_id bigint, payload binary"
+    )
+    return payload.mapInPandas(png_decode_stats, schema=PNG_STATS_SCHEMA)

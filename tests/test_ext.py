@@ -429,3 +429,102 @@ def test_pq_codebooks_deterministic_and_adc_recall_scales_with_refine(spark, sf_
     assert r1 <= r10 <= r_all
     assert r10 >= 0.3
     assert r_all == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (the real multimodal decode path)
+# ---------------------------------------------------------------------------
+
+
+def test_png_codec_roundtrip_all_channel_counts():
+    from auto_trade_data_pipeline_spark.functions.png import decode_png, encode_png
+
+    for ch in (1, 3, 4):
+        px = bytes((i * 31 + 7) % 256 for i in range(6 * 4 * ch))
+        w, h, c, out = decode_png(encode_png(px, 6, 4, ch))
+        assert (w, h, c) == (6, 4, ch)
+        assert out == px
+
+
+def test_png_decoder_handles_every_filter_type():
+    """Decode scanlines written with filters 0/2/3/4 (our encoder only
+    emits 1/Sub) — the decoder must be a real spec decoder, not just
+    our encoder's inverse."""
+    import struct
+    import zlib
+
+    from auto_trade_data_pipeline_spark.functions.png import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    w, h, ch = 3, 4, 3
+    rows_px = [bytes((y * 50 + x) % 256 for x in range(w * ch)) for y in range(h)]
+    # Reference-filter each row with a different filter type.
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y, ft in zip(range(h), (0, 2, 3, 4)):
+        row = rows_px[y]
+        raw.append(ft)
+        for i in range(w * ch):
+            left = row[i - ch] if i >= ch else 0
+            ul = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 2:
+                v = row[i] - prev[i]
+            elif ft == 3:
+                v = row[i] - (left + prev[i]) // 2
+            else:
+                v = row[i] - paeth(left, prev[i], ul)
+            raw.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    got = decode_png(png)
+    assert got[:3] == (w, h, ch)
+    assert got[3] == b"".join(rows_px)
+
+
+def test_png_decoder_rejects_garbage_loudly():
+    import pytest as _pytest
+
+    from auto_trade_data_pipeline_spark.functions.png import decode_png
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF not a png")
+    from auto_trade_data_pipeline_spark.functions.png import encode_png
+
+    good = encode_png(bytes(4), 2, 2, 1)
+    with _pytest.raises(ValueError):
+        decode_png(good[:20])  # truncated before IDAT
+
+
+def test_png_roundtrip_stats_matches_recipe(spark):
+    from auto_trade_data_pipeline_spark.operators.multimodal import png_roundtrip_stats
+
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3), (2, "", "en", "s", 0), (3, "Z", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.doc_id: r for r in png_roundtrip_stats(docs).collect()}
+    n_px = 16 * 16 * 3
+    # doc 1: bytes cycle ord('a'),ord('b'),ord('c')
+    cyc = [ord("abc"[i % 3]) for i in range(n_px)]
+    assert rows[1].px_sum == sum(cyc) and rows[1].px_min == 97 and rows[1].px_max == 99
+    # doc 2: empty text -> all-zero image
+    assert rows[2].px_sum == 0 and rows[2].px_max == 0
+    # doc 3: constant 'Z' image
+    assert rows[3].px_sum == 90 * n_px and rows[3].px_min == rows[3].px_max == 90
+    assert all((r.width, r.height, r.channels, r.n_px) == (16, 16, 3, n_px) for r in rows.values())
