@@ -104,6 +104,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "pattern_momentum_spike",
     "streaming_pattern_replay",
     "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -268,6 +269,7 @@ _ORDER = [
     "pattern_momentum_spike",
     "streaming_pattern_replay",
     "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

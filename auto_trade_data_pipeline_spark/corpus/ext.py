@@ -2351,3 +2351,40 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return png_roundtrip_stats(docs)
+
+
+_WAV_N = 1024
+
+_WAV_ROUNDTRIP_ORACLE = f"""
+WITH {_DOCS_CTE},
+smp AS (
+  SELECT d.doc_id,
+         CASE WHEN len(d.text) = 0 THEN 0
+              ELSE (ord(substr(d.text, CAST(u.i % len(d.text) AS INTEGER) + 1, 1)) % 256 - 128) * 256
+         END AS s
+  FROM docs d, unnest(range({_WAV_N})) AS u(i)
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(s) AS BIGINT) AS s_sum,
+       CAST(min(s) AS INTEGER) AS s_min,
+       CAST(max(s) AS INTEGER) AS s_max
+FROM smp GROUP BY doc_id
+"""
+
+
+@register("multimodal_wav_roundtrip", _WAV_ROUNDTRIP_ORACLE, tags=("EXT4",))
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec in-engine (the WAV sibling of
+    `multimodal_png_roundtrip`): each document is synthesized into a
+    1024-sample 16-bit PCM WAV by a pure-stdlib RIFF encoder and
+    decoded back by a real chunk-walking parser (functions/wav.py),
+    emitting rate/channels/sample statistics that the oracle restates
+    relationally from the synthesis recipe. Two chained mapInPandas
+    stages; the audio blob never reaches a shuffle."""
+    from auto_trade_data_pipeline_spark.operators.multimodal import wav_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_roundtrip_stats(docs)

@@ -259,3 +259,71 @@ def png_roundtrip_stats(docs: DataFrame) -> DataFrame:
         render_png_payload, schema="doc_id bigint, payload binary"
     )
     return payload.mapInPandas(png_decode_stats, schema=PNG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec path: pure-stdlib WAV (RIFF/PCM) encode -> decode
+# ---------------------------------------------------------------------------
+
+WAV_N_SAMPLES, WAV_RATE = 1024, 8000
+
+WAV_STATS_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, n_samples int, "
+    "s_sum bigint, s_min int, s_max int"
+)
+
+
+def render_wav_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic synthesizer: each document becomes a 1024-sample
+    mono 16-bit PCM WAV (`sample[i] = (ord(text[i mod n]) % 256 - 128)
+    * 256`, 0 for empty text) — SQL-restatable, so the container
+    round trip is hash-checkable."""
+    from auto_trade_data_pipeline_spark.functions.wav import encode_wav
+
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            s = str(text) if text is not None else ""
+            if s:
+                samples = [
+                    (ord(s[i % len(s)]) % 256 - 128) * 256 for i in range(WAV_N_SAMPLES)
+                ]
+            else:
+                samples = [0] * WAV_N_SAMPLES
+            payloads.append(encode_wav(samples, WAV_RATE, 1))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def wav_decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode: parse the RIFF chunks, recover the PCM samples
+    (functions/wav.py), emit per-clip sample statistics."""
+    from auto_trade_data_pipeline_spark.functions.wav import decode_wav
+
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "sample_rate", "channels", "n_samples",
+                                "s_sum", "s_min", "s_max")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, ch, samples = decode_wav(bytes(payload))
+            rows["doc_id"].append(int(doc_id))
+            rows["sample_rate"].append(rate)
+            rows["channels"].append(ch)
+            rows["n_samples"].append(len(samples))
+            rows["s_sum"].append(int(sum(samples)))
+            rows["s_min"].append(min(samples) if samples else 0)
+            rows["s_max"].append(max(samples) if samples else 0)
+        out = pd.DataFrame(rows)
+        for col, dt in (("doc_id", "int64"), ("sample_rate", "int32"), ("channels", "int32"),
+                        ("n_samples", "int32"), ("s_sum", "int64"), ("s_min", "int32"),
+                        ("s_max", "int32")):
+            out[col] = out[col].astype(dt)
+        yield out
+
+
+def wav_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize (text -> WAV binary) then decode (WAV -> features),
+    two chained Arrow-batched stages; the blob never reaches a
+    shuffle."""
+    payload = docs.select("doc_id", "text").mapInPandas(
+        render_wav_payload, schema="doc_id bigint, payload binary"
+    )
+    return payload.mapInPandas(wav_decode_stats, schema=WAV_STATS_SCHEMA)

@@ -528,3 +528,37 @@ def test_png_roundtrip_stats_matches_recipe(spark):
     # doc 3: constant 'Z' image
     assert rows[3].px_sum == 90 * n_px and rows[3].px_min == rows[3].px_max == 90
     assert all((r.width, r.height, r.channels, r.n_px) == (16, 16, 3, n_px) for r in rows.values())
+
+
+def test_wav_codec_roundtrip_and_rejection():
+    import pytest as _pytest
+
+    from auto_trade_data_pipeline_spark.functions.wav import decode_wav, encode_wav
+
+    samples = [(i * 773) % 65536 - 32768 for i in range(256)]
+    rate, ch, out = decode_wav(encode_wav(samples, 44100, 2))
+    assert (rate, ch) == (44100, 2)
+    assert out == samples
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS definitely not a wav")
+    good = encode_wav([0, 1, 2, 3], 8000, 1)
+    with _pytest.raises(ValueError):
+        decode_wav(good[: len(good) - 3])  # truncated data chunk
+
+
+def test_wav_roundtrip_stats_matches_recipe(spark):
+    from auto_trade_data_pipeline_spark.operators.multimodal import wav_roundtrip_stats
+
+    docs = spark.createDataFrame(
+        [(1, "ab", "en", "s", 2), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.doc_id: r for r in wav_roundtrip_stats(docs).collect()}
+    n = 1024
+    vals = [(ord("ab"[i % 2]) - 128) * 256 for i in range(n)]
+    assert rows[1].s_sum == sum(vals)
+    assert rows[1].s_min == min(vals) and rows[1].s_max == max(vals)
+    assert rows[2].s_sum == rows[2].s_min == rows[2].s_max == 0
+    assert all(
+        (r.sample_rate, r.channels, r.n_samples) == (8000, 1, n) for r in rows.values()
+    )
