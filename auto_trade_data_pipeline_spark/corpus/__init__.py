@@ -105,6 +105,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_pattern_replay",
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
+    "graph_triangles",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -270,6 +271,7 @@ _ORDER = [
     "streaming_pattern_replay",
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
+    "graph_triangles",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -2388,3 +2388,59 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wav_roundtrip_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = f"""
+WITH {_minhash_ctes()},
+tg_e AS MATERIALIZED (
+  SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM njpairs WHERE id_a <> id_b
+  GROUP BY 1, 2
+),
+tg_tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM tg_e e1 JOIN tg_e e2 ON e2.u = e1.v
+  WHERE EXISTS (SELECT 1 FROM tg_e e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+),
+tg_pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tg_tri
+    UNION ALL SELECT b FROM tg_tri
+    UNION ALL SELECT c FROM tg_tri
+  ) GROUP BY node
+),
+tg_deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM tg_e UNION ALL SELECT v FROM tg_e
+  ) GROUP BY node
+)
+SELECT d.node AS doc_id, d.degree,
+       CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN (2 * coalesce(p.n_triangles, 0) * 1000000) // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_ppm
+FROM tg_deg d LEFT JOIN tg_pn p ON p.node = d.node
+"""
+
+
+@register("graph_triangles", _TRIANGLES_ORACLE, tags=("EXT1",))
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + clustering coefficient per node of the
+    MinHash near-dup graph (operators/graph.py:triangle_counts) —
+    distinguishes tight duplicate cliques (clustering 1.0: keep one
+    canonical doc) from loose similarity chains (clustering 0:
+    A~B~C but A!~C — transitive-closure dedup would over-delete).
+    Edge-iterator algorithm: one wedge join + one closing semi join
+    on canonically oriented edges; the coefficient is integer
+    floor-division ppm, exact cross-engine."""
+    from auto_trade_data_pipeline_spark.operators.graph import triangle_counts
+
+    pairs = dedup_near_minhash_lsh(spark, sf_dir)
+    out = triangle_counts(pairs)
+    return out.select(
+        F.col("node").alias("doc_id"), "degree", "n_triangles", "clustering_ppm"
+    )

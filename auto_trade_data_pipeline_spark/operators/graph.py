@@ -28,6 +28,7 @@ __all__ = [
     "connected_components_star",
     "component_sizes",
     "pagerank",
+    "triangle_counts",
 ]
 
 
@@ -292,3 +293,62 @@ def component_sizes(labels: DataFrame) -> DataFrame:
     policy consumes. One window count over the component key."""
     w = Window.partitionBy("component")
     return labels.withColumn("group_size", F.count(F.lit(1)).over(w))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts + clustering coefficient over an
+    undirected graph — the cohesion signal that separates tight
+    duplicate CLIQUES (every pair similar: one canonical survivor)
+    from loose similarity CHAINS (A~B~C but A!~C: review, don't
+    drop). Returns (node, degree, n_triangles, clustering_ppm) for
+    every node with degree >= 1, where clustering_ppm =
+    (2 * triangles * 1e6) div (degree * (degree - 1)) — integer
+    floor-division, so exact cross-engine.
+
+    Execution: the standard edge-iterator algorithm on canonically
+    oriented edges (u < v): wedge join (a,b)x(b,c) then a semi join
+    against the edge list to close (a,c) — two shuffle joins total,
+    never an all-pairs product. At 100 TB scale the classic
+    refinement is degree-ordering (orient edges toward the
+    higher-degree endpoint) to bound wedge fan-out on hubs; near-dup
+    graphs are clique-ish and small-degree, so the canonical
+    orientation suffices here.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = ab.join(bc, "b").select("a", "b", "c")
+    tri = wedges.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"], "left_semi"
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.withColumn("clustering_ppm", cc)

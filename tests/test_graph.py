@@ -180,3 +180,33 @@ def test_pagerank_matches_float_reference(spark):
         rank = new
     for i in range(5):
         assert abs(out[i][1] / 1e12 - rank[i]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_triangles_clique_vs_chain(spark):
+    from auto_trade_data_pipeline_spark.operators.graph import triangle_counts
+
+    # K4 clique on {1,2,3,4}: each node in C(3,2)=3 triangles, cc=1.
+    # Chain 10-11-12: zero triangles, middle node cc=0.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    out = {
+        r.node: (r.degree, r.n_triangles, r.clustering_ppm)
+        for r in triangle_counts(_edges(spark, k4 + [(10, 11), (11, 12)])).collect()
+    }
+    for n in range(1, 5):
+        assert out[n] == (3, 3, 1_000_000)
+    assert out[11] == (2, 0, 0)
+    assert out[10] == (1, 0, 0)
+
+
+def test_triangles_direction_and_duplicates_irrelevant(spark):
+    from auto_trade_data_pipeline_spark.operators.graph import triangle_counts
+
+    a = triangle_counts(_edges(spark, [(1, 2), (2, 3), (3, 1)]))
+    b = triangle_counts(_edges(spark, [(2, 1), (3, 2), (1, 3), (1, 3)]))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert {r.n_triangles for r in a.collect()} == {1}

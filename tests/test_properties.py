@@ -362,6 +362,7 @@ _INVARIANCE_QUERIES = [
     "tick_rule_flow",
     "robust_price_stats",
     "pattern_momentum_spike",
+    "graph_triangles",
 ]
 
 
