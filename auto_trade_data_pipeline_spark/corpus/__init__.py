@@ -106,6 +106,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
     "graph_triangles",
+    "classifier_eval_slices",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -272,6 +273,7 @@ _ORDER = [
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
     "graph_triangles",
+    "classifier_eval_slices",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -925,3 +925,70 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.expr("(n_chars * 1000000) div n_subtokens").alias("chars_per_subtoken_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliced model evaluation (per-source confusion matrix off the GD model)
+# ---------------------------------------------------------------------------
+
+
+def _cls_eval_oracle() -> str:
+    body = ",\n".join(
+        [
+            _cls_train_ctes(),
+            f"""cls_zf AS (
+  SELECT f.doc_id,
+         CAST(sum(CAST(round(f.val * w.w * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS z
+  FROM cls_feat f JOIN cls_w{CLS_ITERS} w USING (bucket) GROUP BY f.doc_id
+)""",
+        ]
+    )
+    zc = "coalesce(z.z, 0.0)"
+    score = f"round(0.5 + ({zc} / 2) / (1 + abs({zc})), 6)"
+    return f"""
+WITH {_DOCS_CTE},
+{body},
+pred AS (
+  SELECT d.source,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN {score} >= 0.5 THEN 1 ELSE 0 END AS p
+  FROM docs d LEFT JOIN cls_zf z USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST((sum(CASE WHEN y = p THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+         AS accuracy_ppm
+FROM pred GROUP BY source
+"""
+
+
+@register("classifier_eval_slices", _cls_eval_oracle(), tags=("EXT3",))
+def classifier_eval_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced model evaluation — the per-cohort quality gate an MLOps
+    pipeline runs before trusting a filter model on every data
+    source: train the same in-engine GD classifier, score every
+    document, and report the confusion matrix (tp/fp/fn/tn) and
+    integer-ppm accuracy PER SOURCE. A model that looks fine globally
+    but fails on one source shows up as a bad slice row. The oracle
+    re-runs the training loop AND the slicing, so the whole
+    train -> predict -> evaluate chain is hash-checked. One grouped
+    aggregate over the scored table; slices are dimension-sized."""
+    scored = quality_classifier_gd(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    y, p = F.col("label_en"), F.col("predicted")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((y == 1) & (p == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((y == 0) & (p == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((y == 1) & (p == 0), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((y == 0) & (p == 0), 1).otherwise(0)).alias("tn"),
+        F.expr(
+            "(sum(CASE WHEN label_en = predicted THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*)"
+        ).alias("accuracy_ppm"),
+    )
