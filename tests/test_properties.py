@@ -363,6 +363,8 @@ _INVARIANCE_QUERIES = [
     "robust_price_stats",
     "pattern_momentum_spike",
     "graph_triangles",
+    "classifier_eval_slices",
+    "multimodal_png_roundtrip",
 ]
 
 
