@@ -119,3 +119,53 @@ def test_streaming_pattern_single_batch_matches_too(spark, tmp_path):
         for r in spark.table(name).collect()
     )
     assert got == _batch_expected(spark, spark.createDataFrame(rows, SCHEMA))
+
+
+def test_streaming_pattern_restart_carries_state(spark, tmp_path):
+    """TRUE restart: two separate availableNow runs share one
+    checkpoint — the second run must resume the keyed state (tail
+    buffer + watermark) written by the first, so matches whose
+    confirmation arrives after the restart still emit exactly once."""
+    rows = _ticks()
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    first = [r for r in rows if (r[4] % 100) < 20]
+    second = [r for r in rows if (r[4] % 100) >= 20]
+
+    def run():
+        # foreachBatch parquet sink: unlike the memory sink, it
+        # supports restarting from an existing checkpoint.
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            streaming_pattern_matches(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [
+            (r.symbol, r.tick_id, r.price, r.volume_confirmed)
+            for r in spark.read.parquet(out_dir).collect()
+        ]
+
+    spark.createDataFrame(first, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    out1 = run()
+
+    spark.createDataFrame(second, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    all_out = run()
+    out2 = [t for t in all_out if t not in out1 or all_out.count(t) > out1.count(t)]
+
+    got = sorted(all_out)
+    expected = _batch_expected(spark, spark.createDataFrame(rows, SCHEMA))
+    assert got == expected
+    # The restart genuinely mattered: some matches finalize only in
+    # run 2, and no match is emitted twice.
+    assert out1 and out2
+    assert len(got) == len(set(got))
