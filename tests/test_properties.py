@@ -472,3 +472,98 @@ def test_duplicated_spans_match_bruteforce(docs, k):
             want[i] = merged
     got = {i: sorted(v) for i, v in got.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-4 third-push operators vs brute-force references
+# ---------------------------------------------------------------------------
+
+
+@given(rows=ticks_strategy)
+@_settings
+def test_tick_rule_matches_bruteforce(rows):
+    """Lee-Ready tick-rule classification vs a sequential Python
+    reference: per-minute buy/sell/neutral volumes must agree for any
+    tick batch (duplicate instants, zero-change runs, single ticks)."""
+    from auto_trade_data_pipeline_spark.corpus.trade import tick_rule_flow  # noqa: F401
+    from pyspark.sql.window import Window
+
+    ticks = _df(rows)
+    # Spark side: same construction as the corpus query, over this df.
+    wo = Window.partitionBy("symbol").orderBy("timestamp", "tick_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dp = F.col("price") - F.lag("price").over(wo)
+    side = F.last(
+        F.when(F.col("dp") > 0, 1).when(F.col("dp") < 0, -1), ignorenulls=True
+    ).over(wrun)
+    got = {
+        (r.symbol, str(r.bucket)): (r.b, r.s, r.n)
+        for r in ticks.select("*", dp.alias("dp"))
+        .select("symbol", "timestamp", "volume", side.alias("side"))
+        .groupBy("symbol", F.date_trunc("minute", "timestamp").alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col("side") == 1, F.col("volume")).otherwise(0.0)).alias("b"),
+            F.sum(F.when(F.col("side") == -1, F.col("volume")).otherwise(0.0)).alias("s"),
+            F.sum(F.when(F.col("side").isNull(), F.col("volume")).otherwise(0.0)).alias("n"),
+        )
+        .collect()
+    }
+    # Reference: sequential carry per symbol.
+    ref: dict = {}
+    by_sym: dict = {}
+    for i, (s, sec, us, p, v) in enumerate(rows):
+        from datetime import timedelta as _td
+
+        by_sym.setdefault(s, []).append((BASE + _td(seconds=sec, microseconds=us), i, float(p), float(v)))
+    for s, ts in by_sym.items():
+        ts.sort()
+        carry = None
+        prev_price = None
+        for t, _i, p, v in ts:
+            if prev_price is not None and p != prev_price:
+                carry = 1 if p > prev_price else -1
+            prev_price = p
+            key = (s, str(t.replace(second=0, microsecond=0)))
+            b, sl, n = ref.get(key, (0.0, 0.0, 0.0))
+            if carry == 1:
+                b += v
+            elif carry == -1:
+                sl += v
+            else:
+                n += v
+            ref[key] = (b, sl, n)
+    assert set(got) == set(ref)
+    for k in got:
+        assert got[k] == pytest.approx(ref[k])
+
+
+@given(rows=ticks_strategy)
+@_settings
+def test_interpolation_matches_pandas(rows):
+    """interpolate_candles vs pandas Series.interpolate on the dense
+    per-day grid: linear between real closes, carried at the edges."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.operators.candles import (
+        aggregate_candles,
+        interpolate_candles,
+    )
+
+    c1m = aggregate_candles(_df(rows), 60)
+    dense = interpolate_candles(c1m, seconds=60).collect()
+    reals = {
+        (r.symbol, r.timestamp): r.close for r in c1m.collect()
+    }
+    by_sym: dict = {}
+    for r in dense:
+        by_sym.setdefault(r.symbol, []).append(r)
+    for sym, rs in by_sym.items():
+        rs.sort(key=lambda r: r.timestamp)
+        ser = pd.Series(
+            [reals.get((sym, r.timestamp)) for r in rs],
+            index=pd.to_datetime([r.timestamp for r in rs]),
+            dtype="float64",
+        )
+        expect = ser.interpolate(method="linear", limit_direction="both")
+        for r, e in zip(rs, expect):
+            assert r.close_interp == pytest.approx(e, abs=1e-9)
