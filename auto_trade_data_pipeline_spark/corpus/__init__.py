@@ -107,6 +107,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "multimodal_wav_roundtrip",
     "graph_triangles",
     "classifier_eval_slices",
+    "classifier_calibration",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -274,6 +275,7 @@ _ORDER = [
     "multimodal_wav_roundtrip",
     "graph_triangles",
     "classifier_eval_slices",
+    "classifier_calibration",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -992,3 +992,70 @@ def classifier_eval_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*)"
         ).alias("accuracy_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration report (reliability bins off the GD model)
+# ---------------------------------------------------------------------------
+
+
+def _cls_calibration_oracle() -> str:
+    body = ",\n".join(
+        [
+            _cls_train_ctes(),
+            f"""cls_zf AS (
+  SELECT f.doc_id,
+         CAST(sum(CAST(round(f.val * w.w * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS z
+  FROM cls_feat f JOIN cls_w{CLS_ITERS} w USING (bucket) GROUP BY f.doc_id
+)""",
+        ]
+    )
+    zc = "coalesce(z.z, 0.0)"
+    score_e6 = f"CAST(round((0.5 + ({zc} / 2) / (1 + abs({zc}))) * 1000000) AS BIGINT)"
+    return f"""
+WITH {_DOCS_CTE},
+{body},
+sc AS (
+  SELECT {score_e6} // 1000 AS bin,
+         {score_e6} AS s_e6,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM docs d LEFT JOIN cls_zf z USING (doc_id)
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_score_e6,
+       CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS observed_rate_e6,
+       CAST(abs(sum(s_e6) // count(*) - (sum(y) * 1000000) // count(*)) AS BIGINT)
+         AS gap_e6
+FROM sc GROUP BY bin
+"""
+
+
+@register("classifier_calibration", _cls_calibration_oracle(), tags=("EXT3",))
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability report for the in-engine classifier:
+    scores bucketed into 0.001-wide bins (fine enough to resolve this
+    model's tight score range), each with its mean predicted score
+    and observed positive rate (both integer-e6) and the calibration
+    gap — the does-0.8-mean-80% check run before using scores as
+    sampling weights or thresholds. Every quantity is integer
+    arithmetic off the deterministic score, so the full
+    train -> score -> bin -> compare chain is hash-checked. One
+    grouped aggregate; bins are dimension-sized."""
+    scored = quality_classifier_gd(spark, sf_dir)
+    s_e6 = F.round(F.col("score") * 1000000, 0).cast("long")
+    sc = scored.select(
+        F.expr("cast(round(score * 1000000, 0) as bigint) div 1000")
+        .cast("long")
+        .alias("bin"),
+        s_e6.alias("s_e6"),
+        F.col("label_en").cast("long").alias("y"),
+    )
+    return sc.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(s_e6) div count(*)").alias("mean_score_e6"),
+        F.expr("(sum(y) * 1000000) div count(*)").alias("observed_rate_e6"),
+        F.expr(
+            "abs(sum(s_e6) div count(*) - (sum(y) * 1000000) div count(*))"
+        ).alias("gap_e6"),
+    )
