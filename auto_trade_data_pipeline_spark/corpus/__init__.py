@@ -123,8 +123,12 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
 #: dedup, DSIR, SemDeDup, temperature mix, outer stream join,
 #: composed pipeline, incremental dedup x2, ANN recall, drift
 #: monitor, streaming inference, IVF-PQ, BM25, source cap) are
-#: declared round-5 deferrals; every query in the corpus is oracled
-#: except the intentionally-approximate indicators_chunked_pack.
+#: declared round-5 deferrals, as are the third-push additions
+#: (PageRank, triangles, BPE train/encode, CMS batch+streaming, CEP
+#: batch+streaming, tick rule, robust stats, interpolation, PNG/WAV
+#: round trips, sliced eval, calibration); every query in the corpus
+#: is oracled except the intentionally-approximate
+#: indicators_chunked_pack.
 #: tests/test_rotation.py enforces that no oracled query can
 #: silently stagnate outside the window.
 _ORDER = [
