@@ -108,6 +108,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "graph_triangles",
     "classifier_eval_slices",
     "classifier_calibration",
+    "fuzzy_match_customers",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -280,6 +281,7 @@ _ORDER = [
     "graph_triangles",
     "classifier_eval_slices",
     "classifier_calibration",
+    "fuzzy_match_customers",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

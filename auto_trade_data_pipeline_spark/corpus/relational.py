@@ -891,3 +891,58 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("diff_type"),
         F.coalesce(F.col("a.k"), F.col("b.k")).alias("o_orderkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage (blocked Levenshtein entity resolution)
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH b AS (
+  SELECT c_nationkey AS blk, c_custkey, c_name, c_mktsegment FROM customer
+)
+SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+       CAST(levenshtein(x.c_name, y.c_name) AS INTEGER) AS dist,
+       CAST(CASE WHEN x.c_mktsegment = y.c_mktsegment THEN 1 ELSE 0 END AS INTEGER)
+         AS same_segment
+FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+WHERE levenshtein(x.c_name, y.c_name) <= 2
+"""
+
+
+@register("fuzzy_match_customers", _FUZZY_ORACLE, tags=("J6", "EXT1"))
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (MDM-style entity resolution on
+    STRUCTURED records — the sibling of the document near-dup family):
+    candidate pairs come from an equi-join on a blocking key (nation),
+    then an exact edit-distance verify (`levenshtein <= 2`, identical
+    semantics in Spark and DuckDB) keeps probable same-entity pairs,
+    annotated with a corroborating-attribute agreement flag. The
+    block join is an equi shuffle — never an all-pairs product; at
+    skewed block sizes the standard mitigations are finer compound
+    blocking keys (multi-pass) or the pair-work cap pattern of
+    `operators/skew.py:split_oversized_blocks` (with the documented
+    loss of cross-sub-block pairs per pass)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("blk"), "c_custkey", "c_name", "c_mktsegment"
+    )
+    a = c.select(
+        "blk",
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    b = c.select(
+        "blk",
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.filter(dist <= 2).select(
+        "id_a",
+        "id_b",
+        dist.cast("int").alias("dist"),
+        F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0).cast("int").alias("same_segment"),
+    )
