@@ -109,6 +109,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "classifier_eval_slices",
     "classifier_calibration",
     "fuzzy_match_customers",
+    "equidepth_price_histogram",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -282,6 +283,7 @@ _ORDER = [
     "classifier_eval_slices",
     "classifier_calibration",
     "fuzzy_match_customers",
+    "equidepth_price_histogram",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1019,3 +1019,45 @@ def pattern_momentum_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("price", 4).alias("price"),
         F.col("spike_near").cast("int").alias("volume_confirmed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (quantile binning via partitioned ntile)
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = f"""
+WITH {TICKS_CTE},
+t AS (
+  SELECT symbol, price,
+         ntile(10) OVER (PARTITION BY symbol ORDER BY price, tick_id) AS bucket
+  FROM ticks
+)
+SELECT symbol, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(min(price) * 10000) AS BIGINT) AS lo_e4,
+       CAST(round(max(price) * 10000) AS BIGINT) AS hi_e4
+FROM t GROUP BY symbol, bucket
+"""
+
+
+@register("equidepth_price_histogram", _EQUIDEPTH_ORACLE, tags=("A-quantile", "W-"))
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile binning) per symbol — the
+    sibling of the equal-width `price_histogram`: ntile(10) over the
+    (price, tick_id)-ordered partition assigns near-equal-count
+    buckets (SQL-standard earlier-buckets-larger tie rule, identical
+    in both engines), then one grouped aggregate emits each bucket's
+    count and value range. The window is PARTITIONED by symbol — no
+    SinglePartition global sort; a global equi-depth layout at scale
+    would use the zipWithIndex recipe (`operators/ranking.py`)
+    instead. Bounds integer-scaled e4."""
+    from pyspark.sql.window import Window
+
+    ticks = ticks_from_events(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("price", "tick_id")
+    t = ticks.select("symbol", "price", F.ntile(10).over(w).alias("bucket"))
+    return t.groupBy("symbol", F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("price") * 10000, 0).cast("long").alias("lo_e4"),
+        F.round(F.max("price") * 10000, 0).cast("long").alias("hi_e4"),
+    )
