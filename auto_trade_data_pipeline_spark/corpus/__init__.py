@@ -110,6 +110,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "classifier_calibration",
     "fuzzy_match_customers",
     "equidepth_price_histogram",
+    "incremental_candle_refresh",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -284,6 +285,7 @@ _ORDER = [
     "classifier_calibration",
     "fuzzy_match_customers",
     "equidepth_price_histogram",
+    "incremental_candle_refresh",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1061,3 +1061,79 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("price") * 10000, 0).cast("long").alias("lo_e4"),
         F.round(F.max("price") * 10000, 0).cast("long").alias("hi_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (candle refresh)
+# ---------------------------------------------------------------------------
+
+_INCR_SPLIT_TS = "2024-01-06"
+
+_INCR_REFRESH_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, volume, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+)
+SELECT symbol,
+       strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       max(CASE WHEN ra = 1 THEN price END) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       max(CASE WHEN rd = 1 THEN price END) AS close,
+       round(sum(volume), 4) AS volume,
+       count(*) AS number_of_trades
+FROM cb GROUP BY symbol, bucket
+"""
+
+
+@register("incremental_candle_refresh", _INCR_REFRESH_ORACLE, tags=("A1", "S7"))
+def incremental_candle_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the candle table is
+    refreshed by aggregating ONLY the delta (ticks at or after the
+    split instant) and upserting those buckets over the stored
+    snapshot (aggregated once from the history) — the
+    hypertable/continuous-aggregate refresh loop. The oracle is the
+    FULL recompute over all ticks, so the query proves
+    incremental == full: bucket keys at minute grain never straddle
+    the day-boundary split, and the upsert keyed (symbol, bucket)
+    replaces exactly the delta's buckets. At 100 TB the delta is one
+    partition's scan + a keyed merge, never a history rescan."""
+    from auto_trade_data_pipeline_spark.operators.dedup import upsert
+
+    ticks = ticks_from_events(spark, sf_dir)
+    split = F.lit(_INCR_SPLIT_TS).cast("timestamp")
+
+    def minute_candles(t: DataFrame) -> DataFrame:
+        c = aggregate_candles(t, 60)
+        return c.select(
+            "symbol",
+            F.col("timestamp").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "number_of_trades",
+        )
+
+    stored = minute_candles(ticks.filter(F.col("timestamp") < split))
+    delta = minute_candles(ticks.filter(F.col("timestamp") >= split))
+    # Keyed upsert: delta buckets replace stored buckets (none overlap
+    # at a day-boundary split, but the merge is correct either way
+    # because the delta recomputes its full buckets from raw ticks).
+    refreshed = upsert(stored, delta, ["symbol", "bucket"], ["bucket"])
+    return refreshed.select(
+        "symbol",
+        _fmt("bucket").alias("bucket_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("volume"),
+        "number_of_trades",
+    )
