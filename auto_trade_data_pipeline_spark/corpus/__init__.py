@@ -15,6 +15,24 @@ Oracle-parity conventions (applied on BOTH sides so hashes match):
   relative; 1e-4 absolute rounding absorbs it — SURVEY §7 hard-part 6);
 - deterministic total orderings everywhere a window or first/last is
   involved (unique id tiebreakers).
+
+Cross-engine determinism traps found by differential testing (work
+around them; don't rediscover them):
+- ``round(x, n)``: DuckDB multiplies-then-rounds while Spark rounds
+  the decimal expansion — they disagree when x * 10^n lands exactly
+  on .5 after the double multiply. Fix: do the multiply explicitly on
+  BOTH sides and emit an integer-scaled column
+  (``CAST(round(x * 10000) AS BIGINT)``).
+- integer division: Spark's ``div`` truncates toward zero, DuckDB's
+  ``//`` floors — they agree only on non-negative operands. Fix: keep
+  the numerator positive and apply the sign separately.
+- DuckDB ``sum(BIGINT)`` returns HUGEINT, which a pandas fetch
+  renders as float ('3.0' vs '3'). Fix: CAST back to BIGINT in the
+  oracle (enforced by verify_local's dtype-drift gate).
+- chained-iteration oracles (GD, PageRank, BPE): mark every CTE that
+  is referenced more than once ``MATERIALIZED`` — inlined, DuckDB
+  re-expands the whole upstream per reference and the oracle goes
+  exponential in the iteration count.
 """
 
 from __future__ import annotations

@@ -61,13 +61,14 @@ def main() -> int:
     # query's passes), so query N+1 never pays query N's
     # executor-memory pressure and timings match single-query
     # isolation.
-    # Three passes, min: pass 1 additionally pays whole-stage-codegen
+    # Four passes, min: pass 1 additionally pays whole-stage-codegen
     # JIT compilation, which for the codegen-heavy LSH shapes can be
-    # 5-10x the steady state — with only two cold-ish passes the min
-    # still carried multi-second JIT noise run to run.
+    # 5-10x the steady state, and the JIT tail can still bleed into
+    # pass 2-3 (observed: rolling_window_features 7.3 / 3.0 / 2.4 /
+    # 2.2 s — min-of-3 overstates steady state by ~10%).
     timings: dict[str, float] = {}
     for name in names:
-        for _pass in range(3):
+        for _pass in range(4):
             t0 = time.perf_counter()
             try:
                 df = registry[name].fn(spark, sf_dir)
