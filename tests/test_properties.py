@@ -365,6 +365,9 @@ _INVARIANCE_QUERIES = [
     "graph_triangles",
     "classifier_eval_slices",
     "multimodal_png_roundtrip",
+    "fuzzy_match_customers",
+    "equidepth_price_histogram",
+    "incremental_candle_refresh",
 ]
 
 
