@@ -138,6 +138,14 @@ def bpe_train(
             .select("word", "wcount", s.alias("seq"))
             .localCheckpoint(eager=True)
         )
+    if not merges:
+        # Degenerate corpus (empty, or single-char words only):
+        # nothing to learn — empty merge table, identity segmentation.
+        spark = words.sparkSession
+        empty = spark.createDataFrame(
+            [], "merge_idx int, left string, right string, pair_count long"
+        )
+        return empty, seqs
     merged = merges[0]
     for m in merges[1:]:
         merged = merged.unionByName(m)

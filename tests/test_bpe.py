@@ -86,3 +86,9 @@ def test_word_histogram_counts_occurrences(spark):
     )
     hist = {r.word: r.wcount for r in word_histogram(docs).collect()}
     assert hist == {"the": 3, "cat": 2, "hat": 1}
+
+
+def test_bpe_degenerate_corpus_yields_empty_merges(spark):
+    merges, seg = bpe_train(_hist(spark, [("a", 5), ("b", 2)]), iters=3)
+    assert merges.count() == 0
+    assert {r.word: r.seq.strip() for r in seg.collect()} == {"a": "a", "b": "b"}
