@@ -220,3 +220,68 @@ def test_streaming_cms_multibatch_equals_batch(spark, tmp_path):
         (r.r, r.bucket): r.c for r in cms_sketch(both, "tok", depth=3, width=64).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_cms_restart_carries_state(spark, tmp_path):
+    """TRUE restart for the CMS state: two availableNow runs share one
+    checkpoint through a foreachBatch parquet sink; the second run
+    resumes the counter cells, so the final state equals the batch
+    sketch of everything."""
+    from auto_trade_data_pipeline_spark.operators.sketch import (
+        cms_bucket_array,
+        cms_sketch,
+    )
+    from auto_trade_data_pipeline_spark.streaming.sketch import streaming_cms_sketch
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    part1 = ["alpha"] * 6 + ["beta"] * 2
+    part2 = ["alpha"] * 3 + ["gamma"] * 5
+
+    def run():
+        stream = spark.readStream.schema("tok string").parquet(src)
+        pairs = stream.select(
+            F.explode(cms_bucket_array("tok", 3, 64)).alias("rb")
+        ).select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            streaming_cms_sketch(pairs)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(w,) for w in part1], "tok string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    spark.createDataFrame([(w,) for w in part2], "tok string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    from pyspark.sql.window import Window as W
+
+    out = spark.read.parquet(out_dir)
+    latest = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("r", "bucket").orderBy(F.col("updates").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    streamed = {(r.r, r.bucket): r.c for r in latest.collect()}
+    both = spark.createDataFrame([(w,) for w in part1 + part2], "tok string")
+    batch = {
+        (r.r, r.bucket): r.c for r in cms_sketch(both, "tok", depth=3, width=64).collect()
+    }
+    assert streamed == batch
