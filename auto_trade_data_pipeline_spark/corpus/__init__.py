@@ -33,6 +33,12 @@ around them; don't rediscover them):
   is referenced more than once ``MATERIALIZED`` — inlined, DuckDB
   re-expands the whole upstream per reference and the oracle goes
   exponential in the iteration count.
+- ``FLOAT * INTEGER`` stays FLOAT in DuckDB (Spark promotes to
+  double), so scaling a raw float column loses bits relative to the
+  Spark side — CAST the float to DOUBLE before any arithmetic in the
+  oracle. (Found at 1e-8 in the k-means centroids: invisible under
+  round-4 outputs, surfaced the moment a query emitted integer-e6
+  distances.)
 """
 
 from __future__ import annotations
@@ -129,6 +135,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "fuzzy_match_customers",
     "equidepth_price_histogram",
     "incremental_candle_refresh",
+    "kmeans_quality_report",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -304,6 +311,7 @@ _ORDER = [
     "fuzzy_match_customers",
     "equidepth_price_histogram",
     "incremental_candle_refresh",
+    "kmeans_quality_report",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -805,7 +805,8 @@ def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
   SELECT cell, list(mean ORDER BY pos) AS centroid FROM (
     SELECT cell, pos,
            (CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) / count(*) AS mean
-    FROM (SELECT cell, i AS pos, embedding[i] AS v FROM {assigned}, range(1, 65) t(i))
+    FROM (SELECT cell, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+          FROM {assigned}, range(1, 65) t(i))
     GROUP BY cell, pos
   ) GROUP BY cell
 )"""
@@ -2443,4 +2444,59 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = triangle_counts(pairs)
     return out.select(
         F.col("node").alias("doc_id"), "degree", "n_triangles", "clustering_ppm"
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means cluster quality report (index health monitoring)
+# ---------------------------------------------------------------------------
+
+_KMQ_ORACLE = f"""
+WITH {_kmeans_ctes()},
+kmq AS (
+  SELECT a.cell,
+         CAST(round((1 - {_cos('a.embedding', 'c.centroid')}) * 1000000) AS BIGINT) AS d_e6
+  FROM afin a JOIN c{KMEANS_ITERS} c ON c.cell = a.cell
+),
+kmn AS (SELECT CAST(count(*) AS BIGINT) AS total FROM afin)
+SELECT cell,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((count(*) * 1000000) // (SELECT total FROM kmn) AS BIGINT) AS share_ppm,
+       CAST(sum(d_e6) AS BIGINT) AS inertia_e6,
+       CAST(max(d_e6) AS BIGINT) AS max_dist_e6
+FROM kmq GROUP BY cell
+"""
+
+
+@register("kmeans_quality_report", _KMQ_ORACLE, tags=("EXT2",))
+def kmeans_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index health monitoring for the trained quantizer that serves
+    IVF search AND SemDeDup: per cell, the member count, corpus share
+    (ppm), cosine-distance inertia, and the worst member distance —
+    the report that tells an index operator when cells have gone
+    lopsided (retrain) or loose (raise nprobe). Distances are
+    round-6 cosine complements integer-scaled e6, so the whole
+    train -> assign -> measure chain is hash-checked; the oracle
+    retrains the same k-means in SQL. One broadcast join + one
+    grouped aggregate over the assigned corpus."""
+    from auto_trade_data_pipeline_spark.operators.vectors import cosine, kmeans_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = VX.kmeans_cells(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    j = assigned.join(
+        F.broadcast(cents.withColumnRenamed("centroid", "__c")), "cell"
+    )
+    # Raw cosine scaled directly (round(x, 6) as a VALUE is the
+    # documented cross-engine rounding trap; the fold-ordered dot
+    # product is already bit-identical on both engines).
+    d_e6 = F.round(
+        (F.lit(1) - cosine(F.col("embedding"), F.col("__c"))) * 1000000, 0
+    ).cast("long")
+    per = j.select("cell", d_e6.alias("d_e6"))
+    total = per.count()
+    return per.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"(count(*) * 1000000) div {total}").alias("share_ppm"),
+        F.sum("d_e6").alias("inertia_e6"),
+        F.max("d_e6").alias("max_dist_e6"),
     )
