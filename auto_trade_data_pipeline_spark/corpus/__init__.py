@@ -136,6 +136,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "equidepth_price_histogram",
     "incremental_candle_refresh",
     "kmeans_quality_report",
+    "pps_sample_docs",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -312,6 +313,7 @@ _ORDER = [
     "equidepth_price_histogram",
     "incremental_candle_refresh",
     "kmeans_quality_report",
+    "pps_sample_docs",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

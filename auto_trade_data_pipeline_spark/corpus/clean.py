@@ -1059,3 +1059,74 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(sum(s_e6) div count(*) - (sum(y) * 1000000) div count(*))"
         ).alias("gap_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS sampling (probability proportional to size)
+# ---------------------------------------------------------------------------
+
+PPS_TARGET = 100
+
+_PPS_ORACLE = f"""
+WITH {_DOCS_CTE},
+w AS (
+  SELECT doc_id, source, CAST(greatest(n_chars, 1) AS BIGINT) AS wt,
+         {_duck_hash("CAST(doc_id AS VARCHAR)", "pps")} AS hv
+  FROM docs
+),
+c AS (
+  SELECT doc_id, source, wt, hv,
+         CAST(sum(wt) OVER (ORDER BY hv, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM w
+),
+t AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM w),
+s AS (SELECT greatest(CAST(total // {PPS_TARGET} AS BIGINT), 1) AS step FROM t)
+SELECT doc_id, source, wt, cum,
+       CAST(CASE WHEN cum // (SELECT step FROM s)
+                  > (cum - wt) // (SELECT step FROM s) THEN 1 ELSE 0 END AS INTEGER)
+         AS sampled
+FROM c
+"""
+
+
+@register("pps_sample_docs", _PPS_ORACLE, tags=("EXT3",))
+def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling (probability proportional to size —
+    Madow's method): documents are laid on a line in salted-hash
+    order with segment length = their weight (chars); every crossing
+    of a step-sized gridline picks a document, so selection
+    probability is proportional to weight, large documents are
+    picked with certainty, and the draw is deterministic,
+    reproducible, and exactly sized (±1) — the
+    weight-aware counterpart of the hash-threshold samplers
+    (`source_mix_sample`, `source_cap_sample`). All arithmetic is
+    BIGINT cumulative sums + floor division, exact cross-engine.
+    Execution: ONE running-sum window over the hash order — at 100 TB
+    the same range-partitioned prefix-sum layout as sequence packing
+    (`operators/text.py:pack_sequences`), no global gather."""
+    from auto_trade_data_pipeline_spark.operators.ranking import global_running_sum
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("wt"),
+        hash64(F.col("doc_id").cast("string"), salt="pps").alias("hv"),
+    )
+    # Distributed prefix sum — NOT a global sum() OVER (ORDER BY ...)
+    # window, which would plan as Exchange SinglePartition.
+    c = global_running_sum(w, ["hv", "doc_id"], "wt", out_col="cum")
+    tot = w.agg(
+        F.greatest(
+            F.expr(f"sum(wt) div {PPS_TARGET}"), F.lit(1).cast("long")
+        ).alias("step")
+    )
+    out = c.crossJoin(F.broadcast(tot))
+    sampled = F.when(
+        F.expr("cum div step") > F.expr("(cum - wt) div step"), 1
+    ).otherwise(0)
+    return out.select(
+        "doc_id", "source", "wt", "cum", sampled.cast("int").alias("sampled")
+    )

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number"]
+__all__ = ["global_row_number", "global_running_sum"]
 
 
 def global_row_number(
@@ -91,6 +91,62 @@ def global_row_number(
             pdf = pdf.copy()
             pdf[out_col] = range(pos + 1, pos + k + 1)
             pos += k
+            yield pdf
+
+    return ordered.mapInPandas(attach, schema=out_schema)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global inclusive prefix sum of ``value_col`` over the total
+    order ``order_cols`` — the distributed-scan sibling of
+    `global_row_number`, with the same no-SinglePartition recipe:
+    range-partition + sort, collect per-partition SUMS (partition
+    metadata — one long each), broadcast the prefix offsets, add a
+    within-partition cumulative sum. Values must be integral (LONG)
+    so the prefix sum is exact under any partitioning.
+
+    This is what makes weight-based global layouts (systematic PPS
+    sampling, sequence packing across shards, equi-weight file
+    splits) scale: the naive ``sum() OVER (ORDER BY ...)`` funnels
+    100 TB through one task; this recipe never does."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols).persist()
+    )
+    counts = (
+        ordered.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.sum(F.col(value_col).cast("long")).alias("__s"))
+        .collect()
+    )
+    sums = {r["__pid"]: r["__s"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(ordered.schema.fields) + [StructField(out_col, LongType())]
+    )
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    def attach(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pos = bc.value.get(pid, 0)
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[value_col].astype("int64").cumsum() + pos
+            pos = int(pdf[out_col].iloc[-1]) if len(pdf) else pos
             yield pdf
 
     return ordered.mapInPandas(attach, schema=out_schema)

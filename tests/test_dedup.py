@@ -61,3 +61,22 @@ def test_upsert_dedups_updates_batch(spark):
     new = _df(spark, [("NVDA", 1, 50.0, 1.0, 2), ("NVDA", 1, 60.0, 1.0, 3)])
     out = upsert(old, new, keys=["symbol", "timestamp"], order_cols=["tick_id"])
     assert [r.price for r in out.collect()] == [60.0]
+
+
+def test_global_running_sum_matches_sequential_and_is_partition_invariant(spark):
+    from auto_trade_data_pipeline_spark.operators.ranking import global_running_sum
+
+    rows = [(i, (i * 37) % 101, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, key long, wt long").repartition(13)
+    out = {r.id: r.cum for r in global_running_sum(df, ["key", "id"], "wt", "cum").collect()}
+    acc = 0
+    for i, _k, w in sorted(rows, key=lambda t: (t[1], t[0])):
+        acc += w
+        assert out[i] == acc
+    out1 = {
+        r.id: r.cum
+        for r in global_running_sum(
+            df.coalesce(1), ["key", "id"], "wt", "cum"
+        ).collect()
+    }
+    assert out == out1

@@ -484,3 +484,19 @@ def test_pattern_query_single_exchange(spark, sf_small):
     plan = _plan(load_all()["pattern_momentum_spike"].fn(spark, sf_small))
     n_exchanges = plan.count("Exchange")
     assert n_exchanges == 1, plan
+
+
+def test_pps_sampling_uses_distributed_prefix_sum(spark, sf_small):
+    """The PPS cumulative weight must come from the distributed
+    recipe (range exchange + mapInPandas offset attach), never a
+    global sum() OVER (ORDER BY ...) window — the plan has a range
+    partitioning and NO Window operator. (The one SinglePartition in
+    the plan is the 1-row step scalar: each task sends one
+    pre-aggregated row, never data — same documented exception as
+    tick_quality_report.)"""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    plan = _plan(load_all()["pps_sample_docs"].fn(spark, sf_small))
+    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
+    assert "Window" not in plan, plan
