@@ -368,6 +368,8 @@ _INVARIANCE_QUERIES = [
     "fuzzy_match_customers",
     "equidepth_price_histogram",
     "incremental_candle_refresh",
+    "pps_sample_docs",
+    "kmeans_quality_report",
 ]
 
 
