@@ -137,6 +137,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "incremental_candle_refresh",
     "kmeans_quality_report",
     "pps_sample_docs",
+    "dataset_card",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -314,6 +315,7 @@ _ORDER = [
     "incremental_candle_refresh",
     "kmeans_quality_report",
     "pps_sample_docs",
+    "dataset_card",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1130,3 +1130,66 @@ def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", "wt", "cum", sampled.cast("int").alias("sampled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (per-source corpus documentation, generated in-engine)
+# ---------------------------------------------------------------------------
+
+_DATASET_CARD_ORACLE = f"""
+WITH {_DOCS_CTE},
+base AS (
+  SELECT doc_id, source, lang, n_chars, len(ts) AS n_toks,
+         {_duck_hash("lt")} AS th
+  FROM toks
+),
+dup AS (
+  SELECT source, th, count(*) AS c FROM base GROUP BY source, th
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(b.n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(b.n_toks) // count(*) AS BIGINT) AS mean_tokens,
+       CAST((sum(CASE WHEN b.lang = 'en' THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+         AS en_ppm,
+       CAST((sum(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+         AS exact_dup_ppm
+FROM base b JOIN dup d ON d.source = b.source AND d.th = b.th
+GROUP BY b.source
+"""
+
+
+@register("dataset_card", _DATASET_CARD_ORACLE, tags=("EXT3",))
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card generated IN the engine — the
+    documentation table shipped alongside a training corpus: document
+    and token volumes, mean length, language share, and the
+    within-source exact-duplicate rate (docs whose normalized-text
+    hash appears more than once), every rate an exact integer ppm.
+    One scan + one hash-keyed dup count + one grouped rollup; at
+    100 TB each aggregate is map-side combinable and the card is
+    sources-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(TX.tokens(F.col("text"))).alias("n_toks"),
+        TX.hash64(F.lower(F.col("text"))).alias("th"),
+    )
+    dup = base.groupBy("source", "th").agg(F.count(F.lit(1)).alias("c"))
+    j = base.join(dup, ["source", "th"])
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr("sum(n_toks) div count(*)").alias("mean_tokens"),
+        F.expr(
+            "(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000) div count(*)"
+        ).alias("en_ppm"),
+        F.expr(
+            "(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1000000) div count(*)"
+        ).alias("exact_dup_ppm"),
+    )
