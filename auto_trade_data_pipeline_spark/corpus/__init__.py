@@ -138,6 +138,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "kmeans_quality_report",
     "pps_sample_docs",
     "dataset_card",
+    "asof_join_next_bar",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -316,6 +317,7 @@ _ORDER = [
     "kmeans_quality_report",
     "pps_sample_docs",
     "dataset_card",
+    "asof_join_next_bar",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from auto_trade_data_pipeline_spark.corpus import register
-from auto_trade_data_pipeline_spark.operators.joins import asof_join, range_join
+from auto_trade_data_pipeline_spark.operators.joins import asof_join, asof_join_forward, range_join
 from auto_trade_data_pipeline_spark.sources import load_table, ticks_from_events
 from auto_trade_data_pipeline_spark.corpus.trade import TICKS_CTE
 
@@ -539,4 +539,52 @@ def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+_ASOF_FWD_ORACLE = f"""
+WITH {TICKS_CTE},
+minute_bars AS (
+  SELECT symbol,
+         date_trunc('minute', timestamp) AS timestamp,
+         CAST(sum(CAST(round(price * 10000) AS BIGINT)) AS BIGINT) / 10000.0 / count(*) AS bar_avg
+  FROM ticks
+  GROUP BY symbol, date_trunc('minute', timestamp)
+)
+SELECT t.symbol,
+       strftime(t.timestamp, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       t.tick_id,
+       t.price,
+       round(m.bar_avg, 4) AS next_bar_avg
+FROM ticks t
+ASOF LEFT JOIN minute_bars m
+  ON t.symbol = m.symbol AND t.timestamp <= m.timestamp
+"""
+
+
+@register("asof_join_next_bar", _ASOF_FWD_ORACLE, tags=("J5",))
+def asof_join_next_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (J5): each tick picks up the average price
+    of the next minute bar at or after it — the lookahead join behind
+    label-the-future feature engineering (predict the next bar) and
+    next-quote trade attribution. Union + first-value forward window
+    (operators/joins.py:asof_join_forward): one shuffle on symbol,
+    zero row explosion; the oracle is DuckDB's native ASOF with the
+    inequality reversed."""
+    ticks = ticks_from_events(spark, sf_dir)
+    bars = (
+        ticks.groupBy("symbol", F.date_trunc("minute", "timestamp").alias("timestamp"))
+        .agg(
+            (
+                (F.sum(_cents(F.col("price"), 10000)) / 10000.0) / F.count(F.lit(1))
+            ).alias("bar_avg")
+        )
+    )
+    joined = asof_join_forward(ticks, bars, on=["symbol"], ts="timestamp")
+    return joined.select(
+        "symbol",
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "tick_id",
+        "price",
+        F.round("bar_avg", 4).alias("next_bar_avg"),
     )

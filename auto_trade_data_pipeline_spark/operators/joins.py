@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "asof_join_forward", "range_join"]
 
 
 def asof_join(
@@ -71,6 +71,55 @@ def asof_join(
             f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
         )
     out = unioned.filter(F.col("__src") == 1).drop("__src")
+    for c in payload:
+        out = out.withColumnRenamed(f"__r_{c}", f"{c}{suffix}")
+    return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str = "timestamp",
+    suffix: str = "",
+) -> DataFrame:
+    """FORWARD as-of join: for every ``left`` row, attach the payload
+    of the NEXT ``right`` row with ``right.ts >= left.ts`` and equal
+    keys — the lookahead join behind next-quote attribution and
+    label-the-future feature engineering. Inclusive at equal ``ts``
+    (a same-instant right row matches), mirroring the backward form.
+
+    Same scale shape as `asof_join`: union with a source marker, one
+    per-key ordered scan, ``first(value, ignorenulls)`` over the
+    FORWARD frame carries the next right payload back. Single shuffle
+    on ``on``; zero row explosion."""
+    payload = [c for c in right.columns if c not in on and c != ts]
+    # Marker orders left rows BEFORE right rows at equal ts so the
+    # forward frame (current row onward) sees same-instant payloads.
+    lhs = left.withColumn("__src", F.lit(0))
+    for c in payload:
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    rhs = right.select(
+        *on,
+        F.col(ts).alias(ts),
+        F.lit(1).alias("__src"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+    )
+    left_only = [c for c in left.columns if c not in on and c != ts]
+    for c in left_only:
+        rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = lhs.unionByName(rhs)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col("__src").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    for c in payload:
+        unioned = unioned.withColumn(
+            f"__r_{c}", F.first(f"__r_{c}", ignorenulls=True).over(w)
+        )
+    out = unioned.filter(F.col("__src") == 0).drop("__src")
     for c in payload:
         out = out.withColumnRenamed(f"__r_{c}", f"{c}{suffix}")
     return out

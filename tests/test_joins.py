@@ -79,3 +79,23 @@ def test_dim_join_is_broadcast(spark, sf_med):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_forward_picks_next_and_respects_equal_ts(spark):
+    from datetime import datetime
+
+    from auto_trade_data_pipeline_spark.operators.joins import asof_join_forward
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("A", t(1), 1), ("A", t(5), 2), ("A", t(9), 3), ("B", t(2), 4)],
+        "symbol string, timestamp timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [("A", t(5), 50.0), ("A", t(7), 70.0)],
+        "symbol string, timestamp timestamp, px double",
+    )
+    out = {r.lid: r.px for r in asof_join_forward(left, right, ["symbol"]).collect()}
+    # t=1 -> next is t=5; t=5 -> inclusive same-instant match; t=9 ->
+    # nothing after -> null; other key -> null.
+    assert out == {1: 50.0, 2: 50.0, 3: None, 4: None}
