@@ -370,6 +370,8 @@ _INVARIANCE_QUERIES = [
     "incremental_candle_refresh",
     "pps_sample_docs",
     "kmeans_quality_report",
+    "dataset_card",
+    "asof_join_next_bar",
 ]
 
 
