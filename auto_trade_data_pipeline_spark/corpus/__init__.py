@@ -139,6 +139,13 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "pps_sample_docs",
     "dataset_card",
     "asof_join_next_bar",
+    # Fourth round-4 push (locally verified hash-exact on registration):
+    "volume_bars",
+    "dollar_bars",
+    "triple_barrier_labels",
+    "heikin_ashi_candles",
+    "purged_kfold_cv",
+    "frac_diff_features",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -318,6 +325,12 @@ _ORDER = [
     "pps_sample_docs",
     "dataset_card",
     "asof_join_next_bar",
+    "volume_bars",
+    "dollar_bars",
+    "triple_barrier_labels",
+    "heikin_ashi_candles",
+    "purged_kfold_cv",
+    "frac_diff_features",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",
@@ -339,6 +352,7 @@ def load_all() -> dict[str, Query]:
         events_analytics,
         ext,
         indicators,
+        labeling,
         relational,
         stream,
         tpch,

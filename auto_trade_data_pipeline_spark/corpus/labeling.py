@@ -1,0 +1,447 @@
+"""Financial-ML sampling, labeling, and feature queries (Lopez de
+Prado, *Advances in Financial Machine Learning*) — the layer that
+turns the tick/candle tables into model-ready training data:
+information-driven bars, triple-barrier labels, leakage-free CV
+splits, fractionally-differentiated features, order-flow toxicity.
+
+The reference pipeline stops at indicator enrichment
+(``src/candle_to_calcs.py``); these queries are the standard next
+stage of the same trading workflow, expressed Spark-first and each
+bit-exact against a DuckDB oracle that restates the full mechanism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus.trade import (
+    TICKS_CTE,
+    TS_FMT_DUCK,
+    TS_FMT_SPARK,
+)
+from auto_trade_data_pipeline_spark.operators.bars import (
+    information_bars,
+    triple_barrier_labels,
+)
+from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles
+from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+
+def _fmt(col):
+    return F.date_format(col, TS_FMT_SPARK)
+
+
+#: Integer-scaled per-tick measures (exact BIGINT everywhere).
+VOLUME_BAR_V = 100_000  # ~90 bars/symbol at sf0.01, scales with sf
+DOLLAR_BAR_V = 10_000_000
+
+#: Shared oracle CTE: ticks + integer measures + running prior totals.
+_MEASURED_CTE = f"""{TICKS_CTE},
+m AS (
+  SELECT symbol, timestamp, tick_id, price,
+         CAST(round(volume) AS BIGINT) AS vol_i,
+         CAST(round(price * volume) AS BIGINT) AS dollar_i
+  FROM ticks
+),
+runs AS (
+  SELECT symbol, timestamp, tick_id, price, vol_i, dollar_i,
+         coalesce(sum(vol_i) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_vol,
+         coalesce(sum(dollar_i) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_dollar
+  FROM m
+)
+"""
+
+
+def _bars_oracle(measure: str, prev: str, threshold: int, out_name: str) -> str:
+    return f"""
+WITH {_MEASURED_CTE},
+b AS (
+  SELECT *, {prev} // {threshold} AS bar_id,
+         row_number() OVER (PARTITION BY symbol, {prev} // {threshold}
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, {prev} // {threshold}
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM runs
+)
+SELECT symbol, CAST(bar_id AS BIGINT) AS bar_id,
+       strftime(min(timestamp), '{TS_FMT_DUCK}') AS open_ts,
+       strftime(max(timestamp), '{TS_FMT_DUCK}') AS close_ts,
+       max(CASE WHEN ra = 1 THEN price END) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       max(CASE WHEN rd = 1 THEN price END) AS close,
+       CAST(sum({measure}) AS BIGINT) AS {out_name},
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM b GROUP BY symbol, bar_id
+"""
+
+
+def _bars_query(spark: SparkSession, sf_dir: str, measure, threshold: int, name: str) -> DataFrame:
+    ticks = ticks_from_events(spark, sf_dir)
+    bars = information_bars(ticks, threshold, measure, name)
+    return bars.select(
+        "symbol",
+        F.col("bar_id").cast("long").alias("bar_id"),
+        _fmt("open_ts").alias("open_ts"),
+        _fmt("close_ts").alias("close_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        name,
+        "n_ticks",
+    )
+
+
+@register(
+    "volume_bars",
+    _bars_oracle("vol_i", "prev_vol", VOLUME_BAR_V, "volume"),
+    tags=("A1", "W-"),
+)
+def volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume bars (de Prado ch. 2): a new bar opens each time the
+    per-symbol running share volume crosses 100k — activity-clock
+    sampling, denser where trading is heavier. The running prior
+    total is an exact BIGINT prefix sum (one symbol-keyed exchange,
+    incremental window), bar assignment is non-negative integer
+    division (truncate == floor on both engines), and the OHLC
+    aggregate is the same first/last-tiebreak shape as the time-bar
+    candles (`operators/bars.py`)."""
+    return _bars_query(
+        spark, sf_dir, F.round("volume", 0).cast("long"), VOLUME_BAR_V, "volume"
+    )
+
+
+@register(
+    "dollar_bars",
+    _bars_oracle("dollar_i", "prev_dollar", DOLLAR_BAR_V, "dollar"),
+    tags=("A1", "W-"),
+)
+def dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dollar bars: the activity clock is traded VALUE (price x
+    volume, integer-scaled before summation so the prefix sum stays
+    exact BIGINT at any parallelism) — the de Prado ch. 2 variant
+    that is robust to price-level drift. Same distributed shape as
+    `volume_bars`."""
+    return _bars_query(
+        spark,
+        sf_dir,
+        F.round(F.col("price") * F.col("volume"), 0).cast("long"),
+        DOLLAR_BAR_V,
+        "dollar",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triple-barrier labeling
+# ---------------------------------------------------------------------------
+
+_TB_HORIZON = 86_400  # vertical barrier: 1 day
+_TB_UP, _TB_DN = "1.5", "0.5"  # exact decimal literals, both engines
+
+_TRIPLE_BARRIER_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('hour', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+entries AS (
+  SELECT symbol, bucket + INTERVAL 1 HOUR AS entry_ts,
+         max(CASE WHEN rd = 1 THEN price END) AS entry_price
+  FROM cb GROUP BY symbol, bucket
+),
+touched AS (
+  SELECT e.symbol, e.entry_ts, e.entry_price,
+         min(CASE WHEN t.price >= e.entry_price * {_TB_UP} THEN t.timestamp END) AS up_ts,
+         min(CASE WHEN t.price <= e.entry_price * {_TB_DN} THEN t.timestamp END) AS dn_ts
+  FROM entries e JOIN ticks t
+    ON t.symbol = e.symbol
+   AND t.timestamp > e.entry_ts
+   AND t.timestamp <= e.entry_ts + INTERVAL {_TB_HORIZON} SECOND
+  GROUP BY e.symbol, e.entry_ts, e.entry_price
+)
+SELECT e.symbol,
+       strftime(e.entry_ts, '{TS_FMT_DUCK}') AS entry_ts,
+       e.entry_price,
+       strftime(t.up_ts, '{TS_FMT_DUCK}') AS up_ts,
+       strftime(t.dn_ts, '{TS_FMT_DUCK}') AS dn_ts,
+       CAST(CASE WHEN t.up_ts IS NOT NULL AND (t.dn_ts IS NULL OR t.up_ts <= t.dn_ts) THEN 1
+                 WHEN t.dn_ts IS NOT NULL THEN -1
+                 ELSE 0 END AS INTEGER) AS label
+FROM entries e LEFT JOIN touched t
+  ON t.symbol = e.symbol AND t.entry_ts = e.entry_ts
+"""
+
+
+@register("triple_barrier_labels", _TRIPLE_BARRIER_ORACLE, tags=("J5", "W-"))
+def triple_barrier_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier first-touch labels (de Prado ch. 3): a position
+    entered at each hourly bar close is labeled +1 / -1 / 0 by which
+    of profit-take (1.5x), stop-loss (0.5x), or the 1-day vertical
+    barrier is hit first. The entry-to-future-tick pairing is a
+    BANDED range join (both sides blocked on horizon-sized epoch
+    blocks, an entry meets only its own and the next block —
+    `operators/bars.py:triple_barrier_labels`), so work scales with
+    ticks-per-horizon, never |entries| x |ticks|. Tie rule: equal
+    first-touch timestamps resolve to +1 on both engines."""
+    ticks = ticks_from_events(spark, sf_dir)
+    hourly = aggregate_candles(ticks, 3600)
+    entries = hourly.select(
+        "symbol",
+        (F.col("timestamp") + F.expr("INTERVAL 1 HOUR")).alias("entry_ts"),
+        F.col("close").alias("entry_price"),
+        (F.col("close") * F.lit(float(_TB_UP))).alias("up"),
+        (F.col("close") * F.lit(float(_TB_DN))).alias("dn"),
+    )
+    out = triple_barrier_labels(entries, ticks, _TB_HORIZON)
+    return out.select(
+        "symbol",
+        _fmt("entry_ts").alias("entry_ts"),
+        "entry_price",
+        _fmt("up_ts").alias("up_ts"),
+        _fmt("dn_ts").alias("dn_ts"),
+        F.col("label").cast("int").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heikin-Ashi candles (recursive smoothing, list-fold oracle)
+# ---------------------------------------------------------------------------
+
+_HA_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+candles AS (
+  SELECT symbol, bucket,
+         max(CASE WHEN ra = 1 THEN price END) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+lists AS (
+  SELECT symbol,
+         list(bucket ORDER BY bucket) AS bs,
+         list(high ORDER BY bucket) AS lh,
+         list(low ORDER BY bucket) AS ll,
+         list(((open + high) + low + close) / 4 ORDER BY bucket) AS lhc,
+         (min_by(open, bucket) + min_by(close, bucket)) / 2 AS seed
+  FROM candles GROUP BY symbol
+),
+idx AS (SELECT symbol, bs, lh, ll, lhc, seed, unnest(range(1, len(bs) + 1)) AS i FROM lists),
+ha AS (
+  SELECT symbol, bs[i] AS bucket, lh[i] AS high, ll[i] AS low, lhc[i] AS ha_close,
+         list_reduce([seed] || lhc[1:i-1], (acc, x) -> (acc + x) / 2) AS ha_open
+  FROM idx
+)
+SELECT symbol, strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       CAST(round(ha_open * 10000) AS BIGINT) AS ha_open_e4,
+       CAST(round(greatest(high, ha_open, ha_close) * 10000) AS BIGINT) AS ha_high_e4,
+       CAST(round(least(low, ha_open, ha_close) * 10000) AS BIGINT) AS ha_low_e4,
+       CAST(round(ha_close * 10000) AS BIGINT) AS ha_close_e4
+FROM ha
+"""
+
+
+@register("heikin_ashi_candles", _HA_ORACLE, tags=("W-", "A1"))
+def heikin_ashi_candles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi smoothed candles over the minute grid — a
+    RECURSIVE bar transform (ha_open is the midpoint of the previous
+    ha_open/ha_close) run as one applyInPandas pass per symbol
+    (`operators/candles.py:heikin_ashi_candles`), with the recursion
+    itself cross-engine verified: the oracle replays the exact
+    left-to-right fold as a per-row prefix list_reduce, the same
+    differential pattern as the EMA/PSAR oracles. Outputs
+    integer-scaled e4 (explicit multiply on both sides)."""
+    from auto_trade_data_pipeline_spark.operators.candles import heikin_ashi_candles
+
+    ticks = ticks_from_events(spark, sf_dir)
+    c1m = aggregate_candles(ticks, 60)
+    ha = heikin_ashi_candles(c1m)
+    return ha.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        F.round(F.col("ha_open") * 10000, 0).cast("long").alias("ha_open_e4"),
+        F.round(F.col("ha_high") * 10000, 0).cast("long").alias("ha_high_e4"),
+        F.round(F.col("ha_low") * 10000, 0).cast("long").alias("ha_low_e4"),
+        F.round(F.col("ha_close") * 10000, 0).cast("long").alias("ha_close_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Purged k-fold cross-validation with embargo
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = [
+    ("2024-01-01", "2024-01-07"),
+    ("2024-01-07", "2024-01-13"),
+    ("2024-01-13", "2024-01-19"),
+    ("2024-01-19", "2024-01-25"),
+    ("2024-01-25", "2024-01-31"),
+]
+_CV_H = 86_400  # label horizon (matches the triple-barrier vertical)
+_CV_E = 43_200  # embargo after each test span
+
+_PURGED_CV_ORACLE = f"""
+WITH {TICKS_CTE},
+units AS (
+  SELECT DISTINCT symbol, date_trunc('hour', timestamp) AS t0 FROM ticks
+),
+folds(fold_id, a, b) AS (VALUES
+  {", ".join(f"({i + 1}, TIMESTAMP '{a}', TIMESTAMP '{b}')" for i, (a, b) in enumerate(_CV_FOLDS))}
+),
+roles AS (
+  SELECT f.fold_id, u.symbol, u.t0,
+         CASE WHEN u.t0 >= f.a AND u.t0 < f.b THEN 'test'
+              WHEN u.t0 < f.a AND u.t0 + INTERVAL {_CV_H} SECOND > f.a THEN 'purged'
+              WHEN u.t0 >= f.b AND u.t0 < f.b + INTERVAL {_CV_E} SECOND THEN 'embargo'
+              ELSE 'train' END AS role
+  FROM units u CROSS JOIN folds f
+)
+SELECT CAST(fold_id AS INTEGER) AS fold_id, role,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(count(DISTINCT symbol) AS BIGINT) AS n_symbols,
+       strftime(min(t0), '{TS_FMT_DUCK}') AS min_ts,
+       strftime(max(t0), '{TS_FMT_DUCK}') AS max_ts
+FROM roles GROUP BY fold_id, role
+"""
+
+
+@register("purged_kfold_cv", _PURGED_CV_ORACLE, tags=("W-", "J6"))
+def purged_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged k-fold cross-validation with embargo (de Prado ch. 7) —
+    the leakage-free split scheme for overlapping-label time series:
+    each (symbol, hour) training unit is, per fold, 'test' inside the
+    fold span, 'purged' if its 1-day LABEL WINDOW leaks into the test
+    span, 'embargo' in the 12 h cooldown after it, else 'train'. The
+    fold table is 5 literal rows broadcast against the units (a
+    dimension-sized cross join, never row x row), so at 100 TB this
+    is one scan + one grouped aggregate."""
+    units = (
+        ticks_from_events(spark, sf_dir)
+        .select("symbol", F.date_trunc("hour", F.col("timestamp")).alias("t0"))
+        .distinct()
+    )
+    folds = spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(_CV_FOLDS)], "fold_id int, a string, b string"
+    ).select(
+        "fold_id", F.col("a").cast("timestamp").alias("a"), F.col("b").cast("timestamp").alias("b")
+    )
+    roles = units.crossJoin(F.broadcast(folds)).select(
+        "fold_id",
+        "symbol",
+        "t0",
+        F.when((F.col("t0") >= F.col("a")) & (F.col("t0") < F.col("b")), "test")
+        .when(
+            (F.col("t0") < F.col("a"))
+            & (F.col("t0") + F.expr(f"INTERVAL {_CV_H} SECOND") > F.col("a")),
+            "purged",
+        )
+        .when(
+            (F.col("t0") >= F.col("b"))
+            & (F.col("t0") < F.col("b") + F.expr(f"INTERVAL {_CV_E} SECOND")),
+            "embargo",
+        )
+        .otherwise("train")
+        .alias("role"),
+    )
+    return roles.groupBy("fold_id", "role").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.countDistinct("symbol").alias("n_symbols"),
+        _fmt(F.min("t0")).alias("min_ts"),
+        _fmt(F.max("t0")).alias("max_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fractional differentiation (fixed-width FFD)
+# ---------------------------------------------------------------------------
+
+def _ffd_weights(d: float, window: int) -> list[float]:
+    w = [1.0]
+    for k in range(1, window):
+        w.append(-w[-1] * (d - k + 1) / k)
+    return w
+
+
+_FFD_D, _FFD_W = 0.4, 8
+
+
+def _ffd_expr() -> str:
+    """One nested left-to-right expression tree shared VERBATIM by the
+    Spark side (F.expr) and the oracle, so both engines evaluate the
+    identical IEEE operation sequence."""
+    ws = _ffd_weights(_FFD_D, _FFD_W)
+    expr = f"{ws[-1]!r} * c{_FFD_W - 1}"
+    for k in range(_FFD_W - 2, -1, -1):
+        expr = f"{ws[k]!r} * c{k} + ({expr})"
+    return expr
+
+
+_FFD_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('hour', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+candles AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+lagged AS (
+  SELECT symbol, bucket, close,
+         {", ".join(f"lag(close, {k}) OVER (PARTITION BY symbol ORDER BY bucket) AS c{k}" for k in range(_FFD_W))}
+  FROM candles
+)
+SELECT symbol, strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       CAST(round(close * 10000) AS BIGINT) AS close_e4,
+       CAST(round(({_ffd_expr()}) * 1000000) AS BIGINT) AS ffd_e6
+FROM lagged
+"""
+
+
+@register("frac_diff_features", _FFD_ORACLE, tags=("W-",))
+def frac_diff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractionally differentiated price features (de Prado ch. 5,
+    fixed-width FFD, d=0.4, window=8): the stationarity-vs-memory
+    compromise feature, computed as a fixed dot product of lagged
+    hourly closes with binomial-expansion weights. The weights are
+    Python-computed double literals and the dot product is ONE nested
+    left-to-right expression tree shared verbatim with the oracle —
+    bit-identical IEEE arithmetic with no rounding slack needed
+    beyond the explicit e6 integer scaling. Rows without a full lag
+    window emit NULL (exact warm-up semantics). One symbol-keyed
+    exchange; lags evaluate incrementally in a single window pass."""
+    ticks = ticks_from_events(spark, sf_dir)
+    hourly = aggregate_candles(ticks, 3600)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    lagged = hourly.select(
+        "symbol",
+        "timestamp",
+        "close",
+        *[F.lag("close", k).over(w).alias(f"c{k}") for k in range(_FFD_W)],
+    )
+    return lagged.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        F.round(F.col("close") * 10000, 0).cast("long").alias("close_e4"),
+        F.round(F.expr(_ffd_expr()) * 1000000, 0).cast("long").alias("ffd_e6"),
+    )

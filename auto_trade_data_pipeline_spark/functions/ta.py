@@ -27,7 +27,33 @@ __all__ = [
     "t3",
     "rolling_mean",
     "find_peaks",
+    "heikin_ashi",
 ]
+
+
+def heikin_ashi(
+    o: np.ndarray, h: np.ndarray, l: np.ndarray, c: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Heikin-Ashi smoothed candles (public charting definition):
+    ha_close = (o+h+l+c)/4; ha_open recurses as the midpoint of the
+    PREVIOUS ha_open/ha_close (seeded with (o+c)/2 on the first bar);
+    ha_high/ha_low wrap the raw extremes around the smoothed body.
+    The ha_open recursion is a left-to-right scalar fold — the
+    cross-engine oracle replays exactly this arithmetic as a DuckDB
+    list_reduce (same pattern as `ema`)."""
+    n = len(o)
+    hc = (o + h + l + c) / 4.0
+    ho = _nan(n)
+    if n == 0:
+        return ho, _nan(0), _nan(0), hc
+    prev = (o[0] + c[0]) / 2.0
+    ho[0] = prev
+    for i in range(1, n):
+        prev = (prev + hc[i - 1]) / 2.0
+        ho[i] = prev
+    hh = np.maximum(h, np.maximum(ho, hc))
+    hl = np.minimum(l, np.minimum(ho, hc))
+    return ho, hh, hl, hc
 
 
 def _nan(n: int) -> np.ndarray:
