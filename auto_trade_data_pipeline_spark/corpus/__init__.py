@@ -146,6 +146,9 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "heikin_ashi_candles",
     "purged_kfold_cv",
     "frac_diff_features",
+    "vpin_toxicity",
+    "acf_returns",
+    "hll_distinct_sketch",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -331,6 +334,9 @@ _ORDER = [
     "heikin_ashi_candles",
     "purged_kfold_cv",
     "frac_diff_features",
+    "vpin_toxicity",
+    "acf_returns",
+    "hll_distinct_sketch",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -2500,3 +2500,102 @@ def kmeans_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d_e6").alias("inertia_e6"),
         F.max("d_e6").alias("max_dist_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-token sketch (deterministic registers + union merge)
+# ---------------------------------------------------------------------------
+
+_HLL_EST = (
+    "CAST('0.7093409548395029' AS DOUBLE) * 4096.0 * 1125899906842624.0"
+    " / CAST(s_scaled AS DOUBLE)"
+)
+
+_HLL_ORACLE = f"""
+WITH {_DOCS_CTE},
+tok AS (SELECT DISTINCT source, unnest(ts) AS tok FROM toks),
+hv AS (SELECT DISTINCT source, {_duck_hash('tok', 'hll')} AS hv FROM tok),
+regs AS (
+  SELECT source, hv % 64 AS bucket,
+         max(CASE WHEN hv // 64 = 0 THEN 55
+                  ELSE 55 - length(bin(hv // 64)) END) AS register
+  FROM hv GROUP BY source, bucket
+),
+merged AS (SELECT 'ALL' AS source, bucket, max(register) AS register FROM regs GROUP BY bucket),
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+spine AS (
+  SELECT s.source, r.range AS bucket
+  FROM (SELECT DISTINCT source FROM allregs) s CROSS JOIN range(64) r
+),
+filled AS (
+  SELECT sp.source, sp.bucket, coalesce(a.register, 0) AS register
+  FROM spine sp LEFT JOIN allregs a ON sp.source = a.source AND sp.bucket = a.bucket
+),
+ssum AS (
+  SELECT source,
+         CAST(sum(CASE WHEN register <= 50 THEN (CAST(1 AS BIGINT) << (50 - register))
+                       ELSE 0 END) AS BIGINT) AS s_scaled
+  FROM filled GROUP BY source
+),
+ex AS (
+  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact FROM tok GROUP BY source
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT tok) AS BIGINT) FROM tok
+),
+est AS (
+  SELECT s.source, s.s_scaled, e.n_exact,
+         CAST(round(({_HLL_EST}) * 100) AS BIGINT) AS hll_est_e2
+  FROM ssum s JOIN ex e ON s.source = e.source
+)
+SELECT source, s_scaled, n_exact, hll_est_e2,
+       CAST((abs(hll_est_e2 - n_exact * 100) * 1000000) // (n_exact * 100) AS BIGINT)
+         AS abs_err_ppm
+FROM est
+"""
+
+
+@register("hll_distinct_sketch", _HLL_ORACLE, tags=("A5", "A9", "EXT3"))
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token counts per document source PLUS the
+    union-merged corpus-wide row (Flajolet et al., AofA'07) — the
+    production mergeable distinct-count sketch, made cross-engine
+    oracle-able by computing registers over the deterministic
+    md5-60bit hash family (`operators/sketch.py:hll_sketch`): bucket
+    = hash mod 64, register = max leading-zero rank. The 'ALL' row is
+    built by ELEMENTWISE MAX over the per-source registers — the
+    union-merge property that lets 1000 executors reduce a 100 TB
+    scan to 64 bytes each — and its estimate is hash-checked against
+    the oracle's identical merge. The harmonic sum is an exact BIGINT
+    (2^(50-reg) scaling); the only float step is one shared-literal
+    alpha*m^2/S division. Realized |error| vs the exact count is
+    emitted in ppm."""
+    from auto_trade_data_pipeline_spark.operators.sketch import hll_estimate, hll_sketch
+    from auto_trade_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    )
+    regs = hll_sketch(tok, "source", "tok")
+    merged = regs.groupBy("bucket").agg(F.max("register").alias("register")).select(
+        F.lit("ALL").alias("source"), "bucket", "register"
+    )
+    allregs = regs.unionByName(merged)
+    est = hll_estimate(allregs, "source")
+    exact = tok.groupBy("source").agg(F.countDistinct("tok").alias("n_exact")).unionByName(
+        tok.select(F.lit("ALL").alias("source"), "tok")
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("n_exact"))
+    )
+    out = est.join(exact, "source").select(
+        "source",
+        "s_scaled",
+        "n_exact",
+        F.round(F.col("hll_est") * 100, 0).cast("long").alias("hll_est_e2"),
+    )
+    err = F.expr("(abs(hll_est_e2 - n_exact * 100) * 1000000) div (n_exact * 100)").cast(
+        "long"
+    )
+    return out.select(
+        "source", "s_scaled", "n_exact", "hll_est_e2", err.alias("abs_err_ppm")
+    )

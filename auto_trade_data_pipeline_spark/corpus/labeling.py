@@ -445,3 +445,221 @@ def frac_diff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("close") * 10000, 0).cast("long").alias("close_e4"),
         F.round(F.expr(_ffd_expr()) * 1000000, 0).cast("long").alias("ffd_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VPIN order-flow toxicity (volume buckets x tick-rule sides)
+# ---------------------------------------------------------------------------
+
+_VPIN_N = 10  # trailing buckets in the VPIN average
+
+_VPIN_ORACLE = f"""
+WITH {_MEASURED_CTE},
+sided AS (
+  SELECT symbol, timestamp, tick_id, vol_i,
+         prev_vol // {VOLUME_BAR_V} AS bar_id,
+         last_value(CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+  FROM (
+    SELECT *, price - lag(price) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id) AS dp
+    FROM runs
+  )
+),
+buckets AS (
+  SELECT symbol, bar_id,
+         CAST(sum(CASE WHEN side = 1 THEN vol_i ELSE 0 END) AS BIGINT) AS buy_vol,
+         CAST(sum(CASE WHEN side = -1 THEN vol_i ELSE 0 END) AS BIGINT) AS sell_vol,
+         CAST(sum(vol_i) AS BIGINT) AS total_vol,
+         CAST(count(*) AS BIGINT) AS n_ticks
+  FROM sided GROUP BY symbol, bar_id
+),
+vp AS (
+  SELECT symbol, bar_id, buy_vol, sell_vol, total_vol, n_ticks,
+         sum(abs(buy_vol - sell_vol)) OVER w AS imb_sum,
+         sum(total_vol) OVER w AS vol_sum,
+         count(*) OVER w AS n_buckets
+  FROM buckets
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_id
+               ROWS BETWEEN {_VPIN_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, CAST(bar_id AS BIGINT) AS bar_id, buy_vol, sell_vol, total_vol, n_ticks,
+       CAST(CASE WHEN n_buckets = {_VPIN_N} AND vol_sum > 0
+                 THEN (imb_sum * 1000000) // vol_sum END AS BIGINT) AS vpin_ppm
+FROM vp
+"""
+
+
+@register("vpin_toxicity", _VPIN_ORACLE, tags=("W-", "A1"))
+def vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN order-flow toxicity (Easley, Lopez de Prado & O'Hara,
+    RFS'12): tick-rule buy/sell classification (running
+    last-ignorenulls carry) aggregated into VOLUME buckets (the same
+    activity clock as `volume_bars`), then the trailing-10-bucket
+    |buy-sell| / V average — the flow-toxicity signal that flags
+    informed-trading regimes. Every quantity is an exact BIGINT
+    (integer volumes, integer window sums, non-negative ppm
+    division), so the whole chain is bit-deterministic at any
+    parallelism; NULL until a full trailing window exists."""
+    ticks = ticks_from_events(spark, sf_dir)
+    wo = Window.partitionBy("symbol").orderBy("timestamp", "tick_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vol_i = F.round("volume", 0).cast("long")
+    prev_vol = F.coalesce(
+        F.sum(vol_i).over(wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    dp = F.col("price") - F.lag("price").over(wo)
+    sided = ticks.select(
+        "symbol",
+        "timestamp",
+        "tick_id",
+        vol_i.alias("vol_i"),
+        prev_vol.alias("prev_vol"),
+        dp.alias("dp"),
+    ).select(
+        "symbol",
+        "timestamp",
+        "tick_id",
+        "vol_i",
+        F.expr(f"prev_vol div {VOLUME_BAR_V}").alias("bar_id"),
+        F.last(
+            F.when(F.col("dp") > 0, 1).when(F.col("dp") < 0, -1), ignorenulls=True
+        ).over(wrun).alias("side"),
+    )
+    buckets = sided.groupBy("symbol", "bar_id").agg(
+        F.sum(F.when(F.col("side") == 1, F.col("vol_i")).otherwise(0)).alias("buy_vol"),
+        F.sum(F.when(F.col("side") == -1, F.col("vol_i")).otherwise(0)).alias("sell_vol"),
+        F.sum("vol_i").alias("total_vol"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    wv = Window.partitionBy("symbol").orderBy("bar_id").rowsBetween(-(_VPIN_N - 1), 0)
+    vp = buckets.select(
+        "symbol",
+        F.col("bar_id").cast("long").alias("bar_id"),
+        "buy_vol",
+        "sell_vol",
+        "total_vol",
+        "n_ticks",
+        F.sum(F.abs(F.col("buy_vol") - F.col("sell_vol"))).over(wv).alias("imb_sum"),
+        F.sum("total_vol").over(wv).alias("vol_sum"),
+        F.count(F.lit(1)).over(wv).alias("n_buckets"),
+    )
+    vpin = F.when(
+        (F.col("n_buckets") == _VPIN_N) & (F.col("vol_sum") > 0),
+        F.expr("(imb_sum * 1000000) div vol_sum"),
+    ).cast("long")
+    return vp.select(
+        "symbol", "bar_id", "buy_vol", "sell_vol", "total_vol", "n_ticks",
+        vpin.alias("vpin_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Return autocorrelation (integer-exact co-moments)
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def _acf_cols_sql() -> str:
+    outs = []
+    for k in _ACF_LAGS:
+        outs.append(
+            f"""CAST(round(CAST(n{k} * sxy{k} - sx{k} * sy{k} AS DOUBLE)
+           / (sqrt(CAST(n{k} * sxx{k} - sx{k} * sx{k} AS DOUBLE))
+              * sqrt(CAST(n{k} * syy{k} - sy{k} * sy{k} AS DOUBLE))) * 1000000)
+         AS BIGINT) AS acf{k}_ppm"""
+        )
+    return ",\n       ".join(outs)
+
+
+_ACF_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+candles AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+rets AS (
+  SELECT symbol, bucket,
+         least(greatest(CAST(round((close / lag(close) OVER w - 1) * 10000) AS BIGINT),
+                        -10000), 10000) AS r
+  FROM candles WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+lagged AS (
+  SELECT symbol, r,
+         {", ".join(f"lag(r, {k}) OVER (PARTITION BY symbol ORDER BY bucket) AS r{k}" for k in _ACF_LAGS)}
+  FROM rets
+),
+s AS (
+  SELECT symbol,
+         {", ".join(
+             f"CAST(count(CASE WHEN r IS NOT NULL AND r{k} IS NOT NULL THEN 1 END) AS BIGINT) AS n{k}, "
+             f"CAST(sum(CASE WHEN r{k} IS NOT NULL THEN r END) AS BIGINT) AS sx{k}, "
+             f"CAST(sum(CASE WHEN r IS NOT NULL THEN r{k} END) AS BIGINT) AS sy{k}, "
+             f"CAST(sum(r * r{k}) AS BIGINT) AS sxy{k}, "
+             f"CAST(sum(CASE WHEN r{k} IS NOT NULL THEN r * r END) AS BIGINT) AS sxx{k}, "
+             f"CAST(sum(CASE WHEN r IS NOT NULL THEN r{k} * r{k} END) AS BIGINT) AS syy{k}"
+             for k in _ACF_LAGS
+         )}
+  FROM lagged GROUP BY symbol
+)
+SELECT symbol, n1 AS n_pairs,
+       {_acf_cols_sql()}
+FROM s
+"""
+
+
+@register("acf_returns", _ACF_ORACLE, tags=("W-", "A7"))
+def acf_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol autocorrelation of minute-bar returns at lags 1-3 —
+    the mean-reversion/momentum diagnostic behind bar-sampling
+    choices (de Prado ch. 2 measures it to compare bar clocks). All
+    co-moment sums run on INTEGER-SCALED returns (e4 BIGINT), so
+    partial aggregation is exact at any parallelism; the only float
+    steps are the final Pearson ratio and IEEE sqrt (correctly
+    rounded, engine-identical), snapped to ppm. One scan, one
+    symbol-keyed window pass, one grouped aggregate."""
+    ticks = ticks_from_events(spark, sf_dir)
+    c1m = aggregate_candles(ticks, 60)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r_raw = F.round((F.col("close") / F.lag("close").over(w) - 1) * 10000, 0).cast("long")
+    rets = c1m.select(
+        "symbol",
+        "timestamp",
+        F.least(F.greatest(r_raw, F.lit(-10000)), F.lit(10000)).alias("r"),
+    )
+    lagged = rets.select(
+        "symbol",
+        "r",
+        *[F.lag("r", k).over(w).alias(f"r{k}") for k in _ACF_LAGS],
+    )
+    aggs = []
+    for k in _ACF_LAGS:
+        rk = F.col(f"r{k}")
+        both = F.col("r").isNotNull() & rk.isNotNull()
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"n{k}"),
+            F.sum(F.when(rk.isNotNull(), F.col("r"))).alias(f"sx{k}"),
+            F.sum(F.when(F.col("r").isNotNull(), rk)).alias(f"sy{k}"),
+            F.sum(F.col("r") * rk).alias(f"sxy{k}"),
+            F.sum(F.when(rk.isNotNull(), F.col("r") * F.col("r"))).alias(f"sxx{k}"),
+            F.sum(F.when(F.col("r").isNotNull(), rk * rk)).alias(f"syy{k}"),
+        ]
+    s = lagged.groupBy("symbol").agg(*aggs)
+    outs = [F.col("n1").alias("n_pairs")]
+    for k in _ACF_LAGS:
+        num = (F.col(f"n{k}") * F.col(f"sxy{k}") - F.col(f"sx{k}") * F.col(f"sy{k}")).cast(
+            "double"
+        )
+        denx = F.sqrt((F.col(f"n{k}") * F.col(f"sxx{k}") - F.col(f"sx{k}") * F.col(f"sx{k}")).cast("double"))
+        deny = F.sqrt((F.col(f"n{k}") * F.col(f"syy{k}") - F.col(f"sy{k}") * F.col(f"sy{k}")).cast("double"))
+        outs.append(
+            F.round(num / (denx * deny) * 1000000, 0).cast("long").alias(f"acf{k}_ppm")
+        )
+    return s.select("symbol", *outs)

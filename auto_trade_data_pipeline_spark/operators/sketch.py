@@ -33,6 +33,10 @@ __all__ = [
     "cms_bucket_array",
     "cms_sketch",
     "cms_lookup",
+    "HLL_ALPHA_64",
+    "HLL_M",
+    "hll_sketch",
+    "hll_estimate",
 ]
 
 #: hash64 is uniform on [0, 2^60)
@@ -226,3 +230,79 @@ def cms_lookup(
     )
     est = joined.groupBy(value_col).agg(F.min("c").alias("cms_est"))
     return probes.join(est, value_col)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (deterministic registers over the portable hash family)
+# ---------------------------------------------------------------------------
+
+#: alpha_64: the HLL bias constant 0.7213/(1 + 1.079/m) for m=64,
+#: embedded as an exact double literal shared with the SQL oracles.
+HLL_ALPHA_64 = 0.7093409548395029
+HLL_M = 64
+#: Registers deeper than this contribute 0 to the scaled harmonic sum
+#: (2^(50-reg) underflows BIGINT scaling); identical truncation on
+#: both engines, reachable only with ~2^50 hashed values per bucket.
+HLL_REG_CAP = 50
+
+
+def hll_sketch(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """HyperLogLog registers per group (Flajolet et al., AofA'07) over
+    the md5-60bit hash family: bucket = hash mod m, rho = leading-zero
+    rank of the remaining 54 bits. Because the hash family is the
+    deterministic portable one (`operators.text.hash64`), the ENTIRE
+    register table is a pure function of the input set — cross-engine
+    oracle-able and partition-invariant, which implementation-defined
+    HLL register layouts are not.
+
+    Returns (group, bucket, register) for OCCUPIED buckets only;
+    `hll_estimate` supplies the empty-bucket spine. Merge/union of
+    sketches is elementwise max over registers — the mergeable-state
+    property that makes HLL the production distinct-count sketch at
+    100 TB: each partition reduces to m bytes, combines are max."""
+    h = df.select(
+        F.col(group_col), hash64(F.col(value_col).cast("string"), salt="hll").alias("hv")
+    ).distinct()
+    rem = F.expr(f"hv div {HLL_M}")
+    rho = F.when(rem == 0, F.lit(55)).otherwise(55 - F.length(F.bin(rem)))
+    return (
+        h.select(
+            F.col(group_col),
+            (F.col("hv") % HLL_M).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, group_col: str) -> DataFrame:
+    """Raw HLL estimate per group from a register table: the scaled
+    harmonic sum S = sum over all m buckets of 2^(50 - register)
+    (register 0 for empty buckets) is an exact BIGINT, and the final
+    alpha * m^2 * 2^50 / S is one double division — deterministic at
+    any parallelism. No small/large-range corrections (the raw
+    estimator is what the cross-engine differential pins; corrections
+    are a monotone post-map both engines would share)."""
+    spark = sketch.sparkSession
+    groups = sketch.select(group_col).distinct()
+    spine = groups.crossJoin(
+        spark.range(HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    )
+    full = spine.join(sketch, [group_col, "bucket"], "left").select(
+        group_col,
+        "bucket",
+        F.coalesce(F.col("register"), F.lit(0)).alias("register"),
+    )
+    term = F.when(
+        F.col("register") <= HLL_REG_CAP,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_REG_CAP} - register AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    s = full.groupBy(group_col).agg(F.sum(term).alias("s_scaled"))
+    est = (
+        F.lit(HLL_ALPHA_64)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << HLL_REG_CAP))
+        / F.col("s_scaled").cast("double")
+    )
+    return s.select(group_col, "s_scaled", est.alias("hll_est"))

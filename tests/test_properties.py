@@ -372,6 +372,14 @@ _INVARIANCE_QUERIES = [
     "kmeans_quality_report",
     "dataset_card",
     "asof_join_next_bar",
+    # round-4 fourth push: information bars (exact BIGINT prefix
+    # sums), banded-range-join labeling, recursive Heikin-Ashi,
+    # integer co-moment ACF, VPIN flow toxicity
+    "volume_bars",
+    "triple_barrier_labels",
+    "heikin_ashi_candles",
+    "vpin_toxicity",
+    "acf_returns",
 ]
 
 
