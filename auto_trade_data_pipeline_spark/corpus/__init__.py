@@ -149,6 +149,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "vpin_toxicity",
     "acf_returns",
     "hll_distinct_sketch",
+    "cross_sectional_factor",
+    "bucketed_colocated_join",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -337,6 +339,8 @@ _ORDER = [
     "vpin_toxicity",
     "acf_returns",
     "hll_distinct_sketch",
+    "cross_sectional_factor",
+    "bucketed_colocated_join",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

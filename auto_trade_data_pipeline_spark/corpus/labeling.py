@@ -663,3 +663,92 @@ def acf_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / (denx * deny) * 1000000, 0).cast("long").alias(f"acf{k}_ppm")
         )
     return s.select("symbol", *outs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-sectional factor standardization (per-day ranks across symbols)
+# ---------------------------------------------------------------------------
+
+_CSF_ORACLE = f"""
+WITH {TICKS_CTE},
+db AS (
+  SELECT symbol, date_trunc('day', timestamp) AS day, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('day', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+daily AS (
+  SELECT symbol, day, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM db GROUP BY symbol, day
+),
+rets AS (
+  SELECT symbol, day,
+         least(greatest(CAST(round((close / lag(close) OVER (PARTITION BY symbol ORDER BY day) - 1)
+                                   * 10000) AS BIGINT), -10000), 10000) AS r_e4
+  FROM daily
+),
+cs AS (
+  SELECT symbol, day, r_e4,
+         CAST(count(*) OVER wd AS BIGINT) AS n,
+         CAST(sum(r_e4) OVER wd AS BIGINT) AS sum_e4,
+         CAST(rank() OVER (PARTITION BY day ORDER BY r_e4, symbol) AS INTEGER) AS cs_rank
+  FROM rets WHERE r_e4 IS NOT NULL
+  WINDOW wd AS (PARTITION BY day)
+)
+SELECT symbol, strftime(day, '%Y-%m-%d') AS day, r_e4, cs_rank, n,
+       r_e4 * n - sum_e4 AS demeaned_e4n
+FROM cs
+"""
+
+
+@register("cross_sectional_factor", _CSF_ORACLE, tags=("W-", "A7"))
+def cross_sectional_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional factor standardization — the per-timestamp
+    rank/demean across the symbol universe that turns a raw signal
+    (here: winsorized daily return) into a market-neutral factor, the
+    core transform of cross-sectional alpha research. Ranks partition
+    by DAY (the cross-section), not symbol — the orthogonal window
+    axis to every per-symbol query in the corpus. Demeaning is exact:
+    `r*n - sum(r)` keeps everything BIGINT (the mean's division is
+    deferred, not performed), so the factor is bit-stable at any
+    parallelism. At a realistic universe (10^4 symbols/day) each
+    cross-section is one small partition; day-keyed parallelism
+    scales with history length."""
+    ticks = ticks_from_events(spark, sf_dir)
+    wd = Window.partitionBy("symbol", F.date_trunc("day", F.col("timestamp"))).orderBy(
+        F.desc("timestamp"), F.desc("tick_id")
+    )
+    daily = (
+        ticks.select(
+            "symbol",
+            F.date_trunc("day", F.col("timestamp")).alias("day"),
+            "price",
+            F.row_number().over(wd).alias("rd"),
+        )
+        .filter(F.col("rd") == 1)
+        .select("symbol", "day", F.col("price").alias("close"))
+    )
+    ws = Window.partitionBy("symbol").orderBy("day")
+    r_raw = F.round((F.col("close") / F.lag("close").over(ws) - 1) * 10000, 0).cast("long")
+    rets = daily.select(
+        "symbol",
+        "day",
+        F.least(F.greatest(r_raw, F.lit(-10000)), F.lit(10000)).alias("r_e4"),
+    ).filter(F.col("r_e4").isNotNull())
+    wcs = Window.partitionBy("day")
+    cs = rets.select(
+        "symbol",
+        "day",
+        "r_e4",
+        F.count(F.lit(1)).over(wcs).alias("n"),
+        F.sum("r_e4").over(wcs).alias("sum_e4"),
+        F.rank().over(Window.partitionBy("day").orderBy("r_e4", "symbol")).cast("int").alias("cs_rank"),
+    )
+    return cs.select(
+        "symbol",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "r_e4",
+        "cs_rank",
+        "n",
+        (F.col("r_e4") * F.col("n") - F.col("sum_e4")).alias("demeaned_e4n"),
+    )

@@ -946,3 +946,60 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.cast("int").alias("dist"),
         F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0).cast("int").alias("same_segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (shuffle-free storage layout)
+# ---------------------------------------------------------------------------
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+"""
+
+
+@register("bucketed_colocated_join", _BUCKETED_JOIN_ORACLE, tags=("J4", "S5"))
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-order revenue computed THROUGH a bucketed storage
+    layout: both sides are first written as tables bucketed (8
+    buckets) and sorted on the join key, then read back and joined —
+    the co-located join every warehouse uses to make its hottest
+    fact-dim join shuffle-free. With matching bucket counts Spark's
+    scan exposes the hash-partitioning, so the SortMergeJoin needs NO
+    Exchange on either side (pinned by `tests/test_plans.py`; at
+    100 TB this converts the nightly re-shuffle of the biggest join
+    into a one-time layout cost paid at write). Values are oracled
+    against the plain parquet join — layout must never change
+    results. Unique table names per invocation; data lands under the
+    session's warehouse dir."""
+    import uuid
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    run = uuid.uuid4().hex[:8]
+    tc, to = f"bkt_customer_{run}", f"bkt_orders_{run}"
+    (
+        cust.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tc)
+    )
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(to)
+    )
+    c = spark.table(tc)
+    o = spark.table(to)
+    joined = c.join(o, c["c_custkey"] == o["o_custkey"])
+    return joined.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )

@@ -500,3 +500,36 @@ def test_pps_sampling_uses_distributed_prefix_sum(spark, sf_small):
     assert "rangepartitioning" in plan
     assert "MapInPandas" in plan
     assert "Window" not in plan, plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_small):
+    """Both sides written bucketed (8) + sorted on the join key and
+    read back: the scan exposes HashPartitioning(8), so the
+    SortMergeJoin needs NO Exchange on either side — the co-located
+    layout that removes the nightly fact-dim re-shuffle at 100 TB.
+    Broadcast is disabled so the assertion exercises the SMJ path the
+    layout exists for."""
+    import uuid
+
+    from auto_trade_data_pipeline_spark.sources import load_table
+
+    run = uuid.uuid4().hex[:8]
+    tc, to = f"plan_bkt_c_{run}", f"plan_bkt_o_{run}"
+    load_table(spark, sf_small, "customer").write.bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).mode("overwrite").format("parquet").saveAsTable(tc)
+    load_table(spark, sf_small, "orders").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).mode("overwrite").format("parquet").saveAsTable(to)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c, o = spark.table(tc), spark.table(to)
+        plan = _plan(c.join(o, c["c_custkey"] == o["o_custkey"]))
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
