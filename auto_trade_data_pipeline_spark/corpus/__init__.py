@@ -151,6 +151,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "hll_distinct_sketch",
     "cross_sectional_factor",
     "bucketed_colocated_join",
+    "streaming_volume_bars_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -341,6 +342,7 @@ _ORDER = [
     "hll_distinct_sketch",
     "cross_sectional_factor",
     "bucketed_colocated_join",
+    "streaming_volume_bars_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -728,3 +728,79 @@ def streaming_pattern_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("price", 4).alias("price"),
         "volume_confirmed",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming volume bars (stateful activity-clock sampling)
+# ---------------------------------------------------------------------------
+
+def _stream_vbars_oracle() -> str:
+    from auto_trade_data_pipeline_spark.corpus.labeling import (
+        VOLUME_BAR_V,
+        _MEASURED_CTE,
+    )
+
+    return f"""
+WITH {_MEASURED_CTE},
+b AS (
+  SELECT *, prev_vol // {VOLUME_BAR_V} AS bar_id,
+         row_number() OVER (PARTITION BY symbol, prev_vol // {VOLUME_BAR_V}
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, prev_vol // {VOLUME_BAR_V}
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM runs
+),
+agg AS (
+  SELECT symbol, CAST(bar_id AS BIGINT) AS bar_id,
+         strftime(min(timestamp), '{TS_FMT_DUCK}') AS open_ts,
+         strftime(max(timestamp), '{TS_FMT_DUCK}') AS close_ts,
+         max(CASE WHEN ra = 1 THEN price END) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         max(CASE WHEN rd = 1 THEN price END) AS close,
+         CAST(sum(vol_i) AS BIGINT) AS volume,
+         CAST(count(*) AS BIGINT) AS n_ticks
+  FROM b GROUP BY symbol, bar_id
+)
+SELECT * FROM agg QUALIFY bar_id < max(bar_id) OVER (PARTITION BY symbol)
+"""
+
+
+@register("streaming_volume_bars_replay", _stream_vbars_oracle(), tags=("ST4", "A1", "W-"))
+def streaming_volume_bars_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volume bars (streaming/bars.py): per-symbol keyed
+    state carries the running activity total plus the one OPEN bar —
+    O(1) state forever, no watermark — and each bar is emitted
+    EXACTLY ONCE, in the micro-batch where the next bar opens. The
+    emission contract is relational (a bar has closed iff a later bar
+    exists), so the oracle is the batch volume-bar query QUALIFYed to
+    bars that are not each symbol's last — a custom stateful
+    streaming operator with a full SQL oracle. Multi-batch split
+    parity is pinned in tests/test_streaming_bars.py."""
+    from auto_trade_data_pipeline_spark.corpus.labeling import VOLUME_BAR_V
+    from auto_trade_data_pipeline_spark.streaming.bars import streaming_volume_bars
+
+    ticks = read_ticks_stream(spark, sf_dir)
+    measured = ticks.select(
+        "symbol",
+        "timestamp",
+        "tick_id",
+        "price",
+        F.round("volume", 0).cast("long").alias("vol_i"),
+    )
+    bars = streaming_volume_bars(measured, VOLUME_BAR_V)
+    result = run_available_now(
+        bars, f"corpus_stream_vbars_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    return result.select(
+        "symbol",
+        "bar_id",
+        "open_ts",
+        "close_ts",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "n_ticks",
+    )
