@@ -152,6 +152,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "cross_sectional_factor",
     "bucketed_colocated_join",
     "streaming_volume_bars_replay",
+    "weighted_price_quantiles",
+    "bigram_lm_score",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -343,6 +345,8 @@ _ORDER = [
     "cross_sectional_factor",
     "bucketed_colocated_join",
     "streaming_volume_bars_replay",
+    "weighted_price_quantiles",
+    "bigram_lm_score",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -2599,3 +2599,90 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", "s_scaled", "n_exact", "hll_est_e2", err.alias("abs_err_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (in-engine trained, add-one smoothed)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = f"""
+WITH {_DOCS_CTE},
+bg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b
+  FROM toks WHERE len(ts) >= 2
+),
+vocab AS MATERIALIZED (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+  FROM (SELECT unnest(ts) AS t FROM toks)
+),
+cb AS MATERIALIZED (SELECT b, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY b),
+ch AS MATERIALIZED (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+scored AS (
+  SELECT g.doc_id,
+         CAST(round(ln(CAST(cb.c12 + 1 AS DOUBLE) / CAST(ch.c1 + vocab.v AS DOUBLE))
+                    * 1000000) AS BIGINT) AS logp_ppm
+  FROM bg g JOIN cb ON g.b = cb.b JOIN ch ON g.w1 = ch.w1 CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(logp_ppm) AS BIGINT) AS sum_logp_ppm,
+       CAST((-sum(logp_ppm)) // count(*) AS BIGINT) AS neg_avg_logp_ppm
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("bigram_lm_score", _BIGRAM_LM_ORACLE, tags=("EXT3",))
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency scoring under a bigram language model
+    TRAINED IN-ENGINE on the same corpus (add-one smoothing over the
+    corpus vocabulary) — the KenLM-style perplexity filter of an LLM
+    data pipeline, expressed relationally: bigram/history counts are
+    two uniform-key shuffles, the 1-row vocabulary size broadcasts,
+    and each bigram occurrence joins its type's log-probability.
+    ln() is snapped to ppm AT THE TYPE LEVEL (same division then same
+    IEEE ln on both engines — the BM25 IDF recipe), so per-doc sums
+    are exact BIGINTs; the negated floor-average keeps the integer
+    division on a positive numerator (engine div parity). Docs under
+    2 tokens carry no bigram and are excluded by construction."""
+    from auto_trade_data_pipeline_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("ts"))
+    bg = toks.filter(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2),"
+                " i -> struct(ts[i] AS w1, concat(ts[i], ' ', ts[i+1]) AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.b").alias("b"))
+    vocab = toks.select(F.explode("ts").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
+    ch = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(cb, "b")
+        .join(ch, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("logp_ppm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("logp_ppm").alias("sum_logp_ppm"),
+        F.expr("(-sum(logp_ppm)) div count(*)").cast("long").alias("neg_avg_logp_ppm"),
+    )

@@ -752,3 +752,65 @@ def cross_sectional_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("r_e4") * F.col("n") - F.col("sum_e4")).alias("demeaned_e4n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume-weighted price quantiles (exact integer first-crossing)
+# ---------------------------------------------------------------------------
+
+_WQ_ORACLE = f"""
+WITH {_MEASURED_CTE},
+c AS (
+  SELECT symbol, price, vol_i,
+         sum(vol_i) OVER (PARTITION BY symbol ORDER BY price, tick_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(vol_i) OVER (PARTITION BY symbol) AS tot
+  FROM runs
+)
+SELECT symbol,
+       CAST(max(tot) AS BIGINT) AS total_vol,
+       CAST(round(min(CASE WHEN 4 * cum >= tot THEN price END) * 10000) AS BIGINT) AS wp25_e4,
+       CAST(round(min(CASE WHEN 4 * cum >= 2 * tot THEN price END) * 10000) AS BIGINT) AS wmedian_e4,
+       CAST(round(min(CASE WHEN 4 * cum >= 3 * tot THEN price END) * 10000) AS BIGINT) AS wp75_e4
+FROM c GROUP BY symbol
+"""
+
+
+@register("weighted_price_quantiles", _WQ_ORACLE, tags=("A-quantile", "W-"))
+def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME-weighted price quartiles per symbol — where the traded
+    volume actually sat, the liquidity-profile complement of the
+    count-weighted percentiles: the weighted q-quantile is the first
+    price whose cumulative volume crosses q of the total. Every
+    comparison is exact BIGINT (4*cum vs q*tot — no division at all),
+    so the crossing row is bit-determined; one price-ordered window
+    per symbol, one grouped conditional-min. At 100 TB this is the
+    same shape as the equi-depth histogram: symbol-keyed sort,
+    incremental cumsum, no Python."""
+    ticks = ticks_from_events(spark, sf_dir)
+    vol_i = F.round("volume", 0).cast("long")
+    t = ticks.select("symbol", "price", "tick_id", vol_i.alias("vol_i"))
+    wc = Window.partitionBy("symbol").orderBy("price", "tick_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("symbol")
+    c = t.select(
+        "symbol",
+        "price",
+        F.sum("vol_i").over(wc).alias("cum"),
+        F.sum("vol_i").over(wt).alias("tot"),
+    )
+
+    def crossing(mult: int):
+        return F.round(
+            F.min(F.when(4 * F.col("cum") >= mult * F.col("tot"), F.col("price")))
+            * 10000,
+            0,
+        ).cast("long")
+
+    return c.groupBy("symbol").agg(
+        F.max("tot").alias("total_vol"),
+        crossing(1).alias("wp25_e4"),
+        crossing(2).alias("wmedian_e4"),
+        crossing(3).alias("wp75_e4"),
+    )
