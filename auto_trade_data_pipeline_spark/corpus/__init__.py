@@ -154,6 +154,9 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_volume_bars_replay",
     "weighted_price_quantiles",
     "bigram_lm_score",
+    "haar_wavelet_energy",
+    "risk_metrics_report",
+    "label_backtest_pnl",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -347,6 +350,9 @@ _ORDER = [
     "streaming_volume_bars_replay",
     "weighted_price_quantiles",
     "bigram_lm_score",
+    "haar_wavelet_energy",
+    "risk_metrics_report",
+    "label_backtest_pnl",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -814,3 +814,372 @@ def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         crossing(2).alias("wmedian_e4"),
         crossing(3).alias("wp75_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet multi-resolution energy (dyadic-exact signal features)
+# ---------------------------------------------------------------------------
+
+_HAAR_BLOCK = 16  # bars per transform block (4 dyadic levels)
+
+_HAAR_MINUTE_CTE = f"""{TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+candles AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+seq AS (
+  SELECT symbol, bucket,
+         CAST(round(close * 10000) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY symbol ORDER BY bucket) - 1 AS rn
+  FROM candles
+),
+blocks AS (
+  SELECT symbol, rn // {_HAAR_BLOCK} AS blk, rn % {_HAAR_BLOCK} AS pos, x,
+         strftime(min(bucket) OVER (PARTITION BY symbol, rn // {_HAAR_BLOCK}),
+                  '{TS_FMT_DUCK}') AS block_start,
+         count(*) OVER (PARTITION BY symbol, rn // {_HAAR_BLOCK}) AS bn
+  FROM seq
+),
+full_blocks AS (SELECT * FROM blocks WHERE bn = {_HAAR_BLOCK})
+"""
+
+
+def _haar_level_sql(k: int) -> str:
+    half = 1 << (k - 1)
+    return f"""
+e{k} AS (
+  SELECT symbol, blk, CAST(sum(d * d) AS BIGINT) AS e{k}
+  FROM (
+    SELECT symbol, blk, pos // {1 << k} AS grp,
+           sum(CASE WHEN pos % {1 << k} < {half} THEN x ELSE -x END) AS d
+    FROM full_blocks GROUP BY symbol, blk, pos // {1 << k}
+  ) GROUP BY symbol, blk
+)"""
+
+
+_HAAR_ORACLE = f"""
+WITH {_HAAR_MINUTE_CTE},
+base AS (
+  SELECT symbol, blk, max(block_start) AS block_start,
+         CAST(sum(x) AS BIGINT) AS approx_sum_e4
+  FROM full_blocks GROUP BY symbol, blk
+),
+{", ".join(_haar_level_sql(k).strip() for k in (1, 2, 3, 4))}
+SELECT b.symbol, CAST(b.blk AS BIGINT) AS blk, b.block_start, b.approx_sum_e4,
+       e1.e1, e2.e2, e3.e3, e4.e4
+FROM base b
+JOIN e1 ON b.symbol = e1.symbol AND b.blk = e1.blk
+JOIN e2 ON b.symbol = e2.symbol AND b.blk = e2.blk
+JOIN e3 ON b.symbol = e3.symbol AND b.blk = e3.blk
+JOIN e4 ON b.symbol = e4.symbol AND b.blk = e4.blk
+"""
+
+
+@register("haar_wavelet_energy", _HAAR_ORACLE, tags=("W-",))
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet multi-resolution energy decomposition over
+    16-bar blocks of e4-scaled minute closes — which TIME SCALE the
+    price variation lives at (level 1 = bar-to-bar noise, level 4 =
+    block-scale drift), the classic signal feature for regime
+    detection. The Haar basis is dyadic, so on integer-scaled inputs
+    every detail coefficient (signed sums) and energy (sum of
+    squares) is EXACT BIGINT arithmetic — no floats anywhere. Each
+    level is a grouped aggregate on a coarser split of the same
+    (symbol, block) key, so all four levels re-use aligned
+    partitioning; incomplete trailing blocks are dropped on both
+    sides."""
+    ticks = ticks_from_events(spark, sf_dir)
+    c1m = aggregate_candles(ticks, 60)
+    wseq = Window.partitionBy("symbol").orderBy("timestamp")
+    seq = c1m.select(
+        "symbol",
+        "timestamp",
+        F.round(F.col("close") * 10000, 0).cast("long").alias("x"),
+        (F.row_number().over(wseq) - 1).alias("rn"),
+    )
+    wblk = Window.partitionBy("symbol", F.expr(f"rn div {_HAAR_BLOCK}"))
+    blocks = seq.select(
+        "symbol",
+        F.expr(f"rn div {_HAAR_BLOCK}").alias("blk"),
+        (F.col("rn") % _HAAR_BLOCK).alias("pos"),
+        "x",
+        _fmt(F.min("timestamp").over(wblk)).alias("block_start"),
+        F.count(F.lit(1)).over(wblk).alias("bn"),
+    ).filter(F.col("bn") == _HAAR_BLOCK)
+
+    base = blocks.groupBy("symbol", "blk").agg(
+        F.max("block_start").alias("block_start"),
+        F.sum("x").alias("approx_sum_e4"),
+    )
+    out = base
+    for k in (1, 2, 3, 4):
+        half = 1 << (k - 1)
+        d = blocks.groupBy(
+            "symbol", "blk", F.expr(f"pos div {1 << k}").alias("grp")
+        ).agg(
+            F.sum(
+                F.when(F.col("pos") % (1 << k) < half, F.col("x")).otherwise(-F.col("x"))
+            ).alias("d")
+        )
+        ek = d.groupBy("symbol", "blk").agg(F.sum(F.col("d") * F.col("d")).alias(f"e{k}"))
+        out = out.join(ek, ["symbol", "blk"])
+    return out.select(
+        "symbol",
+        F.col("blk").cast("long").alias("blk"),
+        "block_start",
+        "approx_sum_e4",
+        "e1",
+        "e2",
+        "e3",
+        "e4",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-symbol risk metrics (return / drawdown / volatility / Sharpe)
+# ---------------------------------------------------------------------------
+
+_RISK_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+candles AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+seq AS (
+  SELECT symbol, bucket,
+         CAST(round(close * 10000) AS BIGINT) AS x,
+         least(greatest(CAST(round((close / lag(close) OVER w - 1) * 10000) AS BIGINT),
+                        -10000), 10000) AS r
+  FROM candles WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+dd AS (
+  SELECT symbol, x, r,
+         max(x) OVER (PARTITION BY symbol ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax,
+         first_value(x) OVER (PARTITION BY symbol ORDER BY bucket) AS first_x,
+         last_value(x) OVER (PARTITION BY symbol ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_x
+  FROM seq
+),
+agg AS (
+  SELECT symbol,
+         max(((runmax - x) * 1000000) // runmax) AS max_dd_ppm,
+         CAST(round((CAST(max(last_x) AS DOUBLE) / CAST(max(first_x) AS DOUBLE) - 1)
+                    * 1000000) AS BIGINT) AS total_return_ppm,
+         CAST(count(r) AS BIGINT) AS n_rets,
+         CAST(sum(r) AS BIGINT) AS sr,
+         CAST(sum(r * r) AS BIGINT) AS srr
+  FROM dd GROUP BY symbol
+)
+SELECT symbol, total_return_ppm, CAST(max_dd_ppm AS BIGINT) AS max_dd_ppm, n_rets,
+       CAST(round(sqrt(CAST(n_rets * srr - sr * sr AS DOUBLE)
+                       / CAST(n_rets * (n_rets - 1) AS DOUBLE)) * 100) AS BIGINT)
+         AS vol_r_e4_e2,
+       CAST(round((CAST(sr AS DOUBLE) / CAST(n_rets AS DOUBLE))
+                  / sqrt(CAST(n_rets * srr - sr * sr AS DOUBLE)
+                         / CAST(n_rets * (n_rets - 1) AS DOUBLE)) * 1000000) AS BIGINT)
+         AS sharpe_ppm
+FROM agg
+"""
+
+
+@register("risk_metrics_report", _RISK_ORACLE, tags=("W-", "A7"))
+def risk_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol risk report — total return, MAX DRAWDOWN (the
+    running-peak shortfall, computed entirely in BIGINT ppm off
+    e4-scaled closes), return volatility, and the Sharpe ratio of
+    winsorized minute returns. Co-moments are integer-exact (same
+    recipe as `acf_returns`); the only float steps are the final
+    shared-literal divisions and IEEE sqrt. The drawdown running max
+    is one incremental window pass per symbol — the canonical ordered
+    prefix shape."""
+    ticks = ticks_from_events(spark, sf_dir)
+    c1m = aggregate_candles(ticks, 60)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r_raw = F.round((F.col("close") / F.lag("close").over(w) - 1) * 10000, 0).cast("long")
+    seq = c1m.select(
+        "symbol",
+        "timestamp",
+        F.round(F.col("close") * 10000, 0).cast("long").alias("x"),
+        F.least(F.greatest(r_raw, F.lit(-10000)), F.lit(10000)).alias("r"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dd = seq.select(
+        "symbol",
+        "x",
+        "r",
+        F.max("x").over(wrun).alias("runmax"),
+        F.first("x").over(w).alias("first_x"),
+        F.last("x").over(wall).alias("last_x"),
+    )
+    agg = dd.groupBy("symbol").agg(
+        F.max(F.expr("((runmax - x) * 1000000) div runmax")).alias("max_dd_ppm"),
+        F.round(
+            (F.max("last_x").cast("double") / F.max("first_x").cast("double") - 1)
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("total_return_ppm"),
+        F.count("r").alias("n_rets"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+    )
+    var = (F.col("n_rets") * F.col("srr") - F.col("sr") * F.col("sr")).cast("double") / (
+        F.col("n_rets") * (F.col("n_rets") - 1)
+    ).cast("double")
+    sd = F.sqrt(var)
+    mean = F.col("sr").cast("double") / F.col("n_rets").cast("double")
+    return agg.select(
+        "symbol",
+        "total_return_ppm",
+        F.col("max_dd_ppm").cast("long").alias("max_dd_ppm"),
+        "n_rets",
+        F.round(sd * 100, 0).cast("long").alias("vol_r_e4_e2"),
+        F.round(mean / sd * 1000000, 0).cast("long").alias("sharpe_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label backtest: realized PnL of triple-barrier exits (composition)
+# ---------------------------------------------------------------------------
+
+_BACKTEST_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('hour', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+entries AS (
+  SELECT symbol, bucket + INTERVAL 1 HOUR AS entry_ts,
+         max(CASE WHEN rd = 1 THEN price END) AS entry_price
+  FROM cb GROUP BY symbol, bucket
+),
+touched AS (
+  SELECT e.symbol, e.entry_ts, e.entry_price,
+         min(CASE WHEN t.price >= e.entry_price * {_TB_UP} THEN t.timestamp END) AS up_ts,
+         min(CASE WHEN t.price <= e.entry_price * {_TB_DN} THEN t.timestamp END) AS dn_ts
+  FROM entries e JOIN ticks t
+    ON t.symbol = e.symbol
+   AND t.timestamp > e.entry_ts
+   AND t.timestamp <= e.entry_ts + INTERVAL {_TB_HORIZON} SECOND
+  GROUP BY e.symbol, e.entry_ts, e.entry_price
+),
+trades AS (
+  SELECT e.symbol, e.entry_ts, e.entry_price,
+         CASE WHEN t.up_ts IS NOT NULL AND (t.dn_ts IS NULL OR t.up_ts <= t.dn_ts) THEN 1
+              WHEN t.dn_ts IS NOT NULL THEN -1
+              ELSE 0 END AS label,
+         CASE WHEN t.up_ts IS NOT NULL AND (t.dn_ts IS NULL OR t.up_ts <= t.dn_ts) THEN t.up_ts
+              WHEN t.dn_ts IS NOT NULL THEN t.dn_ts
+              ELSE e.entry_ts + INTERVAL {_TB_HORIZON} SECOND END AS exit_target
+  FROM entries e LEFT JOIN touched t
+    ON t.symbol = e.symbol AND t.entry_ts = e.entry_ts
+),
+tick1 AS (
+  SELECT symbol, timestamp, max_by(price, tick_id) AS price
+  FROM ticks GROUP BY symbol, timestamp
+),
+exits AS (
+  SELECT tr.symbol, tr.entry_ts, tr.entry_price, tr.label,
+         tr.exit_target, k.timestamp AS exit_ts, k.price AS exit_price
+  FROM trades tr ASOF LEFT JOIN tick1 k
+    ON tr.symbol = k.symbol AND k.timestamp <= tr.exit_target
+),
+pnl AS (
+  SELECT symbol, label,
+         CASE WHEN exit_ts IS NULL OR exit_ts <= entry_ts THEN 0
+              ELSE CAST(round((exit_price / entry_price - 1) * 1000000) AS BIGINT)
+         END AS pnl_ppm,
+         CASE WHEN exit_ts IS NULL OR exit_ts <= entry_ts THEN 0
+              ELSE CAST(date_diff('second', entry_ts, exit_ts) AS BIGINT)
+         END AS holding_sec
+  FROM exits
+)
+SELECT symbol, CAST(label AS INTEGER) AS label,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(pnl_ppm) AS BIGINT) AS total_pnl_ppm,
+       CAST(sum(holding_sec) AS BIGINT) AS total_holding_sec
+FROM pnl GROUP BY symbol, label
+"""
+
+
+@register("label_backtest_pnl", _BACKTEST_ORACLE, tags=("J5", "W-"))
+def label_backtest_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-PnL evaluation of the triple-barrier exits — the
+    composition that closes the labeling loop: each hourly entry is
+    held to its FIRST barrier touch (or the vertical horizon), the
+    exit PRICE is recovered with a backward AS-OF join to the tick
+    tape (ticks pre-reduced to one row per instant so tie semantics
+    are engine-identical), and PnL/holding-time aggregate per
+    (symbol, outcome-label). Exercises banded range join + as-of join
+    + grouped rollup in one pipeline; the oracle replays it on
+    DuckDB's native ASOF LEFT JOIN. Entries whose horizon contains no
+    tick carry zero PnL by contract."""
+    from auto_trade_data_pipeline_spark.operators.dedup import dedup_keep_last
+    from auto_trade_data_pipeline_spark.operators.joins import asof_join
+
+    ticks = ticks_from_events(spark, sf_dir)
+    hourly = aggregate_candles(ticks, 3600)
+    entries = hourly.select(
+        "symbol",
+        (F.col("timestamp") + F.expr("INTERVAL 1 HOUR")).alias("entry_ts"),
+        F.col("close").alias("entry_price"),
+        (F.col("close") * F.lit(float(_TB_UP))).alias("up"),
+        (F.col("close") * F.lit(float(_TB_DN))).alias("dn"),
+    )
+    labeled = triple_barrier_labels(entries, ticks, _TB_HORIZON)
+    trades = labeled.select(
+        "symbol",
+        "entry_ts",
+        "entry_price",
+        "label",
+        F.when(F.col("label") == 1, F.col("up_ts"))
+        .when(F.col("label") == -1, F.col("dn_ts"))
+        .otherwise(F.col("entry_ts") + F.expr(f"INTERVAL {_TB_HORIZON} SECOND"))
+        .alias("timestamp"),
+    )
+    tick1 = dedup_keep_last(
+        ticks.select("symbol", "timestamp", "price", "tick_id"),
+        keys=["symbol", "timestamp"],
+        order_cols=["tick_id"],
+    ).select("symbol", "timestamp", "price", F.col("timestamp").alias("tick_ts"))
+    exits = asof_join(trades, tick1, on=["symbol"], ts="timestamp")
+    valid = F.col("tick_ts").isNotNull() & (F.col("tick_ts") > F.col("entry_ts"))
+    pnl = exits.select(
+        "symbol",
+        "label",
+        F.when(
+            valid,
+            F.round((F.col("price") / F.col("entry_price") - 1) * 1000000, 0).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("pnl_ppm"),
+        F.when(
+            valid,
+            (F.unix_timestamp("tick_ts") - F.unix_timestamp("entry_ts")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("holding_sec"),
+    )
+    return pnl.groupBy("symbol", F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("pnl_ppm").alias("total_pnl_ppm"),
+        F.sum("holding_sec").alias("total_holding_sec"),
+    )
