@@ -157,6 +157,9 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "haar_wavelet_energy",
     "risk_metrics_report",
     "label_backtest_pnl",
+    "cusum_event_filter",
+    "label_uniqueness_weights",
+    "rolling_pair_beta",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -353,6 +356,9 @@ _ORDER = [
     "haar_wavelet_energy",
     "risk_metrics_report",
     "label_backtest_pnl",
+    "cusum_event_filter",
+    "label_uniqueness_weights",
+    "rolling_pair_beta",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -2633,7 +2633,7 @@ FROM scored GROUP BY doc_id
 """
 
 
-@register("bigram_lm_score", _BIGRAM_LM_ORACLE, tags=("EXT3",))
+@register("bigram_lm_score", _BIGRAM_LM_ORACLE, tags=("EXT3", "bench"))
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fluency scoring under a bigram language model
     TRAINED IN-ENGINE on the same corpus (add-one smoothing over the

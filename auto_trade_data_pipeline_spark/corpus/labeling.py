@@ -103,7 +103,7 @@ def _bars_query(spark: SparkSession, sf_dir: str, measure, threshold: int, name:
 @register(
     "volume_bars",
     _bars_oracle("vol_i", "prev_vol", VOLUME_BAR_V, "volume"),
-    tags=("A1", "W-"),
+    tags=("A1", "W-", "bench"),
 )
 def volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume bars (de Prado ch. 2): a new bar opens each time the
@@ -182,7 +182,7 @@ FROM entries e LEFT JOIN touched t
 """
 
 
-@register("triple_barrier_labels", _TRIPLE_BARRIER_ORACLE, tags=("J5", "W-"))
+@register("triple_barrier_labels", _TRIPLE_BARRIER_ORACLE, tags=("J5", "W-", "bench"))
 def triple_barrier_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triple-barrier first-touch labels (de Prado ch. 3): a position
     entered at each hourly bar close is labeled +1 / -1 / 0 by which
@@ -1182,4 +1182,274 @@ def label_backtest_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_trades"),
         F.sum("pnl_ppm").alias("total_pnl_ppm"),
         F.sum("holding_sec").alias("total_holding_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM event filter (integer-exact recursive sampling)
+# ---------------------------------------------------------------------------
+
+_CUSUM_H = 1_000_000  # threshold in e4 price units (100.0 in price)
+
+
+def _cusum_fold(kind: str) -> str:
+    """Prefix fold of the S+ (kind='up') or S- (kind='dn') monitor
+    over the BIGINT increment list `l`, rows 1..i — exact integer
+    recursion, replaying functions.ta.cusum_events."""
+    if kind == "up":
+        step = f"CASE WHEN greatest(CAST(0 AS BIGINT), acc + x) > {_CUSUM_H} THEN 0 ELSE greatest(CAST(0 AS BIGINT), acc + x) END"
+    else:
+        step = f"CASE WHEN least(CAST(0 AS BIGINT), acc + x) < -{_CUSUM_H} THEN 0 ELSE least(CAST(0 AS BIGINT), acc + x) END"
+    return f"list_reduce([CAST(0 AS BIGINT)] || l[1:i-1], (acc, x) -> {step})"
+
+
+_CUSUM_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+candles AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+seq AS (
+  SELECT symbol, bucket,
+         coalesce(CAST(round(close * 10000) AS BIGINT)
+                  - lag(CAST(round(close * 10000) AS BIGINT))
+                      OVER (PARTITION BY symbol ORDER BY bucket), 0) AS dp
+  FROM candles
+),
+lists AS (
+  SELECT symbol, list(dp ORDER BY bucket) AS l, list(bucket ORDER BY bucket) AS bs
+  FROM seq GROUP BY symbol
+),
+idx AS (SELECT symbol, l, bs, unnest(range(1, len(l) + 1)) AS i FROM lists)
+SELECT symbol, strftime(bs[i], '{TS_FMT_DUCK}') AS bucket_ts,
+       l[i] AS dp_e4,
+       CAST(CASE WHEN greatest(CAST(0 AS BIGINT), {_cusum_fold("up")} + l[i]) > {_CUSUM_H}
+                 THEN 1 ELSE 0 END AS INTEGER) AS up_event,
+       CAST(CASE WHEN least(CAST(0 AS BIGINT), {_cusum_fold("dn")} + l[i]) < -{_CUSUM_H}
+                 THEN 1 ELSE 0 END AS INTEGER) AS dn_event
+FROM idx
+"""
+
+
+@register("cusum_event_filter", _CUSUM_ORACLE, tags=("W-",))
+def cusum_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric CUSUM event filter (de Prado ch. 2): sample a
+    training event whenever cumulative upward (S+) or downward (S-)
+    price drift exceeds a threshold, then reset — the event-based
+    sampling that replaces fixed clocks for regime-sensitive models.
+    The recursion runs on INTEGER e4 price increments
+    (functions/ta.py:cusum_events), so state is exact int64 and the
+    oracle replays the exact fold as a per-row BIGINT prefix
+    list_reduce — a recursive state machine with reset, cross-engine
+    bit-exact (the EMA/PSAR differential pattern, but with zero
+    float tolerance). One applyInPandas pass per symbol."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions.ta import cusum_events
+
+    ticks = ticks_from_events(spark, sf_dir)
+    c1m = aggregate_candles(ticks, 60)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+        import numpy as np
+
+        x = np.round(pdf["close"].to_numpy(dtype="float64") * 10000).astype(np.int64)
+        dp = np.diff(x, prepend=x[:1])  # first row: 0
+        up, dn = cusum_events(dp, _CUSUM_H)
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "timestamp": pdf["timestamp"],
+                "dp_e4": dp,
+                "up_event": up.astype("int32"),
+                "dn_event": dn.astype("int32"),
+            }
+        )
+
+    schema = (
+        "symbol string, timestamp timestamp, dp_e4 long, up_event int, dn_event int"
+    )
+    out = c1m.select("symbol", "timestamp", "close").groupBy("symbol").applyInPandas(
+        kernel, schema=schema
+    )
+    return out.select(
+        "symbol", _fmt("timestamp").alias("bucket_ts"), "dp_e4", "up_event", "dn_event"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample weights by label uniqueness (overlapping-label concurrency)
+# ---------------------------------------------------------------------------
+
+_UNIQ_H_HOURS = 24
+
+_UNIQ_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('hour', timestamp) AS bucket
+  FROM ticks GROUP BY symbol, date_trunc('hour', timestamp)
+),
+entries AS (SELECT symbol, bucket + INTERVAL 1 HOUR AS entry_ts FROM cb),
+units AS (
+  SELECT symbol, entry_ts, entry_ts + to_hours(CAST(k AS BIGINT)) AS u
+  FROM entries, unnest(range(1, {_UNIQ_H_HOURS + 1})) AS t(k)
+),
+conc AS (
+  SELECT symbol, u, CAST(count(*) AS BIGINT) AS c FROM units GROUP BY symbol, u
+)
+SELECT un.symbol,
+       strftime(un.entry_ts, '{TS_FMT_DUCK}') AS entry_ts,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(sum(1000000 // co.c) AS BIGINT) AS uniq_sum_ppm,
+       CAST(sum(1000000 // co.c) // count(*) AS BIGINT) AS avg_uniq_ppm
+FROM units un JOIN conc co ON un.symbol = co.symbol AND un.u = co.u
+GROUP BY un.symbol, un.entry_ts
+"""
+
+
+@register("label_uniqueness_weights", _UNIQ_ORACLE, tags=("W-", "J4"))
+def label_uniqueness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample weights by average label uniqueness (de Prado ch. 4):
+    hourly entries carry 24-hour label windows that OVERLAP, so
+    naive training over-weights redundant samples; each entry's
+    weight is the average over its window's hour-units of 1/(number
+    of concurrent label windows). Expressed as the standard
+    interval-to-unit expansion (bounded 24x explode), a grouped
+    concurrency count, and a join back — every weight an exact
+    non-negative integer ppm (floor division, engine-parity safe).
+    At 100 TB the explode factor is the horizon, a constant."""
+    ticks = ticks_from_events(spark, sf_dir)
+    entries = (
+        ticks.select(
+            "symbol", F.date_trunc("hour", F.col("timestamp")).alias("bucket")
+        )
+        .distinct()
+        .select(
+            "symbol", (F.col("bucket") + F.expr("INTERVAL 1 HOUR")).alias("entry_ts")
+        )
+    )
+    units = entries.select(
+        "symbol",
+        "entry_ts",
+        F.explode(F.expr(f"sequence(1, {_UNIQ_H_HOURS})")).alias("k"),
+    ).select(
+        "symbol", "entry_ts", F.expr("timestampadd(HOUR, k, entry_ts)").alias("u")
+    )
+    conc = units.groupBy("symbol", "u").agg(F.count(F.lit(1)).alias("c"))
+    j = units.join(conc, ["symbol", "u"])
+    return j.groupBy("symbol", "entry_ts").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.expr("1000000 div c")).alias("uniq_sum_ppm"),
+        F.expr("sum(1000000 div c) div count(*)").alias("avg_uniq_ppm"),
+    ).select(
+        "symbol",
+        _fmt("entry_ts").alias("entry_ts"),
+        "n_units",
+        "uniq_sum_ppm",
+        "avg_uniq_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling pair beta (co-moment windows over a joined return grid)
+# ---------------------------------------------------------------------------
+
+_BETA_W = 60
+
+_PAIR_BETA_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+candles AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+rets AS (
+  SELECT symbol, bucket,
+         least(greatest(CAST(round((close / lag(close) OVER w - 1) * 10000) AS BIGINT),
+                        -10000), 10000) AS r
+  FROM candles WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+grid AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.bucket, a.r AS x, b.r AS y
+  FROM rets a JOIN rets b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+),
+roll AS (
+  SELECT sym_a, sym_b, bucket, x, y,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+  FROM grid
+  WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY bucket
+               ROWS BETWEEN {_BETA_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT sym_a, sym_b, strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       CAST(CASE WHEN n = {_BETA_W} AND n * sxx - sx * sx != 0
+                 THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)
+            END AS BIGINT) AS beta_ppm
+FROM roll
+"""
+
+
+@register("rolling_pair_beta", _PAIR_BETA_ORACLE, tags=("W-", "J4"))
+def rolling_pair_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 60-observation regression beta of symbol B's minute
+    return on symbol A's, for every symbol pair — the pairs-trading /
+    hedging-ratio monitor. The pair grid is a bucket-aligned
+    self-join (A < B), rolling co-moments are exact BIGINT window
+    sums over winsorized e4 returns, and beta is one shared IEEE
+    division snapped to ppm (NULL until the window fills or when
+    variance degenerates). At a large universe the pair grid is the
+    quadratic object — production bounds it to a candidate pair list
+    (broadcast), which this query's shape accommodates unchanged."""
+    ticks = ticks_from_events(spark, sf_dir)
+    c1m = aggregate_candles(ticks, 60)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r_raw = F.round((F.col("close") / F.lag("close").over(w) - 1) * 10000, 0).cast("long")
+    rets = c1m.select(
+        "symbol",
+        F.col("timestamp").alias("bucket"),
+        F.least(F.greatest(r_raw, F.lit(-10000)), F.lit(10000)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    a = rets.select(
+        F.col("symbol").alias("sym_a"), "bucket", F.col("r").alias("x")
+    )
+    b = rets.select(
+        F.col("symbol").alias("sym_b"), "bucket", F.col("r").alias("y")
+    )
+    grid = a.join(b, "bucket").where(F.col("sym_a") < F.col("sym_b"))
+    wr = Window.partitionBy("sym_a", "sym_b").orderBy("bucket").rowsBetween(
+        -(_BETA_W - 1), 0
+    )
+    roll = grid.select(
+        "sym_a",
+        "sym_b",
+        "bucket",
+        F.count(F.lit(1)).over(wr).alias("n"),
+        F.sum("x").over(wr).alias("sx"),
+        F.sum("y").over(wr).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wr).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wr).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    beta = F.when(
+        (F.col("n") == _BETA_W) & (den != 0),
+        F.round(num / den.cast("double") * 1000000, 0),
+    ).cast("long")
+    return roll.select(
+        "sym_a", "sym_b", _fmt("bucket").alias("bucket_ts"), beta.alias("beta_ppm")
     )

@@ -28,7 +28,38 @@ __all__ = [
     "rolling_mean",
     "find_peaks",
     "heikin_ashi",
+    "cusum_events",
 ]
+
+
+def cusum_events(dp: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric CUSUM filter (de Prado ch. 2, event-based sampling)
+    on INTEGER increments: S+ accumulates positive drift (clamped at
+    0 from below), S- negative drift, and an event fires when either
+    exceeds ``h`` — the monitor then resets to 0. All state is int64,
+    so the recursion is exact and the DuckDB oracle can replay it as
+    a per-row prefix list_reduce with a BIGINT accumulator (no float
+    drift anywhere).
+
+    Returns (up_flags, dn_flags) int64 0/1 arrays aligned with dp;
+    NaN-free integer input is the caller's contract (first-row dp=0).
+    """
+    n = len(dp)
+    up = np.zeros(n, dtype=np.int64)
+    dn = np.zeros(n, dtype=np.int64)
+    sp = 0
+    sn = 0
+    for i in range(n):
+        d = int(dp[i])
+        sp = max(0, sp + d)
+        if sp > h:
+            up[i] = 1
+            sp = 0
+        sn = min(0, sn + d)
+        if sn < -h:
+            dn[i] = 1
+            sn = 0
+    return up, dn
 
 
 def heikin_ashi(
