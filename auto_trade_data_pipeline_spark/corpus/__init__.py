@@ -160,6 +160,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "cusum_event_filter",
     "label_uniqueness_weights",
     "rolling_pair_beta",
+    "microstructure_metrics",
+    "execution_schedule_profile",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -359,6 +361,8 @@ _ORDER = [
     "cusum_event_filter",
     "label_uniqueness_weights",
     "rolling_pair_beta",
+    "microstructure_metrics",
+    "execution_schedule_profile",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

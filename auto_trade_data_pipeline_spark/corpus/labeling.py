@@ -1453,3 +1453,293 @@ def rolling_pair_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.select(
         "sym_a", "sym_b", _fmt("bucket").alias("bucket_ts"), beta.alias("beta_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market microstructure metrics (Roll spread / Amihud / Kyle lambda)
+# ---------------------------------------------------------------------------
+
+_MICRO_ORACLE = f"""
+WITH {_MEASURED_CTE},
+d AS (
+  SELECT symbol, timestamp, tick_id, vol_i, dollar_i,
+         least(greatest(CAST(round(price * 10000) AS BIGINT)
+                        - lag(CAST(round(price * 10000) AS BIGINT))
+                            OVER (PARTITION BY symbol ORDER BY timestamp, tick_id),
+                        -1000000), 1000000) AS dp,
+         price - lag(price) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id)
+           AS dpr
+  FROM runs
+),
+roll AS (
+  SELECT symbol,
+         CAST(count(CASE WHEN dp IS NOT NULL AND dp1 IS NOT NULL THEN 1 END) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN dp1 IS NOT NULL THEN dp END) AS BIGINT) AS sx,
+         CAST(sum(CASE WHEN dp IS NOT NULL THEN dp1 END) AS BIGINT) AS sy,
+         CAST(sum(dp * dp1) AS BIGINT) AS sxy
+  FROM (SELECT symbol, dp,
+               lag(dp) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id) AS dp1
+        FROM d)
+  GROUP BY symbol
+),
+sided AS (
+  SELECT symbol, timestamp, vol_i, dp,
+         last_value(CASE WHEN dpr > 0 THEN 1 WHEN dpr < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+  FROM d
+),
+mins AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket,
+         CAST(sum(coalesce(side, 0) * vol_i) AS BIGINT) AS sv,
+         CAST(sum(coalesce(dp, 0)) AS BIGINT) AS dpm
+  FROM sided GROUP BY symbol, bucket
+),
+kyle AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sv) AS BIGINT) AS sx, CAST(sum(dpm) AS BIGINT) AS sy,
+         CAST(sum(sv * dpm) AS BIGINT) AS sxy, CAST(sum(sv * sv) AS BIGINT) AS sxx
+  FROM mins GROUP BY symbol
+),
+dayrows AS (
+  SELECT symbol, date_trunc('day', timestamp) AS day, price, dollar_i,
+         row_number() OVER (PARTITION BY symbol, date_trunc('day', timestamp)
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, date_trunc('day', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM runs
+),
+days AS (
+  SELECT symbol, day,
+         CAST(sum(dollar_i) AS BIGINT) AS dollar,
+         CAST(round((max(CASE WHEN rd = 1 THEN price END)
+                     / max(CASE WHEN ra = 1 THEN price END) - 1) * 1000000) AS BIGINT)
+           AS r_ppm
+  FROM dayrows GROUP BY symbol, day
+),
+amihud AS (
+  SELECT symbol,
+         CAST(sum(CASE WHEN dollar > 0 THEN (abs(r_ppm) * 1000000000) // dollar
+                       ELSE 0 END) // count(*) AS BIGINT) AS amihud_scaled
+  FROM days GROUP BY symbol
+)
+SELECT r.symbol,
+       CAST(CASE WHEN r.n * r.sxy - r.sx * r.sy < 0
+                 THEN round(2 * sqrt(-(CAST(r.n * r.sxy - r.sx * r.sy AS DOUBLE)
+                                       / CAST(r.n * (r.n - 1) AS DOUBLE))))
+            END AS BIGINT) AS roll_spread_e4,
+       CAST(CASE WHEN k.n * k.sxx - k.sx * k.sx != 0
+                 THEN round(CAST(k.n * k.sxy - k.sx * k.sy AS DOUBLE)
+                            / CAST(k.n * k.sxx - k.sx * k.sx AS DOUBLE) * 1000000)
+            END AS BIGINT) AS kyle_lambda_ppm,
+       a.amihud_scaled
+FROM roll r JOIN kyle k ON r.symbol = k.symbol JOIN amihud a ON r.symbol = a.symbol
+"""
+
+
+@register("microstructure_metrics", _MICRO_ORACLE, tags=("W-", "A7"))
+def microstructure_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-microstructure liquidity metrics per symbol: Roll's
+    implied effective spread (2*sqrt(-cov) of successive winsorized
+    e4 price changes, NULL when the serial covariance is
+    non-negative), Kyle's lambda (price impact: regression of minute
+    price change on tick-rule SIGNED volume), and the Amihud
+    illiquidity ratio (per-day |return|/dollar-volume, floor-averaged
+    in integer space). Every co-moment is an exact BIGINT; finals are
+    shared IEEE sqrt/divisions. Three grouped passes over one
+    symbol-keyed exchange lineage — the microstructure dashboard a
+    trading pipeline runs nightly."""
+    ticks = ticks_from_events(spark, sf_dir)
+    wo = Window.partitionBy("symbol").orderBy("timestamp", "tick_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p_e4 = F.round(F.col("price") * 10000, 0).cast("long")
+    vol_i = F.round("volume", 0).cast("long")
+    dollar_i = F.round(F.col("price") * F.col("volume"), 0).cast("long")
+    d = ticks.select(
+        "symbol",
+        "timestamp",
+        "tick_id",
+        "price",
+        vol_i.alias("vol_i"),
+        dollar_i.alias("dollar_i"),
+        F.least(
+            F.greatest(p_e4 - F.lag(p_e4).over(wo), F.lit(-1000000)), F.lit(1000000)
+        ).alias("dp"),
+        (F.col("price") - F.lag("price").over(wo)).alias("dpr"),
+    )
+    # Roll: serial covariance of successive price changes.
+    lagged = d.select(
+        "symbol", "timestamp", "tick_id", "dp", F.lag("dp").over(wo).alias("dp1")
+    )
+    roll = lagged.groupBy("symbol").agg(
+        F.count(F.when(F.col("dp").isNotNull() & F.col("dp1").isNotNull(), 1)).alias("n"),
+        F.sum(F.when(F.col("dp1").isNotNull(), F.col("dp"))).alias("sx"),
+        F.sum(F.when(F.col("dp").isNotNull(), F.col("dp1"))).alias("sy"),
+        F.sum(F.col("dp") * F.col("dp1")).alias("sxy"),
+    )
+    # Kyle: minute price change vs signed volume.
+    side = F.last(
+        F.when(F.col("dpr") > 0, 1).when(F.col("dpr") < 0, -1), ignorenulls=True
+    ).over(wrun)
+    mins = (
+        d.select("symbol", "timestamp", "vol_i", "dp", side.alias("side"))
+        .groupBy("symbol", F.date_trunc("minute", F.col("timestamp")).alias("bucket"))
+        .agg(
+            F.sum(F.coalesce(F.col("side"), F.lit(0)) * F.col("vol_i")).alias("sv"),
+            F.sum(F.coalesce(F.col("dp"), F.lit(0))).alias("dpm"),
+        )
+    )
+    kyle = mins.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sv").alias("sx"),
+        F.sum("dpm").alias("sy"),
+        F.sum(F.col("sv") * F.col("dpm")).alias("sxy"),
+        F.sum(F.col("sv") * F.col("sv")).alias("sxx"),
+    )
+    # Amihud: daily |open-to-close-extremes proxy return| / dollar volume.
+    wday = Window.partitionBy("symbol", F.date_trunc("day", F.col("timestamp")))
+    days = (
+        d.select(
+            "symbol",
+            F.date_trunc("day", F.col("timestamp")).alias("day"),
+            "price",
+            "dollar_i",
+            F.row_number().over(wday.orderBy("timestamp", "tick_id")).alias("ra"),
+            F.row_number()
+            .over(wday.orderBy(F.desc("timestamp"), F.desc("tick_id")))
+            .alias("rd"),
+        )
+        .groupBy("symbol", "day")
+        .agg(
+            F.sum("dollar_i").alias("dollar"),
+            F.round(
+                (
+                    F.max(F.when(F.col("rd") == 1, F.col("price")))
+                    / F.max(F.when(F.col("ra") == 1, F.col("price")))
+                    - 1
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("r_ppm"),
+        )
+    )
+    amihud = days.groupBy("symbol").agg(
+        F.expr(
+            "sum(CASE WHEN dollar > 0 THEN (abs(r_ppm) * 1000000000) div dollar"
+            " ELSE 0 END) div count(*)"
+        )
+        .cast("long")
+        .alias("amihud_scaled")
+    )
+    rn, rsxy, rsx, rsy = F.col("r.n"), F.col("r.sxy"), F.col("r.sx"), F.col("r.sy")
+    rcov_num = rn * rsxy - rsx * rsy
+    roll_spread = F.when(
+        rcov_num < 0,
+        F.round(
+            2 * F.sqrt(-(rcov_num.cast("double") / (rn * (rn - 1)).cast("double"))), 0
+        ),
+    ).cast("long")
+    kn, ksxy, ksx, ksy, ksxx = (
+        F.col("k.n"),
+        F.col("k.sxy"),
+        F.col("k.sx"),
+        F.col("k.sy"),
+        F.col("k.sxx"),
+    )
+    kden = kn * ksxx - ksx * ksx
+    kyle_l = F.when(
+        kden != 0,
+        F.round((kn * ksxy - ksx * ksy).cast("double") / kden.cast("double") * 1000000, 0),
+    ).cast("long")
+    return (
+        roll.alias("r")
+        .join(kyle.alias("k"), F.col("r.symbol") == F.col("k.symbol"))
+        .join(amihud.alias("a"), F.col("r.symbol") == F.col("a.symbol"))
+        .select(
+            F.col("r.symbol").alias("symbol"),
+            roll_spread.alias("roll_spread_e4"),
+            kyle_l.alias("kyle_lambda_ppm"),
+            F.col("a.amihud_scaled").alias("amihud_scaled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Execution schedule (largest-remainder volume-profile apportionment)
+# ---------------------------------------------------------------------------
+
+_EXEC_N = 10_000  # parent order size (shares)
+
+_EXEC_ORACLE = f"""
+WITH {_MEASURED_CTE},
+prof AS (
+  SELECT symbol, CAST(extract(hour FROM timestamp) AS INTEGER) AS hour,
+         CAST(sum(vol_i) AS BIGINT) AS vol_h
+  FROM runs GROUP BY symbol, hour
+),
+tot AS (
+  SELECT symbol, hour, vol_h,
+         sum(vol_h) OVER (PARTITION BY symbol) AS tot,
+         ({_EXEC_N} * vol_h) // sum(vol_h) OVER (PARTITION BY symbol) AS base,
+         ({_EXEC_N} * vol_h) % sum(vol_h) OVER (PARTITION BY symbol) AS rem
+  FROM prof
+),
+ranked AS (
+  SELECT symbol, hour, vol_h, base, rem,
+         {_EXEC_N} - sum(base) OVER (PARTITION BY symbol) AS deficit,
+         row_number() OVER (PARTITION BY symbol ORDER BY rem DESC, hour) AS rk
+  FROM tot
+)
+SELECT symbol, hour, vol_h,
+       CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS qty
+FROM ranked
+"""
+
+
+@register("execution_schedule_profile", _EXEC_ORACLE, tags=("W-", "A4"))
+def execution_schedule_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP-style execution schedule: a 10,000-share parent order is
+    apportioned across hour-of-day slots proportionally to each
+    symbol's historical volume profile using Hamilton's
+    largest-remainder method — floor quotas plus one extra share to
+    the largest remainders (ties broken by hour), so the child
+    quantities are EXACT integers that sum to the parent exactly.
+    The whole computation is BIGINT window arithmetic on one small
+    per-symbol profile — the standard way a trading engine turns
+    history into an executable schedule."""
+    ticks = ticks_from_events(spark, sf_dir)
+    vol_i = F.round("volume", 0).cast("long")
+    prof = ticks.groupBy(
+        "symbol", F.hour("timestamp").cast("int").alias("hour")
+    ).agg(F.sum(vol_i).alias("vol_h"))
+    wsym = Window.partitionBy("symbol")
+    tot = prof.select(
+        "symbol",
+        "hour",
+        "vol_h",
+        F.expr(f"({_EXEC_N} * vol_h) div sum(vol_h) OVER (PARTITION BY symbol)").alias(
+            "base"
+        ),
+        (F.lit(_EXEC_N) * F.col("vol_h") % F.sum("vol_h").over(wsym)).alias("rem"),
+    )
+    ranked = tot.select(
+        "symbol",
+        "hour",
+        "vol_h",
+        "base",
+        (F.lit(_EXEC_N) - F.sum("base").over(wsym)).alias("deficit"),
+        F.row_number()
+        .over(Window.partitionBy("symbol").orderBy(F.desc("rem"), "hour"))
+        .alias("rk"),
+    )
+    return ranked.select(
+        "symbol",
+        "hour",
+        "vol_h",
+        (F.col("base") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0))
+        .cast("long")
+        .alias("qty"),
+    )
