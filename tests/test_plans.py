@@ -533,3 +533,29 @@ def test_bucketed_join_is_shuffle_free(spark, sf_small):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tc}")
         spark.sql(f"DROP TABLE IF EXISTS {to}")
+
+
+def test_volume_bars_single_exchange(spark, sf_small):
+    """The information-bar pipeline (prefix sum -> bar assign -> OHLC
+    group) reuses ONE symbol-keyed exchange end-to-end: the running
+    total, both tiebreak row_numbers, and the grouped aggregate all
+    share the symbol hash partitioning. A second exchange would mean
+    the bar grouping re-shuffled what the window already co-located."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    spark.catalog.clearCache()
+    plan = _plan(load_all()["volume_bars"].fn(spark, sf_small))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_triple_barrier_banded_join_no_cartesian(spark, sf_small):
+    """The entry-to-future-tick pairing must stay a keyed equi join
+    on (symbol, horizon-block) with the interval predicate as a join
+    condition — never a cartesian/broadcast-nested-loop explosion
+    (the naive |entries| x |ticks| plan)."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    spark.catalog.clearCache()
+    plan = _plan(load_all()["triple_barrier_labels"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
