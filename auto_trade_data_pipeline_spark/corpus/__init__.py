@@ -162,6 +162,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "rolling_pair_beta",
     "microstructure_metrics",
     "execution_schedule_profile",
+    "meta_labels",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -363,6 +364,7 @@ _ORDER = [
     "rolling_pair_beta",
     "microstructure_metrics",
     "execution_schedule_profile",
+    "meta_labels",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

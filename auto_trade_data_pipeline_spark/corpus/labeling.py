@@ -1743,3 +1743,91 @@ def execution_schedule_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Meta-labeling (primary side + barrier outcome)
+# ---------------------------------------------------------------------------
+
+_META_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('hour', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+hourly AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+primaries AS (
+  SELECT symbol, bucket + INTERVAL 1 HOUR AS entry_ts, close AS entry_price,
+         CASE WHEN close > lag(close) OVER w THEN 1
+              WHEN close < lag(close) OVER w THEN -1 END AS side
+  FROM hourly WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+entries AS (SELECT * FROM primaries WHERE side IS NOT NULL),
+touched AS (
+  SELECT e.symbol, e.entry_ts, e.entry_price, e.side,
+         min(CASE WHEN t.price >= e.entry_price * {_TB_UP} THEN t.timestamp END) AS up_ts,
+         min(CASE WHEN t.price <= e.entry_price * {_TB_DN} THEN t.timestamp END) AS dn_ts
+  FROM entries e JOIN ticks t
+    ON t.symbol = e.symbol
+   AND t.timestamp > e.entry_ts
+   AND t.timestamp <= e.entry_ts + INTERVAL {_TB_HORIZON} SECOND
+  GROUP BY e.symbol, e.entry_ts, e.entry_price, e.side
+),
+labeled AS (
+  SELECT e.symbol, e.entry_ts, e.side,
+         CASE WHEN t.up_ts IS NOT NULL AND (t.dn_ts IS NULL OR t.up_ts <= t.dn_ts) THEN 1
+              WHEN t.dn_ts IS NOT NULL THEN -1
+              ELSE 0 END AS barrier
+  FROM entries e LEFT JOIN touched t
+    ON t.symbol = e.symbol AND t.entry_ts = e.entry_ts
+)
+SELECT symbol,
+       strftime(entry_ts, '{TS_FMT_DUCK}') AS entry_ts,
+       CAST(side AS INTEGER) AS side,
+       CAST(CASE WHEN barrier = side THEN 1 ELSE 0 END AS INTEGER) AS meta_label
+FROM labeled
+"""
+
+
+@register("meta_labels", _META_ORACLE, tags=("J5", "W-"))
+def meta_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-labeling (de Prado ch. 3.6): the PRIMARY model picks a
+    side (here: previous-hour momentum sign) and the meta-label
+    records only whether trading that side would have PAID — the
+    barrier hit first equals the primary's direction. This is the
+    binary target a secondary bet-sizing classifier trains on (the
+    in-engine GD trainer consumes exactly this shape). Same banded
+    range join as `triple_barrier_labels`; flat entries (no momentum
+    signal) are excluded on both sides."""
+    ticks = ticks_from_events(spark, sf_dir)
+    hourly = aggregate_candles(ticks, 3600)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    side = (
+        F.when(F.col("close") > F.lag("close").over(w), 1)
+        .when(F.col("close") < F.lag("close").over(w), -1)
+    )
+    entries = hourly.select(
+        "symbol",
+        (F.col("timestamp") + F.expr("INTERVAL 1 HOUR")).alias("entry_ts"),
+        F.col("close").alias("entry_price"),
+        side.alias("side"),
+        (F.col("close") * F.lit(float(_TB_UP))).alias("up"),
+        (F.col("close") * F.lit(float(_TB_DN))).alias("dn"),
+    ).filter(F.col("side").isNotNull())
+    labeled = triple_barrier_labels(
+        entries.select("symbol", "entry_ts", "entry_price", "up", "dn"), ticks, _TB_HORIZON
+    )
+    j = labeled.join(
+        entries.select("symbol", "entry_ts", "side"), ["symbol", "entry_ts"]
+    )
+    return j.select(
+        "symbol",
+        _fmt("entry_ts").alias("entry_ts"),
+        F.col("side").cast("int").alias("side"),
+        F.when(F.col("label") == F.col("side"), 1).otherwise(0).cast("int").alias("meta_label"),
+    )
