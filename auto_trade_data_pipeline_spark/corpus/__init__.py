@@ -163,6 +163,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "microstructure_metrics",
     "execution_schedule_profile",
     "meta_labels",
+    "realized_vol_estimators",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -365,6 +366,7 @@ _ORDER = [
     "microstructure_metrics",
     "execution_schedule_profile",
     "meta_labels",
+    "realized_vol_estimators",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

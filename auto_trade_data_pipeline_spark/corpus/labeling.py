@@ -1831,3 +1831,112 @@ def meta_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("side").cast("int").alias("side"),
         F.when(F.col("label") == F.col("side"), 1).otherwise(0).cast("int").alias("meta_label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Realized volatility estimators (range-based, ppm-snapped logs)
+# ---------------------------------------------------------------------------
+
+_RV_4LN2 = "2.772588722239781"  # 4*ln(2), shared double literal
+_RV_2LN2M1 = "0.3862943611198906"  # 2*ln(2)-1
+
+_RV_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('hour', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+candles AS (
+  SELECT symbol, bucket,
+         max(CASE WHEN ra = 1 THEN price END) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+logs AS (
+  SELECT symbol, date_trunc('day', bucket) AS day,
+         CAST(round(ln(high / low) * 1000000) AS BIGINT) AS hl,
+         CAST(round(ln(close / open) * 1000000) AS BIGINT) AS co,
+         CAST(round(ln(high / close) * 1000000) AS BIGINT) AS hc,
+         CAST(round(ln(high / open) * 1000000) AS BIGINT) AS ho,
+         CAST(round(ln(low / close) * 1000000) AS BIGINT) AS lc,
+         CAST(round(ln(low / open) * 1000000) AS BIGINT) AS lo
+  FROM candles
+),
+s AS (
+  SELECT symbol, day,
+         CAST(count(*) AS BIGINT) AS n_bars,
+         CAST(sum(hl * hl) AS BIGINT) AS s_hl2,
+         CAST(sum(co * co) AS BIGINT) AS s_co2,
+         CAST(sum(hc * ho + lc * lo) AS BIGINT) AS s_rs
+  FROM logs GROUP BY symbol, day
+)
+SELECT symbol, strftime(day, '%Y-%m-%d') AS day, n_bars,
+       CAST(round(CAST(s_hl2 AS DOUBLE)
+                  / CAST('{_RV_4LN2}' AS DOUBLE) / CAST(n_bars AS DOUBLE)) AS BIGINT)
+         AS parkinson_var_e12,
+       CAST(round(0.5 * CAST(s_hl2 AS DOUBLE) / CAST(n_bars AS DOUBLE)
+                  - CAST('{_RV_2LN2M1}' AS DOUBLE) * CAST(s_co2 AS DOUBLE)
+                    / CAST(n_bars AS DOUBLE)) AS BIGINT) AS gk_var_e12,
+       CAST(round(CAST(s_rs AS DOUBLE) / CAST(n_bars AS DOUBLE)) AS BIGINT)
+         AS rs_var_e12
+FROM s
+"""
+
+
+@register("realized_vol_estimators", _RV_ORACLE, tags=("W-", "A7"))
+def realized_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-based realized-variance estimators per (symbol, day)
+    from hourly OHLC bars: Parkinson (high-low range), Garman-Klass
+    (range + open-close drift correction), and Rogers-Satchell
+    (drift-robust) — the volatility inputs of every risk/position-
+    sizing model, 5-14x more efficient than close-to-close variance.
+    Each per-bar log-ratio is snapped to an INTEGER ppm (same IEEE
+    division + ln on both engines — the BM25/bigram recipe), so the
+    squared/cross sums aggregate exactly at any parallelism; the
+    estimator constants are shared double literals applied once per
+    output row."""
+    ticks = ticks_from_events(spark, sf_dir)
+    c1h = aggregate_candles(ticks, 3600)
+
+    def lppm(a, b):
+        return F.round(F.log(F.col(a) / F.col(b)) * 1000000, 0).cast("long")
+
+    logs = c1h.select(
+        "symbol",
+        F.date_trunc("day", F.col("timestamp")).alias("day"),
+        lppm("high", "low").alias("hl"),
+        lppm("close", "open").alias("co"),
+        lppm("high", "close").alias("hc"),
+        lppm("high", "open").alias("ho"),
+        lppm("low", "close").alias("lc"),
+        lppm("low", "open").alias("lo"),
+    )
+    s = logs.groupBy("symbol", "day").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum(F.col("hl") * F.col("hl")).alias("s_hl2"),
+        F.sum(F.col("co") * F.col("co")).alias("s_co2"),
+        F.sum(F.col("hc") * F.col("ho") + F.col("lc") * F.col("lo")).alias("s_rs"),
+    )
+    n = F.col("n_bars").cast("double")
+    return s.select(
+        "symbol",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_bars",
+        F.round(F.col("s_hl2").cast("double") / F.lit(float(_RV_4LN2)) / n, 0)
+        .cast("long")
+        .alias("parkinson_var_e12"),
+        F.round(
+            0.5 * F.col("s_hl2").cast("double") / n
+            - F.lit(float(_RV_2LN2M1)) * F.col("s_co2").cast("double") / n,
+            0,
+        )
+        .cast("long")
+        .alias("gk_var_e12"),
+        F.round(F.col("s_rs").cast("double") / n, 0).cast("long").alias("rs_var_e12"),
+    )
