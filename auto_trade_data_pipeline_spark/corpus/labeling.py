@@ -587,7 +587,7 @@ candles AS (
 ),
 rets AS (
   SELECT symbol, bucket,
-         least(greatest(CAST(round((close / lag(close) OVER w - 1) * 10000) AS BIGINT),
+         least(greatest(CAST(round((close / nullif(lag(close) OVER w, 0) - 1) * 10000) AS BIGINT),
                         -10000), 10000) AS r
   FROM candles WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
 ),
@@ -628,7 +628,11 @@ def acf_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks = ticks_from_events(spark, sf_dir)
     c1m = aggregate_candles(ticks, 60)
     w = Window.partitionBy("symbol").orderBy("timestamp")
-    r_raw = F.round((F.col("close") / F.lag("close").over(w) - 1) * 10000, 0).cast("long")
+    r_raw = F.round(
+        (F.col("close") / F.expr("nullif(lag(close) OVER (PARTITION BY symbol ORDER BY timestamp), 0.0d)") - 1)
+        * 10000,
+        0,
+    ).cast("long")
     rets = c1m.select(
         "symbol",
         "timestamp",
@@ -683,7 +687,7 @@ daily AS (
 ),
 rets AS (
   SELECT symbol, day,
-         least(greatest(CAST(round((close / lag(close) OVER (PARTITION BY symbol ORDER BY day) - 1)
+         least(greatest(CAST(round((close / nullif(lag(close) OVER (PARTITION BY symbol ORDER BY day), 0) - 1)
                                    * 10000) AS BIGINT), -10000), 10000) AS r_e4
   FROM daily
 ),
@@ -728,8 +732,11 @@ def cross_sectional_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rd") == 1)
         .select("symbol", "day", F.col("price").alias("close"))
     )
-    ws = Window.partitionBy("symbol").orderBy("day")
-    r_raw = F.round((F.col("close") / F.lag("close").over(ws) - 1) * 10000, 0).cast("long")
+    r_raw = F.round(
+        (F.col("close") / F.expr("nullif(lag(close) OVER (PARTITION BY symbol ORDER BY day), 0.0d)") - 1)
+        * 10000,
+        0,
+    ).cast("long")
     rets = daily.select(
         "symbol",
         "day",
@@ -960,7 +967,7 @@ candles AS (
 seq AS (
   SELECT symbol, bucket,
          CAST(round(close * 10000) AS BIGINT) AS x,
-         least(greatest(CAST(round((close / lag(close) OVER w - 1) * 10000) AS BIGINT),
+         least(greatest(CAST(round((close / nullif(lag(close) OVER w, 0) - 1) * 10000) AS BIGINT),
                         -10000), 10000) AS r
   FROM candles WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
 ),
@@ -976,8 +983,9 @@ dd AS (
 ),
 agg AS (
   SELECT symbol,
-         max(((runmax - x) * 1000000) // runmax) AS max_dd_ppm,
-         CAST(round((CAST(max(last_x) AS DOUBLE) / CAST(max(first_x) AS DOUBLE) - 1)
+         max(CASE WHEN runmax > 0 THEN ((runmax - x) * 1000000) // runmax ELSE 0 END)
+           AS max_dd_ppm,
+         CAST(round((CAST(max(last_x) AS DOUBLE) / nullif(CAST(max(first_x) AS DOUBLE), 0) - 1)
                     * 1000000) AS BIGINT) AS total_return_ppm,
          CAST(count(r) AS BIGINT) AS n_rets,
          CAST(sum(r) AS BIGINT) AS sr,
@@ -1009,7 +1017,11 @@ def risk_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks = ticks_from_events(spark, sf_dir)
     c1m = aggregate_candles(ticks, 60)
     w = Window.partitionBy("symbol").orderBy("timestamp")
-    r_raw = F.round((F.col("close") / F.lag("close").over(w) - 1) * 10000, 0).cast("long")
+    r_raw = F.round(
+        (F.col("close") / F.expr("nullif(lag(close) OVER (PARTITION BY symbol ORDER BY timestamp), 0.0d)") - 1)
+        * 10000,
+        0,
+    ).cast("long")
     seq = c1m.select(
         "symbol",
         "timestamp",
@@ -1027,9 +1039,17 @@ def risk_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("x").over(wall).alias("last_x"),
     )
     agg = dd.groupBy("symbol").agg(
-        F.max(F.expr("((runmax - x) * 1000000) div runmax")).alias("max_dd_ppm"),
+        F.max(
+            F.expr(
+                "CASE WHEN runmax > 0 THEN ((runmax - x) * 1000000) div runmax ELSE 0 END"
+            )
+        ).alias("max_dd_ppm"),
         F.round(
-            (F.max("last_x").cast("double") / F.max("first_x").cast("double") - 1)
+            (
+                F.max("last_x").cast("double")
+                / F.expr("nullif(CAST(max(first_x) AS DOUBLE), 0.0d)")
+                - 1
+            )
             * 1000000,
             0,
         )
@@ -1104,7 +1124,7 @@ exits AS (
 ),
 pnl AS (
   SELECT symbol, label,
-         CASE WHEN exit_ts IS NULL OR exit_ts <= entry_ts THEN 0
+         CASE WHEN exit_ts IS NULL OR exit_ts <= entry_ts OR entry_price = 0 THEN 0
               ELSE CAST(round((exit_price / entry_price - 1) * 1000000) AS BIGINT)
          END AS pnl_ppm,
          CASE WHEN exit_ts IS NULL OR exit_ts <= entry_ts THEN 0
@@ -1161,7 +1181,11 @@ def label_backtest_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["tick_id"],
     ).select("symbol", "timestamp", "price", F.col("timestamp").alias("tick_ts"))
     exits = asof_join(trades, tick1, on=["symbol"], ts="timestamp")
-    valid = F.col("tick_ts").isNotNull() & (F.col("tick_ts") > F.col("entry_ts"))
+    valid = (
+        F.col("tick_ts").isNotNull()
+        & (F.col("tick_ts") > F.col("entry_ts"))
+        & (F.col("entry_price") != 0)
+    )
     pnl = exits.select(
         "symbol",
         "label",
@@ -1377,7 +1401,7 @@ candles AS (
 ),
 rets AS (
   SELECT symbol, bucket,
-         least(greatest(CAST(round((close / lag(close) OVER w - 1) * 10000) AS BIGINT),
+         least(greatest(CAST(round((close / nullif(lag(close) OVER w, 0) - 1) * 10000) AS BIGINT),
                         -10000), 10000) AS r
   FROM candles WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
 ),
@@ -1417,8 +1441,11 @@ def rolling_pair_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast), which this query's shape accommodates unchanged."""
     ticks = ticks_from_events(spark, sf_dir)
     c1m = aggregate_candles(ticks, 60)
-    w = Window.partitionBy("symbol").orderBy("timestamp")
-    r_raw = F.round((F.col("close") / F.lag("close").over(w) - 1) * 10000, 0).cast("long")
+    r_raw = F.round(
+        (F.col("close") / F.expr("nullif(lag(close) OVER (PARTITION BY symbol ORDER BY timestamp), 0.0d)") - 1)
+        * 10000,
+        0,
+    ).cast("long")
     rets = c1m.select(
         "symbol",
         F.col("timestamp").alias("bucket"),
@@ -1514,24 +1541,29 @@ days AS (
   SELECT symbol, day,
          CAST(sum(dollar_i) AS BIGINT) AS dollar,
          CAST(round((max(CASE WHEN rd = 1 THEN price END)
-                     / max(CASE WHEN ra = 1 THEN price END) - 1) * 1000000) AS BIGINT)
+                     / nullif(max(CASE WHEN ra = 1 THEN price END), 0) - 1) * 1000000) AS BIGINT)
            AS r_ppm
   FROM dayrows GROUP BY symbol, day
 ),
 amihud AS (
   SELECT symbol,
-         CAST(sum(CASE WHEN dollar > 0 THEN (abs(r_ppm) * 1000000000) // dollar
+         CAST(sum(CASE WHEN dollar > 0 THEN (abs(coalesce(r_ppm, 0)) * 1000000000) // dollar
                        ELSE 0 END) // count(*) AS BIGINT) AS amihud_scaled
   FROM days GROUP BY symbol
 )
 SELECT r.symbol,
-       CAST(CASE WHEN r.n * r.sxy - r.sx * r.sy < 0
-                 THEN round(2 * sqrt(-(CAST(r.n * r.sxy - r.sx * r.sy AS DOUBLE)
-                                       / CAST(r.n * (r.n - 1) AS DOUBLE))))
+       CAST(CASE WHEN CAST(r.n AS DOUBLE) * CAST(r.sxy AS DOUBLE)
+                      - CAST(r.sx AS DOUBLE) * CAST(r.sy AS DOUBLE) < 0
+                 THEN round(2 * sqrt(-((CAST(r.n AS DOUBLE) * CAST(r.sxy AS DOUBLE)
+                                        - CAST(r.sx AS DOUBLE) * CAST(r.sy AS DOUBLE))
+                                       / (CAST(r.n AS DOUBLE) * CAST(r.n - 1 AS DOUBLE)))))
             END AS BIGINT) AS roll_spread_e4,
-       CAST(CASE WHEN k.n * k.sxx - k.sx * k.sx != 0
-                 THEN round(CAST(k.n * k.sxy - k.sx * k.sy AS DOUBLE)
-                            / CAST(k.n * k.sxx - k.sx * k.sx AS DOUBLE) * 1000000)
+       CAST(CASE WHEN CAST(k.n AS DOUBLE) * CAST(k.sxx AS DOUBLE)
+                      - CAST(k.sx AS DOUBLE) * CAST(k.sx AS DOUBLE) != 0
+                 THEN round((CAST(k.n AS DOUBLE) * CAST(k.sxy AS DOUBLE)
+                             - CAST(k.sx AS DOUBLE) * CAST(k.sy AS DOUBLE))
+                            / (CAST(k.n AS DOUBLE) * CAST(k.sxx AS DOUBLE)
+                               - CAST(k.sx AS DOUBLE) * CAST(k.sx AS DOUBLE)) * 1000000)
             END AS BIGINT) AS kyle_lambda_ppm,
        a.amihud_scaled
 FROM roll r JOIN kyle k ON r.symbol = k.symbol JOIN amihud a ON r.symbol = a.symbol
@@ -1616,7 +1648,7 @@ def microstructure_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (
                     F.max(F.when(F.col("rd") == 1, F.col("price")))
-                    / F.max(F.when(F.col("ra") == 1, F.col("price")))
+                    / F.expr("nullif(max(CASE WHEN ra = 1 THEN price END), 0.0d)")
                     - 1
                 )
                 * 1000000,
@@ -1628,31 +1660,33 @@ def microstructure_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     amihud = days.groupBy("symbol").agg(
         F.expr(
-            "sum(CASE WHEN dollar > 0 THEN (abs(r_ppm) * 1000000000) div dollar"
+            "sum(CASE WHEN dollar > 0 THEN (abs(coalesce(r_ppm, 0)) * 1000000000) div dollar"
             " ELSE 0 END) div count(*)"
         )
         .cast("long")
         .alias("amihud_scaled")
     )
-    rn, rsxy, rsx, rsy = F.col("r.n"), F.col("r.sxy"), F.col("r.sx"), F.col("r.sy")
+    rn, rsxy, rsx, rsy = (
+        F.col("r.n").cast("double"),
+        F.col("r.sxy").cast("double"),
+        F.col("r.sx").cast("double"),
+        F.col("r.sy").cast("double"),
+    )
     rcov_num = rn * rsxy - rsx * rsy
+    rden = rn * (F.col("r.n") - 1).cast("double")
     roll_spread = F.when(
-        rcov_num < 0,
-        F.round(
-            2 * F.sqrt(-(rcov_num.cast("double") / (rn * (rn - 1)).cast("double"))), 0
-        ),
+        rcov_num < 0, F.round(2 * F.sqrt(-(rcov_num / rden)), 0)
     ).cast("long")
     kn, ksxy, ksx, ksy, ksxx = (
-        F.col("k.n"),
-        F.col("k.sxy"),
-        F.col("k.sx"),
-        F.col("k.sy"),
-        F.col("k.sxx"),
+        F.col("k.n").cast("double"),
+        F.col("k.sxy").cast("double"),
+        F.col("k.sx").cast("double"),
+        F.col("k.sy").cast("double"),
+        F.col("k.sxx").cast("double"),
     )
     kden = kn * ksxx - ksx * ksx
     kyle_l = F.when(
-        kden != 0,
-        F.round((kn * ksxy - ksx * ksy).cast("double") / kden.cast("double") * 1000000, 0),
+        kden != 0, F.round((kn * ksxy - ksx * ksy) / kden * 1000000, 0)
     ).cast("long")
     return (
         roll.alias("r")
@@ -1867,6 +1901,7 @@ logs AS (
          CAST(round(ln(low / close) * 1000000) AS BIGINT) AS lc,
          CAST(round(ln(low / open) * 1000000) AS BIGINT) AS lo
   FROM candles
+  WHERE open > 0 AND low > 0 AND close > 0
 ),
 s AS (
   SELECT symbol, day,
@@ -1907,7 +1942,9 @@ def realized_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     def lppm(a, b):
         return F.round(F.log(F.col(a) / F.col(b)) * 1000000, 0).cast("long")
 
-    logs = c1h.select(
+    logs = c1h.filter(
+        (F.col("open") > 0) & (F.col("low") > 0) & (F.col("close") > 0)
+    ).select(
         "symbol",
         F.date_trunc("day", F.col("timestamp")).alias("day"),
         lppm("high", "low").alias("hl"),

@@ -380,6 +380,11 @@ _INVARIANCE_QUERIES = [
     "heikin_ashi_candles",
     "vpin_toxicity",
     "acf_returns",
+    "cusum_event_filter",
+    "microstructure_metrics",
+    "execution_schedule_profile",
+    "hll_distinct_sketch",
+    "bigram_lm_score",
 ]
 
 
