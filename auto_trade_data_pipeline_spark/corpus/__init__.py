@@ -39,6 +39,17 @@ around them; don't rediscover them):
   oracle. (Found at 1e-8 in the k-means centroids: invisible under
   round-4 outputs, surfaced the moment a query emitted integer-e6
   distances.)
+- data edges are SCALE-DEPENDENT: sf0.1 contains exact-zero prices
+  that sf0.01 does not, so ``close / lag(close)`` returns pass the
+  gate at sf0.01 and raise DIVIDE_BY_ZERO under Spark's ANSI mode at
+  10x. Route every data-denominator through ``nullif(x, 0)`` (NULL
+  semantics identical in both engines) and re-verify at 10x scale
+  before declaring a query done.
+- integer co-moment COMBINATIONS (``n*Sxy - Sx*Sy``) overflow int64
+  at ~10x even when every SUM is safely in range — Spark ANSI raises
+  while DuckDB silently widens to HUGEINT, so the engines diverge
+  exactly when it matters. Keep the sums BIGINT (exact, order-free)
+  but combine them in fixed-order DOUBLE on BOTH sides.
 """
 
 from __future__ import annotations
