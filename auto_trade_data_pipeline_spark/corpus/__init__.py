@@ -175,6 +175,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "execution_schedule_profile",
     "meta_labels",
     "realized_vol_estimators",
+    "asof_join_tolerance",
+    "token_entropy_score",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -378,6 +380,8 @@ _ORDER = [
     "execution_schedule_profile",
     "meta_labels",
     "realized_vol_estimators",
+    "asof_join_tolerance",
+    "token_entropy_score",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

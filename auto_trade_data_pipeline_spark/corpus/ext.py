@@ -2686,3 +2686,61 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("logp_ppm").alias("sum_logp_ppm"),
         F.expr("(-sum(logp_ppm)) div count(*)").cast("long").alias("neg_avg_logp_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token entropy scoring (plug-in Shannon entropy per document)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = f"""
+WITH {_DOCS_CTE},
+tok AS (
+  SELECT doc_id, unnest(ts) AS t FROM toks WHERE len(ts) > 0
+),
+tc AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, t
+),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY doc_id),
+scored AS (
+  SELECT tc.doc_id, tc.c, n.n,
+         CAST(round(ln(CAST(tc.c AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1000000) AS BIGINT)
+           AS lnp_ppm
+  FROM tc JOIN n ON tc.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST((-sum(c * lnp_ppm)) // max(n) AS BIGINT) AS entropy_ppm_nats
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("token_entropy_score", _ENTROPY_ORACLE, tags=("EXT3",))
+def token_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy (plug-in estimator, nats) —
+    the lexical-diversity signal that separates repetitive
+    boilerplate (low entropy) from natural prose, a standard LLM
+    corpus-quality feature alongside the repetition profile. Each
+    type's ln(c/n) is ppm-snapped (same IEEE division + ln both
+    engines), the c-weighted sum is exact BIGINT, and the negated
+    floor-average keeps integer division on a positive numerator.
+    One uniform-key shuffle on (doc, token), one grouped rollup."""
+    from auto_trade_data_pipeline_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("t"))
+    tc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    n = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    scored = tc.join(n, "doc_id").select(
+        "doc_id",
+        "c",
+        "n",
+        F.round(F.log(F.col("c").cast("double") / F.col("n").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("lnp_ppm"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr("(-sum(c * lnp_ppm)) div max(n)").cast("long").alias("entropy_ppm_nats"),
+    )

@@ -1977,3 +1977,89 @@ def realized_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gk_var_e12"),
         F.round(F.col("s_rs").cast("double") / n, 0).cast("long").alias("rs_var_e12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (pandas merge_asof parity)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL = 300  # seconds
+
+_ASOF_TOL_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+bars AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+grid AS (
+  SELECT symbol, unnest(generate_series(date_trunc('hour', mn), mx, INTERVAL 1 HOUR)) AS ts
+  FROM (SELECT symbol, min(bucket) AS mn, max(bucket) AS mx FROM bars GROUP BY symbol)
+),
+j AS (
+  SELECT g.symbol, g.ts, b.bucket AS bar_ts, b.close
+  FROM grid g ASOF LEFT JOIN bars b
+    ON g.symbol = b.symbol AND b.bucket <= g.ts
+)
+SELECT symbol, strftime(ts, '{TS_FMT_DUCK}') AS grid_ts,
+       CASE WHEN bar_ts IS NOT NULL AND ts - bar_ts <= INTERVAL {_ASOF_TOL} SECOND
+            THEN strftime(bar_ts, '{TS_FMT_DUCK}') END AS matched_ts,
+       CASE WHEN bar_ts IS NOT NULL AND ts - bar_ts <= INTERVAL {_ASOF_TOL} SECOND
+            THEN close END AS close,
+       CAST(CASE WHEN bar_ts IS NULL THEN 'none'
+                 WHEN ts - bar_ts <= INTERVAL {_ASOF_TOL} SECOND THEN 'fresh'
+                 ELSE 'stale' END AS VARCHAR) AS match_kind
+FROM j
+"""
+
+
+@register("asof_join_tolerance", _ASOF_TOL_ORACLE, tags=("J5",))
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join WITH TOLERANCE (pandas `merge_asof
+    (tolerance=...)` parity): an hourly query grid takes each
+    symbol's latest minute bar, but matches older than 5 minutes are
+    REJECTED as stale — the staleness gate every feature-store
+    point-in-time join needs so silently-old features can't leak into
+    training rows. Built on the single-shuffle union+window as-of
+    operator; the tolerance is one post-filter on the matched
+    timestamp, and the match disposition (fresh/stale/none) is
+    emitted for audit. Oracle: DuckDB native ASOF LEFT JOIN + the
+    same CASE gate."""
+    from auto_trade_data_pipeline_spark.operators.joins import asof_join
+
+    ticks = ticks_from_events(spark, sf_dir)
+    bars = aggregate_candles(ticks, 60).select(
+        "symbol", F.col("timestamp").alias("bar_ts2"), "close"
+    )
+    spans = bars.groupBy("symbol").agg(
+        F.date_trunc("hour", F.min("bar_ts2")).alias("mn"), F.max("bar_ts2").alias("mx")
+    )
+    grid = spans.select(
+        "symbol",
+        F.explode(F.expr("sequence(mn, mx, INTERVAL 1 HOUR)")).alias("timestamp"),
+    )
+    right = bars.select(
+        "symbol",
+        F.col("bar_ts2").alias("timestamp"),
+        F.col("bar_ts2").alias("bar_ts"),
+        "close",
+    )
+    j = asof_join(grid, right, on=["symbol"], ts="timestamp")
+    fresh = F.col("bar_ts").isNotNull() & (
+        F.col("timestamp").cast("long") - F.col("bar_ts").cast("long") <= _ASOF_TOL
+    )
+    return j.select(
+        "symbol",
+        _fmt("timestamp").alias("grid_ts"),
+        F.when(fresh, _fmt("bar_ts")).alias("matched_ts"),
+        F.when(fresh, F.col("close")).alias("close"),
+        F.when(F.col("bar_ts").isNull(), "none")
+        .when(fresh, "fresh")
+        .otherwise("stale")
+        .alias("match_kind"),
+    )
