@@ -177,6 +177,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "realized_vol_estimators",
     "asof_join_tolerance",
     "token_entropy_score",
+    "imbalance_bars",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -382,6 +383,7 @@ _ORDER = [
     "realized_vol_estimators",
     "asof_join_tolerance",
     "token_entropy_score",
+    "imbalance_bars",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

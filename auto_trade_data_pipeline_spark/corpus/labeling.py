@@ -2063,3 +2063,139 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stale")
         .alias("match_kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Imbalance bars (signed-flow information bars, reset-fold assignment)
+# ---------------------------------------------------------------------------
+
+_IMB_T = 20_000  # signed-flow threshold per bar
+
+
+_IMB_STEP = (
+    f"CASE WHEN abs(acc + x) > {_IMB_T} THEN CAST(0 AS BIGINT) ELSE acc + x END"
+)
+
+_IMBALANCE_BARS_ORACLE = f"""
+WITH {_MEASURED_CTE},
+sided AS (
+  SELECT symbol, timestamp, tick_id, price, vol_i,
+         coalesce(last_value(CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) * vol_i AS s
+  FROM (
+    SELECT *, price - lag(price) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id) AS dp
+    FROM runs
+  )
+),
+lists AS (
+  SELECT symbol,
+         list(s ORDER BY timestamp, tick_id) AS l,
+         list(timestamp ORDER BY timestamp, tick_id) AS ts,
+         list(tick_id ORDER BY timestamp, tick_id) AS ids,
+         list(price ORDER BY timestamp, tick_id) AS ps,
+         list(vol_i ORDER BY timestamp, tick_id) AS vs
+  FROM sided GROUP BY symbol
+),
+idx AS (SELECT symbol, l, ts, ids, ps, vs, unnest(range(1, len(l) + 1)) AS i FROM lists),
+flagged AS (
+  SELECT symbol, ts[i] AS timestamp, ids[i] AS tick_id, ps[i] AS price, vs[i] AS vol_i,
+         CASE WHEN abs(list_reduce([CAST(0 AS BIGINT)] || l[1:i-1],
+                                   (acc, x) -> {_IMB_STEP}) + l[i]) > {_IMB_T}
+              THEN 1 ELSE 0 END AS trig
+  FROM idx
+),
+barids AS (
+  SELECT symbol, timestamp, tick_id, price, vol_i,
+         coalesce(sum(trig) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bar_id
+  FROM flagged
+),
+assigned AS (
+  SELECT symbol, timestamp, tick_id, price, vol_i, bar_id,
+         row_number() OVER (PARTITION BY symbol, bar_id
+                            ORDER BY timestamp, tick_id) AS ra,
+         row_number() OVER (PARTITION BY symbol, bar_id
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM barids
+)
+SELECT symbol, CAST(bar_id AS BIGINT) AS bar_id,
+       strftime(min(timestamp), '{TS_FMT_DUCK}') AS open_ts,
+       strftime(max(timestamp), '{TS_FMT_DUCK}') AS close_ts,
+       max(CASE WHEN ra = 1 THEN price END) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       max(CASE WHEN rd = 1 THEN price END) AS close,
+       CAST(sum(vol_i) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM assigned GROUP BY symbol, bar_id
+"""
+
+
+@register("imbalance_bars", _IMBALANCE_BARS_ORACLE, tags=("A1", "W-"))
+def imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Imbalance bars (de Prado ch. 2): a bar closes when the RUNNING
+    SIGNED order flow (tick-rule side x volume) breaches a threshold
+    — sampling that keys on one-sided pressure rather than raw
+    activity, the information-driven clock for flow-sensitive
+    models. The side carry is relational (running last-ignorenulls);
+    the bar assignment is an exact int64 reset fold
+    (functions/ta.py:imbalance_bar_ids) run once per symbol via
+    applyInPandas, and the oracle replays the fold as a BIGINT prefix
+    list_reduce then rebuilds bar ids as the prefix count of
+    triggers. OHLC aggregation is the shared information-bar shape."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions.ta import imbalance_bar_ids
+
+    ticks = ticks_from_events(spark, sf_dir)
+    wo = Window.partitionBy("symbol").orderBy("timestamp", "tick_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dp = F.col("price") - F.lag("price").over(wo)
+    side = F.coalesce(
+        F.last(
+            F.when(F.col("dp") > 0, 1).when(F.col("dp") < 0, -1), ignorenulls=True
+        ).over(wrun),
+        F.lit(0),
+    )
+    vol_i = F.round("volume", 0).cast("long")
+    sided = ticks.select(
+        "symbol", "timestamp", "tick_id", "price", vol_i.alias("vol_i"), dp.alias("dp")
+    ).select(
+        "symbol",
+        "timestamp",
+        "tick_id",
+        "price",
+        "vol_i",
+        (side * F.col("vol_i")).alias("s"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["timestamp", "tick_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        pdf["bar_id"] = imbalance_bar_ids(pdf["s"].to_numpy(), _IMB_T)
+        return pdf[["symbol", "timestamp", "tick_id", "price", "vol_i", "bar_id"]]
+
+    schema = (
+        "symbol string, timestamp timestamp, tick_id long, price double,"
+        " vol_i long, bar_id long"
+    )
+    assigned = sided.groupBy("symbol").applyInPandas(kernel, schema=schema)
+    wbar = Window.partitionBy("symbol", "bar_id")
+    marked = assigned.withColumn(
+        "ra", F.row_number().over(wbar.orderBy("timestamp", "tick_id"))
+    ).withColumn(
+        "rd", F.row_number().over(wbar.orderBy(F.desc("timestamp"), F.desc("tick_id")))
+    )
+    return marked.groupBy("symbol", "bar_id").agg(
+        _fmt(F.min("timestamp")).alias("open_ts"),
+        _fmt(F.max("timestamp")).alias("close_ts"),
+        F.max(F.when(F.col("ra") == 1, F.col("price"))).alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max(F.when(F.col("rd") == 1, F.col("price"))).alias("close"),
+        F.sum("vol_i").alias("volume"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

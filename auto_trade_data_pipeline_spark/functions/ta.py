@@ -29,7 +29,31 @@ __all__ = [
     "find_peaks",
     "heikin_ashi",
     "cusum_events",
+    "imbalance_bar_ids",
 ]
+
+
+def imbalance_bar_ids(signed: np.ndarray, threshold: int) -> np.ndarray:
+    """Imbalance-bar assignment (de Prado ch. 2, fixed-threshold
+    form): accumulate SIGNED flow per tick; when |accumulator|
+    exceeds ``threshold`` the current bar closes (the triggering tick
+    is its last member) and the accumulator resets. Integer state
+    only — the same exact reset-fold contract as `cusum_events`, so
+    the oracle replays it as a BIGINT prefix list_reduce.
+
+    Returns int64 bar ids (0-based) per tick, in input order.
+    """
+    n = len(signed)
+    out = np.zeros(n, dtype=np.int64)
+    acc = 0
+    bar = 0
+    for i in range(n):
+        out[i] = bar
+        acc += int(signed[i])
+        if acc > threshold or acc < -threshold:
+            bar += 1
+            acc = 0
+    return out
 
 
 def cusum_events(dp: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
