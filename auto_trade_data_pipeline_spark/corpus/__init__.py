@@ -178,6 +178,10 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "asof_join_tolerance",
     "token_entropy_score",
     "imbalance_bars",
+    # Fifth round-4 push (locally verified hash-exact on registration):
+    "intraday_seasonality",
+    "bet_sizing_positions",
+    "pmi_collocations",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -384,6 +388,9 @@ _ORDER = [
     "asof_join_tolerance",
     "token_entropy_score",
     "imbalance_bars",
+    "intraday_seasonality",
+    "bet_sizing_positions",
+    "pmi_collocations",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -2744,3 +2744,83 @@ def token_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         F.expr("(-sum(c * lnp_ppm)) div max(n)").cast("long").alias("entropy_ppm_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus phrase mining)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 100
+
+_PMI_ORACLE = f"""
+WITH {_DOCS_CTE},
+bg AS MATERIALIZED (
+  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w2
+  FROM toks WHERE len(ts) >= 2
+),
+n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS MATERIALIZED (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+c2 AS MATERIALIZED (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+scored AS (
+  SELECT cb.w1, cb.w2, cb.c12, c1.c1, c2.c2,
+         CAST(round(ln(CAST(cb.c12 AS DOUBLE) * nb / (CAST(c1.c1 AS DOUBLE) * c2.c2))
+                    * 1000000) AS BIGINT) AS pmi_ppm
+  FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+  WHERE cb.c12 >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c12, c1, c2, pmi_ppm FROM scored
+ORDER BY pmi_ppm DESC, w1, w2 LIMIT {_PMI_TOP_K}
+"""
+
+
+@register("pmi_collocations", _PMI_ORACLE, tags=("EXT3",))
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — the classic
+    corpus phrase-mining pass (multiword-expression discovery for
+    tokenizer vocabularies and stopword-phrase lists). Bigram and
+    unigram-margin counts are three map-side-combinable shuffles over
+    uniform token keys; the 1-row corpus total broadcasts; the
+    min-count cut (>= 5) bounds the scored set before ranking.
+    PMI's ln() is computed at the TYPE level from one fixed-order
+    double expression shared verbatim with the oracle (the BM25/LM
+    recipe), snapped to ppm; the top-k is a TakeOrderedAndProject on
+    the total order (pmi desc, w1, w2) — never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("ts"))
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] AS w1, ts[i+1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    n = bg.agg(F.count(F.lit(1)).alias("nb"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        cb.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.expr(
+                "CAST(round(ln(CAST(c12 AS DOUBLE) * nb / (CAST(c1 AS DOUBLE) * c2))"
+                " * 1000000) AS BIGINT)"
+            ).alias("pmi_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ppm"), "w1", "w2").limit(_PMI_TOP_K)

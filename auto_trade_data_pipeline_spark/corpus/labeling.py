@@ -2199,3 +2199,153 @@ def imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vol_i").alias("volume"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intraday seasonality profile (hour-of-day activity curve)
+# ---------------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = f"""
+WITH {TICKS_CTE},
+m AS (
+  SELECT symbol, CAST(extract(hour FROM timestamp) AS BIGINT) AS hod,
+         CAST(round(volume) AS BIGINT) AS vol_i
+  FROM ticks
+),
+h AS (
+  SELECT symbol, hod, CAST(sum(vol_i) AS BIGINT) AS vol,
+         CAST(count(*) AS BIGINT) AS n_ticks
+  FROM m GROUP BY symbol, hod
+),
+t AS (
+  SELECT *, CAST(sum(vol) OVER (PARTITION BY symbol) AS BIGINT) AS tot,
+         row_number() OVER (PARTITION BY symbol ORDER BY vol DESC, hod) AS hr
+  FROM h
+)
+SELECT symbol, hod, vol, n_ticks,
+       CAST(vol * 1000000 // nullif(tot, 0) AS BIGINT) AS share_ppm,
+       CAST(hr AS BIGINT) AS hour_rank
+FROM t
+"""
+
+
+@register("intraday_seasonality", _SEASONALITY_ORACLE, tags=("A4", "W-"))
+def intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity curve per symbol — the intraday volume
+    seasonality profile behind VWAP execution schedules and
+    deseasonalized anomaly detection (the reference samples fixed
+    trading sessions at `src/candle_to_calcs.py`'s session flags;
+    this is the data-driven generalization). One map-side-combinable
+    groupBy over (symbol, hour); the per-symbol total rides an
+    unordered partition window over the 24-row-per-symbol aggregate
+    (dimension-sized, never the tick tape); shares are exact integer
+    ppm (positive operands — engine div parity)."""
+    ticks = ticks_from_events(spark, sf_dir)
+    h = (
+        ticks.select(
+            "symbol",
+            F.hour("timestamp").cast("long").alias("hod"),
+            F.round("volume", 0).cast("long").alias("vol_i"),
+        )
+        .groupBy("symbol", "hod")
+        .agg(F.sum("vol_i").alias("vol"), F.count(F.lit(1)).alias("n_ticks"))
+    )
+    w = Window.partitionBy("symbol")
+    t = h.withColumn("tot", F.sum("vol").over(w)).withColumn(
+        "hr", F.row_number().over(Window.partitionBy("symbol").orderBy(F.desc("vol"), "hod"))
+    )
+    return t.select(
+        "symbol",
+        "hod",
+        "vol",
+        "n_ticks",
+        F.expr("vol * 1000000 div nullif(tot, 0)").cast("long").alias("share_ppm"),
+        F.col("hr").cast("long").alias("hour_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bet sizing: concurrent-bet position averaging (de Prado ch. 10)
+# ---------------------------------------------------------------------------
+
+_BET_HOLD_HOURS = 3
+
+_BET_SIZING_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('hour', timestamp) AS bucket, price,
+         row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+hourly AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+sided AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > lag(close) OVER (PARTITION BY symbol ORDER BY bucket) THEN 1
+              WHEN close < lag(close) OVER (PARTITION BY symbol ORDER BY bucket) THEN -1
+              ELSE 0 END AS side
+  FROM hourly
+),
+units AS (
+  SELECT symbol,
+         to_timestamp(epoch(bucket) + k * 3600) AS hour_ts,
+         side
+  FROM sided, (SELECT unnest(range(1, {_BET_HOLD_HOURS} + 1)) AS k)
+  WHERE side <> 0
+)
+SELECT symbol, strftime(hour_ts, '{TS_FMT_DUCK}') AS hour_ts,
+       CAST(count(*) AS BIGINT) AS n_bets,
+       CAST(sum(side) AS BIGINT) AS net_side,
+       CAST((sum(side) + count(*)) * 1000000 // (2 * count(*)) AS BIGINT) AS pos_unit_ppm
+FROM units GROUP BY symbol, hour_ts
+"""
+
+
+@register("bet_sizing_positions", _BET_SIZING_ORACLE, tags=("W-", "A4"))
+def bet_sizing_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-bet position averaging (de Prado ch. 10): each
+    hourly momentum signal opens a +1/-1 bet held for the next
+    {H} hours; the strategy's net position per (symbol, hour) is the
+    average of the active bet signs — mapped to [0, 1e6] as
+    (net + n) * 1e6 // (2n) so the integer division stays on a
+    positive numerator (Spark `div` truncates, DuckDB `//` floors;
+    they agree only there). The interval-to-unit expansion is BOUNDED
+    (exactly {H} rows per bet — the label_uniqueness_weights recipe),
+    so work scales with bets, never bets x hours.""".replace(
+        "{H}", str(_BET_HOLD_HOURS)
+    )
+    ticks = ticks_from_events(spark, sf_dir)
+    hourly = aggregate_candles(ticks, 3600).select("symbol", "timestamp", "close")
+    wo = Window.partitionBy("symbol").orderBy("timestamp")
+    prev = F.lag("close").over(wo)
+    sided = hourly.select(
+        "symbol",
+        "timestamp",
+        F.when(F.col("close") > prev, 1).when(F.col("close") < prev, -1).otherwise(0).alias("side"),
+    ).filter(F.col("side") != 0)
+    units = sided.select(
+        "symbol",
+        F.explode(F.sequence(F.lit(1), F.lit(_BET_HOLD_HOURS))).alias("k"),
+        "side",
+        "timestamp",
+    ).select(
+        "symbol",
+        F.timestamp_seconds(F.unix_timestamp("timestamp") + F.col("k") * 3600).alias("hour_ts"),
+        "side",
+    )
+    return units.groupBy("symbol", "hour_ts").agg(
+        F.count(F.lit(1)).alias("n_bets"),
+        F.sum("side").alias("net_side"),
+        F.expr("(sum(side) + count(*)) * 1000000 div (2 * count(*))")
+        .cast("long")
+        .alias("pos_unit_ppm"),
+    ).select(
+        "symbol",
+        _fmt("hour_ts").alias("hour_ts"),
+        "n_bets",
+        "net_side",
+        "pos_unit_ppm",
+    )
