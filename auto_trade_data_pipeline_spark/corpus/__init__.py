@@ -182,6 +182,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "intraday_seasonality",
     "bet_sizing_positions",
     "pmi_collocations",
+    "kalman_price_smooth",
+    "sign_lz78_complexity",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -391,6 +393,8 @@ _ORDER = [
     "intraday_seasonality",
     "bet_sizing_positions",
     "pmi_collocations",
+    "kalman_price_smooth",
+    "sign_lz78_complexity",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

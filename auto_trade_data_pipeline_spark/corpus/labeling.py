@@ -2349,3 +2349,191 @@ def bet_sizing_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_side",
         "pos_unit_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kalman price smoothing (recursive state estimation, struct-fold oracle)
+# ---------------------------------------------------------------------------
+
+_KAL_Q = 0.01
+_KAL_R = 1.0
+
+#: Minute-close bars shared by the Kalman / LZ78 queries.
+_MINUTE_CLOSE_CTE = f"""{TICKS_CTE},
+mb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+mclose AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM mb GROUP BY symbol, bucket
+)
+"""
+
+_KALMAN_ORACLE = f"""
+WITH {_MINUTE_CLOSE_CTE},
+lists AS (
+  SELECT symbol, list(close ORDER BY bucket) AS l, list(bucket ORDER BY bucket) AS bs
+  FROM mclose GROUP BY symbol
+),
+idx AS (SELECT symbol, l, bs, unnest(range(1, len(l) + 1)) AS i FROM lists)
+SELECT symbol, strftime(bs[i], '{TS_FMT_DUCK}') AS bucket_ts, l[i] AS close,
+       CAST(round((CASE WHEN i = 1 THEN l[1] ELSE
+         (list_reduce(
+            [{{'x': l[1], 'p': CAST(1.0 AS DOUBLE)}}] ||
+            list_transform(l[2:i], z -> {{'x': CAST(z AS DOUBLE), 'p': CAST(0.0 AS DOUBLE)}}),
+            (acc, el) -> {{'x': acc.x + ((acc.p + {_KAL_Q}) / (acc.p + {_KAL_Q} + {_KAL_R})) * (el.x - acc.x),
+                           'p': (1.0 - (acc.p + {_KAL_Q}) / (acc.p + {_KAL_Q} + {_KAL_R})) * (acc.p + {_KAL_Q})}}
+         )).x END) * 10000) AS BIGINT) AS kalman_e4
+FROM idx
+"""
+
+
+@register("kalman_price_smooth", _KALMAN_ORACLE, tags=("W-", "W3"))
+def kalman_price_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute Kalman-filtered price level (1-D random-walk state
+    model) — the optimal-gain counterpart of the reference's EMA
+    smoothing family, and a fourth independently-oracled recursive
+    state machine (after EMA, PSAR, and the anchor machine): the
+    DuckDB oracle replays the gain/level/variance recursion per row
+    as a STRUCT-accumulator prefix list_reduce, bit-for-bit in IEEE
+    doubles (functions/ta.py:kalman_filter). Spark side is one
+    Arrow-batched applyInPandas per symbol over minute closes; e4
+    integer scaling absorbs the last-bit FMA-fusion difference (the
+    EMA oracle convention)."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        kx = ta.kalman_filter(pdf["close"].to_numpy(dtype=float), _KAL_Q, _KAL_R)
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "timestamp": pdf["timestamp"],
+                "close": pdf["close"],
+                "kx": kx,
+            }
+        )
+
+    out = mclose.groupBy("symbol").applyInPandas(
+        kernel, schema="symbol string, timestamp timestamp, close double, kx double"
+    )
+    return out.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        "close",
+        F.expr("CAST(round(kx * 10000) AS BIGINT)").alias("kalman_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LZ78 sequence complexity of return signs (entropy features, ch. 18)
+# ---------------------------------------------------------------------------
+
+_LZ78_ORACLE = f"""
+WITH {_MINUTE_CLOSE_CTE},
+sided AS (
+  SELECT symbol, CAST(bucket AS DATE) AS day, bucket,
+         CASE WHEN close > lag(close) OVER w THEN 'u'
+              WHEN close < lag(close) OVER w THEN 'd'
+              ELSE 'f' END AS sgn,
+         lag(close) OVER w IS NULL AS is_first
+  FROM mclose
+  WINDOW w AS (PARTITION BY symbol, CAST(bucket AS DATE) ORDER BY bucket)
+),
+seqs AS (
+  SELECT symbol, day, string_agg(sgn, '' ORDER BY bucket) AS s,
+         CAST(count(*) AS BIGINT) AS n_moves
+  FROM sided WHERE NOT is_first GROUP BY symbol, day
+),
+folded AS (
+  SELECT symbol, day, n_moves,
+         list_reduce(
+           [['']] || list_transform(list_transform(range(1, len(s) + 1), i -> s[i]),
+                                    c -> [c]),
+           (acc, el) -> CASE WHEN list_contains(acc[2:], acc[1] || el[1])
+                             THEN [acc[1] || el[1]] || acc[2:]
+                             ELSE [''] || acc[2:] || [acc[1] || el[1]] END
+         ) AS st
+  FROM seqs
+)
+SELECT symbol, strftime(day, '%Y-%m-%d') AS day, n_moves,
+       CAST(len(st) - 1 + (CASE WHEN st[1] <> '' THEN 1 ELSE 0 END) AS BIGINT) AS lz78_phrases,
+       CAST((len(st) - 1 + (CASE WHEN st[1] <> '' THEN 1 ELSE 0 END)) * 1000000
+            // n_moves AS BIGINT) AS complexity_ppm
+FROM folded
+"""
+
+
+@register("sign_lz78_complexity", _LZ78_ORACLE, tags=("W-", "EXT4"))
+def sign_lz78_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ78 sequence complexity of the per-day minute return-sign
+    string (de Prado ch. 18 entropy features): the number of phrases
+    in the greedy LZ78 incremental parse — low for trending/repeating
+    regimes, high near the randomness ceiling — plus the
+    per-move normalized rate in ppm. The parse is a PURE-JVM
+    higher-order fold (F.aggregate with a struct accumulator carrying
+    the current phrase + dictionary): no UDF, no Python, whole-stage
+    codegen end to end; work is one minute-bar aggregation plus an
+    O(len * phrases) fold per (symbol, day). The oracle replays the
+    identical fold as a DuckDB list_reduce over a list-of-varchar
+    accumulator."""
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+    w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy("timestamp")
+    prev = F.lag("close").over(w)
+    sided = mclose.select(
+        "symbol",
+        F.to_date("timestamp").alias("day"),
+        "timestamp",
+        F.when(F.col("close") > prev, "u")
+        .when(F.col("close") < prev, "d")
+        .otherwise("f")
+        .alias("sgn"),
+        prev.isNull().alias("is_first"),
+    ).filter(~F.col("is_first"))
+    seqs = sided.groupBy("symbol", "day").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(timestamp, sgn))), x -> x.sgn)"
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_moves"),
+    )
+    phrases = F.expr(
+        """
+        aggregate(
+          arr,
+          struct(CAST('' AS STRING) AS cur, CAST(array() AS ARRAY<STRING>) AS d),
+          (acc, ch) -> IF(array_contains(acc.d, concat(acc.cur, ch)),
+                          named_struct('cur', concat(acc.cur, ch), 'd', acc.d),
+                          named_struct('cur', '', 'd',
+                                       concat(acc.d, array(concat(acc.cur, ch))))),
+          acc -> size(acc.d) + IF(acc.cur != '', 1, 0)
+        )
+        """
+    ).cast("long")
+    return seqs.select(
+        "symbol",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_moves",
+        phrases.alias("lz78_phrases"),
+        F.expr(
+            """
+            CAST(aggregate(
+              arr,
+              struct(CAST('' AS STRING) AS cur, CAST(array() AS ARRAY<STRING>) AS d),
+              (acc, ch) -> IF(array_contains(acc.d, concat(acc.cur, ch)),
+                              named_struct('cur', concat(acc.cur, ch), 'd', acc.d),
+                              named_struct('cur', '', 'd',
+                                           concat(acc.d, array(concat(acc.cur, ch))))),
+              acc -> size(acc.d) + IF(acc.cur != '', 1, 0)
+            ) AS BIGINT) * 1000000 div n_moves
+            """
+        ).cast("long").alias("complexity_ppm"),
+    )

@@ -474,3 +474,27 @@ def find_peaks(x: np.ndarray, distance: float, prominence: float) -> np.ndarray:
         peaks = peaks[keep]
     proms = _prominences(x, peaks)
     return peaks[proms >= prominence]
+
+
+def kalman_filter(z: np.ndarray, q: float, r: float) -> np.ndarray:
+    """1-D random-walk Kalman filter over an observation sequence
+    (state = level, process noise q, observation noise r): the
+    optimal recursive smoother behind adaptive moving averages.
+    Seed x = z[0], p = 1; then pp = p + q, k = pp / (pp + r),
+    x += k * (z - x), p = (1 - k) * pp — scalar IEEE doubles in a
+    fixed order so a DuckDB struct-accumulator list_reduce replays
+    the recursion bit-for-bit (the EMA/PSAR oracle pattern)."""
+    z = np.asarray(z, dtype=float)
+    out = np.empty(len(z))
+    if len(z) == 0:
+        return out
+    x = float(z[0])
+    p = 1.0
+    out[0] = x
+    for t in range(1, len(z)):
+        pp = p + q
+        k = pp / (pp + r)
+        x = x + k * (float(z[t]) - x)
+        p = (1.0 - k) * pp
+        out[t] = x
+    return out
