@@ -184,6 +184,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "pmi_collocations",
     "kalman_price_smooth",
     "sign_lz78_complexity",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -395,6 +397,8 @@ _ORDER = [
     "pmi_collocations",
     "kalman_price_smooth",
     "sign_lz78_complexity",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",
@@ -415,6 +419,7 @@ def load_all() -> dict[str, Query]:
         enrich,
         events_analytics,
         ext,
+        formats,
         indicators,
         labeling,
         relational,

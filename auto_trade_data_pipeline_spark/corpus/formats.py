@@ -1,0 +1,103 @@
+"""Format round-trip queries — CSV and JSON source/sink coverage.
+
+The reference ingests REST JSON and persists CSV/parquet
+(``src/fetch_historical_trades_nvda.py:48`` writes the
+``%Y-%m-%d %H:%M:%S.%f UTC`` timestamp format this module round-trips).
+Each query here writes the tick tape to a text format under the
+repo-local warehouse, reads it back through a DECLARED schema (never
+inferSchema — SURVEY §2.1 S4), and aggregates; the DuckDB oracle
+computes the same aggregate straight from the parquet events table,
+so any loss in the write→read round trip (double shortest-repr,
+microsecond timestamps, long ids) breaks the hash.
+
+Scale note: text formats are the interchange path, not the analytic
+store — reads carry an explicit schema so Catalyst still prunes and
+pushes down, and the written layout inherits the upstream
+partitioning (one file per task, no coalesce(1) bottleneck).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus.trade import TICKS_CTE
+from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+_TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_TICK_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("volume", T.DoubleType()),
+        T.StructField("tick_id", T.LongType()),
+    ]
+)
+
+_ROUNDTRIP_ORACLE = f"""
+WITH {TICKS_CTE}
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(sum(CAST(round(volume) AS BIGINT)) AS BIGINT) AS vol_sum,
+       CAST(sum(CAST(round(price * 10000) AS BIGINT)) AS BIGINT) AS price_e4_sum,
+       CAST(sum(tick_id) AS BIGINT) AS id_sum,
+       strftime(min(timestamp), '%Y-%m-%d %H:%M:%S.%f') AS ts_min,
+       strftime(max(timestamp), '%Y-%m-%d %H:%M:%S.%f') AS ts_max
+FROM ticks GROUP BY symbol
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    ticks = ticks_from_events(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "roundtrip",
+        tag,
+        fmt,
+    )
+    writer = ticks.write.mode("overwrite").option("timestampFormat", _TS_US_SPARK)
+    reader = spark.read.schema(_TICK_SCHEMA).option("timestampFormat", _TS_US_SPARK)
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+        back = reader.option("header", "true").csv(path)
+    else:
+        writer.json(path)
+        back = reader.json(path)
+    return back.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.round("volume", 0).cast("long")).alias("vol_sum"),
+        F.sum(F.expr("CAST(round(price * 10000) AS BIGINT)")).alias("price_e4_sum"),
+        F.sum("tick_id").alias("id_sum"),
+        F.date_format(F.min("timestamp"), _TS_US_SPARK).alias("ts_min"),
+        F.date_format(F.max("timestamp"), _TS_US_SPARK).alias("ts_max"),
+    )
+
+
+@register("source_csv_roundtrip", _ROUNDTRIP_ORACLE, tags=("S4", "S5"))
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-declared CSV source, proven lossless: the
+    tick tape is written to CSV (microsecond timestampFormat, shortest
+    round-trip double repr) and read back through the DECLARED tick
+    schema; per-symbol counts, integer-scaled price/volume sums, id
+    sums, and microsecond min/max timestamps must hash-match an oracle
+    that never left parquet. Covers the reference's CSV persistence
+    path (``src/fetch_historical_trades_nvda.py:48``)."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register("source_json_roundtrip", _ROUNDTRIP_ORACLE, tags=("S4", "S5"))
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-declared JSON source round trip —
+    the REST-ingest interchange format (the reference's Polygon
+    responses are JSON pages) pushed through the same losslessness
+    gate as the CSV path: identical per-symbol aggregate hash as the
+    straight-from-parquet oracle."""
+    return _roundtrip(spark, sf_dir, "json")
