@@ -186,6 +186,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "sign_lz78_complexity",
     "source_csv_roundtrip",
     "source_json_roundtrip",
+    "streaming_drift_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -399,6 +400,7 @@ _ORDER = [
     "sign_lz78_complexity",
     "source_csv_roundtrip",
     "source_json_roundtrip",
+    "streaming_drift_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -379,8 +379,17 @@ def distribution_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     type x bin grid, and a per-type rollup — the same plan monitors a
     100 TB table between any two snapshots."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    binned = drift_binned(ev, drift_bounds(ev))
+    cnts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_base").alias("cb"), F.sum(1 - F.col("is_base")).alias("cc")
+    )
+    return drift_report_from_counts(spark, cnts)
+
+
+def drift_bounds(ev: DataFrame) -> DataFrame:
+    """One-row broadcastable bounds aggregate for the drift binning."""
     us = F.unix_micros(F.col("ts"))
-    bounds = F.broadcast(
+    return F.broadcast(
         ev.agg(
             F.min(us).alias("ts_lo"),
             F.max(us).alias("ts_hi"),
@@ -388,25 +397,41 @@ def distribution_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("v_hi"),
         )
     )
+
+
+def drift_binned(ev: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Map (event_type, ts, value) rows onto (event_type, bin,
+    is_base) against broadcast bounds. Works on a batch OR streaming
+    `ev` (the join is stream-static in the latter case)."""
+    us = F.unix_micros(F.col("ts"))
     B = DRIFT_BINS
     span = F.when(F.col("v_hi") > F.col("v_lo"), F.col("v_hi") - F.col("v_lo")).otherwise(1.0)
     mid = F.col("ts_lo") + F.floor((F.col("ts_hi") - F.col("ts_lo")) / 2).cast("long")
-    binned = ev.join(bounds).select(
+    return ev.join(bounds).select(
         "event_type",
         F.least(F.floor(((F.col("value") - F.col("v_lo")) / span) * B), F.lit(B - 1))
         .cast("int")
         .alias("bin"),
         F.when(us < mid, 1).otherwise(0).alias("is_base"),
     )
-    cnts = binned.groupBy("event_type", "bin").agg(
-        F.sum("is_base").alias("cb"), F.sum(1 - F.col("is_base")).alias("cc")
-    )
+
+
+def drift_report_from_counts(
+    spark: SparkSession, cnts: DataFrame, types: DataFrame | None = None
+) -> DataFrame:
+    """Laplace-smoothed chi-square / total-variation drift report from
+    per-(event_type, bin) baseline/current counts (cb, cc). ``types``
+    optionally supplies the event-type dimension from an independent
+    lineage (required when ``cnts`` comes from a sink table that can't
+    self-join, e.g. a streaming memory sink)."""
+    B = DRIFT_BINS
     # The type x bin grid comes from the (dimension-sized) counts
     # aggregate, not another scan of the fact table — every observed
     # event_type has at least one observed bin, so the distinct set is
     # identical and the fact table is read once for the whole grid.
     grid = (
-        cnts.select("event_type")
+        (types if types is not None else cnts.select("event_type"))
+        .select("event_type")
         .distinct()
         .crossJoin(spark.range(B).select(F.col("id").cast("int").alias("bin")))
     )

@@ -804,3 +804,64 @@ def streaming_volume_bars_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume",
         "n_ticks",
     )
+
+
+# ---------------------------------------------------------------------------
+# ST+: streaming distribution-drift monitor (stateful histogram counters)
+# ---------------------------------------------------------------------------
+
+
+def _stream_drift_oracle() -> str:
+    # Streaming histogram accumulation is exact cellwise counting, so
+    # the replayed counters equal the batch counts and the batch drift
+    # oracle IS the streaming oracle.
+    from auto_trade_data_pipeline_spark.corpus.events_analytics import _DRIFT_ORACLE
+
+    return _DRIFT_ORACLE
+
+
+@register("streaming_drift_replay", _stream_drift_oracle(), tags=("ST2", "A5", "EXT3"))
+def streaming_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-on data-quality drift monitoring as a STREAM: events are
+    binned scan-side against broadcast baseline bounds (a stream-static
+    join — the production shape where bounds come from yesterday's
+    snapshot), and an update-mode streaming aggregation keeps the
+    per-(event_type, bin) baseline/current counters as bounded keyed
+    state (|types| x bins cells forever, no watermark). Counter
+    updates are monotone, so each key's final value is the max over
+    its emitted update rows; the replayed counters are bit-identical
+    to the batch histogram and the whole chi-square /
+    total-variation report reuses the batch drift oracle — a stateful
+    streaming pipeline with a full SQL oracle."""
+    from auto_trade_data_pipeline_spark.corpus.events_analytics import (
+        drift_binned,
+        drift_bounds,
+        drift_report_from_counts,
+    )
+    from auto_trade_data_pipeline_spark.sources import load_table
+
+    batch_ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bounds = drift_bounds(batch_ev)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts timestamp_ntz, user_id long, event_type string, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    binned = drift_binned(stream, bounds)
+    cnts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_base").alias("cb"), F.sum(1 - F.col("is_base")).alias("cc")
+    )
+    out = run_available_now(
+        cnts, f"corpus_stream_drift_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    final = out.groupBy("event_type", "bin").agg(
+        F.max("cb").alias("cb"), F.max("cc").alias("cc")
+    )
+    # The type dimension comes from the batch lineage (one
+    # dimension-sized distinct) — the memory-sink table can't
+    # self-join for the grid.
+    return drift_report_from_counts(
+        spark, final, types=batch_ev.select("event_type").distinct()
+    )
