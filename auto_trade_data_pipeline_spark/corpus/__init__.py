@@ -187,6 +187,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "streaming_drift_replay",
+    "cdc_apply_changelog",
+    "inverse_variance_weights",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -401,6 +403,8 @@ _ORDER = [
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "streaming_drift_replay",
+    "cdc_apply_changelog",
+    "inverse_variance_weights",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -2537,3 +2537,98 @@ def sign_lz78_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).cast("long").alias("complexity_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-variance portfolio allocation (de Prado ch. 16's IVP base case)
+# ---------------------------------------------------------------------------
+
+_IVP_ORACLE = f"""
+WITH {_MINUTE_CLOSE_CTE},
+r AS (
+  SELECT symbol,
+         greatest(least(CAST(round((close - lag(close) OVER w)
+                        / nullif(lag(close) OVER w, 0) * 1000000) AS BIGINT),
+                  1000000), -1000000) AS r_ppm
+  FROM mclose WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+s AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r_ppm) AS BIGINT) AS sx,
+         CAST(sum(r_ppm * r_ppm) AS BIGINT) AS sxx
+  FROM r WHERE r_ppm IS NOT NULL GROUP BY symbol
+),
+iv AS (
+  SELECT symbol, n, sx,
+         CAST(round(CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                              / (CAST(n AS DOUBLE) * (n - 1)) > 0
+                    THEN 1e18 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                 / (CAST(n AS DOUBLE) * (n - 1))) END) AS BIGINT)
+           AS ivar_sc
+  FROM s WHERE n >= 2
+),
+tot AS (SELECT CAST(sum(ivar_sc) AS BIGINT) AS t FROM iv)
+SELECT symbol, n AS n_returns, sx AS sum_r_ppm, ivar_sc,
+       CAST(round(CAST(ivar_sc AS DOUBLE) * 1000000 / tot.t) AS BIGINT) AS weight_ppm
+FROM iv, tot
+"""
+
+
+@register("inverse_variance_weights", _IVP_ORACLE, tags=("A-", "W-"))
+def inverse_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-variance portfolio allocation (the IVP allocator that
+    seeds de Prado's HRP, ch. 16): each symbol's weight is
+    proportional to 1 / Var(minute returns). Returns are winsorized
+    (±100%) integer ppm so the co-moment SUMS are exact BIGINTs at
+    any parallelism; the variance COMBINATION runs in fixed-order
+    DOUBLE (the int64-overflow convention); inverse variances are
+    integer-scaled BEFORE the cross-symbol total so no
+    order-dependent float summation exists anywhere. The total rides
+    a one-row broadcast. Zero-variance symbols drop via the > 0
+    guard; zero prices route through nullif (ANSI-safe at 10x
+    scale)."""
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+    wo = Window.partitionBy("symbol").orderBy("timestamp")
+    prev = F.lag("close").over(wo)
+    r = mclose.select(
+        "symbol",
+        F.greatest(
+            F.least(
+                F.expr(
+                    "CAST(round((close - lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))"
+                    " / nullif(lag(close) OVER (PARTITION BY symbol ORDER BY timestamp), 0)"
+                    " * 1000000) AS BIGINT)"
+                ),
+                F.lit(1000000),
+            ),
+            F.lit(-1000000),
+        ).alias("r_ppm"),
+    ).filter(F.col("r_ppm").isNotNull())
+    s = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_ppm").alias("sx"),
+        F.sum(F.col("r_ppm") * F.col("r_ppm")).alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    var = (
+        (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    iv = s.select(
+        "symbol",
+        F.col("n").alias("n_returns"),
+        F.col("sx").alias("sum_r_ppm"),
+        F.round(F.when(var > 0, F.lit(1e18) / var))
+        .cast("long")
+        .alias("ivar_sc"),
+    )
+    tot = iv.agg(F.sum("ivar_sc").alias("t"))
+    return iv.crossJoin(F.broadcast(tot)).select(
+        "symbol",
+        "n_returns",
+        "sum_r_ppm",
+        "ivar_sc",
+        F.expr("CAST(round(CAST(ivar_sc AS DOUBLE) * 1000000 / t) AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )

@@ -1003,3 +1003,73 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderkey").alias("n_orders"),
         F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (MERGE with delete tombstones)
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH ch AS (
+  SELECT o_orderkey, v,
+         CASE WHEN v = 2 AND o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(round(o_totalprice * 100) AS BIGINT) + v AS price_e2,
+         'v' || CAST(v AS VARCHAR) AS src
+  FROM orders, (SELECT unnest([1, 2]) AS v)
+  WHERE o_orderkey % 5 = 0
+),
+last AS (
+  SELECT * FROM ch
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1
+),
+untouched AS (
+  SELECT o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_e2,
+         'snap' AS src
+  FROM orders o ANTI JOIN last l ON o.o_orderkey = l.o_orderkey
+)
+SELECT o_orderkey, price_e2, src FROM untouched
+UNION ALL
+SELECT o_orderkey, price_e2, src FROM last WHERE op <> 'D'
+"""
+
+
+@register("cdc_apply_changelog", _CDC_ORACLE, tags=("S7", "J3"))
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — MERGE with delete tombstones
+    (operators/dedup.py:cdc_apply): a deterministic synthetic
+    changelog (every 5th order updated twice, every 15th terminally
+    DELETED) lands on the orders snapshot; per key the LAST change by
+    version wins, terminal D drops the key, everything else replaces
+    the row. The snapshot never shuffles — one window over the
+    changelog + one anti join on changed keys — which is the layout
+    that applies a nightly 0.1% change feed to a 100 TB table by
+    moving only the feed. Money is exact integer cents."""
+    from auto_trade_data_pipeline_spark.operators.dedup import cdc_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_e2"),
+        F.lit("snap").alias("src"),
+    )
+    changelog = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .select(
+            "o_orderkey",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("v"),
+            "o_totalprice",
+        )
+        .select(
+            "o_orderkey",
+            "v",
+            F.when((F.col("v") == 2) & (F.col("o_orderkey") % 15 == 0), "D")
+            .otherwise("U")
+            .alias("op"),
+            (F.expr("CAST(round(o_totalprice * 100) AS BIGINT)") + F.col("v")).alias(
+                "price_e2"
+            ),
+            F.concat(F.lit("v"), F.col("v").cast("string")).alias("src"),
+        )
+    )
+    return cdc_apply(snap, changelog, keys=["o_orderkey"], order_cols=["v"])

@@ -81,3 +81,30 @@ def upsert(
         )
     keep_old = existing.join(updates.select(*keys).distinct(), on=list(keys), how="left_anti")
     return updates.select(*existing.columns).unionByName(keep_old.select(*existing.columns))
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog (rows carrying an I/U/D ``op_col``) onto a
+    snapshot — the Delta/Hudi MERGE-with-deletes shape that extends
+    :func:`upsert` (S7/J3) with tombstones. Per key, the LAST change
+    by ``order_cols`` wins: a terminal D removes the key, anything
+    else replaces the snapshot row. One key-partitioned window over
+    the changelog (dimension of change volume, not table volume) plus
+    one anti join against the changed-key set — the snapshot is never
+    shuffled, so a nightly 0.1% changelog against a 100 TB table
+    moves only the changelog.
+
+    ``changelog`` must carry the snapshot's columns plus ``op_col``.
+    """
+    last = dedup_keep_last(changelog, keys, order_cols)
+    ups = last.filter(F.col(op_col) != "D").select(*snapshot.columns)
+    untouched = snapshot.join(
+        last.select(*keys).distinct(), on=list(keys), how="left_anti"
+    )
+    return untouched.select(*snapshot.columns).unionByName(ups)
