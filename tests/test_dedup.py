@@ -80,3 +80,35 @@ def test_global_running_sum_matches_sequential_and_is_partition_invariant(spark)
         ).collect()
     }
     assert out == out1
+
+
+def test_cdc_apply_tombstones_updates_and_inserts(spark):
+    from auto_trade_data_pipeline_spark.operators.dedup import cdc_apply
+    from pyspark.sql import functions as F
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, payload string"
+    )
+    # key 1: updated twice (v2 wins); key 2: updated then deleted;
+    # key 4: inserted fresh; key 3: untouched.
+    chg = spark.createDataFrame(
+        [
+            (1, "a1", 1, "U"),
+            (1, "a2", 2, "U"),
+            (2, "b1", 1, "U"),
+            (2, None, 2, "D"),
+            (4, "d", 1, "U"),
+        ],
+        "k long, payload string, v long, op string",
+    )
+    out = cdc_apply(snap, chg.select("k", "payload", "v", "op"), ["k"], ["v"])
+    got = {r.k: r.payload for r in out.collect()}
+    assert got == {1: "a2", 3: "c", 4: "d"}
+    # Idempotence: applying the same changelog onto the result changes
+    # nothing (per-key last ops are the same).
+    again = cdc_apply(out, chg.select("k", "payload", "v", "op"), ["k"], ["v"])
+    assert {r.k: r.payload for r in again.collect()} == got
+    # Batch-split equivalence: applying v=1 then v=2 == applying both.
+    step1 = cdc_apply(snap, chg.filter(F.col("v") == 1), ["k"], ["v"])
+    step2 = cdc_apply(step1, chg.filter(F.col("v") == 2), ["k"], ["v"])
+    assert {r.k: r.payload for r in step2.collect()} == got

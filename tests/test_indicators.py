@@ -372,3 +372,65 @@ def test_session_calendar_udtf_partitions_day_and_matches_flags(spark):
             (F.col("session_name") == name) & (F.col(name) != 1)
         ).count()
         assert mismatch == 0, name
+
+
+def test_kalman_filter_matches_naive_reference_and_converges():
+    import numpy as np
+
+    from auto_trade_data_pipeline_spark.functions.ta import kalman_filter
+
+    rng = np.random.default_rng(7)
+    z = 100 + rng.normal(0, 1, 500).cumsum()
+    q, r = 0.01, 1.0
+    got = kalman_filter(z, q, r)
+    # Naive reference recursion, scalar step by step.
+    x, p = float(z[0]), 1.0
+    ref = [x]
+    for t in range(1, len(z)):
+        pp = p + q
+        k = pp / (pp + r)
+        x = x + k * (float(z[t]) - x)
+        p = (1.0 - k) * pp
+        ref.append(x)
+    assert np.array_equal(got, np.array(ref))
+    # The steady-state gain of (q=0.01, r=1) is ~0.095 — the filter
+    # must track a drifting level with bounded lag, i.e. correlate
+    # near-perfectly with the truth while smoothing the noise.
+    assert abs(np.corrcoef(got[50:], z[50:])[0, 1]) > 0.98
+    assert np.std(np.diff(got[50:])) < np.std(np.diff(z[50:]))
+
+
+def test_lz78_jvm_fold_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    def lz78_py(s: str) -> int:
+        d, cur = set(), ""
+        for ch in s:
+            cand = cur + ch
+            if cand in d:
+                cur = cand
+            else:
+                d.add(cand)
+                cur = ""
+        return len(d) + (1 if cur else 0)
+
+    cases = ["", "u", "uu", "ud", "uudduudd", "u" * 40, "udf" * 15, "uduudduuudddf"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    out = df.select(
+        "s",
+        F.expr(
+            """
+            aggregate(
+              filter(split(s, '(?!^)'), x -> x != ''),
+              struct(CAST('' AS STRING) AS cur, CAST(array() AS ARRAY<STRING>) AS d),
+              (acc, ch) -> IF(array_contains(acc.d, concat(acc.cur, ch)),
+                              named_struct('cur', concat(acc.cur, ch), 'd', acc.d),
+                              named_struct('cur', '', 'd',
+                                           concat(acc.d, array(concat(acc.cur, ch))))),
+              acc -> size(acc.d) + IF(acc.cur != '', 1, 0)
+            )
+            """
+        ).alias("n"),
+    ).collect()
+    for r in out:
+        assert r.n == lz78_py(r.s), r.s

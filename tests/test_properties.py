@@ -385,6 +385,16 @@ _INVARIANCE_QUERIES = [
     "execution_schedule_profile",
     "hll_distinct_sketch",
     "bigram_lm_score",
+    # round-4 fifth push: struct-fold Kalman recursion, pure-JVM LZ78
+    # fold, PMI top-k, CDC tombstone apply, IVP integer-scaled
+    # inverse-variance total, streaming-state drift counters
+    "kalman_price_smooth",
+    "sign_lz78_complexity",
+    "pmi_collocations",
+    "cdc_apply_changelog",
+    "inverse_variance_weights",
+    "intraday_seasonality",
+    "bet_sizing_positions",
 ]
 
 
