@@ -2391,7 +2391,7 @@ FROM idx
 """
 
 
-@register("kalman_price_smooth", _KALMAN_ORACLE, tags=("W-", "W3"))
+@register("kalman_price_smooth", _KALMAN_ORACLE, tags=("W-", "W3", "bench"))
 def kalman_price_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-minute Kalman-filtered price level (1-D random-walk state
     model) — the optimal-gain counterpart of the reference's EMA

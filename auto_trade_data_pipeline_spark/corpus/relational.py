@@ -1033,7 +1033,7 @@ SELECT o_orderkey, price_e2, src FROM last WHERE op <> 'D'
 """
 
 
-@register("cdc_apply_changelog", _CDC_ORACLE, tags=("S7", "J3"))
+@register("cdc_apply_changelog", _CDC_ORACLE, tags=("S7", "J3", "bench"))
 def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply — MERGE with delete tombstones
     (operators/dedup.py:cdc_apply): a deterministic synthetic
