@@ -559,3 +559,30 @@ def test_triple_barrier_banded_join_no_cartesian(spark, sf_small):
     plan = _plan(load_all()["triple_barrier_labels"].fn(spark, sf_small))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_parquet_aggregate_pushdown_to_scan(spark, sf_med):
+    """Scan-level aggregate pushdown: under the DSv2 parquet reader,
+    un-grouped MIN/MAX/COUNT resolve from parquet footer statistics —
+    the scan emits per-row-group aggregates instead of rows
+    (PushedAggregation in the plan). At 100 TB this answers table
+    profiling without reading a single data page. Values must match
+    the default (v1) path exactly."""
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    agg_cols = lambda df: df.agg(  # noqa: E731
+        F.min("o_orderkey").alias("mn"),
+        F.max("o_orderkey").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    baseline = agg_cols(spark.read.parquet(f"{sf_med}/orders.parquet")).collect()
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        pushed = agg_cols(spark.read.parquet(f"{sf_med}/orders.parquet"))
+        plan = _plan(pushed)
+        assert "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]" in plan, plan
+        assert pushed.collect() == baseline
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
