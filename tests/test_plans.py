@@ -586,3 +586,15 @@ def test_parquet_aggregate_pushdown_to_scan(spark, sf_med):
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+
+
+def test_pmi_topk_is_take_ordered(spark, sf_small):
+    """The PMI top-100 must be a TakeOrderedAndProject (per-partition
+    heaps + one k-row gather), never a global Sort of the scored
+    collocation set."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    spark.catalog.clearCache()
+    plan = _plan(load_all()["pmi_collocations"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [pmi_ppm" not in plan, plan
