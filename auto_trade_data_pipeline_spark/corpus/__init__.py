@@ -189,6 +189,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_drift_replay",
     "cdc_apply_changelog",
     "inverse_variance_weights",
+    "ewma_beta_recursive",
+    "corwin_schultz_spread",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -405,6 +407,8 @@ _ORDER = [
     "streaming_drift_replay",
     "cdc_apply_changelog",
     "inverse_variance_weights",
+    "ewma_beta_recursive",
+    "corwin_schultz_spread",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -2632,3 +2632,253 @@ def inverse_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA covariance / hedge beta (RiskMetrics lambda = 0.94)
+# ---------------------------------------------------------------------------
+
+_EWMA_LAM = 0.94
+_EWMA_1ML = 1.0 - _EWMA_LAM  # spelled identically on both engines
+
+_EWMA_BETA_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+candles AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+rets AS (
+  SELECT symbol, bucket,
+         least(greatest(CAST(round((close / nullif(lag(close) OVER w, 0) - 1) * 10000) AS BIGINT),
+                        -10000), 10000) AS r
+  FROM candles WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+pair AS (
+  SELECT symbol, row_number() OVER (ORDER BY symbol) AS rk
+  FROM (SELECT DISTINCT symbol FROM candles)
+  QUALIFY rk <= 2
+),
+grid AS (
+  SELECT a.bucket,
+         CAST(a.r AS DOUBLE) * b.r AS xy,
+         CAST(b.r AS DOUBLE) * b.r AS yy,
+         min(a.symbol) OVER () AS sym_a, min(b.symbol) OVER () AS sym_b
+  FROM rets a
+  JOIN pair pa ON a.symbol = pa.symbol AND pa.rk = 1
+  JOIN rets b ON a.bucket = b.bucket
+  JOIN pair pb ON b.symbol = pb.symbol AND pb.rk = 2
+  WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+),
+lists AS (
+  SELECT sym_a, sym_b,
+         list(bucket ORDER BY bucket) AS bs,
+         list(xy ORDER BY bucket) AS lxy,
+         list(yy ORDER BY bucket) AS lyy
+  FROM grid GROUP BY sym_a, sym_b
+),
+idx AS (SELECT sym_a, sym_b, bs, lxy, lyy, unnest(range(1, len(bs) + 1)) AS i FROM lists),
+folded AS (
+  SELECT sym_a, sym_b, bs[i] AS bucket,
+         list_reduce(
+           [{{'a': lxy[1], 'b': lyy[1]}}] ||
+           list_transform(range(2, i + 1), j -> {{'a': lxy[j], 'b': lyy[j]}}),
+           (acc, el) -> {{'a': {_EWMA_LAM} * acc.a + {_EWMA_1ML!r} * el.a,
+                          'b': {_EWMA_LAM} * acc.b + {_EWMA_1ML!r} * el.b}}
+         ) AS st
+  FROM idx
+)
+SELECT sym_a, sym_b, strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       CAST(CASE WHEN st.b != 0 THEN round(st.a / st.b * 1000000) END AS BIGINT)
+         AS ewma_beta_e6
+FROM folded
+"""
+
+
+@register("ewma_beta_recursive", _EWMA_BETA_ORACLE, tags=("W-", "W3"))
+def ewma_beta_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA hedge beta (lambda = 0.94) between the two
+    lexicographically-first symbols: exponentially-weighted covariance
+    and variance recursions over the bucket-aligned minute-return
+    grid, beta = cov / var per row. EWMA is LINEAR in the cross
+    products, so the two-state recursion folds elementwise — the
+    DuckDB oracle replays it as a struct-accumulator prefix
+    list_reduce with the exact literals ({lam} and 1 - {lam} spelled
+    identically on both engines), bit-exact in IEEE doubles; e6 snap
+    on the final ratio only. Returns are winsorized integer e4 before
+    any float math (scale-safe under zero prices via nullif).""".replace(
+        "{lam}", str(_EWMA_LAM)
+    )
+    import pandas as pd
+
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+    wo = Window.partitionBy("symbol").orderBy("timestamp")
+    r = mclose.select(
+        "symbol",
+        F.col("timestamp").alias("bucket"),
+        F.least(
+            F.greatest(
+                F.expr(
+                    "CAST(round((close / nullif(lag(close) OVER (PARTITION BY symbol"
+                    " ORDER BY timestamp), 0) - 1) * 10000) AS BIGINT)"
+                ),
+                F.lit(-10000),
+            ),
+            F.lit(10000),
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    pair = (
+        r.select("symbol")
+        .distinct()
+        .withColumn("rk", F.row_number().over(Window.orderBy("symbol")))
+        .filter(F.col("rk") <= 2)
+    )
+    a = r.join(F.broadcast(pair.filter(F.col("rk") == 1)), "symbol").select(
+        F.col("symbol").alias("sym_a"), "bucket", F.col("r").alias("ra")
+    )
+    b = r.join(F.broadcast(pair.filter(F.col("rk") == 2)), "symbol").select(
+        F.col("symbol").alias("sym_b"), "bucket", F.col("r").alias("rb")
+    )
+    grid = a.join(b, "bucket").select(
+        "sym_a",
+        "sym_b",
+        "bucket",
+        (F.col("ra").cast("double") * F.col("rb")).alias("xy"),
+        (F.col("rb").cast("double") * F.col("rb")).alias("yy"),
+    )
+
+    lam, oml = _EWMA_LAM, _EWMA_1ML
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        xy = pdf["xy"].to_numpy(dtype=float)
+        yy = pdf["yy"].to_numpy(dtype=float)
+        c = v = 0.0
+        cs, vs = [], []
+        for t in range(len(xy)):
+            if t == 0:
+                c, v = xy[0], yy[0]
+            else:
+                c = lam * c + oml * xy[t]
+                v = lam * v + oml * yy[t]
+            cs.append(c)
+            vs.append(v)
+        pdf["c"] = cs
+        pdf["v"] = vs
+        return pdf[["sym_a", "sym_b", "bucket", "c", "v"]]
+
+    out = grid.groupBy("sym_a", "sym_b").applyInPandas(
+        kernel, schema="sym_a string, sym_b string, bucket timestamp, c double, v double"
+    )
+    return out.select(
+        "sym_a",
+        "sym_b",
+        _fmt("bucket").alias("bucket_ts"),
+        F.expr("CAST(CASE WHEN v != 0 THEN round(c / v * 1000000) END AS BIGINT)").alias(
+            "ewma_beta_e6"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corwin-Schultz high-low spread estimator (JF 2012)
+# ---------------------------------------------------------------------------
+
+#: 3 - 2*sqrt(2), spelled as one shared literal on both engines.
+_CS_DENOM = 3.0 - 2.0 * (2.0 ** 0.5)
+
+_CS_ORACLE = f"""
+WITH {TICKS_CTE},
+daily AS (
+  SELECT symbol, CAST(timestamp AS DATE) AS day,
+         max(price) AS hi, min(price) AS lo
+  FROM ticks GROUP BY symbol, CAST(timestamp AS DATE)
+),
+paired AS (
+  SELECT symbol, day, hi, lo,
+         lag(hi) OVER w AS hi1, lag(lo) OVER w AS lo1
+  FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY day)
+),
+terms AS (
+  SELECT symbol, day,
+         CASE WHEN lo > 0 AND lo1 > 0 THEN
+           ln(hi1 / lo1) * ln(hi1 / lo1) + ln(hi / lo) * ln(hi / lo) END AS beta,
+         CASE WHEN lo > 0 AND lo1 > 0 THEN
+           ln(greatest(hi, hi1) / least(lo, lo1)) * ln(greatest(hi, hi1) / least(lo, lo1))
+         END AS gamma
+  FROM paired WHERE hi1 IS NOT NULL
+),
+est AS (
+  SELECT symbol, day, beta, gamma,
+         (sqrt(2.0 * beta) - sqrt(beta)) / {_CS_DENOM!r} - sqrt(gamma / {_CS_DENOM!r})
+           AS alpha
+  FROM terms
+)
+SELECT symbol, strftime(day, '%Y-%m-%d') AS day,
+       CAST(round(beta * 1000000) AS BIGINT) AS beta_e6,
+       CAST(round(gamma * 1000000) AS BIGINT) AS gamma_e6,
+       CAST(round((2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha))) * 1000000) AS BIGINT)
+         AS spread_e6
+FROM est
+"""
+
+
+@register("corwin_schultz_spread", _CS_ORACLE, tags=("W-", "A4"))
+def corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin-Schultz bid-ask spread estimator (JF 2012) from daily
+    high-low ranges — the third microstructure liquidity measure next
+    to Roll and Amihud (`microstructure_metrics`): beta from two
+    consecutive days' squared log ranges, gamma from the two-day
+    range, alpha via the closed form, spread = 2(e^a - 1)/(1 + e^a).
+    One daily aggregate + one lag window; every transcendental is
+    evaluated on IDENTICAL double inputs through an expression tree
+    shared verbatim with the oracle (3 - 2*sqrt(2) spelled as one
+    literal), e6-snapped outputs absorbing the <=1-ulp libm
+    difference. Degenerate days (zero/negative lows — real at 10x
+    scale) return NULL via the > 0 guard."""
+    ticks = ticks_from_events(spark, sf_dir)
+    daily = ticks.groupBy("symbol", F.to_date("timestamp").alias("day")).agg(
+        F.max("price").alias("hi"), F.min("price").alias("lo")
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    paired = daily.select(
+        "symbol",
+        "day",
+        "hi",
+        "lo",
+        F.lag("hi").over(w).alias("hi1"),
+        F.lag("lo").over(w).alias("lo1"),
+    ).filter(F.col("hi1").isNotNull())
+    ok = (F.col("lo") > 0) & (F.col("lo1") > 0)
+    beta = F.when(
+        ok,
+        F.expr("ln(hi1 / lo1) * ln(hi1 / lo1) + ln(hi / lo) * ln(hi / lo)"),
+    )
+    gamma = F.when(
+        ok,
+        F.expr(
+            "ln(greatest(hi, hi1) / least(lo, lo1)) * ln(greatest(hi, hi1) / least(lo, lo1))"
+        ),
+    )
+    terms = paired.select(
+        "symbol", "day", beta.alias("beta"), gamma.alias("gamma")
+    )
+    d = repr(_CS_DENOM)
+    est = terms.withColumn(
+        "alpha", F.expr(f"(sqrt(2.0 * beta) - sqrt(beta)) / {d} - sqrt(gamma / {d})")
+    )
+    return est.select(
+        "symbol",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.expr("CAST(round(beta * 1000000) AS BIGINT)").alias("beta_e6"),
+        F.expr("CAST(round(gamma * 1000000) AS BIGINT)").alias("gamma_e6"),
+        F.expr(
+            "CAST(round((2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha))) * 1000000) AS BIGINT)"
+        ).alias("spread_e6"),
+    )
