@@ -172,3 +172,39 @@ def compact_table(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return int(n_files)
+
+
+def write_cdc_snapshot(
+    changelog: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    op_col: str = "op",
+    fmt: str = "parquet",
+) -> None:
+    """S7+: apply a CDC changelog (I/U/D ``op_col``) onto the snapshot
+    at ``path`` — :func:`write_upsert_snapshot` extended with delete
+    tombstones via operators.dedup.cdc_apply: per key the LAST change
+    by ``order_col`` wins, a terminal D removes the key. Same
+    staging-dir swap; the stored snapshot never carries op/order
+    columns."""
+    from auto_trade_data_pipeline_spark.operators.dedup import cdc_apply, dedup_keep_last
+
+    spark = changelog.sparkSession
+    data_cols = [c for c in changelog.columns if c not in (op_col, order_col)]
+    if _path_exists(spark, path):
+        existing = spark.read.format(fmt).load(path)
+        merged = cdc_apply(
+            existing.select(*data_cols), changelog, keys, [order_col], op_col=op_col
+        )
+    else:
+        last = dedup_keep_last(changelog, keys, [order_col])
+        merged = last.filter(F.col(op_col) != "D").select(*data_cols)
+    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").format(fmt).save(staging)
+    backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)

@@ -31,7 +31,13 @@ from pyspark.sql import DataFrame
 
 from auto_trade_data_pipeline_spark.sinks import write_upsert_snapshot
 
-__all__ = ["apply_upsert_batch", "stream_upsert_writer", "committed_batches"]
+__all__ = [
+    "apply_upsert_batch",
+    "stream_upsert_writer",
+    "committed_batches",
+    "apply_cdc_batch",
+    "stream_cdc_writer",
+]
 
 
 def _commits_dir(path: str) -> str:
@@ -95,5 +101,45 @@ def stream_upsert_writer(path: str, keys: list[str], order_col: str):
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         apply_upsert_batch(batch_df, batch_id, path, keys, order_col)
+
+    return _write
+
+
+def apply_cdc_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    op_col: str = "op",
+) -> bool:
+    """CDC twin of :func:`apply_upsert_batch`: the micro-batch is an
+    I/U/D changelog applied with tombstone semantics
+    (sinks.write_cdc_snapshot). Same two idempotence layers: the
+    batch-id commit marker skips replays of an applied batch, and the
+    apply itself is value-idempotent (re-applying a changelog whose
+    per-key last ops already landed is a no-op)."""
+    from auto_trade_data_pipeline_spark.sinks import write_cdc_snapshot
+
+    d = _commits_dir(path)
+    marker = os.path.join(d, str(batch_id))
+    if os.path.exists(marker):
+        return False
+    write_cdc_snapshot(batch_df, path, keys, order_col, op_col=op_col)
+    os.makedirs(d, exist_ok=True)
+    tmp = f"{marker}.__tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("committed")
+    os.rename(tmp, marker)
+    return True
+
+
+def stream_cdc_writer(path: str, keys: list[str], order_col: str, op_col: str = "op"):
+    """foreachBatch writer applying a CDC change stream (with delete
+    tombstones) exactly-once onto a local snapshot table."""
+    _require_local_path(path)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_batch(batch_df, batch_id, path, keys, order_col, op_col=op_col)
 
     return _write

@@ -395,6 +395,8 @@ _INVARIANCE_QUERIES = [
     "inverse_variance_weights",
     "intraday_seasonality",
     "bet_sizing_positions",
+    "ewma_beta_recursive",
+    "corwin_schultz_spread",
 ]
 
 

@@ -531,3 +531,60 @@ def test_outer_interval_join_orphan_flush_across_splits(spark, tmp_path, splits)
     # watermark (the 2h gap); anchor 99 is unmatched too but its
     # window end is beyond max(event time) - 10min, so it is withheld.
     assert nulls == {49}
+
+
+def test_stream_cdc_sink_tombstones_exactly_once(spark, tmp_path):
+    """The CDC foreachBatch sink applies I/U/D micro-batches with
+    tombstone semantics: updates replace, a terminal D removes the
+    key, re-delivered batch ids are skipped, and replaying the same
+    changelog with fresh batch ids is a value-level no-op."""
+    from auto_trade_data_pipeline_spark.streaming.sink import (
+        apply_cdc_batch,
+        committed_batches,
+        stream_cdc_writer,
+    )
+
+    schema = "k long, payload string, seq long, op string"
+    batches = [
+        [(1, "a", 1, "U"), (2, "b", 2, "U"), (3, "c", 3, "U")],
+        [(1, "a2", 4, "U"), (2, None, 5, "D"), (4, "d", 6, "U")],
+    ]
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    import glob as _glob
+    import shutil as _shutil
+
+    for b, part in enumerate(batches):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(f"{tmp_path}/b{b}")
+        for i, f in enumerate(_glob.glob(f"{tmp_path}/b{b}/part-*.parquet")):
+            _shutil.copy(f, data_dir / f"f_{b}_{i}.parquet")
+
+    target = str(tmp_path / "table")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(data_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(stream_cdc_writer(target, ["k"], "seq"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = {1: "a2", 3: "c", 4: "d"}  # key 2 deleted by tombstone
+    got = {r["k"]: r["payload"] for r in spark.read.parquet(target).collect()}
+    assert got == expected
+
+    # Committed batch id re-delivery: skipped even with garbage rows.
+    bid = max(committed_batches(target))
+    garbage = spark.createDataFrame([(9, "z", 99, "U")], schema)
+    assert apply_cdc_batch(garbage, bid, target, ["k"], "seq") is False
+    assert {r["k"]: r["payload"] for r in spark.read.parquet(target).collect()} == expected
+
+    # Fresh-id replay of the full changelog: value-idempotent.
+    replay = spark.createDataFrame(batches[0] + batches[1], schema)
+    assert apply_cdc_batch(replay, bid + 1000, target, ["k"], "seq") is True
+    assert {r["k"]: r["payload"] for r in spark.read.parquet(target).collect()} == expected
