@@ -191,6 +191,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "inverse_variance_weights",
     "ewma_beta_recursive",
     "corwin_schultz_spread",
+    "variant_props_histogram",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -409,6 +410,7 @@ _ORDER = [
     "inverse_variance_weights",
     "ewma_beta_recursive",
     "corwin_schultz_spread",
+    "variant_props_histogram",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1137,3 +1137,44 @@ def incremental_candle_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("volume", 4).alias("volume"),
         "number_of_trades",
     )
+
+
+# ---------------------------------------------------------------------------
+# F-json+: VARIANT semi-structured analytics (Spark 4 VariantType)
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(k % 10 AS BIGINT) AS k_mod,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum
+FROM e WHERE k IS NOT NULL
+GROUP BY event_type, k % 10
+"""
+
+
+@register("variant_props_histogram", _VARIANT_ORACLE, tags=("F-json",))
+def variant_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    JSON ``props`` column is parsed ONCE into the binary variant
+    encoding (parse_json) and fields are read with typed
+    try_variant_get — the schema-on-read path that replaces repeated
+    string re-parsing when many fields are extracted from the same
+    document (and the layout Parquet variant shredding accelerates at
+    scale). Downstream is a plain two-key histogram; the DuckDB
+    oracle extracts the same field with its native JSON engine, so
+    the whole variant encode/decode round trip is value-checked.
+    Complements `json_props_stats` (from_json with a declared
+    schema)."""
+    ev = _load_events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
+    )
