@@ -601,3 +601,44 @@ def test_interpolation_matches_pandas(rows):
         expect = ser.interpolate(method="linear", limit_direction="both")
         for r, e in zip(rs, expect):
             assert r.close_interp == pytest.approx(e, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# CDC apply vs a sequential dictionary replay (random changelogs)
+# ---------------------------------------------------------------------------
+
+cdc_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),     # key
+        st.sampled_from(["U", "U", "U", "D"]),     # op (deletes rarer)
+        st.integers(min_value=0, max_value=99),    # payload tag
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(chg=cdc_strategy)
+@_settings
+def test_cdc_apply_matches_sequential_replay(chg):
+    """cdc_apply == replaying the changelog row by row in seq order
+    into a dict (U sets, D deletes) over the initial snapshot."""
+    from auto_trade_data_pipeline_spark.operators.dedup import cdc_apply
+
+    snap_rows = [(k, f"s{k}") for k in range(3)]
+    ref = dict(snap_rows)
+    for i, (k, op, tag) in enumerate(chg):
+        if op == "D":
+            ref.pop(k, None)
+        else:
+            ref[k] = f"p{tag}"
+    snap = _spark.createDataFrame(snap_rows, "k long, payload string")
+    if chg:
+        log = _spark.createDataFrame(
+            [(k, f"p{tag}" if op != "D" else None, i, op) for i, (k, op, tag) in enumerate(chg)],
+            "k long, payload string, seq long, op string",
+        )
+        out = cdc_apply(snap, log, ["k"], ["seq"])
+    else:
+        out = snap
+    assert {r.k: r.payload for r in out.collect()} == ref
