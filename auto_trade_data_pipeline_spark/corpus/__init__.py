@@ -192,6 +192,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "ewma_beta_recursive",
     "corwin_schultz_spread",
     "variant_props_histogram",
+    "supertrend_recursive",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -411,6 +412,7 @@ _ORDER = [
     "ewma_beta_recursive",
     "corwin_schultz_spread",
     "variant_props_histogram",
+    "supertrend_recursive",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

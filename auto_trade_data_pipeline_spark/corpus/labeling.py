@@ -2882,3 +2882,143 @@ def corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round((2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha))) * 1000000) AS BIGINT)"
         ).alias("spread_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supertrend bands (ATR band ratchet + trend-flip recursion)
+# ---------------------------------------------------------------------------
+
+_ST_P = 10
+_ST_M = 3.0
+
+
+def _st_bub(j: str) -> str:
+    return f"(lh[{j}] + ll[{j}]) / 2 + {_ST_M} * la[{j}]"
+
+
+def _st_blb(j: str) -> str:
+    return f"(lh[{j}] + ll[{j}]) / 2 - {_ST_M} * la[{j}]"
+
+
+#: Band-ratchet step expressions (repeated inline — lambdas have no
+#: let-binding). acc/el share one struct shape {ub, lb, d, x}: acc
+#: carries (final_ub, final_lb, dir, unused); el carries
+#: (basic_ub, basic_lb, close, prev_close).
+_ST_NUB = "CASE WHEN el.ub < acc.ub OR el.x > acc.ub THEN el.ub ELSE acc.ub END"
+_ST_NLB = "CASE WHEN el.lb > acc.lb OR el.x < acc.lb THEN el.lb ELSE acc.lb END"
+_ST_ND = (
+    f"CASE WHEN acc.d = -1.0 THEN (CASE WHEN el.d > ({_ST_NUB}) THEN 1.0 ELSE -1.0 END) "
+    f"ELSE (CASE WHEN el.d < ({_ST_NLB}) THEN -1.0 ELSE 1.0 END) END"
+)
+
+_ST_FOLD = f"""
+list_reduce(
+  [{{'ub': {_st_bub(str(_ST_P + 1))}, 'lb': {_st_blb(str(_ST_P + 1))},
+     'd': -1.0, 'x': 0.0}}] ||
+  list_transform(range({_ST_P + 2}, i + 1),
+                 j -> {{'ub': {_st_bub('j')}, 'lb': {_st_blb('j')},
+                        'd': lc[j], 'x': lc[j-1]}}),
+  (acc, el) -> {{'ub': {_ST_NUB}, 'lb': {_ST_NLB}, 'd': {_ST_ND}, 'x': 0.0}}
+)
+"""
+
+_SUPERTREND_ORACLE = f"""
+WITH {TICKS_CTE},
+cb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price, timestamp, tick_id,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+candles AS (
+  SELECT symbol, bucket, max(price) AS high, min(price) AS low,
+         max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM cb GROUP BY symbol, bucket
+),
+lists AS (
+  SELECT symbol,
+         list(bucket ORDER BY bucket) AS bs,
+         list(high ORDER BY bucket) AS lh,
+         list(low ORDER BY bucket) AS ll,
+         list(close ORDER BY bucket) AS lc
+  FROM candles GROUP BY symbol
+),
+witht AS (
+  SELECT symbol, bs, lh, ll, lc,
+         list_transform(range(1, len(lc) + 1),
+           i -> CASE WHEN i = 1 THEN lh[1] - ll[1]
+                     ELSE greatest(lh[i] - ll[i], abs(lh[i] - lc[i-1]),
+                                   abs(ll[i] - lc[i-1])) END) AS lt
+  FROM lists
+),
+witha AS (
+  SELECT symbol, bs, lh, ll, lc,
+         list_transform(range(1, len(lc) + 1),
+           i -> CASE WHEN i <= {_ST_P} THEN NULL
+                     WHEN i = {_ST_P + 1}
+                       THEN list_reduce(lt[2:{_ST_P + 1}], (acc, x) -> acc + x) / {_ST_P}.0
+                     ELSE list_reduce(
+                       [list_reduce(lt[2:{_ST_P + 1}], (acc, x) -> acc + x) / {_ST_P}.0]
+                         || lt[{_ST_P + 2}:i],
+                       (acc, x) -> (acc * {_ST_P - 1}.0 + x) / {_ST_P}.0) END) AS la
+  FROM witht
+),
+idx AS (SELECT symbol, bs, lh, ll, lc, la, unnest(range(1, len(lc) + 1)) AS i FROM witha),
+folded AS (
+  SELECT symbol, bs[i] AS bucket,
+         CASE WHEN i <= {_ST_P} THEN NULL ELSE {_ST_FOLD} END AS st
+  FROM idx
+)
+SELECT symbol, strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts,
+       CAST(st.d AS INTEGER) AS trend_dir,
+       CAST(round((CASE WHEN st.d = 1.0 THEN st.lb ELSE st.ub END) * 10000) AS BIGINT)
+         AS supertrend_e4
+FROM folded
+"""
+
+
+@register("supertrend_recursive", _SUPERTREND_ORACLE, tags=("W-", "W5"))
+def supertrend_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supertrend bands over minute candles
+    (functions/ta.py:supertrend): basic hl2 +/- 3*ATR(10) bands pass
+    through the band-RATCHET recursion (the upper band only falls
+    while price holds below it, the lower band only rises above) and
+    the trend flips when the close crosses the active band — a FIFTH
+    independently-oracled recursive state machine, with conditional
+    three-field state (the PSAR class, not a linear fold): the DuckDB
+    oracle replays ATR seeding + Wilder smoothing + the ratchet/flip
+    fold per row in list algebra, bit-exact; e4 snap on the line
+    only. Spark side: one Arrow-batched applyInPandas per symbol."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    ticks = ticks_from_events(spark, sf_dir)
+    candles = aggregate_candles(ticks, 60).select(
+        "symbol", "timestamp", "high", "low", "close"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        line, d = ta.supertrend(
+            pdf["high"].to_numpy(float),
+            pdf["low"].to_numpy(float),
+            pdf["close"].to_numpy(float),
+            _ST_P,
+            _ST_M,
+        )
+        pdf["line"] = line
+        pdf["d"] = d
+        return pdf[["symbol", "timestamp", "line", "d"]]
+
+    out = candles.groupBy("symbol").applyInPandas(
+        kernel, schema="symbol string, timestamp timestamp, line double, d double"
+    )
+    return out.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        F.when(F.col("d") != 0, F.col("d").cast("int")).alias("trend_dir"),
+        F.when(
+            ~F.isnan("line"), F.expr("CAST(round(line * 10000) AS BIGINT)")
+        ).alias("supertrend_e4"),
+    )

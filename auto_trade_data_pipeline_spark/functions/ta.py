@@ -498,3 +498,46 @@ def kalman_filter(z: np.ndarray, q: float, r: float) -> np.ndarray:
         p = (1.0 - k) * pp
         out[t] = x
     return out
+
+
+def supertrend(
+    high: np.ndarray,
+    low: np.ndarray,
+    close: np.ndarray,
+    period: int = 10,
+    mult: float = 3.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Supertrend bands: basic bands hl2 +/- mult*ATR(period) pass
+    through the band-ratchet recursion (upper band only moves DOWN
+    while price stays below it, lower band only UP while price stays
+    above), and the trend flips when the close crosses the active
+    band. Convention: the first defined index (the ATR seed index,
+    i = period) starts in downtrend (dir = -1, line = upper band).
+    Returns (line, dir) with NaN/0 before the seed. Scalar IEEE
+    doubles in a fixed order — the DuckDB oracle replays the same
+    fold (the PSAR/Kalman pattern)."""
+    n = len(close)
+    line = _nan(n)
+    dirn = np.zeros(n)
+    a = atr(high, low, close, period)
+    if n <= period:
+        return line, dirn
+    fub = flb = 0.0
+    d = -1
+    for i in range(period, n):
+        hl2 = (float(high[i]) + float(low[i])) / 2
+        bub = hl2 + mult * float(a[i])
+        blb = hl2 - mult * float(a[i])
+        if i == period:
+            fub, flb, d = bub, blb, -1
+        else:
+            pc = float(close[i - 1])
+            fub = bub if (bub < fub or pc > fub) else fub
+            flb = blb if (blb > flb or pc < flb) else flb
+            if d == -1:
+                d = 1 if float(close[i]) > fub else -1
+            else:
+                d = -1 if float(close[i]) < flb else 1
+        line[i] = flb if d == 1 else fub
+        dirn[i] = d
+    return line, dirn
