@@ -193,6 +193,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "corwin_schultz_spread",
     "variant_props_histogram",
     "supertrend_recursive",
+    "dynamic_session_window_agg",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -413,6 +414,7 @@ _ORDER = [
     "corwin_schultz_spread",
     "variant_props_histogram",
     "supertrend_recursive",
+    "dynamic_session_window_agg",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -865,3 +865,74 @@ def streaming_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_report_from_counts(
         spark, final, types=batch_ev.select("event_type").distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# ST9+: DYNAMIC-gap session windows (per-event gap expression)
+# ---------------------------------------------------------------------------
+
+_DYN_GAP_VOL = 500  # integer volume units; >= extends the session
+
+_DYN_SESSION_ORACLE = f"""
+WITH {CANDLES_CTE},
+g AS (
+  SELECT symbol, timestamp, volume,
+         CASE WHEN CAST(round(volume) AS BIGINT) >= {_DYN_GAP_VOL}
+              THEN INTERVAL 45 MINUTE ELSE INTERVAL 15 MINUTE END AS gap
+  FROM candles
+),
+t AS (
+  SELECT symbol, timestamp, volume, gap,
+         CASE WHEN max(timestamp + gap) OVER (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR timestamp > max(timestamp + gap)
+                     OVER (PARTITION BY symbol ORDER BY timestamp
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session
+  FROM g
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY symbol ORDER BY timestamp
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+)
+SELECT symbol,
+       strftime(min(timestamp), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(timestamp + gap), '{TS_FMT_DUCK}') AS session_end,
+       count(*) AS bars,
+       CAST(sum(CAST(round(volume) AS BIGINT)) AS BIGINT) AS total_volume
+FROM s
+GROUP BY symbol, session_id
+"""
+
+
+@register("dynamic_session_window_agg", _DYN_SESSION_ORACLE, tags=("ST9",))
+def dynamic_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9+: session windows with a PER-EVENT gap expression — a
+    heavy bar (volume >= {v}) holds its session open for 45 minutes,
+    a quiet one only 15 — Spark's dynamic-gap session_window
+    (gapDuration as a Column). The oracle replays the merge rule
+    relationally: a new session starts when the event lands STRICTLY
+    after the running max of (prior ts + prior gap) — an event at
+    exactly the session end merges (Spark's inclusive-merge
+    boundary); session end is
+    the max extended end. The sibling of the fixed-gap
+    `session_window_agg`.""".replace("{v}", str(_DYN_GAP_VOL))
+    from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles
+    from auto_trade_data_pipeline_spark.sources import ticks_from_events
+
+    candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    gap = F.when(
+        F.round("volume", 0).cast("long") >= _DYN_GAP_VOL, F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    sess = candles.groupBy("symbol", F.session_window("timestamp", gap)).agg(
+        F.count(F.lit(1)).alias("bars"),
+        F.sum(F.round("volume", 0).cast("long")).alias("total_volume"),
+    )
+    return sess.select(
+        "symbol",
+        F.date_format("session_window.start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_window.end", TS_FMT_SPARK).alias("session_end"),
+        "bars",
+        "total_volume",
+    )
