@@ -194,6 +194,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "variant_props_histogram",
     "supertrend_recursive",
     "dynamic_session_window_agg",
+    "attribution_first_last_touch",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -415,6 +416,7 @@ _ORDER = [
     "variant_props_histogram",
     "supertrend_recursive",
     "dynamic_session_window_agg",
+    "attribution_first_last_touch",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

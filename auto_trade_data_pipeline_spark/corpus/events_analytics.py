@@ -663,3 +663,107 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_inter",
         "jaccard_est",
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-based conversion attribution (first / last touch)
+# ---------------------------------------------------------------------------
+
+_ATTR_GAP_MIN = 30
+
+_ATTRIBUTION_ORACLE = f"""
+WITH {_EVENTS_CTE},
+t AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {_ATTR_GAP_MIN} MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+),
+tm AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM s WHERE event_type <> 'purchase'
+),
+touches AS (
+  SELECT user_id, session_id,
+         max(CASE WHEN ra = 1 THEN event_type END) AS first_touch,
+         max(CASE WHEN rd = 1 THEN event_type END) AS last_touch
+  FROM tm GROUP BY user_id, session_id
+),
+purch AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS conversions
+  FROM s WHERE event_type = 'purchase'
+  GROUP BY user_id, session_id
+)
+SELECT t.first_touch, t.last_touch,
+       CAST(sum(p.conversions) AS BIGINT) AS conversions,
+       CAST(count(*) AS BIGINT) AS sessions
+FROM purch p JOIN touches t
+  ON p.user_id = t.user_id AND p.session_id = t.session_id
+GROUP BY t.first_touch, t.last_touch
+"""
+
+
+@register("attribution_first_last_touch", _ATTRIBUTION_ORACLE, tags=("A4", "W-"))
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: user activity is
+    sessionized (30-min inactivity gap, the relational lag-gap
+    recipe), every purchase inside a session is attributed to the
+    session's FIRST and LAST non-purchase touch (deterministic
+    (ts, event_id) ordering via min_by/max_by struct keys), and the
+    result is the first-touch x last-touch conversion matrix. One
+    user-keyed exchange carries sessionization AND both per-session
+    aggregates; the matrix join is dimension-sized. Sessions that are
+    pure purchases (no touch) drop from the matrix by the inner
+    join — stated in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    t = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(
+            prev.isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > _ATTR_GAP_MIN * 60_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    s = t.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    key = F.struct("ts", "event_id")
+    touches = (
+        s.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min_by("event_type", key).alias("first_touch"),
+            F.max_by("event_type", key).alias("last_touch"),
+        )
+    )
+    purch = (
+        s.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+    )
+    return (
+        purch.join(touches, ["user_id", "session_id"])
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.sum("conversions").alias("conversions"),
+            F.count(F.lit(1)).alias("sessions"),
+        )
+    )
