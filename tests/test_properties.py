@@ -399,6 +399,10 @@ _INVARIANCE_QUERIES = [
     # two-symbol aligned grid is EMPTY at sf0.001, so it would be a
     # vacuous invariance row here.)
     "corwin_schultz_spread",
+    "supertrend_recursive",
+    "dynamic_session_window_agg",
+    "attribution_first_last_touch",
+    "variant_props_histogram",
 ]
 
 
