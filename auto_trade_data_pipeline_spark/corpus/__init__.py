@@ -195,6 +195,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "supertrend_recursive",
     "dynamic_session_window_agg",
     "attribution_first_last_touch",
+    "streaming_session_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -417,6 +418,7 @@ _ORDER = [
     "supertrend_recursive",
     "dynamic_session_window_agg",
     "attribution_first_last_touch",
+    "streaming_session_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -936,3 +936,64 @@ def dynamic_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bars",
         "total_volume",
     )
+
+
+# ---------------------------------------------------------------------------
+# ST9 streaming: session windows under a watermark (append-mode replay)
+# ---------------------------------------------------------------------------
+
+_STREAM_SESSION_ORACLE = f"""
+WITH {TICKS_CTE},
+wm AS (SELECT max(timestamp) - INTERVAL 10 MINUTE AS w FROM ticks),
+t AS (
+  SELECT symbol, timestamp, volume,
+         CASE WHEN lag(timestamp) OVER w IS NULL
+                OR timestamp - lag(timestamp) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp, tick_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY symbol ORDER BY timestamp
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+),
+g AS (
+  SELECT symbol,
+         min(timestamp) AS session_start,
+         max(timestamp) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_ticks,
+         CAST(sum(CAST(round(volume) AS BIGINT)) AS BIGINT) AS total_volume
+  FROM s GROUP BY symbol, session_id
+)
+SELECT symbol,
+       strftime(session_start, '{TS_FMT_DUCK}') AS session_start,
+       strftime(session_end, '{TS_FMT_DUCK}') AS session_end,
+       n_ticks, total_volume
+FROM g, wm WHERE session_end <= wm.w
+"""
+
+
+@register("streaming_session_replay", _STREAM_SESSION_ORACLE, tags=("ST9", "ST8"))
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9 as a REAL stream: watermarked session windows over the
+    tick stream, drained with availableNow in APPEND mode — the
+    stateful MERGING-window operator (sessions coalesce as
+    late-but-in-watermark events bridge gaps) emits each session
+    exactly once, when the watermark passes its end. The oracle
+    states that contract relationally: batch lag-gap sessionization
+    restricted to sessions whose end (last tick + 30 min gap) the
+    final watermark (max event time - 10 min) has passed."""
+    ticks = read_ticks_stream(spark, sf_dir).withWatermark("timestamp", "10 minutes")
+    sess = ticks.groupBy("symbol", F.session_window("timestamp", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.round("volume", 0).cast("long")).alias("total_volume"),
+    )
+    result = run_available_now(sess, f"corpus_stream_sess_{uuid.uuid4().hex[:8]}")
+    return result.select(
+        "symbol",
+        F.date_format("session_window.start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_window.end", TS_FMT_SPARK).alias("session_end"),
+        "n_ticks",
+        "total_volume",
+    )
