@@ -196,6 +196,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "dynamic_session_window_agg",
     "attribution_first_last_touch",
     "streaming_session_replay",
+    "streaming_dynamic_session_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -419,6 +420,7 @@ _ORDER = [
     "dynamic_session_window_agg",
     "attribution_first_last_touch",
     "streaming_session_replay",
+    "streaming_dynamic_session_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

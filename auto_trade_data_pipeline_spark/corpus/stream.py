@@ -997,3 +997,71 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ticks",
         "total_volume",
     )
+
+
+_STREAM_DYN_SESSION_ORACLE = f"""
+WITH {TICKS_CTE},
+wm AS (SELECT max(timestamp) - INTERVAL 10 MINUTE AS w FROM ticks),
+g0 AS (
+  SELECT symbol, timestamp, tick_id, volume,
+         CASE WHEN CAST(round(volume) AS BIGINT) >= {_DYN_GAP_VOL}
+              THEN INTERVAL 45 MINUTE ELSE INTERVAL 15 MINUTE END AS gap
+  FROM ticks
+),
+t AS (
+  SELECT symbol, timestamp, tick_id, volume, gap,
+         CASE WHEN max(timestamp + gap) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR timestamp > max(timestamp + gap)
+                     OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session
+  FROM g0
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY symbol ORDER BY timestamp, tick_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+),
+g AS (
+  SELECT symbol,
+         min(timestamp) AS session_start,
+         max(timestamp + gap) AS session_end,
+         count(*) AS n_ticks,
+         CAST(sum(CAST(round(volume) AS BIGINT)) AS BIGINT) AS total_volume
+  FROM s GROUP BY symbol, session_id
+)
+SELECT symbol,
+       strftime(session_start, '{TS_FMT_DUCK}') AS session_start,
+       strftime(session_end, '{TS_FMT_DUCK}') AS session_end,
+       n_ticks, total_volume
+FROM g, wm WHERE session_end <= wm.w
+"""
+
+
+@register("streaming_dynamic_session_replay", _STREAM_DYN_SESSION_ORACLE, tags=("ST9", "ST8"))
+def streaming_dynamic_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic-gap session window (per-event gapDuration Column —
+    heavy ticks hold sessions open 45 minutes, quiet ones 15) run as
+    a watermarked APPEND-mode stream: merging-window state with
+    per-event expiry, each session emitted exactly once when the
+    watermark passes its extended end. The oracle composes the two
+    contracts already pinned separately: the strictly-after running
+    max merge rule (dynamic_session_window_agg) and the
+    watermark-closure filter (streaming_session_replay)."""
+    ticks = read_ticks_stream(spark, sf_dir).withWatermark("timestamp", "10 minutes")
+    gap = F.when(
+        F.round("volume", 0).cast("long") >= _DYN_GAP_VOL, F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    sess = ticks.groupBy("symbol", F.session_window("timestamp", gap)).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.round("volume", 0).cast("long")).alias("total_volume"),
+    )
+    result = run_available_now(sess, f"corpus_stream_dsess_{uuid.uuid4().hex[:8]}")
+    return result.select(
+        "symbol",
+        F.date_format("session_window.start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_window.end", TS_FMT_SPARK).alias("session_end"),
+        "n_ticks",
+        "total_volume",
+    )
