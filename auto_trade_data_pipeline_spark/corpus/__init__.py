@@ -197,6 +197,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "attribution_first_last_touch",
     "streaming_session_replay",
     "streaming_dynamic_session_replay",
+    "streaming_cdc_apply_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -421,6 +422,7 @@ _ORDER = [
     "attribution_first_last_touch",
     "streaming_session_replay",
     "streaming_dynamic_session_replay",
+    "streaming_cdc_apply_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

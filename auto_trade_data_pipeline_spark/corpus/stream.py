@@ -1065,3 +1065,92 @@ def streaming_dynamic_session_replay(spark: SparkSession, sf_dir: str) -> DataFr
         "n_ticks",
         "total_volume",
     )
+
+
+# ---------------------------------------------------------------------------
+# ST+ / S7+: streaming CDC apply replay (exactly-once tombstone sink)
+# ---------------------------------------------------------------------------
+
+
+def _stream_cdc_oracle() -> str:
+    # The sink applies per-key last-change-wins with tombstones; over
+    # a deterministic changelog the final snapshot equals the batch
+    # CDC result, so the batch CDC oracle IS the streaming oracle.
+    from auto_trade_data_pipeline_spark.corpus.relational import _CDC_ORACLE
+
+    return _CDC_ORACLE
+
+
+@register("streaming_cdc_apply_replay", _stream_cdc_oracle(), tags=("S7", "ST4"))
+def streaming_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once CDC SINK as an oracled streaming query: the
+    deterministic orders changelog (every 5th order updated twice,
+    every 15th terminally deleted — `cdc_apply_changelog`'s feed) is
+    written as version-split parquet files, streamed one file per
+    micro-batch, and applied to a snapshot table through
+    streaming/sink.py:stream_cdc_writer (foreachBatch + batch commit
+    markers + tombstone apply). The returned DataFrame is the FINAL
+    on-disk snapshot; it must hash-match the one-shot batch CDC
+    oracle — proving ordered incremental application converges to
+    the batch result. State on disk is the snapshot itself; the
+    changelog is applied version-batch by version-batch, exactly
+    once."""
+    import os
+    import shutil
+
+    from auto_trade_data_pipeline_spark.sources import load_table
+    from auto_trade_data_pipeline_spark.streaming.sink import stream_cdc_writer
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_e2"),
+        F.lit("snap").alias("src"),
+    )
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "cdc_replay",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    feed = os.path.join(base, "feed")
+    target = os.path.join(base, "table")
+    # Seed the snapshot, then write the changelog as one file per
+    # version so maxFilesPerTrigger=1 replays it in change order.
+    snap.write.mode("overwrite").parquet(target)
+    for v in (1, 2):
+        chg_v = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .select(
+                "o_orderkey",
+                F.lit(v).alias("v"),
+                F.when((F.lit(v) == 2) & (F.col("o_orderkey") % 15 == 0), "D")
+                .otherwise("U")
+                .alias("op"),
+                (F.expr("CAST(round(o_totalprice * 100) AS BIGINT)") + F.lit(v)).alias(
+                    "price_e2"
+                ),
+                F.concat(F.lit("v"), F.lit(v).cast("string")).alias("src"),
+            )
+        )
+        chg_v.coalesce(1).write.mode("overwrite").parquet(f"{base}/stage_v{v}")
+        import glob as _glob
+
+        os.makedirs(feed, exist_ok=True)
+        for i, f in enumerate(sorted(_glob.glob(f"{base}/stage_v{v}/part-*.parquet"))):
+            shutil.copy(f, os.path.join(feed, f"v{v}_{i}.parquet"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("o_orderkey long, v int, op string, price_e2 long, src string")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(stream_cdc_writer(target, ["o_orderkey"], "v"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select("o_orderkey", "price_e2", "src")
