@@ -198,6 +198,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_session_replay",
     "streaming_dynamic_session_replay",
     "streaming_cdc_apply_replay",
+    "concurrent_sessions_census",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -423,6 +424,7 @@ _ORDER = [
     "streaming_session_replay",
     "streaming_dynamic_session_replay",
     "streaming_cdc_apply_replay",
+    "concurrent_sessions_census",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

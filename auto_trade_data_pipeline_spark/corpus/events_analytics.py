@@ -767,3 +767,158 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("sessions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Concurrency census: distributed sweep-line over session intervals
+# ---------------------------------------------------------------------------
+
+_CENSUS_ORACLE = f"""
+WITH {_EVENTS_CTE},
+t AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {_ATTR_GAP_MIN} MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+),
+iv AS (
+  SELECT user_id, session_id, min(ts) AS s_ts,
+         max(ts) + INTERVAL {_ATTR_GAP_MIN} MINUTE AS e_ts
+  FROM s GROUP BY user_id, session_id
+),
+b AS (
+  SELECT user_id, session_id, s_ts AS ts, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT user_id, session_id, e_ts AS ts, CAST(-1 AS BIGINT) AS delta FROM iv
+),
+dayagg AS (
+  SELECT CAST(day AS DATE) AS day,
+         CAST(sum(starts) AS BIGINT) AS starts, CAST(sum(ends) AS BIGINT) AS ends
+  FROM (
+    SELECT CAST(s_ts AS DATE) AS day, 1 AS starts, 0 AS ends FROM iv
+    UNION ALL
+    SELECT CAST(e_ts AS DATE) AS day, 0 AS starts, 1 AS ends FROM iv
+  ) GROUP BY day
+),
+carry AS (
+  SELECT day,
+         CAST(coalesce(sum(starts) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            - coalesce(sum(ends) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS carry_in
+  FROM dayagg
+),
+run AS (
+  SELECT CAST(b.ts AS DATE) AS day, b.ts, b.delta,
+         sum(b.delta) OVER (PARTITION BY CAST(b.ts AS DATE)
+                            ORDER BY b.ts, b.delta, b.user_id, b.session_id
+                            ROWS UNBOUNDED PRECEDING) AS rsum
+  FROM b
+)
+SELECT strftime(r.day, '%Y-%m-%d') AS day,
+       c.carry_in,
+       CAST(count(*) AS BIGINT) AS boundaries,
+       CAST(max(c.carry_in + r.rsum) AS BIGINT) AS peak_concurrency
+FROM run r JOIN carry c ON r.day = c.day
+GROUP BY r.day, c.carry_in
+"""
+
+
+@register("concurrent_sessions_census", _CENSUS_ORACLE, tags=("A7", "W-"))
+def concurrent_sessions_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per day by DISTRIBUTED
+    sweep-line: session intervals ([first event, last event + gap))
+    become +1/-1 boundary events; the census at any instant is a
+    running sum — computed WITHOUT a global single-partition window:
+    an in-day running sum (day-partitioned window) plus a per-day
+    carry-in offset derived from the dimension-sized day-level
+    start/end totals (the global_running_sum recipe applied to time
+    ranges). Boundary order (ts, delta, user, session) processes ends
+    before starts at the same instant, so a session ending exactly
+    when another starts never double-counts. The oracle replays the
+    identical decomposition."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    s = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(
+            prev.isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                > _ATTR_GAP_MIN * 60_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_ts"),
+        (F.max("ts") + F.expr(f"INTERVAL {_ATTR_GAP_MIN} MINUTES")).alias("e_ts"),
+    )
+    b = iv.select(
+        "user_id", "session_id", F.col("s_ts").alias("ts"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        iv.select(
+            "user_id",
+            "session_id",
+            F.col("e_ts").alias("ts"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    dayagg = (
+        iv.select(F.to_date("s_ts").alias("day"), F.lit(1).alias("starts"), F.lit(0).alias("ends"))
+        .unionByName(
+            iv.select(
+                F.to_date("e_ts").alias("day"), F.lit(0).alias("starts"), F.lit(1).alias("ends")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("starts").alias("starts"), F.sum("ends").alias("ends"))
+    )
+    # Day-level prefix: dimension-sized (one row per calendar day) —
+    # the only unpartitioned window runs over days, never events.
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = dayagg.select(
+        "day",
+        (
+            F.coalesce(F.sum("starts").over(wd), F.lit(0))
+            - F.coalesce(F.sum("ends").over(wd), F.lit(0))
+        )
+        .cast("long")
+        .alias("carry_in"),
+    )
+    wr = Window.partitionBy(F.to_date("ts")).orderBy(
+        "ts", "delta", "user_id", "session_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run = b.select(
+        F.to_date("ts").alias("day"), F.sum("delta").over(wr).alias("rsum")
+    )
+    return (
+        run.join(F.broadcast(carry), "day")
+        .groupBy("day", "carry_in")
+        .agg(
+            F.count(F.lit(1)).alias("boundaries"),
+            F.max(F.col("carry_in") + F.col("rsum")).cast("long").alias("peak_concurrency"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "carry_in",
+            "boundaries",
+            "peak_concurrency",
+        )
+    )
