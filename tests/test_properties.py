@@ -403,6 +403,7 @@ _INVARIANCE_QUERIES = [
     "dynamic_session_window_agg",
     "attribution_first_last_touch",
     "variant_props_histogram",
+    "concurrent_sessions_census",
 ]
 
 
