@@ -199,6 +199,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_dynamic_session_replay",
     "streaming_cdc_apply_replay",
     "concurrent_sessions_census",
+    "hrp_cluster_allocation",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -425,6 +426,7 @@ _ORDER = [
     "streaming_dynamic_session_replay",
     "streaming_cdc_apply_replay",
     "concurrent_sessions_census",
+    "hrp_cluster_allocation",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -3022,3 +3022,349 @@ def supertrend_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.isnan("line"), F.expr("CAST(round(line * 10000) AS BIGINT)")
         ).alias("supertrend_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HRP-style cluster risk parity (de Prado ch. 16, depth-1 bisection)
+# ---------------------------------------------------------------------------
+
+_HRP_MERGES = 3  # 5 symbols -> 2 top-level clusters
+
+
+def _hrp_frames(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side pipeline: returns, own/pair co-moments,
+    correlation distances, column distances."""
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+    r = mclose.select(
+        "symbol",
+        F.col("timestamp").alias("bucket"),
+        F.least(
+            F.greatest(
+                F.expr(
+                    "CAST(round((close / nullif(lag(close) OVER (PARTITION BY symbol"
+                    " ORDER BY timestamp), 0) - 1) * 10000) AS BIGINT)"
+                ),
+                F.lit(-10000),
+            ),
+            F.lit(10000),
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    own = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sx"),
+        F.sum(F.col("r") * F.col("r")).alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    a = r.select(F.col("symbol").alias("s1"), "bucket", F.col("r").alias("ra"))
+    b = r.select(F.col("symbol").alias("s2"), "bucket", F.col("r").alias("rb"))
+    pw = (
+        a.join(b, "bucket")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ra").alias("sa"),
+            F.sum("rb").alias("sb"),
+            F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+            F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+            F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    num = "CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb"
+    dena = "sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)"
+    denb = "sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)"
+    pw = pw.select(
+        "s1",
+        "s2",
+        F.expr(f"({num}) / (CAST(n AS DOUBLE) * (n - 1))").alias("cov"),
+        F.expr(
+            f"sqrt(0.5 * (1.0 - ({num}) / nullif(({dena}) * ({denb}), 0.0)))"
+        ).alias("d"),
+    )
+    syms = own.select("symbol")
+    dsym = (
+        pw.select(F.col("s1").alias("i"), F.col("s2").alias("k"), "d")
+        .unionByName(pw.select(F.col("s2").alias("i"), F.col("s1").alias("k"), "d"))
+        .unionByName(syms.select(F.col("symbol").alias("i"), F.col("symbol").alias("k"), F.lit(0.0).alias("d")))
+    )
+    di = dsym.select(F.col("i"), F.col("k"), F.col("d").alias("dik"))
+    dj = dsym.select(F.col("i").alias("j"), F.col("k"), F.col("d").alias("djk"))
+    dt = (
+        di.join(dj, "k")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.expr("CAST(round((dik - djk) * (dik - djk) * 1e12) AS BIGINT)")
+            ).alias("sq_e12")
+        )
+        .select(
+            "i", "j", F.expr("sqrt(CAST(sq_e12 AS DOUBLE) / 1e12)").alias("dt")
+        )
+    )
+    # These frames are dimension-sized (|universe| and |universe|^2
+    # rows), but the merge loop embeds them in its plan twice per
+    # iteration — persist so the tick-level co-moment aggregation
+    # runs once, not 4^merges times (the chained-iteration trap the
+    # PageRank oracle documents; there the fix was MATERIALIZED CTEs,
+    # here a persist of tiny tables).
+    own = own.persist()
+    pw = pw.persist()
+    dt = dt.persist()
+    return own, pw, syms, dt
+
+
+@register("hrp_cluster_allocation", None, tags=())  # oracle attached below
+def hrp_cluster_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical risk parity, depth-1 (de Prado ch. 16): the
+    correlation-distance matrix (d = sqrt((1-rho)/2), then Euclidean
+    column distance) is single-linkage clustered to the TOP-LEVEL
+    bisection (3 deterministic merges over 5 symbols, argmin by
+    (distance, labels)); capital splits across the two clusters by
+    inverse CLUSTER variance (w'Σw with intra-cluster
+    inverse-variance weights) and within clusters by IVP — the full
+    HRP recipe truncated at one bisection level, honest about it.
+
+    Determinism at any parallelism: co-moment sums exact BIGINT over
+    winsorized e4 integer returns; every float reduction is snapped
+    to an integer scale BEFORE summation (column-distance squares at
+    e12, cluster-variance terms at ppm-products / 1e6); cluster
+    picks order by (double distance, label, label) where the doubles
+    are exact functions of integer sums. The whole pipeline after
+    the two co-moment aggregations is dimension-sized (|universe|^2
+    rows). The DuckDB oracle replays the merges unrolled step by
+    step."""
+    own, pw, syms, dt = _hrp_frames(spark, sf_dir)
+    lbl = syms.select("symbol", F.col("symbol").alias("lbl"))
+    dtsym = dt.unionByName(
+        dt.select(F.col("j").alias("i"), F.col("i").alias("j"), "dt")
+    )
+    for _ in range(_HRP_MERGES):
+        la = lbl.select(F.col("symbol").alias("i"), F.col("lbl").alias("la"))
+        lb = lbl.select(F.col("symbol").alias("j"), F.col("lbl").alias("lb"))
+        pairdist = (
+            dtsym.join(la, "i")
+            .join(lb, "j")
+            .filter(F.col("la") < F.col("lb"))
+            .groupBy("la", "lb")
+            .agg(F.min("dt").alias("dist"))
+        )
+        pick = pairdist.orderBy("dist", "la", "lb").limit(1).select(
+            F.col("la").alias("pa"), F.col("lb").alias("pb")
+        )
+        lbl = lbl.crossJoin(F.broadcast(pick)).select(
+            "symbol",
+            F.when(F.col("lbl") == F.col("pb"), F.col("pa"))
+            .otherwise(F.col("lbl"))
+            .alias("lbl"),
+        ).localCheckpoint()  # 5 rows; truncates per-step pick lineage
+    # Intra-cluster IVP weights (the inverse_variance_weights recipe,
+    # per cluster).
+    var = (
+        "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " / (CAST(n AS DOUBLE) * (n - 1))"
+    )
+    iv = own.select(
+        "symbol",
+        F.col("n").alias("n_returns"),
+        F.expr(
+            f"CAST(round(CASE WHEN {var} > 0 THEN 1e18 / ({var}) END) AS BIGINT)"
+        ).alias("iv"),
+    ).join(lbl, "symbol")
+    ctot = iv.groupBy("lbl").agg(F.sum("iv").alias("civ"))
+    w = iv.join(F.broadcast(ctot), "lbl").select(
+        "symbol",
+        "lbl",
+        "n_returns",
+        F.expr("CAST(round(CAST(iv AS DOUBLE) * 1000000 / civ) AS BIGINT)").alias(
+            "w_intra_ppm"
+        ),
+    )
+    # Cluster variance w'Σw: off-diagonal terms doubled, each term
+    # snapped to an integer before the exact sum.
+    wi = w.select(F.col("symbol").alias("s1"), F.col("lbl"), F.col("w_intra_ppm").alias("w1"))
+    wj = w.select(F.col("symbol").alias("s2"), F.col("lbl").alias("lbl2"), F.col("w_intra_ppm").alias("w2"))
+    off = (
+        pw.join(wi, "s1")
+        .join(wj, "s2")
+        .filter(F.col("lbl") == F.col("lbl2"))
+        .select(
+            "lbl",
+            F.expr(
+                "CAST(round(CAST(w1 AS DOUBLE) * w2 * cov * 2.0 / 1e6) AS BIGINT)"
+            ).alias("t"),
+        )
+    )
+    diag = (
+        own.join(lbl, "symbol")
+        .join(w.select("symbol", F.col("w_intra_ppm").alias("wd")), "symbol")
+        .select(
+            "lbl",
+            F.expr(
+                f"CAST(round(CAST(wd AS DOUBLE) * wd * ({var}) / 1e6) AS BIGINT)"
+            ).alias("t"),
+        )
+    )
+    cvar = off.unionByName(diag).groupBy("lbl").agg(F.sum("t").alias("vc"))
+    civ = cvar.select(
+        "lbl",
+        F.expr(
+            "CAST(round(CASE WHEN vc > 0 THEN 1e18 / CAST(vc AS DOUBLE) END) AS BIGINT)"
+        ).alias("icv"),
+    )
+    tot = civ.agg(F.sum("icv").alias("t"))
+    alloc = civ.crossJoin(F.broadcast(tot)).select(
+        "lbl",
+        F.expr("CAST(round(CAST(icv AS DOUBLE) * 1000000 / t) AS BIGINT)").alias(
+            "cluster_alloc_ppm"
+        ),
+    )
+    return w.join(F.broadcast(alloc), "lbl").select(
+        "symbol",
+        F.col("lbl").alias("cluster"),
+        "n_returns",
+        "w_intra_ppm",
+        "cluster_alloc_ppm",
+        F.expr(
+            "CAST(round(CAST(w_intra_ppm AS DOUBLE) * cluster_alloc_ppm / 1e6) AS BIGINT)"
+        ).alias("w_final_ppm"),
+    )
+
+
+_HRP_VAR_O = ("(CAST(o.n AS DOUBLE) * o.sxx - CAST(o.sx AS DOUBLE) * o.sx)"
+              " / (CAST(o.n AS DOUBLE) * (o.n - 1))")
+
+
+def _hrp_merge_sql(k: int) -> str:
+    prev = f"l{k - 1}"
+    return f"""
+p{k} AS MATERIALIZED (
+  SELECT la, lb FROM (
+    SELECT la.lbl AS la, lb.lbl AS lb, min(dts.dt) AS dist
+    FROM dts JOIN {prev} la ON dts.i = la.symbol
+             JOIN {prev} lb ON dts.j = lb.symbol
+    WHERE la.lbl < lb.lbl GROUP BY la.lbl, lb.lbl
+  ) ORDER BY dist, la, lb LIMIT 1
+),
+l{k} AS MATERIALIZED (
+  SELECT symbol,
+         CASE WHEN lbl = (SELECT lb FROM p{k}) THEN (SELECT la FROM p{k})
+              ELSE lbl END AS lbl
+  FROM {prev}
+),"""
+
+
+def _hrp_oracle() -> str:
+    merges = "".join(_hrp_merge_sql(k) for k in range(1, _HRP_MERGES + 1))
+    return f"""
+WITH {TICKS_CTE},
+mb AS (
+  SELECT symbol, date_trunc('minute', timestamp) AS bucket, price,
+         row_number() OVER (PARTITION BY symbol, date_trunc('minute', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+mclose AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM mb GROUP BY symbol, bucket
+),
+r AS (
+  SELECT symbol, bucket,
+         least(greatest(CAST(round((close / nullif(lag(close) OVER w, 0) - 1) * 10000) AS BIGINT),
+                        -10000), 10000) AS r
+  FROM mclose WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rr AS MATERIALIZED (SELECT * FROM r WHERE r IS NOT NULL),
+own AS MATERIALIZED (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r) AS BIGINT) AS sx, CAST(sum(r * r) AS BIGINT) AS sxx
+  FROM rr GROUP BY symbol HAVING count(*) >= 2
+),
+pw AS MATERIALIZED (
+  SELECT a.symbol AS s1, b.symbol AS s2, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.r) AS BIGINT) AS sa, CAST(sum(b.r) AS BIGINT) AS sb,
+         CAST(sum(a.r * b.r) AS BIGINT) AS sab,
+         CAST(sum(a.r * a.r) AS BIGINT) AS saa,
+         CAST(sum(b.r * b.r) AS BIGINT) AS sbb
+  FROM rr a JOIN rr b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  GROUP BY a.symbol, b.symbol HAVING count(*) >= 2
+),
+pwd AS MATERIALIZED (
+  SELECT s1, s2,
+         (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+           / (CAST(n AS DOUBLE) * (n - 1)) AS cov,
+         sqrt(0.5 * (1.0 - (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+           / nullif(sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                    * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb), 0.0)))
+           AS d
+  FROM pw
+),
+syms AS (SELECT symbol FROM own),
+dsym AS MATERIALIZED (
+  SELECT s1 AS i, s2 AS k, d FROM pwd
+  UNION ALL SELECT s2, s1, d FROM pwd
+  UNION ALL SELECT symbol, symbol, 0.0 FROM syms
+),
+dtp AS (
+  SELECT di.i, dj.j,
+         CAST(sum(CAST(round((di.d - dj.d) * (di.d - dj.d) * 1e12) AS BIGINT)) AS BIGINT)
+           AS sq
+  FROM dsym di JOIN (SELECT i AS j, k, d FROM dsym) dj ON di.k = dj.k
+  WHERE di.i < dj.j GROUP BY di.i, dj.j
+),
+dt AS MATERIALIZED (SELECT i, j, sqrt(CAST(sq AS DOUBLE) / 1e12) AS dt FROM dtp),
+dts AS MATERIALIZED (SELECT i, j, dt FROM dt UNION ALL SELECT j, i, dt FROM dt),
+l0 AS MATERIALIZED (SELECT symbol, symbol AS lbl FROM syms),{merges}
+iv AS (
+  SELECT o.symbol, o.n AS n_returns, l.lbl,
+         CAST(round(CASE WHEN {_HRP_VAR_O} > 0 THEN 1e18 / ({_HRP_VAR_O}) END) AS BIGINT)
+           AS iv
+  FROM own o JOIN l{_HRP_MERGES} l ON o.symbol = l.symbol
+),
+ctot AS (SELECT lbl, CAST(sum(iv) AS BIGINT) AS civ FROM iv GROUP BY lbl),
+w AS (
+  SELECT iv.symbol, iv.lbl, iv.n_returns,
+         CAST(round(CAST(iv.iv AS DOUBLE) * 1000000 / ctot.civ) AS BIGINT) AS w_intra_ppm
+  FROM iv JOIN ctot ON iv.lbl = ctot.lbl
+),
+offd AS (
+  SELECT w1.lbl,
+         CAST(round(CAST(w1.w_intra_ppm AS DOUBLE) * w2.w_intra_ppm * pwd.cov * 2.0 / 1e6)
+              AS BIGINT) AS t
+  FROM pwd JOIN w w1 ON pwd.s1 = w1.symbol JOIN w w2 ON pwd.s2 = w2.symbol
+  WHERE w1.lbl = w2.lbl
+),
+diagd AS (
+  SELECT w.lbl,
+         CAST(round(CAST(w.w_intra_ppm AS DOUBLE) * w.w_intra_ppm * ({_HRP_VAR_O}) / 1e6)
+              AS BIGINT) AS t
+  FROM own o JOIN w ON o.symbol = w.symbol
+),
+cvar AS (
+  SELECT lbl, CAST(sum(t) AS BIGINT) AS vc
+  FROM (SELECT * FROM offd UNION ALL SELECT * FROM diagd) GROUP BY lbl
+),
+icvt AS (
+  SELECT lbl,
+         CAST(round(CASE WHEN vc > 0 THEN 1e18 / CAST(vc AS DOUBLE) END) AS BIGINT) AS icv
+  FROM cvar
+),
+tot AS (SELECT CAST(sum(icv) AS BIGINT) AS t FROM icvt),
+alloc AS (
+  SELECT lbl, CAST(round(CAST(icv AS DOUBLE) * 1000000 / tot.t) AS BIGINT)
+           AS cluster_alloc_ppm
+  FROM icvt, tot
+)
+SELECT w.symbol, w.lbl AS cluster, w.n_returns, w.w_intra_ppm, a.cluster_alloc_ppm,
+       CAST(round(CAST(w.w_intra_ppm AS DOUBLE) * a.cluster_alloc_ppm / 1e6) AS BIGINT)
+         AS w_final_ppm
+FROM w JOIN alloc a ON w.lbl = a.lbl
+"""
+
+
+# Attach the replayed-merge oracle to the registered query.
+from auto_trade_data_pipeline_spark.corpus import REGISTRY as _REG
+
+_REG["hrp_cluster_allocation"].oracle = _hrp_oracle()
+_REG["hrp_cluster_allocation"].tags = ("A-", "W-")
