@@ -404,6 +404,7 @@ _INVARIANCE_QUERIES = [
     "attribution_first_last_touch",
     "variant_props_histogram",
     "concurrent_sessions_census",
+    "hrp_cluster_allocation",
 ]
 
 
