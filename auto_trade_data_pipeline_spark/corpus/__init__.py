@@ -200,6 +200,9 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_cdc_apply_replay",
     "concurrent_sessions_census",
     "hrp_cluster_allocation",
+    # Sixth round-4 push (locally verified hash-exact on registration):
+    "source_orc_roundtrip",
+    "source_xml_roundtrip",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -427,6 +430,8 @@ _ORDER = [
     "streaming_cdc_apply_replay",
     "concurrent_sessions_census",
     "hrp_cluster_allocation",
+    "source_orc_roundtrip",
+    "source_xml_roundtrip",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

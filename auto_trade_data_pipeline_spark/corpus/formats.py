@@ -68,9 +68,19 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     if fmt == "csv":
         writer.option("header", "true").csv(path)
         back = reader.option("header", "true").csv(path)
-    else:
+    elif fmt == "json":
         writer.json(path)
         back = reader.json(path)
+    elif fmt == "orc":
+        # Columnar binary format: native TIMESTAMP/DOUBLE types, no
+        # text rendering involved — timestampFormat is a no-op here.
+        writer.orc(path)
+        back = spark.read.schema(_TICK_SCHEMA).orc(path)
+    elif fmt == "xml":
+        writer.option("rowTag", "tick").format("xml").save(path)
+        back = reader.option("rowTag", "tick").format("xml").load(path)
+    else:
+        raise ValueError(f"unsupported round-trip format {fmt!r}")
     return back.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_ticks"),
         F.sum(F.round("volume", 0).cast("long")).alias("vol_sum"),
@@ -101,3 +111,27 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate as the CSV path: identical per-symbol aggregate hash as the
     straight-from-parquet oracle."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@register("source_orc_roundtrip", _ROUNDTRIP_ORACLE, tags=("S4", "S5"))
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round trip — the second columnar format a
+    warehouse interop layer must speak (Hive/Trino estates are
+    ORC-heavy). Binary columnar storage with native TIMESTAMP and
+    DOUBLE types, predicate-pushdown-capable stripes, written with the
+    upstream partitioning (one file per task). The same losslessness
+    gate as CSV/JSON: per-symbol counts, integer-scaled sums, and
+    microsecond min/max timestamps must hash-match the parquet-only
+    oracle."""
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+@register("source_xml_roundtrip", _ROUNDTRIP_ORACLE, tags=("S4", "S5"))
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + schema-declared XML source round trip (Spark 4
+    built-in `xml` format, one <tick> element per row) — the
+    enterprise-interchange format: written with microsecond
+    timestampFormat and read back through the DECLARED tick schema
+    (never inferSchema), pushed through the identical losslessness
+    gate as the other text formats."""
+    return _roundtrip(spark, sf_dir, "xml")
