@@ -203,6 +203,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     # Sixth round-4 push (locally verified hash-exact on registration):
     "source_orc_roundtrip",
     "source_xml_roundtrip",
+    "time_range_window_stats",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -432,6 +433,7 @@ _ORDER = [
     "hrp_cluster_allocation",
     "source_orc_roundtrip",
     "source_xml_roundtrip",
+    "time_range_window_stats",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1178,3 +1178,97 @@ def variant_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE frames — event-time rolling windows
+# ---------------------------------------------------------------------------
+
+_TIME_RANGE_ORACLE = f"""
+WITH {TICKS_CTE},
+t AS (
+  SELECT symbol, timestamp, epoch_us(timestamp) AS eus,
+         CAST(round(volume) AS BIGINT) AS vol,
+         CAST(round(price * 10000) AS BIGINT) AS px_e4,
+         CAST(round(price * 10000) AS BIGINT) * CAST(round(volume) AS BIGINT) AS pv_e4,
+         tick_id
+  FROM ticks
+),
+w AS (
+  SELECT symbol, timestamp, tick_id,
+         CAST(count(*) OVER w60 AS BIGINT) AS n_60s,
+         CAST(sum(vol) OVER w60 AS BIGINT) AS vol_60s,
+         CAST(sum(pv_e4) OVER w60 AS BIGINT) AS pv_e4_60s,
+         CAST(sum(px_e4) OVER w60 AS BIGINT) AS px_e4_60s,
+         CAST(count(*) OVER w300 AS BIGINT) AS n_300s
+  FROM t
+  WINDOW w60 AS (PARTITION BY symbol ORDER BY eus
+                 RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW),
+         w300 AS (PARTITION BY symbol ORDER BY eus
+                  RANGE BETWEEN 299999999 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, strftime(timestamp, '{TS_US_FMT_DUCK}') AS ts, tick_id,
+       n_60s, vol_60s, n_300s,
+       CAST(CASE WHEN vol_60s > 0 THEN pv_e4_60s // vol_60s END AS BIGINT) AS vwap60_e4,
+       CAST(px_e4_60s // n_60s AS BIGINT) AS twap60_e4
+FROM w
+"""
+
+
+@register("time_range_window_stats", _TIME_RANGE_ORACLE, tags=("W6", "A7"))
+def time_range_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rolling windows via RANGE frames: per tick, the
+    trailing 60-second and 5-minute windows measured by TIMESTAMP,
+    not row count — the frame that stays correct under irregular tick
+    spacing, where a ROWS frame silently widens or narrows its time
+    span. Both frames order by epoch MICROSECONDS as BIGINT so frame
+    inclusion is integer-exact and identical cross-engine (RANGE
+    peers at equal instants are included on both). The rolling VWAP
+    and TWAP stay in exact integer e4 units with positive-operand
+    floor division. One exchange + ONE sort serves both frames —
+    Spark folds same-(partition, order) window specs into a single
+    Window physical node.
+
+    Scale: the frame is bounded by time, so state per open frame is
+    O(ticks in 60 s per symbol) regardless of total history; the
+    partition key is the symbol (parallelism = symbol cardinality —
+    for single-hot-symbol skew the blocked evaluator in
+    operators/blocked.py is the documented alternative)."""
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol",
+        "timestamp",
+        "tick_id",
+        F.expr("unix_micros(timestamp)").alias("eus"),
+        F.round("volume", 0).cast("long").alias("vol"),
+        F.expr("CAST(round(price * 10000) AS BIGINT)").alias("px_e4"),
+        (
+            F.expr("CAST(round(price * 10000) AS BIGINT)")
+            * F.round("volume", 0).cast("long")
+        ).alias("pv_e4"),
+    )
+    from pyspark.sql.window import Window
+
+    w60 = Window.partitionBy("symbol").orderBy("eus").rangeBetween(-59_999_999, 0)
+    w300 = Window.partitionBy("symbol").orderBy("eus").rangeBetween(-299_999_999, 0)
+    framed = t.select(
+        "symbol",
+        "timestamp",
+        "tick_id",
+        F.count(F.lit(1)).over(w60).alias("n_60s"),
+        F.sum("vol").over(w60).alias("vol_60s"),
+        F.sum("pv_e4").over(w60).alias("pv_e4_60s"),
+        F.sum("px_e4").over(w60).alias("px_e4_60s"),
+        F.count(F.lit(1)).over(w300).alias("n_300s"),
+    )
+    return framed.select(
+        "symbol",
+        _fmt(F.col("timestamp"), micros=True).alias("ts"),
+        "tick_id",
+        "n_60s",
+        "vol_60s",
+        "n_300s",
+        F.when(F.col("vol_60s") > 0, F.expr("pv_e4_60s div vol_60s")).alias(
+            "vwap60_e4"
+        ),
+        F.expr("px_e4_60s div n_60s").alias("twap60_e4"),
+    )
