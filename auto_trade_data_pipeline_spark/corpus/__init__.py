@@ -204,6 +204,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "source_orc_roundtrip",
     "source_xml_roundtrip",
     "time_range_window_stats",
+    "referential_integrity_report",
+    "ab_test_report",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -434,6 +436,8 @@ _ORDER = [
     "source_orc_roundtrip",
     "source_xml_roundtrip",
     "time_range_window_stats",
+    "referential_integrity_report",
+    "ab_test_report",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -922,3 +922,116 @@ def concurrent_sessions_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_concurrency",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment report: hash-assigned variants, two-proportion z-test
+# ---------------------------------------------------------------------------
+
+#: Shared z-statistic expression over the four exact integer counts —
+#: spelled ONCE and reused verbatim by both engines so every IEEE
+#: operation (divisions, sqrt) runs on identical doubles in identical
+#: order; the e6 snap absorbs any <=1-ulp libm sqrt difference. The
+#: CASE guard (degenerate pooled rate of exactly 0 or 1, or an empty
+#: arm) yields NULL identically on both engines instead of a
+#: divide-by-zero — Spark ANSI mode ERRORS on 0/0 where DuckDB would
+#: return NULL, so the guard is correctness, not cosmetics.
+#: Every operand is CAST to DOUBLE explicitly: a bare ``* 1.0`` is
+#: DECIMAL in DuckDB (decimal division != IEEE division — observed
+#: ~2e-5 drift in z), while Spark reads the same literal as DOUBLE.
+_AB_Z_EXPR = (
+    "CASE WHEN n_a = 0 OR n_b = 0 "
+    "OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL ELSE "
+    "((CAST(conv_a AS DOUBLE) / n_a) - (CAST(conv_b AS DOUBLE) / n_b)) / "
+    "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
+    "* (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
+    "* (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) END"
+)
+
+#: A user "converts" when their purchase count reaches this threshold.
+#: The synthetic events table gives every user every event type, so a
+#: binary ever-purchased flag is degenerate (pooled rate 1.0 → zero
+#: z denominator); an intensity threshold near the per-user mean
+#: (~13 purchases/user at sf0.01) genuinely splits the population.
+_AB_CONV_MIN_PURCHASES = 14
+
+_AB_ORACLE = f"""
+WITH {_EVENTS_CTE},
+u AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5('ab' || '|' || CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2 AS variant,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {_AB_CONV_MIN_PURCHASES} THEN 1 ELSE 0 END AS converted
+  FROM ev GROUP BY user_id
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       CAST((conv_a * 1000000) // n_a AS BIGINT) AS rate_a_ppm,
+       CAST((conv_b * 1000000) // n_b AS BIGINT) AS rate_b_ppm,
+       CAST((conv_a * 1000000) // n_a - (conv_b * 1000000) // n_b AS BIGINT)
+         AS lift_ppm,
+       CAST(round(({_AB_Z_EXPR}) * 1000000) AS BIGINT) AS z_e6
+FROM c
+"""
+
+
+@register("ab_test_report", _AB_ORACLE, tags=("A4", "A6"))
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the product-analytics significance
+    gate: users are deterministically hash-assigned to two variants
+    (salted md5 of the user id — the industry-standard sticky
+    bucketing that needs no assignment table and is stable under
+    re-runs), conversion = the user reached a purchase-count
+    threshold, and the report is the two-proportion z-statistic over
+    the four exact counts. Rates and lift are integer ppm; the z
+    expression is ONE shared formula string (with a shared degenerate
+    guard) evaluated on identical integers by both engines, snapped
+    to e6.
+
+    Scale shape: one user-keyed aggregate (map-side combinable
+    max-per-user) then a single-row conditional-sum reduce — no
+    shuffle wider than the user key, no assignment-table join."""
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= _AB_CONV_MIN_PURCHASES,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    u = u.withColumn(
+        "variant", hash64(F.col("user_id").cast("string"), salt="ab") % 2
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("(conv_a * 1000000) div n_a").alias("rate_a_ppm"),
+        F.expr("(conv_b * 1000000) div n_b").alias("rate_b_ppm"),
+        F.expr("(conv_a * 1000000) div n_a - (conv_b * 1000000) div n_b").alias(
+            "lift_ppm"
+        ),
+        F.expr(f"CAST(round(({_AB_Z_EXPR}) * 1000000) AS BIGINT)").alias("z_e6"),
+    )

@@ -1073,3 +1073,137 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cdc_apply(snap, changelog, keys=["o_orderkey"], order_cols=["v"])
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity / data-contract report
+# ---------------------------------------------------------------------------
+
+_RI_ORACLE = """
+WITH checks AS (
+  SELECT 'lineitem.orderkey->orders' AS check_name,
+         CAST(count(*) AS BIGINT) AS checked,
+         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+         CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders.custkey->customer',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'customer.nationkey->nation',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'supplier.nationkey->nation',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'nation.regionkey->region',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN n_regionkey IS NOT NULL AND r.r_regionkey IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+  UNION ALL
+  SELECT 'orders.orderkey unique',
+         CAST((SELECT count(*) FROM orders) AS BIGINT),
+         CAST(0 AS BIGINT),
+         CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'customer.custkey unique',
+         CAST((SELECT count(*) FROM customer) AS BIGINT),
+         CAST(0 AS BIGINT),
+         CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS BIGINT)
+)
+SELECT check_name, checked, null_keys, orphans,
+       CAST(((null_keys + orphans) * 1000000) // checked AS BIGINT) AS violation_ppm
+FROM checks
+"""
+
+
+def _fk_check(
+    fact: DataFrame, dim: DataFrame, fk: str, pk: str, name: str, broadcast_dim: bool
+) -> DataFrame:
+    """One FK-containment check as a single left join + aggregate:
+    (check_name, checked, null_keys, orphans). The dim side carries
+    only its key column; small dims ride a broadcast so the fact
+    never shuffles."""
+    d = dim.select(F.col(pk).alias("__pk")).distinct()
+    if broadcast_dim:
+        d = F.broadcast(d)
+    j = fact.select(F.col(fk).alias("__fk")).join(
+        d, F.col("__fk") == F.col("__pk"), "left"
+    )
+    return j.agg(
+        F.lit(name).alias("check_name"),
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0)).alias("null_keys"),
+        F.sum(
+            F.when(F.col("__fk").isNotNull() & F.col("__pk").isNull(), 1).otherwise(0)
+        ).alias("orphans"),
+    )
+
+
+def _pk_check(df: DataFrame, pk: str, name: str) -> DataFrame:
+    """Key-uniqueness check: duplicates = count(*) - count(distinct)."""
+    return df.agg(
+        F.lit(name).alias("check_name"),
+        F.count(F.lit(1)).alias("checked"),
+        F.lit(0).cast("long").alias("null_keys"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col(pk))).alias("orphans"),
+    )
+
+
+@register("referential_integrity_report", _RI_ORACLE, tags=("A5", "J1", "J6"))
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract verification across the relational star — the
+    dbt-test / expectations suite a warehouse runs before publishing a
+    snapshot: FK containment (orphan + null-key counts) along every
+    edge of the schema graph and PK uniqueness on the hub tables, one
+    report row per check with an integer-ppm violation rate.
+
+    Scale shape: each FK check is ONE left join + a count aggregate —
+    dimension sides are key-only projections, the small ones
+    (nation/region/customer) ride broadcasts so the fact tables never
+    shuffle for them; the lineitem->orders containment is the only
+    big-big join and shuffles once on the natural key. Uniqueness
+    checks are single count-distinct aggregates. The per-check rows
+    are unioned driver-free (each branch is a 1-row aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    checks = [
+        _fk_check(li, orders, "l_orderkey", "o_orderkey",
+                  "lineitem.orderkey->orders", broadcast_dim=False),
+        _fk_check(orders, cust, "o_custkey", "c_custkey",
+                  "orders.custkey->customer", broadcast_dim=True),
+        _fk_check(cust, nation, "c_nationkey", "n_nationkey",
+                  "customer.nationkey->nation", broadcast_dim=True),
+        _fk_check(supp, nation, "s_nationkey", "n_nationkey",
+                  "supplier.nationkey->nation", broadcast_dim=True),
+        _fk_check(nation, region, "n_regionkey", "r_regionkey",
+                  "nation.regionkey->region", broadcast_dim=True),
+        _pk_check(orders, "o_orderkey", "orders.orderkey unique"),
+        _pk_check(cust, "c_custkey", "customer.custkey unique"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn(
+        "violation_ppm",
+        F.expr("((null_keys + orphans) * 1000000) div checked"),
+    )

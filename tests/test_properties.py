@@ -405,6 +405,10 @@ _INVARIANCE_QUERIES = [
     "variant_props_histogram",
     "concurrent_sessions_census",
     "hrp_cluster_allocation",
+    # round-4 sixth push: FK/PK contract report, hash-bucketed A/B
+    # z-test (exact integer counts; shared double formula)
+    "referential_integrity_report",
+    "ab_test_report",
 ]
 
 
