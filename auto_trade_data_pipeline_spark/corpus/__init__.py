@@ -50,6 +50,19 @@ around them; don't rediscover them):
   while DuckDB silently widens to HUGEINT, so the engines diverge
   exactly when it matters. Keep the sums BIGINT (exact, order-free)
   but combine them in fixed-order DOUBLE on BOTH sides.
+- DuckDB ``list_reduce`` over a STRUCT accumulator updates the
+  accumulator fields IN PLACE from the second iteration on, so a
+  field expression that reads a DIFFERENT field of ``acc`` may
+  observe its already-written new value (found in the Holt fold:
+  trend read the new level and diverged 2x while level matched; a
+  single fold step evaluates correctly, masking it on short prefixes).
+  Self-reads during a field's own update see the old value (the
+  EMA/Kalman folds rely on this and are verified bit-exact). Rule:
+  cross-field reads in a struct fold are safe only when the inlined
+  expression is idempotent under re-application (supertrend's band
+  ratchet); for genuinely coupled recursions use a LIST accumulator
+  (``[l, b]``) — list-element construction evaluates against the old
+  accumulator (probed on DuckDB 1.0.0).
 """
 
 from __future__ import annotations
@@ -206,6 +219,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "time_range_window_stats",
     "referential_integrity_report",
     "ab_test_report",
+    "schema_evolution_merge",
+    "holt_winters_smooth",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -438,6 +453,8 @@ _ORDER = [
     "time_range_window_stats",
     "referential_integrity_report",
     "ab_test_report",
+    "schema_evolution_merge",
+    "holt_winters_smooth",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -135,3 +135,62 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never inferSchema), pushed through the identical losslessness
     gate as the other text formats."""
     return _roundtrip(spark, sf_dir, "xml")
+
+
+_SCHEMA_EVOLUTION_ORACLE = f"""
+WITH {TICKS_CTE}
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(sum(CASE WHEN tick_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+       CAST(sum(CASE WHEN tick_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+       CAST(sum(CASE WHEN tick_id % 2 = 1
+                     THEN CAST(round(volume) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS vol_sum_v2,
+       CAST(sum(CAST(round(price * 10000) AS BIGINT)) AS BIGINT) AS price_e4_sum
+FROM ticks GROUP BY symbol
+"""
+
+
+@register("schema_evolution_merge", _SCHEMA_EVOLUTION_ORACLE, tags=("S4", "S5"))
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution, proven lossless: the tape is written
+    as two generations under one table root — batch=1 with the v1
+    schema (no ``volume`` column) and batch=2 with the v2 schema that
+    added it — then read back in ONE scan with ``mergeSchema=true``
+    (+ partition discovery recovering the ``batch`` column). Rows from
+    v1 files must surface NULL volume, v2 rows their real volume, and
+    the per-symbol counts / integer-scaled sums must hash-match an
+    oracle that reconstructs the same split straight from parquet.
+    This is the contract every long-lived 100 TB table depends on:
+    old files are never rewritten when a column is added, and the
+    merged read planner unions footer schemas per file (an O(files)
+    driver step — bounded by compaction, not data volume)."""
+    ticks = ticks_from_events(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "roundtrip",
+        tag,
+        "schema_evolution",
+    )
+    v1 = ticks.filter(F.col("tick_id") % 2 == 0).select(
+        "symbol", "timestamp", "price", "tick_id"
+    )
+    v2 = ticks.filter(F.col("tick_id") % 2 == 1)
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(path)
+    )
+    return back.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.when(F.col("batch") == 1, 1).otherwise(0)).alias("n_v1"),
+        F.sum(F.when(F.col("batch") == 2, 1).otherwise(0)).alias("n_v2"),
+        F.sum(F.coalesce(F.round("volume", 0).cast("long"), F.lit(0))).alias(
+            "vol_sum_v2"
+        ),
+        F.sum(F.expr("CAST(round(price * 10000) AS BIGINT)")).alias("price_e4_sum"),
+    )

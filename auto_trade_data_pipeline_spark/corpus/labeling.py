@@ -3368,3 +3368,102 @@ from auto_trade_data_pipeline_spark.corpus import REGISTRY as _REG
 
 _REG["hrp_cluster_allocation"].oracle = _hrp_oracle()
 _REG["hrp_cluster_allocation"].tags = ("A-", "W-")
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (level + trend coupled recursion)
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = 0.5
+_HW_BETA = 0.3
+#: IEEE complements precomputed in Python and embedded as DOUBLE-cast
+#: reprs: DuckDB evaluates a bare ``1.0 - 0.3`` in DECIMAL (exact 0.7,
+#: whose nearest double differs from Python's ``1.0 - 0.3`` by 1 ulp),
+#: which would desynchronize the fold from the numpy kernel.
+_HW_A = f"CAST({_HW_ALPHA!r} AS DOUBLE)"
+_HW_AC = f"CAST({1.0 - _HW_ALPHA!r} AS DOUBLE)"
+_HW_B = f"CAST({_HW_BETA!r} AS DOUBLE)"
+_HW_BC = f"CAST({1.0 - _HW_BETA!r} AS DOUBLE)"
+
+_HOLT_ORACLE = f"""
+WITH {_MINUTE_CLOSE_CTE},
+lists AS (
+  SELECT symbol, list(close ORDER BY bucket) AS l, list(bucket ORDER BY bucket) AS bs
+  FROM mclose GROUP BY symbol
+),
+idx AS (SELECT symbol, l, bs, unnest(range(1, len(l) + 1)) AS i FROM lists),
+st AS (
+  -- coupled level/trend fold over a LIST accumulator [level, trend].
+  -- NOT a struct accumulator: DuckDB 1.0 list_reduce over a struct
+  -- updates the accumulator fields IN PLACE from the second
+  -- iteration on, so a later field reading acc.l observes the
+  -- just-written new level (observed: trend diverged 2x while level
+  -- matched). List-element construction evaluates against the OLD
+  -- accumulator (probed), so the trend slot can inline the new-level
+  -- expression — IEEE-identical to the numpy kernel's order.
+  SELECT symbol, bs[i] AS bucket, l[i] AS close,
+         CASE WHEN i = 1 THEN [CAST(l[1] AS DOUBLE), CAST(0.0 AS DOUBLE)]
+         ELSE list_reduce(
+            [[CAST(l[1] AS DOUBLE), CAST(0.0 AS DOUBLE)]] ||
+            list_transform(l[2:i], z -> [CAST(z AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+            (acc, el) -> [
+              {_HW_A} * el[1] + {_HW_AC} * (acc[1] + acc[2]),
+              {_HW_B} * (({_HW_A} * el[1] + {_HW_AC} * (acc[1] + acc[2])) - acc[1])
+                   + {_HW_BC} * acc[2]]
+         ) END AS s
+  FROM idx
+)
+SELECT symbol, strftime(bucket, '{TS_FMT_DUCK}') AS bucket_ts, close,
+       CAST(round(s[1] * 10000) AS BIGINT) AS hw_level_e4,
+       CAST(round(s[2] * 1000000) AS BIGINT) AS hw_trend_e6,
+       CAST(round((s[1] + s[2]) * 10000) AS BIGINT) AS hw_forecast_e4
+FROM st
+"""
+
+
+@register("holt_winters_smooth", _HOLT_ORACLE, tags=("W-", "W3"))
+def holt_winters_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing over minute closes — level
+    AND trend state (the forecasting upgrade of the reference's EMA
+    family: a one-step-ahead forecast is level + trend). A fifth
+    independently-oracled recursive state machine: the DuckDB oracle
+    replays the COUPLED two-variable recursion per row as a
+    struct-accumulator prefix list_reduce, bit-for-bit in IEEE
+    doubles (functions/ta.py:holt_winters); e4/e6 integer snaps
+    absorb last-bit FMA fusion. Spark side is one Arrow-batched
+    applyInPandas per symbol — the same bounded-state shape that
+    streams via the indicator tail buffer."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        lvl, trd = ta.holt_winters(
+            pdf["close"].to_numpy(dtype=float), _HW_ALPHA, _HW_BETA
+        )
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "timestamp": pdf["timestamp"],
+                "close": pdf["close"],
+                "lvl": lvl,
+                "trd": trd,
+            }
+        )
+
+    out = mclose.groupBy("symbol").applyInPandas(
+        kernel,
+        schema="symbol string, timestamp timestamp, close double, lvl double, trd double",
+    )
+    return out.select(
+        "symbol",
+        _fmt("timestamp").alias("bucket_ts"),
+        "close",
+        F.expr("CAST(round(lvl * 10000) AS BIGINT)").alias("hw_level_e4"),
+        F.expr("CAST(round(trd * 1000000) AS BIGINT)").alias("hw_trend_e6"),
+        F.expr("CAST(round((lvl + trd) * 10000) AS BIGINT)").alias("hw_forecast_e4"),
+    )

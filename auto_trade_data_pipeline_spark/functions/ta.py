@@ -541,3 +541,26 @@ def supertrend(
         line[i] = flb if d == 1 else fub
         dirn[i] = d
     return line, dirn
+
+
+def holt_winters(z: np.ndarray, alpha: float, beta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Holt double exponential smoothing (level + trend, no seasonal
+    term): l = alpha*z + (1-alpha)*(l_prev + b), then
+    b = beta*(l - l_prev) + (1-beta)*b — scalar IEEE doubles in this
+    exact order so a DuckDB struct-accumulator list_reduce replays the
+    coupled recursion bit-for-bit (the kalman_filter oracle pattern).
+    Seed l = z[0], b = 0. Returns (level, trend) arrays."""
+    z = np.asarray(z, dtype=float)
+    lvl = np.empty(len(z))
+    trd = np.empty(len(z))
+    if len(z) == 0:
+        return lvl, trd
+    l = float(z[0])
+    b = 0.0
+    lvl[0], trd[0] = l, b
+    for t in range(1, len(z)):
+        lp = l
+        l = alpha * float(z[t]) + (1.0 - alpha) * (lp + b)
+        b = beta * (l - lp) + (1.0 - beta) * b
+        lvl[t], trd[t] = l, b
+    return lvl, trd

@@ -434,3 +434,31 @@ def test_lz78_jvm_fold_matches_python_reference(spark):
     ).collect()
     for r in out:
         assert r.n == lz78_py(r.s), r.s
+
+
+def test_holt_winters_matches_naive_reference_and_tracks_trend():
+    import numpy as np
+
+    from auto_trade_data_pipeline_spark.functions.ta import holt_winters
+
+    rng = np.random.default_rng(11)
+    z = 100 + 0.05 * np.arange(600) + rng.normal(0, 1, 600)
+    a, b = 0.5, 0.3
+    lvl, trd = holt_winters(z, a, b)
+    # Naive reference recursion, scalar step by step.
+    l, t = float(z[0]), 0.0
+    rl, rt = [l], [t]
+    for i in range(1, len(z)):
+        lp = l
+        l = a * float(z[i]) + (1.0 - a) * (lp + t)
+        t = b * (l - lp) + (1.0 - b) * t
+        rl.append(l)
+        rt.append(t)
+    assert np.array_equal(lvl, np.array(rl))
+    assert np.array_equal(trd, np.array(rt))
+    # On a steady 0.05/step drift the trend state must converge to it.
+    assert abs(float(np.mean(trd[200:])) - 0.05) < 0.02
+    # One-step-ahead forecasts beat a naive last-value carry-forward.
+    fc = (lvl + trd)[:-1]
+    naive = z[:-1]
+    assert np.mean((fc - z[1:]) ** 2) < np.mean((naive - z[1:]) ** 2) * 1.1
