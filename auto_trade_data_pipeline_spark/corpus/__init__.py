@@ -221,6 +221,14 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "ab_test_report",
     "schema_evolution_merge",
     "holt_winters_smooth",
+    "cointegration_scan",
+    "woe_iv_report",
+    "target_encoding_kfold",
+    "lead_lag_xcorr",
+    "survival_retention_km",
+    "benford_digit_audit",
+    "gini_concentration",
+    "mutual_info_features",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -455,6 +463,14 @@ _ORDER = [
     "ab_test_report",
     "schema_evolution_merge",
     "holt_winters_smooth",
+    "cointegration_scan",
+    "woe_iv_report",
+    "target_encoding_kfold",
+    "lead_lag_xcorr",
+    "survival_retention_km",
+    "benford_digit_audit",
+    "gini_concentration",
+    "mutual_info_features",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1035,3 +1035,155 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"CAST(round(({_AB_Z_EXPR}) * 1000000) AS BIGINT)").alias("z_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention survival curve
+# ---------------------------------------------------------------------------
+
+#: A user is an observed churn when their last activity precedes the
+#: corpus horizon by at least this many hours; later last-touches are
+#: right-censored (still active at the horizon). 24h splits the
+#: synthetic population (median inactivity ~7h, tail to ~70h) into
+#: real churn events at every scale — a multi-day gap censors everyone
+#: and leaves the hazard math vacuous.
+_KM_CHURN_GAP_HOURS = 24
+
+#: Per-step hazard term, shared verbatim: ln((n_risk - d) / n_risk) —
+#: 0 exactly when no churn at the step; the d = n_risk terminal step
+#: is masked by the zero flag (ln(0) is NULL in Spark but -inf in
+#: DuckDB, so it must never be evaluated into the sum).
+_KM_LN_TERM = (
+    "CASE WHEN d_churn = 0 OR d_churn = n_risk THEN CAST(0.0 AS DOUBLE) "
+    "ELSE ln(CAST(n_risk - d_churn AS DOUBLE) / n_risk) END"
+)
+
+_KM_ORACLE = f"""
+WITH {_EVENTS_CTE},
+u AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM ev GROUP BY user_id
+),
+g AS (SELECT max(ts) AS gmax FROM ev),
+d AS (
+  -- floor(epoch()) per timestamp BEFORE differencing: Spark's
+  -- unix_timestamp truncates each timestamp to whole seconds, and a
+  -- difference of floors is not the floor of the difference
+  SELECT CASE WHEN u.last_ts < g.gmax - INTERVAL 24 HOUR THEN 1 ELSE 0 END AS churned,
+         CASE WHEN u.last_ts < g.gmax - INTERVAL 24 HOUR
+              THEN (CAST(floor(epoch(u.last_ts)) AS BIGINT)
+                    - CAST(floor(epoch(u.first_ts)) AS BIGINT)) // 86400
+              ELSE (CAST(floor(epoch(g.gmax)) AS BIGINT)
+                    - CAST(floor(epoch(u.first_ts)) AS BIGINT)) // 86400
+         END AS dur
+  FROM u, g
+),
+per AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS c_all,
+         CAST(sum(churned) AS BIGINT) AS d_churn
+  FROM d GROUP BY dur
+),
+risk AS (
+  SELECT CAST(dur AS BIGINT) AS duration_day, c_all, d_churn,
+         CAST((SELECT count(*) FROM d)
+              - coalesce(sum(c_all) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM per
+),
+km AS (
+  SELECT duration_day, c_all, d_churn, n_risk,
+         sum({_KM_LN_TERM}) OVER (ORDER BY duration_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns,
+         max(CASE WHEN d_churn = n_risk THEN 1 ELSE 0 END)
+             OVER (ORDER BY duration_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+  FROM risk
+)
+SELECT duration_day, n_risk, d_churn, c_all,
+       CASE WHEN dead = 1 THEN 0
+            ELSE CAST(round(exp(lns) * 1000000) AS BIGINT) END AS survival_e6
+FROM km
+"""
+
+
+@register("survival_retention_km", _KM_ORACLE, tags=("A4", "A7"))
+def survival_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve — the product-analytics survival
+    estimator with right censoring done properly: users whose last
+    activity predates the corpus horizon by {G}+ hours are observed
+    churns at their active lifespan; everyone else is censored at the
+    horizon (they shrink the risk set without counting as an event —
+    the step naive churn rates get wrong). S(t) multiplies the
+    per-step hazards; both engines evaluate it as ONE ordered
+    cumulative sum of shared ln terms (fixed order -> identical IEEE
+    doubles), exp'd and e6-snapped, with a terminal-extinction flag
+    standing in for the ln(0) step the engines disagree on.
+
+    Scale shape: one user-keyed min/max aggregate (map-side
+    combinable), a broadcast 1-row horizon, a per-duration-day
+    aggregate, and the KM windows run over the tiny duration-day
+    table — never the event tape.""".replace("{G}", str(_KM_CHURN_GAP_HOURS))
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    g = ev.agg(F.max("ts").alias("gmax"))
+    gap = F.expr(f"gmax - INTERVAL {_KM_CHURN_GAP_HOURS} HOUR")
+    d = u.join(F.broadcast(g)).select(
+        F.when(F.col("last_ts") < gap, 1).otherwise(0).alias("churned"),
+        F.when(
+            F.col("last_ts") < gap,
+            F.expr(
+                "CAST(unix_timestamp(last_ts) - unix_timestamp(first_ts) AS BIGINT) "
+                "div 86400"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "CAST(unix_timestamp(gmax) - unix_timestamp(first_ts) AS BIGINT) "
+                "div 86400"
+            )
+        )
+        .alias("dur"),
+    )
+    per = d.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("churned").alias("d_churn")
+    )
+    wo = Window.orderBy("dur")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    wcur = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = per.select(F.sum("c_all").alias("n_total"))
+    risk = per.join(F.broadcast(total)).select(
+        F.col("dur").alias("duration_day"),
+        "c_all",
+        "d_churn",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("c_all").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    wd = Window.orderBy("duration_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = risk.select(
+        "duration_day",
+        "c_all",
+        "d_churn",
+        "n_risk",
+        F.sum(F.expr(_KM_LN_TERM)).over(wd).alias("lns"),
+        F.max(
+            F.when(F.col("d_churn") == F.col("n_risk"), 1).otherwise(0)
+        ).over(wd).alias("dead"),
+    )
+    return km.select(
+        "duration_day",
+        "n_risk",
+        "d_churn",
+        "c_all",
+        F.when(F.col("dead") == 1, F.lit(0).cast("long"))
+        .otherwise(F.expr("CAST(round(exp(lns) * 1000000) AS BIGINT)"))
+        .alias("survival_e6"),
+    )

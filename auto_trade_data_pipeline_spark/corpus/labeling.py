@@ -3467,3 +3467,295 @@ def holt_winters_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(trd * 1000000) AS BIGINT)").alias("hw_trend_e6"),
         F.expr("CAST(round((lvl + trd) * 10000) AS BIGINT)").alias("hw_forecast_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engle-Granger cointegration scan (pairs-trading stationarity test)
+# ---------------------------------------------------------------------------
+
+#: Shared OLS/ADF formula strings — evaluated on identical exact
+#: BIGINT sums by both engines, so every double op runs in the same
+#: order (the co-moment combination convention: sums exact BIGINT,
+#: combinations fixed-order DOUBLE to dodge int64 overflow).
+_EG_BETA = (
+    "CASE WHEN CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx = 0.0 THEN NULL "
+    "ELSE (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy) "
+    "/ (CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx) END"
+)
+_EG_ALPHA = f"(CAST(sy AS DOUBLE) - ({_EG_BETA}) * sx) / n"
+_EG_RESID = (
+    "CAST(round(CAST(y AS DOUBLE) - beta_d * CAST(x AS DOUBLE) - alpha_d) AS BIGINT)"
+)
+_EG_PHI = "CAST(sed AS DOUBLE) / see"
+_EG_S2 = f"(CAST(sdd AS DOUBLE) - ({_EG_PHI}) * sed) / (n2 - 1)"
+_EG_T = (
+    f"CASE WHEN see = 0 OR n2 <= 1 OR ({_EG_S2}) <= 0.0 THEN NULL "
+    f"ELSE ({_EG_PHI}) / sqrt(({_EG_S2}) / CAST(see AS DOUBLE)) END"
+)
+
+_COINT_ORACLE = f"""
+WITH {_MINUTE_CLOSE_CTE},
+e4 AS (
+  SELECT symbol, bucket, CAST(round(CAST(close AS DOUBLE) * 10000) AS BIGINT) AS p
+  FROM mclose
+),
+grid AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.bucket,
+         a.p AS x, b.p AS y
+  FROM e4 a JOIN e4 b ON a.bucket = b.bucket AND a.symbol < b.symbol
+),
+ols AS (
+  SELECT sym_a, sym_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM grid GROUP BY sym_a, sym_b
+),
+fitted AS (
+  SELECT sym_a, sym_b, n, {_EG_BETA} AS beta_d, {_EG_ALPHA} AS alpha_d
+  FROM ols
+),
+resid AS (
+  SELECT g.sym_a, g.sym_b, g.bucket, f.n, f.beta_d, f.alpha_d,
+         {_EG_RESID} AS r
+  FROM grid g JOIN fitted f ON g.sym_a = f.sym_a AND g.sym_b = f.sym_b
+),
+lagged AS (
+  SELECT sym_a, sym_b, n, beta_d, alpha_d, r,
+         lag(r) OVER (PARTITION BY sym_a, sym_b ORDER BY bucket) AS rp
+  FROM resid
+),
+adf AS (
+  SELECT sym_a, sym_b, any_value(n) AS n, any_value(beta_d) AS beta_d,
+         CAST(count(*) AS BIGINT) AS n2,
+         CAST(sum(rp * (r - rp)) AS BIGINT) AS sed,
+         CAST(sum(rp * rp) AS BIGINT) AS see,
+         CAST(sum((r - rp) * (r - rp)) AS BIGINT) AS sdd
+  FROM lagged WHERE rp IS NOT NULL GROUP BY sym_a, sym_b
+)
+SELECT sym_a, sym_b, n,
+       CAST(round(beta_d * 1000000) AS BIGINT) AS beta_ppm,
+       CAST(round(({_EG_T}) * 1000000) AS BIGINT) AS adf_t_e6
+FROM adf
+"""
+
+
+@register("cointegration_scan", _COINT_ORACLE, tags=("W-", "J4", "A-"))
+def cointegration_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test over every symbol
+    pair — the pairs-trading gate: (1) static OLS hedge ratio of B on
+    A over the aligned minute-close grid (exact BIGINT co-moments on
+    e4-scaled prices, combined in fixed-order DOUBLE), (2) integer-
+    snapped OLS residuals, (3) a lag-0 Dickey-Fuller regression of
+    the residual increments on the lagged residual, reported as the
+    ADF t-statistic (unit root rejected when strongly negative) — a
+    mechanism the rolling-beta monitor (rolling_pair_beta) cannot
+    answer: whether the SPREAD itself is stationary.
+
+    The residual snap to integer e4 price units makes the second-stage
+    sums exact at any parallelism (summing float residuals would be
+    order-dependent); the snap error is <1e-4 price units, far below
+    any trading-relevant resolution.
+
+    Scale shape: one aligned self-join on the minute bucket, one
+    per-pair aggregate, a broadcast of the tiny per-pair fit back to
+    the grid, one lag window, one final aggregate. The pair grid is
+    the quadratic object — production bounds it to a candidate list
+    (sector buckets), same as rolling_pair_beta."""
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+    e4 = mclose.select(
+        "symbol",
+        F.col("timestamp").alias("bucket"),
+        F.expr("CAST(round(CAST(close AS DOUBLE) * 10000) AS BIGINT)").alias("p"),
+    )
+    a = e4.select(
+        F.col("symbol").alias("sym_a"), "bucket", F.col("p").alias("x")
+    )
+    b = e4.select(
+        F.col("symbol").alias("sym_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("p").alias("y"),
+    )
+    grid = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b")) & (F.col("sym_a") < F.col("sym_b")),
+    ).drop("bucket_b")
+    ols = grid.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    fitted = ols.select(
+        "sym_a",
+        "sym_b",
+        "n",
+        F.expr(_EG_BETA).alias("beta_d"),
+        F.expr(_EG_ALPHA).alias("alpha_d"),
+    )
+    resid = grid.join(F.broadcast(fitted), ["sym_a", "sym_b"]).select(
+        "sym_a",
+        "sym_b",
+        "bucket",
+        "n",
+        "beta_d",
+        F.expr(_EG_RESID).alias("r"),
+    )
+    w = Window.partitionBy("sym_a", "sym_b").orderBy("bucket")
+    lagged = resid.withColumn("rp", F.lag("r").over(w)).filter(F.col("rp").isNotNull())
+    adf = lagged.groupBy("sym_a", "sym_b").agg(
+        F.any_value("n").alias("n"),
+        F.any_value("beta_d").alias("beta_d"),
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(F.col("rp") * (F.col("r") - F.col("rp"))).alias("sed"),
+        F.sum(F.col("rp") * F.col("rp")).alias("see"),
+        F.sum((F.col("r") - F.col("rp")) * (F.col("r") - F.col("rp"))).alias("sdd"),
+    )
+    return adf.select(
+        "sym_a",
+        "sym_b",
+        "n",
+        F.expr("CAST(round(beta_d * 1000000) AS BIGINT)").alias("beta_ppm"),
+        F.expr(f"CAST(round(({_EG_T}) * 1000000) AS BIGINT)").alias("adf_t_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation scan (price-discovery lead detection)
+# ---------------------------------------------------------------------------
+
+_LL_MAX_LAG = 5
+
+#: Pearson correlation from exact BIGINT co-moments, combined in
+#: fixed-order DOUBLE (int64 would overflow at ~10x), shared verbatim
+#: by both engines; degenerate variance yields NULL.
+_LL_CORR = (
+    "CASE WHEN (CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx) <= 0.0 "
+    "OR (CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy) <= 0.0 THEN NULL "
+    "ELSE (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy) "
+    "/ (sqrt(CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx) "
+    "* sqrt(CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy)) END"
+)
+
+_LEAD_LAG_ORACLE = f"""
+WITH {_MINUTE_CLOSE_CTE},
+r AS (
+  SELECT symbol, bucket,
+         greatest(least(CAST(round((close - lag(close) OVER w)
+                        / nullif(lag(close) OVER w, 0) * 1000000) AS BIGINT),
+                  1000000), -1000000) AS r_ppm
+  FROM mclose WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rv AS (SELECT symbol, bucket, r_ppm FROM r WHERE r_ppm IS NOT NULL),
+lagged AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, k.lag_min,
+         a.r_ppm AS x, b.r_ppm AS y
+  FROM rv a,
+       (SELECT unnest(range(-{_LL_MAX_LAG}, {_LL_MAX_LAG} + 1)) AS lag_min) k,
+       rv b
+  WHERE b.symbol > a.symbol
+    AND b.bucket = a.bucket + to_seconds(CAST(k.lag_min * 60 AS BIGINT))
+),
+cm AS (
+  SELECT sym_a, sym_b, CAST(lag_min AS BIGINT) AS lag_min,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM lagged GROUP BY sym_a, sym_b, lag_min
+),
+scored AS (
+  SELECT sym_a, sym_b, lag_min, n,
+         CAST(round(({_LL_CORR}) * 1000000) AS BIGINT) AS corr_e6
+  FROM cm
+)
+SELECT sym_a, sym_b, lag_min, n, corr_e6,
+       CASE WHEN row_number() OVER (
+              PARTITION BY sym_a, sym_b
+              ORDER BY coalesce(abs(corr_e6), -1) DESC, lag_min) = 1
+            THEN 1 ELSE 0 END AS is_best
+FROM scored
+"""
+
+
+@register("lead_lag_xcorr", _LEAD_LAG_ORACLE, tags=("W-", "J4", "A-"))
+def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation scan — price-discovery detection:
+    for every symbol pair, the Pearson correlation of A's minute
+    return with B's return shifted by -5..+5 minutes; the
+    max-|corr| lag (integer-ranked, deterministic tiebreak toward
+    the earliest lag) is flagged as the pair's lead-lag estimate.
+    Returns are winsorized integer ppm (the IVP recipe), so every
+    co-moment is an exact BIGINT at any parallelism; correlations
+    combine in one shared fixed-order DOUBLE formula, e6-snapped.
+
+    Scale shape: the 11-lag fan-out rides the SMALL return grid (one
+    row per minute bar, not per tick); each lag joins on the shifted
+    minute key — an equi join Spark shuffles once on (bucket), with
+    the pair predicate applied at probe time. The per-(pair, lag)
+    aggregate is map-side combinable; the best-lag window runs over
+    11 rows per pair."""
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    prev = F.lag("close").over(w)
+    r = (
+        mclose.withColumn("lag_close", prev)
+        .select(
+            "symbol",
+            F.col("timestamp").alias("bucket"),
+            F.expr(
+                "greatest(least(CAST(round((close - lag_close) "
+                "/ nullif(lag_close, 0) * 1000000) AS BIGINT), "
+                "1000000), -1000000)"
+            ).alias("r_ppm"),
+        )
+        .filter(F.col("r_ppm").isNotNull())
+    )
+    lags = spark.range(-_LL_MAX_LAG, _LL_MAX_LAG + 1).select(
+        F.col("id").alias("lag_min")
+    )
+    a = r.select(
+        F.col("symbol").alias("sym_a"), "bucket", F.col("r_ppm").alias("x")
+    ).join(F.broadcast(lags))
+    b = r.select(
+        F.col("symbol").alias("sym_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("r_ppm").alias("y"),
+    )
+    lagged = a.join(
+        b,
+        (
+            F.col("bucket_b")
+            == F.col("bucket") + F.make_interval(mins=F.col("lag_min").cast("int"))
+        )
+        & (F.col("sym_b") > F.col("sym_a")),
+    )
+    cm = lagged.groupBy("sym_a", "sym_b", "lag_min").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    scored = cm.select(
+        "sym_a",
+        "sym_b",
+        "lag_min",
+        "n",
+        F.expr(f"CAST(round(({_LL_CORR}) * 1000000) AS BIGINT)").alias("corr_e6"),
+    )
+    wb = Window.partitionBy("sym_a", "sym_b").orderBy(
+        F.coalesce(F.abs("corr_e6"), F.lit(-1)).desc(), F.col("lag_min")
+    )
+    return scored.select(
+        "sym_a",
+        "sym_b",
+        "lag_min",
+        "n",
+        "corr_e6",
+        F.when(F.row_number().over(wb) == 1, 1).otherwise(0).alias("is_best"),
+    )

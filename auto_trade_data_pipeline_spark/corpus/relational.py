@@ -1207,3 +1207,403 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violation_ppm",
         F.expr("((null_keys + orphans) * 1000000) div checked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value feature binning
+# ---------------------------------------------------------------------------
+
+#: Shared WOE/IV formula strings over exact integer counts — identical
+#: IEEE division/ln order on both engines, e6/e9 snapped. Zero-count
+#: bins yield NULL WOE on both sides (ln of 0 or division by 0 would
+#: error under Spark ANSI and diverge in DuckDB).
+_WOE_EXPR = (
+    "CASE WHEN n_event = 0 OR n_non = 0 OR tot_event = 0 OR tot_non = 0 THEN NULL "
+    "ELSE ln((CAST(n_event AS DOUBLE) / tot_event) / (CAST(n_non AS DOUBLE) / tot_non)) END"
+)
+_IV_EXPR = (
+    f"CASE WHEN ({_WOE_EXPR}) IS NULL THEN NULL "
+    f"ELSE (CAST(n_event AS DOUBLE) / tot_event - CAST(n_non AS DOUBLE) / tot_non) "
+    f"* ({_WOE_EXPR}) END"
+)
+
+_WOE_IV_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+  FROM orders
+),
+bounds AS (SELECT min(price_c) AS lo, max(price_c) AS hi FROM c),
+binned AS (
+  SELECT least((c.price_c - b.lo) * 10
+               // (CASE WHEN b.hi > b.lo THEN b.hi - b.lo ELSE 1 END), 9) AS bin,
+         ev
+  FROM c, bounds b
+),
+agg AS (
+  SELECT CAST(bin AS BIGINT) AS bin,
+         CAST(sum(ev) AS BIGINT) AS n_event,
+         CAST(count(*) - sum(ev) AS BIGINT) AS n_non
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT bin, n_event, n_non,
+         CAST(sum(n_event) OVER () AS BIGINT) AS tot_event,
+         CAST(sum(n_non) OVER () AS BIGINT) AS tot_non
+  FROM agg
+)
+SELECT bin, n_event, n_non,
+       CAST(round(({_WOE_EXPR}) * 1000000) AS BIGINT) AS woe_e6,
+       CAST(round(({_IV_EXPR}) * 1000000000) AS BIGINT) AS iv_e9
+FROM tot
+"""
+
+
+@register("woe_iv_report", _WOE_IV_ORACLE, tags=("A4", "F-math"))
+def woe_iv_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence feature binning with per-bin information
+    value — the credit-scoring / churn-model feature audit: order
+    value is discretized into 10 equal-width bins over broadcast
+    global bounds (INTEGER cent arithmetic, so bin edges are exact
+    and Spark `div` == DuckDB `//` on the non-negative numerator),
+    the event is order fulfillment, and each bin reports
+    WOE = ln(event-share / non-event-share) plus its IV contribution,
+    both from exact integer counts through one shared formula string.
+
+    Scale shape: one tiny bounds aggregate broadcast to the fact
+    scan, one 10-row groupBy, totals ride a window over the 10-row
+    aggregate — never the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+    )
+    bounds = c.agg(F.min("price_c").alias("lo"), F.max("price_c").alias("hi"))
+    binned = c.join(F.broadcast(bounds)).select(
+        F.expr(
+            "least((price_c - lo) * 10 "
+            "div (CASE WHEN hi > lo THEN hi - lo ELSE 1 END), 9)"
+        ).alias("bin"),
+        "ev",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.sum("ev").alias("n_event"),
+        (F.count(F.lit(1)) - F.sum("ev")).alias("n_non"),
+    )
+    w = Window.partitionBy()
+    tot = agg.select(
+        "bin",
+        "n_event",
+        "n_non",
+        F.sum("n_event").over(w).alias("tot_event"),
+        F.sum("n_non").over(w).alias("tot_non"),
+    )
+    return tot.select(
+        "bin",
+        "n_event",
+        "n_non",
+        F.expr(f"CAST(round(({_WOE_EXPR}) * 1000000) AS BIGINT)").alias("woe_e6"),
+        F.expr(f"CAST(round(({_IV_EXPR}) * 1000000000) AS BIGINT)").alias("iv_e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-fold-out (K-fold) target encoding
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+
+_TARGET_ENC_ORACLE = f"""
+WITH lab AS (
+  SELECT o_orderpriority AS cat,
+         CAST('0x' || substr(md5('fold' || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+              AS BIGINT) % {_TE_FOLDS} AS fold,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+per_fold AS (
+  SELECT cat, CAST(fold AS BIGINT) AS fold,
+         CAST(count(*) AS BIGINT) AS n_fold,
+         CAST(sum(y) AS BIGINT) AS pos_fold
+  FROM lab GROUP BY cat, fold
+),
+tot AS (
+  SELECT cat, fold, n_fold, pos_fold,
+         CAST(sum(n_fold) OVER (PARTITION BY cat) AS BIGINT) AS n_cat,
+         CAST(sum(pos_fold) OVER (PARTITION BY cat) AS BIGINT) AS pos_cat
+  FROM per_fold
+)
+SELECT cat, fold, n_fold, pos_fold,
+       CAST(CASE WHEN n_cat - n_fold = 0 THEN NULL
+                 ELSE (pos_cat - pos_fold) * 1000000 // (n_cat - n_fold)
+            END AS BIGINT) AS oof_mean_ppm
+FROM tot
+"""
+
+
+@register("target_encoding_kfold", _TARGET_ENC_ORACLE, tags=("A4", "J4"))
+def target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free K-fold target encoding — the workhorse categorical
+    feature for gradient-boosted models: each (category, fold) cell
+    is encoded with the event rate of the OTHER folds
+    ((pos_cat - pos_fold) / (n_cat - n_fold)), so a training row never
+    sees its own label. Folds are deterministic salted-hash buckets of
+    the order key (stable under data growth — the training_mix_pack
+    recipe); the out-of-fold rate is an exact positive-integer ppm
+    division.
+
+    Scale shape: ONE fact-table groupBy onto |cats| x K cells; the
+    per-category totals ride a window over that tiny aggregate. The
+    encoded value joins back to training rows as a broadcast — the
+    fact table never shuffles for the encoding itself."""
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    lab = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        (hash64(F.col("o_orderkey").cast("string"), salt="fold") % _TE_FOLDS).alias(
+            "fold"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    per_fold = lab.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n_fold"),
+        F.sum("y").alias("pos_fold"),
+    )
+    w = Window.partitionBy("cat")
+    tot = per_fold.select(
+        "cat",
+        "fold",
+        "n_fold",
+        "pos_fold",
+        F.sum("n_fold").over(w).alias("n_cat"),
+        F.sum("pos_fold").over(w).alias("pos_cat"),
+    )
+    return tot.select(
+        "cat",
+        "fold",
+        "n_fold",
+        "pos_fold",
+        F.expr(
+            "CAST(CASE WHEN n_cat - n_fold = 0 THEN NULL "
+            "ELSE (pos_cat - pos_fold) * 1000000 div (n_cat - n_fold) "
+            "END AS BIGINT)"
+        ).alias("oof_mean_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (data-forensics contract check)
+# ---------------------------------------------------------------------------
+
+#: Shared chi-square contribution per digit over exact integer counts.
+_BENFORD_P = "ln(1.0 + CAST(1 AS DOUBLE) / digit) / ln(CAST(10 AS DOUBLE))"
+_BENFORD_CHI = (
+    f"CASE WHEN n_total = 0 THEN NULL ELSE "
+    f"(CAST(n AS DOUBLE) - ({_BENFORD_P}) * n_total) "
+    f"* (CAST(n AS DOUBLE) - ({_BENFORD_P}) * n_total) "
+    f"/ (({_BENFORD_P}) * n_total) END"
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+agg AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+),
+tot AS (
+  SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS n_total FROM agg
+)
+SELECT digit, n,
+       CAST(n * 1000000 // n_total AS BIGINT) AS observed_ppm,
+       CAST(round(({_BENFORD_P}) * 1000000) AS BIGINT) AS benford_ppm,
+       CAST(round(({_BENFORD_CHI}) * 1000000) AS BIGINT) AS chi2_e6
+FROM tot
+"""
+
+
+@register("benford_digit_audit", _BENFORD_ORACLE, tags=("A4", "F-math"))
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order values — the
+    data-forensics contract check (fabricated or truncated monetary
+    data breaks the log-uniform digit law): digit shares vs the
+    Benford expectation ln(1 + 1/d)/ln(10) with per-digit chi-square
+    contributions, everything derived from exact integer counts
+    through shared formula strings (observed shares are integer ppm
+    divisions; the expectation and chi-square run in identical IEEE
+    order on both engines).
+
+    Scale shape: the digit is string-prefix arithmetic on integer
+    cents (pure JVM), one 9-row groupBy, totals ride a window over
+    the 9-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) "
+            "AS BIGINT)"
+        ).alias("digit")
+    )
+    agg = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    tot = agg.select("digit", "n", F.sum("n").over(w).alias("n_total"))
+    return tot.select(
+        "digit",
+        "n",
+        F.expr("CAST(n * 1000000 div n_total AS BIGINT)").alias("observed_ppm"),
+        F.expr(f"CAST(round(({_BENFORD_P}) * 1000000) AS BIGINT)").alias("benford_ppm"),
+        F.expr(f"CAST(round(({_BENFORD_CHI}) * 1000000) AS BIGINT)").alias("chi2_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend (Lorenz-curve inequality)
+# ---------------------------------------------------------------------------
+
+_GINI_EXPR = (
+    "CASE WHEN n = 0 OR t = 0 THEN NULL ELSE "
+    "2.0 * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * t) "
+    "- CAST(n + 1 AS DOUBLE) / n END"
+)
+
+_GINI_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rk FROM spend
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS t,
+         CAST(sum(rk * cents) AS BIGINT) AS s1
+  FROM ranked
+)
+SELECT n AS n_customers, t AS total_cents,
+       CAST(round(({_GINI_EXPR}) * 1000000) AS BIGINT) AS gini_ppm
+FROM s
+"""
+
+
+@register("gini_concentration", _GINI_ORACLE, tags=("A4", "O1", "W-rank"))
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration (the
+    Lorenz-curve inequality metric a marketplace watches for
+    whale-dependence): customers ranked ascending by exact integer
+    cent totals (custkey tiebreak), Gini from the rank-weighted sum
+    2*S1/(n*T) - (n+1)/n — S1, n, T all exact BIGINTs, combined once
+    in a shared DOUBLE formula.
+
+    Scale shape: the global rank uses the distributed zipWithIndex
+    recipe (operators/ranking.py:global_row_number — range exchange +
+    per-partition offsets), NEVER a SinglePartition window; the
+    rank-weighted sum is a map-side-combinable aggregate. The oracle
+    states the same rank as a plain SQL window."""
+    from auto_trade_data_pipeline_spark.operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    ranked = global_row_number(spend, ["cents", "o_custkey"], out_col="rk")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("t"),
+        F.sum(F.col("rk") * F.col("cents")).alias("s1"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("t").alias("total_cents"),
+        F.expr(f"CAST(round(({_GINI_EXPR}) * 1000000) AS BIGINT)").alias("gini_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature ranking
+# ---------------------------------------------------------------------------
+
+#: Per-cell MI contribution from exact integer counts, snapped to e9
+#: BEFORE summation so the per-feature total is an exact integer sum
+#: (a float sum over cells would be partition-order-dependent).
+_MI_CELL = (
+    "(CAST(n_xy AS DOUBLE) / n_tot) "
+    "* ln(CAST(n_xy AS DOUBLE) * n_tot / (CAST(n_x AS DOUBLE) * n_y))"
+)
+
+_MI_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS f_priority,
+         CAST(month(o_orderdate) AS VARCHAR) AS f_month,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+stacked AS (
+  SELECT 'priority' AS feature, f_priority AS v, y FROM base
+  UNION ALL
+  SELECT 'order_month' AS feature, f_month AS v, y FROM base
+),
+cells AS (
+  SELECT feature, v, y, CAST(count(*) AS BIGINT) AS n_xy
+  FROM stacked GROUP BY feature, v, y
+),
+marg AS (
+  SELECT feature, v, y, n_xy,
+         CAST(sum(n_xy) OVER (PARTITION BY feature, v) AS BIGINT) AS n_x,
+         CAST(sum(n_xy) OVER (PARTITION BY feature, y) AS BIGINT) AS n_y,
+         CAST(sum(n_xy) OVER (PARTITION BY feature) AS BIGINT) AS n_tot
+  FROM cells
+)
+SELECT feature,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CAST(round(({_MI_CELL}) * 1000000000) AS BIGINT)) AS BIGINT) AS mi_e9
+FROM marg GROUP BY feature
+"""
+
+
+@register("mutual_info_features", _MI_ORACLE, tags=("A4", "F-math"))
+def mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between candidate categorical features and
+    the fulfillment label — the model-agnostic feature-selection
+    screen: I(X;Y) = sum over cells of p(x,y) * ln(p(x,y)/(p(x)p(y))),
+    every probability an exact integer-count ratio. Each cell's
+    contribution is snapped to integer e-9 BEFORE the per-feature sum,
+    so the total is an exact BIGINT sum — order-free at any
+    parallelism (a float sum over cells would not be).
+
+    Scale shape: ONE stacked fact-table groupBy onto (feature, value,
+    label) cells; marginals and totals ride windows over the
+    cell table (tens of rows), never the facts."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("f_priority"),
+        F.month("o_orderdate").cast("string").alias("f_month"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    stacked = base.select(
+        F.lit("priority").alias("feature"), F.col("f_priority").alias("v"), "y"
+    ).unionByName(
+        base.select(
+            F.lit("order_month").alias("feature"), F.col("f_month").alias("v"), "y"
+        )
+    )
+    cells = stacked.groupBy("feature", "v", "y").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    marg = cells.select(
+        "feature",
+        "v",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("feature", "v")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("feature", "y")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy("feature")).alias("n_tot"),
+    )
+    return marg.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(
+            F.expr(f"CAST(round(({_MI_CELL}) * 1000000000) AS BIGINT)")
+        ).alias("mi_e9"),
+    )

@@ -409,6 +409,21 @@ _INVARIANCE_QUERIES = [
     # z-test (exact integer counts; shared double formula)
     "referential_integrity_report",
     "ab_test_report",
+    # round-4 sixth push, second wave: schema-evolution merged scan,
+    # coupled Holt recursion, Engle-Granger pair stationarity,
+    # WOE/IV binning, leave-fold-out target encoding, lead-lag scan
+    "schema_evolution_merge",
+    "holt_winters_smooth",
+    "cointegration_scan",
+    "woe_iv_report",
+    "target_encoding_kfold",
+    "lead_lag_xcorr",
+    # round-4 seventh wave: KM censored retention, Benford forensics,
+    # zipWithIndex-ranked Gini, exact-integer-snapped MI ranking
+    "survival_retention_km",
+    "benford_digit_audit",
+    "gini_concentration",
+    "mutual_info_features",
 ]
 
 
