@@ -229,6 +229,9 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "benford_digit_audit",
     "gini_concentration",
     "mutual_info_features",
+    "association_rules_basket",
+    "rfm_segmentation",
+    "streaming_ab_replay",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -471,6 +474,9 @@ _ORDER = [
     "benford_digit_audit",
     "gini_concentration",
     "mutual_info_features",
+    "association_rules_basket",
+    "rfm_segmentation",
+    "streaming_ab_replay",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -998,20 +998,26 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one user-keyed aggregate (map-side combinable
     max-per-user) then a single-row conditional-sum reduce — no
     shuffle wider than the user key, no assignment-table join."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        )
+    )
+    return ab_report_from_user_counts(counts)
+
+
+def ab_report_from_user_counts(counts: DataFrame) -> DataFrame:
+    """Shared A/B report tail over (user_id, n_purchases) — used by
+    the batch query and the streaming-counter replay, which replays
+    the identical exact integers and therefore shares the oracle."""
     from auto_trade_data_pipeline_spark.operators.text import hash64
 
-    ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.when(
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-            >= _AB_CONV_MIN_PURCHASES,
-            1,
-        )
+    u = counts.select(
+        F.when(F.col("n_purchases") >= _AB_CONV_MIN_PURCHASES, 1)
         .otherwise(0)
-        .alias("converted")
-    )
-    u = u.withColumn(
-        "variant", hash64(F.col("user_id").cast("string"), salt="ab") % 2
+        .alias("converted"),
+        (hash64(F.col("user_id").cast("string"), salt="ab") % 2).alias("variant"),
     )
     c = u.agg(
         F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),

@@ -1607,3 +1607,218 @@ def mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(round(({_MI_CELL}) * 1000000000) AS BIGINT)")
         ).alias("mi_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_AR_MIN_SUPPORT = 10  # absolute basket count; keeps the rule table dense
+
+#: Shared lift formula over exact integer counts.
+_AR_LIFT = "CAST(n_ab AS DOUBLE) * n_orders / (CAST(n_a AS DOUBLE) * n_b)"
+
+_ASSOC_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+sing AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY item
+),
+pairs AS (
+  SELECT a.item AS ant, b.item AS cons, CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT p.ant, p.cons, p.n_ab, sa.n_item AS n_a, sb.n_item AS n_b,
+       CAST(p.n_ab * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+       CAST(p.n_ab * 1000000 // sa.n_item AS BIGINT) AS conf_ant_ppm,
+       CAST(p.n_ab * 1000000 // sb.n_item AS BIGINT) AS conf_cons_ppm,
+       CAST(round((CAST(p.n_ab AS DOUBLE) * n.n_orders
+                   / (CAST(sa.n_item AS DOUBLE) * sb.n_item)) * 1000000) AS BIGINT)
+         AS lift_e6
+FROM pairs p
+JOIN sing sa ON p.ant = sa.item
+JOIN sing sb ON p.cons = sb.item
+CROSS JOIN n
+WHERE p.n_ab >= {_AR_MIN_SUPPORT}
+"""
+
+
+@register("association_rules_basket", _ASSOC_ORACLE, tags=("A4", "J4", "J6"))
+def association_rules_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order contents — the
+    retail co-purchase miner: baskets are the DISTINCT brands in each
+    order (lineitem joined to the broadcast part dimension), pair
+    support comes from a within-order self-join on the basket table
+    (bounded fan-out: baskets hold a handful of brands), and each
+    surviving rule reports support, both conditional confidences, and
+    lift — all exact integer counts, ppm divisions on positive
+    numerators, one shared DOUBLE lift formula.
+
+    Scale shape: the only big-big operation is the basket self-join,
+    keyed on the order id (uniform, bounded per-key fan-out — the
+    classic a-priori pair-generation layout); the singleton table is
+    |items|-sized and broadcast back; min-support prunes before the
+    rule math."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = items.agg(F.count_distinct("okey").alias("n_orders"))
+    sing = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col("okey"), F.col("item").alias("ant"))
+    b = items.select(F.col("okey").alias("okey_b"), F.col("item").alias("cons"))
+    pairs = (
+        a.join(b, (F.col("okey") == F.col("okey_b")) & (F.col("ant") < F.col("cons")))
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _AR_MIN_SUPPORT)
+    )
+    sa = sing.select(F.col("item").alias("ant"), F.col("n_item").alias("n_a"))
+    sb = sing.select(F.col("item").alias("cons"), F.col("n_item").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(sa), "ant")
+        .join(F.broadcast(sb), "cons")
+        .join(F.broadcast(n))
+    )
+    return out.select(
+        "ant",
+        "cons",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr("CAST(n_ab * 1000000 div n_orders AS BIGINT)").alias("support_ppm"),
+        F.expr("CAST(n_ab * 1000000 div n_a AS BIGINT)").alias("conf_ant_ppm"),
+        F.expr("CAST(n_ab * 1000000 div n_b AS BIGINT)").alias("conf_cons_ppm"),
+        F.expr(f"CAST(round(({_AR_LIFT}) * 1000000) AS BIGINT)").alias("lift_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (rank-based quintile scores)
+# ---------------------------------------------------------------------------
+
+#: Deterministic quintile from a contiguous 1-based global rank:
+#: score = (rk - 1) * 5 // n + 1 — exact integer math, identical on
+#: both engines (positive numerator), no NTILE/SinglePartition.
+def _rfm_score(rk: str, n: str) -> str:
+    return f"({rk} - 1) * 5 // {n} + 1"
+
+
+_RFM_ORACLE = f"""
+WITH g AS (SELECT max(o_orderdate) AS gmax FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(min(date_diff('day', o_orderdate, (SELECT gmax FROM g))) AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY recency_days DESC, o_custkey) AS rk_r,
+         row_number() OVER (ORDER BY frequency, o_custkey) AS rk_f,
+         row_number() OVER (ORDER BY monetary_cents, o_custkey) AS rk_m,
+         CAST((SELECT count(*) FROM cust) AS BIGINT) AS n
+  FROM cust
+),
+scored AS (
+  SELECT CAST({_rfm_score('rk_r', 'n')} AS BIGINT) AS r_score,
+         CAST({_rfm_score('rk_f', 'n')} AS BIGINT) AS f_score,
+         CAST({_rfm_score('rk_m', 'n')} AS BIGINT) AS m_score,
+         recency_days, frequency, monetary_cents
+  FROM ranked
+),
+seg AS (
+  SELECT CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+              WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+              WHEN r_score >= 4 THEN 'recent'
+              WHEN f_score >= 4 AND r_score <= 2 THEN 'at_risk'
+              WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+              ELSE 'regular' END AS segment,
+         recency_days, frequency, monetary_cents
+  FROM scored
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(recency_days) // count(*) AS BIGINT) AS avg_recency_days,
+       CAST(sum(frequency) * 100 // count(*) AS BIGINT) AS avg_frequency_e2,
+       CAST(sum(monetary_cents) // count(*) AS BIGINT) AS avg_monetary_cents
+FROM seg GROUP BY segment
+"""
+
+
+@register("rfm_segmentation", _RFM_ORACLE, tags=("A4", "O1", "W-rank"))
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the CRM workhorse: per customer,
+    recency (days since last order vs the corpus horizon), frequency
+    (order count), monetary (exact cent total); each dimension scored
+    into quintiles via a contiguous global rank mapped through exact
+    integer math ((rk-1)*5 // n + 1 — no NTILE), then segmented by
+    the standard champion/loyal/at-risk rules and reported as segment
+    aggregates with integer-scaled averages.
+
+    Scale shape: three global ranks over the CUSTOMER dimension, each
+    using the distributed zipWithIndex recipe (range exchange +
+    partition offsets, no SinglePartition); all other steps are
+    map-side-combinable aggregates. Ranks tie-break on custkey so the
+    segmentation is deterministic at any parallelism."""
+    from auto_trade_data_pipeline_spark.operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.agg(F.max("o_orderdate").alias("gmax"))
+    cust = (
+        orders.join(F.broadcast(g))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff("gmax", "o_orderdate")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    ranked = cust.withColumn("neg_recency", -F.col("recency_days"))
+    ranked = global_row_number(ranked, ["neg_recency", "o_custkey"], out_col="rk_r")
+    ranked = global_row_number(ranked, ["frequency", "o_custkey"], out_col="rk_f")
+    ranked = global_row_number(ranked, ["monetary_cents", "o_custkey"], out_col="rk_m")
+    total = cust.agg(F.count(F.lit(1)).alias("n"))
+    scored = ranked.join(F.broadcast(total)).select(
+        F.expr("CAST((rk_r - 1) * 5 div n + 1 AS BIGINT)").alias("r_score"),
+        F.expr("CAST((rk_f - 1) * 5 div n + 1 AS BIGINT)").alias("f_score"),
+        F.expr("CAST((rk_m - 1) * 5 div n + 1 AS BIGINT)").alias("m_score"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+    )
+    seg = scored.select(
+        F.expr(
+            "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion' "
+            "WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal' "
+            "WHEN r_score >= 4 THEN 'recent' "
+            "WHEN f_score >= 4 AND r_score <= 2 THEN 'at_risk' "
+            "WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating' "
+            "ELSE 'regular' END"
+        ).alias("segment"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+    )
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr("CAST(sum(recency_days) div count(*) AS BIGINT)").alias(
+            "avg_recency_days"
+        ),
+        F.expr("CAST(sum(frequency) * 100 div count(*) AS BIGINT)").alias(
+            "avg_frequency_e2"
+        ),
+        F.expr("CAST(sum(monetary_cents) div count(*) AS BIGINT)").alias(
+            "avg_monetary_cents"
+        ),
+    )

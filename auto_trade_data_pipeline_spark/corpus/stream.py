@@ -1154,3 +1154,55 @@ def streaming_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(target).select("o_orderkey", "price_e2", "src")
+
+
+# ---------------------------------------------------------------------------
+# ST+: streaming A/B experiment counters (stateful per-user counting)
+# ---------------------------------------------------------------------------
+
+
+def _stream_ab_oracle() -> str:
+    # Streaming per-user purchase counting is exact (monotone update-
+    # mode counters; final value = max over update rows), so the
+    # replayed counts equal the batch counts and the batch A/B oracle
+    # IS the streaming oracle.
+    from auto_trade_data_pipeline_spark.corpus.events_analytics import _AB_ORACLE
+
+    return _AB_ORACLE
+
+
+@register("streaming_ab_replay", _stream_ab_oracle(), tags=("ST2", "A4", "A6"))
+def streaming_ab_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-on experimentation as a STREAM: per-user purchase
+    counters accumulate as bounded keyed state (|users| cells, no
+    watermark — the live-dashboard shape), each micro-batch emits
+    updated counters in update mode, and the final counter per user is
+    the monotone max over its update rows. The two-proportion z
+    readout then reuses the BATCH A/B tail verbatim
+    (events_analytics.ab_report_from_user_counts), and because
+    streaming counting is exact the batch oracle is the streaming
+    oracle — the same contract as the drift monitor."""
+    from auto_trade_data_pipeline_spark.corpus.events_analytics import (
+        ab_report_from_user_counts,
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .select("user_id", "event_type")
+    )
+    cnts = stream.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        )
+    )
+    out = run_available_now(
+        cnts, f"corpus_stream_ab_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    final = out.groupBy("user_id").agg(F.max("n_purchases").alias("n_purchases"))
+    return ab_report_from_user_counts(final)

@@ -424,6 +424,11 @@ _INVARIANCE_QUERIES = [
     "benford_digit_audit",
     "gini_concentration",
     "mutual_info_features",
+    # round-4 eighth wave: basket rule mining, rank-quintile RFM,
+    # streaming per-user experiment counters
+    "association_rules_basket",
+    "rfm_segmentation",
+    "streaming_ab_replay",
 ]
 
 
