@@ -232,6 +232,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "association_rules_basket",
     "rfm_segmentation",
     "streaming_ab_replay",
+    "var_es_historical",
+    "almgren_chriss_schedule",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -477,6 +479,8 @@ _ORDER = [
     "association_rules_basket",
     "rfm_segmentation",
     "streaming_ab_replay",
+    "var_es_historical",
+    "almgren_chriss_schedule",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

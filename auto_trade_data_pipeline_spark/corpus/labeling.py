@@ -3759,3 +3759,258 @@ def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corr_e6",
         F.when(F.row_number().over(wb) == 1, 1).otherwise(0).alias("is_best"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Historical VaR / expected shortfall (portfolio risk report)
+# ---------------------------------------------------------------------------
+
+_VAR_ALPHA_PCT = 5  # 95% VaR
+
+_VAR_ES_ORACLE = f"""
+WITH {_MINUTE_CLOSE_CTE},
+dclose AS (
+  SELECT symbol, CAST(bucket AS DATE) AS day,
+         max_by(close, bucket) AS close
+  FROM mclose GROUP BY symbol, CAST(bucket AS DATE)
+),
+r AS (
+  SELECT symbol, day,
+         greatest(least(CAST(round((close - lag(close) OVER w)
+                        / nullif(lag(close) OVER w, 0) * 1000000) AS BIGINT),
+                  1000000), -1000000) AS r_ppm
+  FROM dclose WINDOW w AS (PARTITION BY symbol ORDER BY day)
+),
+port AS (
+  -- equal-weight portfolio day return; +1e6-per-leg shift keeps the
+  -- integer division numerator positive (Spark div truncates toward
+  -- zero, DuckDB // floors; they agree only there)
+  SELECT day,
+         CAST((sum(r_ppm) + count(*) * 1000000) // count(*) - 1000000 AS BIGINT)
+           AS rp_ppm
+  FROM r WHERE r_ppm IS NOT NULL GROUP BY day
+),
+ranked AS (
+  SELECT rp_ppm,
+         row_number() OVER (ORDER BY rp_ppm, day) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n_days
+  FROM port
+),
+k AS (
+  SELECT n_days, greatest(CAST(ceil(n_days * {_VAR_ALPHA_PCT} / 100.0) AS BIGINT), 1)
+           AS k_tail
+  FROM ranked LIMIT 1
+)
+SELECT k.n_days, k.k_tail,
+       CAST(max(CASE WHEN r.rk = k.k_tail THEN r.rp_ppm END) AS BIGINT) AS var_ppm,
+       CAST((sum(CASE WHEN r.rk <= k.k_tail THEN r.rp_ppm ELSE 0 END)
+             + k.k_tail * 1000000) // k.k_tail - 1000000 AS BIGINT) AS es_ppm
+FROM ranked r, k
+GROUP BY k.n_days, k.k_tail
+"""
+
+
+@register("var_es_historical", _VAR_ES_ORACLE, tags=("A4", "O1", "W-"))
+def var_es_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical-simulation VaR and expected shortfall of the
+    equal-weight symbol portfolio — the daily risk-desk number:
+    winsorized integer-ppm daily returns per symbol, the portfolio
+    day return as an exact shifted integer division, the {A}%
+    left-tail cutoff by deterministic rank (day tiebreak), VaR = the
+    k-th worst day, ES = the exact integer mean of the k worst days.
+    No float sums anywhere — the whole tail is integer arithmetic.
+
+    Scale shape: the ranked object is the DAY table (one row per
+    trading day — thousands of rows at any data size), so the global
+    rank window is dimension-sized; the heavy lifting (daily closes)
+    is one map-side-combinable max_by per symbol-day.""".replace(
+        "{A}", str(_VAR_ALPHA_PCT)
+    )
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+    dclose = mclose.groupBy(
+        "symbol", F.to_date("timestamp").alias("day")
+    ).agg(F.expr("max_by(close, timestamp)").alias("close"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("close").over(w)
+    r = (
+        dclose.withColumn("lag_close", prev)
+        .select(
+            "symbol",
+            "day",
+            F.expr(
+                "greatest(least(CAST(round((close - lag_close) "
+                "/ nullif(lag_close, 0) * 1000000) AS BIGINT), 1000000), -1000000)"
+            ).alias("r_ppm"),
+        )
+        .filter(F.col("r_ppm").isNotNull())
+    )
+    port = r.groupBy("day").agg(
+        F.expr(
+            "CAST((sum(r_ppm) + count(*) * 1000000) div count(*) - 1000000 AS BIGINT)"
+        ).alias("rp_ppm")
+    )
+    wr = Window.orderBy("rp_ppm", "day")
+    ranked = port.select(
+        "rp_ppm",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_days"),
+    )
+    k = ranked.select(
+        "n_days",
+        F.expr(
+            f"greatest(CAST(ceil(n_days * {_VAR_ALPHA_PCT} / 100.0) AS BIGINT), 1)"
+        ).alias("k_tail"),
+    ).limit(1)
+    return (
+        ranked.select("rp_ppm", "rk").join(F.broadcast(k))
+        .groupBy("n_days", "k_tail")
+        .agg(
+            F.max(
+                F.when(F.col("rk") == F.col("k_tail"), F.col("rp_ppm"))
+            ).alias("var_ppm"),
+            F.expr(
+                "CAST((sum(CASE WHEN rk <= k_tail THEN rp_ppm ELSE 0 END) "
+                "+ k_tail * 1000000) div k_tail - 1000000 AS BIGINT)"
+            ).alias("es_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Almgren-Chriss optimal execution schedule
+# ---------------------------------------------------------------------------
+
+_AC_SLICES = 10
+_AC_LAMBDA = 2e-6  # risk aversion
+_AC_ETA = 2.5e-6  # temporary impact coefficient
+
+#: Hyperbolics via shared exp/ln strings — DuckDB 1.0 has no
+#: sinh/cosh/acosh; a 1-ulp libm exp drift is absorbed by the ppm snap.
+def _sinh(x: str) -> str:
+    return f"((exp({x}) - exp(-({x}))) / 2.0)"
+
+
+def _cosh(x: str) -> str:
+    return f"((exp({x}) + exp(-({x}))) / 2.0)"
+
+
+#: kappa from the discrete-time AC recursion:
+#: cosh(kappa*tau) = 1 + (lambda*sigma2/eta)*tau^2/2  (tau = 1/N)
+_AC_KAPPA = (
+    f"ln((1.0 + ({_AC_LAMBDA!r} * sigma2 / {_AC_ETA!r}) "
+    f"* (1.0 / {_AC_SLICES}) * (1.0 / {_AC_SLICES}) / 2.0) "
+    f"+ sqrt((1.0 + ({_AC_LAMBDA!r} * sigma2 / {_AC_ETA!r}) "
+    f"* (1.0 / {_AC_SLICES}) * (1.0 / {_AC_SLICES}) / 2.0) "
+    f"* (1.0 + ({_AC_LAMBDA!r} * sigma2 / {_AC_ETA!r}) "
+    f"* (1.0 / {_AC_SLICES}) * (1.0 / {_AC_SLICES}) / 2.0) - 1.0)) * {_AC_SLICES}"
+)
+
+#: Slice fraction n_j/X = 2 sinh(k*tau/2)/sinh(k*T) * cosh(k*(T - (j-1/2)tau))
+_AC_FRAC = (
+    f"2.0 * {_sinh('kappa / (2.0 * ' + str(_AC_SLICES) + ')')} "
+    f"/ {_sinh('kappa')} "
+    f"* {_cosh('kappa * (1.0 - (CAST(j AS DOUBLE) - 0.5) / ' + str(_AC_SLICES) + ')')}"
+)
+
+_AC_ORACLE = f"""
+WITH {_MINUTE_CLOSE_CTE},
+r AS (
+  SELECT symbol,
+         greatest(least(CAST(round((close - lag(close) OVER w)
+                        / nullif(lag(close) OVER w, 0) * 1000000) AS BIGINT),
+                  1000000), -1000000) AS r_ppm
+  FROM mclose WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+s AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r_ppm) AS BIGINT) AS sx,
+         CAST(sum(r_ppm * r_ppm) AS BIGINT) AS sxx
+  FROM r WHERE r_ppm IS NOT NULL GROUP BY symbol
+),
+sig AS (
+  SELECT symbol, n,
+         CASE WHEN n <= 1 THEN NULL
+              ELSE (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   / (n - 1) / 1e12 END AS sigma2
+  FROM s
+),
+kap AS (
+  SELECT symbol, n, sigma2,
+         CASE WHEN sigma2 IS NULL OR sigma2 <= 0.0 THEN NULL
+              ELSE {_AC_KAPPA} END AS kappa
+  FROM sig
+)
+SELECT symbol, CAST(j AS BIGINT) AS slice_j, n AS n_returns,
+       CAST(round(kappa * 1000000) AS BIGINT) AS kappa_e6,
+       CAST(round(CASE WHEN kappa IS NULL THEN NULL ELSE ({_AC_FRAC}) END * 1000000)
+            AS BIGINT) AS trade_frac_ppm
+FROM kap, (SELECT unnest(range(1, {_AC_SLICES} + 1)) AS j)
+"""
+
+
+@register("almgren_chriss_schedule", _AC_ORACLE, tags=("W-", "F-math"))
+def almgren_chriss_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Almgren-Chriss optimal execution trajectory per symbol — the
+    canonical risk-averse liquidation schedule: minute-return variance
+    (exact BIGINT co-moments, fixed-order DOUBLE combination) feeds
+    the closed-form urgency kappa (discrete-time recursion root,
+    acosh spelled as a shared ln+sqrt string since DuckDB lacks
+    hyperbolics), and each of the {N} slices gets its sinh/cosh
+    fraction of the parent order — front-loaded exactly as the theory
+    says when risk aversion dominates temporary impact. Every
+    transcendental runs through ONE shared exp/ln formula string on
+    both engines, ppm-snapped.
+
+    Scale shape: one per-symbol variance aggregate, a broadcast
+    {N}-row slice dimension, pure scalar math — nothing wider than
+    the symbol universe ever shuffles.""".replace("{N}", str(_AC_SLICES))
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    prev = F.lag("close").over(w)
+    r = (
+        mclose.withColumn("lag_close", prev)
+        .select(
+            "symbol",
+            F.expr(
+                "greatest(least(CAST(round((close - lag_close) "
+                "/ nullif(lag_close, 0) * 1000000) AS BIGINT), 1000000), -1000000)"
+            ).alias("r_ppm"),
+        )
+        .filter(F.col("r_ppm").isNotNull())
+    )
+    s = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_ppm").alias("sx"),
+        F.sum(F.col("r_ppm") * F.col("r_ppm")).alias("sxx"),
+    )
+    sig = s.select(
+        "symbol",
+        "n",
+        F.expr(
+            "CASE WHEN n <= 1 THEN NULL "
+            "ELSE (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) "
+            "/ (n - 1) / 1e12 END"
+        ).alias("sigma2"),
+    )
+    kap = sig.select(
+        "symbol",
+        "n",
+        "sigma2",
+        F.expr(
+            f"CASE WHEN sigma2 IS NULL OR sigma2 <= 0.0 THEN NULL "
+            f"ELSE {_AC_KAPPA} END"
+        ).alias("kappa"),
+    )
+    slices = spark.range(1, _AC_SLICES + 1).select(F.col("id").alias("j"))
+    return kap.join(F.broadcast(slices)).select(
+        "symbol",
+        F.col("j").cast("long").alias("slice_j"),
+        F.col("n").alias("n_returns"),
+        F.expr("CAST(round(kappa * 1000000) AS BIGINT)").alias("kappa_e6"),
+        F.expr(
+            f"CAST(round(CASE WHEN kappa IS NULL THEN NULL ELSE ({_AC_FRAC}) END "
+            f"* 1000000) AS BIGINT)"
+        ).alias("trade_frac_ppm"),
+    )

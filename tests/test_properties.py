@@ -429,6 +429,10 @@ _INVARIANCE_QUERIES = [
     "association_rules_basket",
     "rfm_segmentation",
     "streaming_ab_replay",
+    # round-4 ninth wave: integer-tail historical VaR/ES, shared
+    # exp/ln hyperbolics for the AC liquidation trajectory
+    "var_es_historical",
+    "almgren_chriss_schedule",
 ]
 
 
