@@ -234,6 +234,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_ab_replay",
     "var_es_historical",
     "almgren_chriss_schedule",
+    "markov_stationary_mix",
+    "ledoit_wolf_shrinkage",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -481,6 +483,8 @@ _ORDER = [
     "streaming_ab_replay",
     "var_es_historical",
     "almgren_chriss_schedule",
+    "markov_stationary_mix",
+    "ledoit_wolf_shrinkage",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1193,3 +1193,121 @@ def survival_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("CAST(round(exp(lns) * 1000000) AS BIGINT)"))
         .alias("survival_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution of the user event chain
+# ---------------------------------------------------------------------------
+
+_MK_ITERS = 10
+_MK_TOTAL = 10**12  # integer probability-mass units
+
+
+def _markov_oracle() -> str:
+    """Chained power iterations in pure BIGINT arithmetic: each
+    pi_{k+1}(j) = sum_i (pi_k(i) * n_ij) // n_i — floor per term, so
+    the fixpoint is bit-identical at any parallelism (the integer-
+    exact PageRank recipe). States without outgoing transitions drop
+    their mass consistently on both engines (none exist in this data;
+    the floor slack itself shrinks total mass by < n_states units per
+    iteration, identically)."""
+    ctes = [
+        f"""mk_big AS MATERIALIZED (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+)""",
+        """mk_t AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_ij
+  FROM mk_big WHERE dst IS NOT NULL GROUP BY src, dst
+)""",
+        """mk_row AS MATERIALIZED (
+  SELECT src, CAST(sum(n_ij) AS BIGINT) AS n_i FROM mk_t GROUP BY src
+)""",
+        "mk_states AS MATERIALIZED (SELECT DISTINCT event_type AS state FROM ev)",
+        "mk_n AS MATERIALIZED (SELECT count(*) AS ns FROM mk_states)",
+        f"""mk_pi0 AS MATERIALIZED (
+  SELECT state, CAST({_MK_TOTAL} // (SELECT ns FROM mk_n) AS BIGINT) AS pi
+  FROM mk_states
+)""",
+    ]
+    for i in range(_MK_ITERS):
+        ctes.append(
+            f"""mk_pi{i + 1} AS MATERIALIZED (
+  SELECT s.state,
+         CAST(coalesce(sum((p.pi * t.n_ij) // r.n_i), 0) AS BIGINT) AS pi
+  FROM mk_states s
+  LEFT JOIN mk_t t ON t.dst = s.state
+  LEFT JOIN mk_pi{i} p ON p.state = t.src
+  LEFT JOIN mk_row r ON r.src = t.src
+  GROUP BY s.state
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_EVENTS_CTE},
+{body}
+SELECT f.state, r.n_i AS n_transitions_out, f.pi AS pi_units
+FROM mk_pi{_MK_ITERS} f LEFT JOIN mk_row r ON r.src = f.state
+"""
+
+
+@register("markov_stationary_mix", _markov_oracle(), tags=("A4", "W-rank", "J4"))
+def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event Markov chain —
+    the long-run behavioral mix (where users spend their journeys,
+    independent of where they start): the transition matrix comes
+    from one user-keyed ordered lead (the event_transitions lineage),
+    and the stationary vector is {K} power iterations in INTEGER
+    probability-mass units — each term floors (pi_i * n_ij) // n_i,
+    so every iteration is exact BIGINT arithmetic, order-free at any
+    parallelism, and the DuckDB oracle replays the identical chain
+    (the integer-exact PageRank recipe).
+
+    Scale shape: the event tape shuffles ONCE (by user) for the
+    bigram lead; everything after is |states|^2-sized — the iteration
+    joins run on a 25-cell matrix regardless of data volume.""".replace(
+        "{K}", str(_MK_ITERS)
+    )
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    big = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = big.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_ij"))
+    row = trans.groupBy("src").agg(F.sum("n_ij").alias("n_i"))
+    states = ev.select(F.col("event_type").alias("state")).distinct()
+    ns = states.count()  # |states| — dimension metadata, not data
+    pi = states.select(
+        "state", F.lit(_MK_TOTAL // ns).cast("long").alias("pi")
+    )
+    tmat = (
+        trans.join(row, "src")
+        .select("src", "dst", "n_ij", "n_i")
+    )
+    for _ in range(_MK_ITERS):
+        terms = pi.join(
+            F.broadcast(tmat), pi["state"] == tmat["src"], "inner"
+        ).select(
+            F.col("dst").alias("state_next"),
+            F.expr("(pi * n_ij) div n_i").alias("term"),
+        )
+        pi = (
+            states.join(
+                terms.groupBy("state_next").agg(F.sum("term").alias("pi_next")),
+                states["state"] == F.col("state_next"),
+                "left",
+            )
+            .select(
+                "state",
+                F.coalesce(F.col("pi_next"), F.lit(0)).cast("long").alias("pi"),
+            )
+        )
+    return pi.join(row, pi["state"] == row["src"], "left").select(
+        "state",
+        F.col("n_i").alias("n_transitions_out"),
+        F.col("pi").alias("pi_units"),
+    )

@@ -4014,3 +4014,205 @@ def almgren_chriss_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"* 1000000) AS BIGINT)"
         ).alias("trade_frac_ppm"),
     )
+
+# ---------------------------------------------------------------------------
+# Ledoit-Wolf covariance shrinkage (zero-mean, shrink toward scaled identity)
+# ---------------------------------------------------------------------------
+
+#: Shared scalar formulas over the flat cell/scalar column set
+#: (unique names: nn = joint observations, pp = universe size,
+#: sum_pii = trace sum, b2num/d2num = e6-snapped cell-term sums).
+#: Per-cell contributions are snapped to integers BEFORE the
+#: cross-cell sums, so no float summation order exists anywhere.
+_LW_M = "(CAST(sum_pii AS DOUBLE) / nn / pp)"
+_LW_D2 = "(CAST(d2num AS DOUBLE) / pp)"
+_LW_B2RAW = "(CAST(b2num AS DOUBLE) / (CAST(nn AS DOUBLE) * nn) / pp)"
+_LW_B2 = f"least({_LW_B2RAW}, {_LW_D2})"
+_LW_DELTA = f"(CASE WHEN {_LW_D2} <= 0.0 THEN 0.0 ELSE {_LW_B2} / {_LW_D2} END)"
+_LW_SHRUNK = (
+    f"({_LW_DELTA} * {_LW_M} * is_diag "
+    f"+ (1.0 - {_LW_DELTA}) * CAST(p_ij AS DOUBLE) / nn)"
+)
+#: b2 cell term: mult * (q_ij - p_ij^2/nn) — the dispersion of the
+#: per-observation outer products around the sample covariance.
+_LW_B2_CELL = (
+    # unit-snap, not e6: the raw terms are O(1e12-1e15) integers
+    # already (e3-scaled returns), and an e6 blow-up overflows int64
+    "CAST(round(mult * (CAST(q_ij AS DOUBLE) "
+    "- CAST(p_ij AS DOUBLE) * p_ij / nn)) AS BIGINT)"
+)
+#: d2 cell term: mult * (s_ij - m * [i == j])^2 — needs the grand
+#: mean variance m, so it runs in a SECOND pass with s1's scalars.
+_LW_D2_CELL = (
+    f"CAST(round(mult * (CAST(p_ij AS DOUBLE) / nn "
+    f"- (CASE WHEN is_diag = 1 THEN {_LW_M} ELSE 0.0 END)) "
+    f"* (CAST(p_ij AS DOUBLE) / nn "
+    f"- (CASE WHEN is_diag = 1 THEN {_LW_M} ELSE 0.0 END))) AS BIGINT)"
+)
+
+#: Hourly closes: the tick tape is too sparse for an all-symbols
+#: minute grid (max 3 of 5 symbols share a minute at sf0.01), while
+#: every hour has full coverage at sf>=0.01.
+_HOURLY_CLOSE_CTE = f"""{TICKS_CTE},
+hb AS (
+  SELECT symbol, date_trunc('hour', timestamp) AS bucket, price,
+         row_number() OVER (PARTITION BY symbol, date_trunc('hour', timestamp)
+                            ORDER BY timestamp DESC, tick_id DESC) AS rd
+  FROM ticks
+),
+hclose AS (
+  SELECT symbol, bucket, max(CASE WHEN rd = 1 THEN price END) AS close
+  FROM hb GROUP BY symbol, bucket
+)
+"""
+
+_LW_ORACLE = f"""
+WITH {_HOURLY_CLOSE_CTE},
+r AS (
+  SELECT symbol, bucket,
+         greatest(least(CAST(round((close - lag(close) OVER w)
+                        / nullif(lag(close) OVER w, 0) * 1000) AS BIGINT),
+                  1000), -1000) AS x
+  FROM hclose WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rv AS MATERIALIZED (SELECT symbol, bucket, x FROM r WHERE x IS NOT NULL),
+nsym AS MATERIALIZED (SELECT CAST(count(DISTINCT symbol) AS BIGINT) AS pp FROM rv),
+full_minutes AS MATERIALIZED (
+  SELECT bucket FROM rv GROUP BY bucket
+  HAVING count(*) = (SELECT pp FROM nsym)
+),
+grid AS MATERIALIZED (
+  SELECT rv.symbol, rv.bucket, rv.x FROM rv JOIN full_minutes USING (bucket)
+),
+cells AS MATERIALIZED (
+  SELECT a.symbol AS sym_i, b.symbol AS sym_j,
+         CASE WHEN a.symbol = b.symbol THEN 1 ELSE 0 END AS is_diag,
+         CASE WHEN a.symbol = b.symbol THEN 1 ELSE 2 END AS mult,
+         CAST(count(*) AS BIGINT) AS nn,
+         CAST(sum(a.x * b.x) AS BIGINT) AS p_ij,
+         CAST(sum((a.x * b.x) * (a.x * b.x)) AS BIGINT) AS q_ij
+  FROM grid a JOIN grid b ON a.bucket = b.bucket AND a.symbol <= b.symbol
+  GROUP BY a.symbol, b.symbol
+),
+s1 AS MATERIALIZED (
+  SELECT any_value(nn) AS nn, (SELECT pp FROM nsym) AS pp,
+         CAST(sum(CASE WHEN is_diag = 1 THEN p_ij ELSE 0 END) AS BIGINT) AS sum_pii,
+         CAST(sum({_LW_B2_CELL}) AS BIGINT) AS b2num
+  FROM cells
+),
+s2 AS MATERIALIZED (
+  SELECT s1.nn, s1.pp, s1.sum_pii, s1.b2num,
+         CAST(sum({_LW_D2_CELL.replace('nn', 's1.nn').replace('sum_pii', 's1.sum_pii').replace('pp', 's1.pp')}) AS BIGINT) AS d2num
+  FROM cells, s1
+  GROUP BY s1.nn, s1.pp, s1.sum_pii, s1.b2num
+)
+SELECT c.sym_i, c.sym_j, c.is_diag, c.p_ij,
+       CAST(round(CAST(c.p_ij AS DOUBLE) / s.nn * 1000) AS BIGINT) AS s_e3,
+       CAST(round({_LW_B2RAW}) AS BIGINT) AS b2raw_u,
+       CAST(round({_LW_D2}) AS BIGINT) AS d2_u,
+       CAST(round({_LW_DELTA} * 1000000) AS BIGINT) AS delta_ppm,
+       CAST(round({_LW_SHRUNK} * 1000) AS BIGINT) AS shrunk_e3
+FROM (SELECT sym_i, sym_j, is_diag, p_ij FROM cells) c, s2 s
+"""
+
+
+@register("ledoit_wolf_shrinkage", _LW_ORACLE, tags=("A-", "W-", "J4"))
+def ledoit_wolf_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledoit-Wolf shrinkage of the return covariance matrix toward
+    the scaled identity (the 2004 'Honey, I Shrunk the Sample
+    Covariance Matrix' estimator, zero-mean form) — the conditioning
+    step every portfolio optimizer runs before inverting a covariance
+    estimated from finite data: the optimal mixing weight
+    delta = b^2/d^2 balances the sample matrix's estimation error
+    (b^2: dispersion of per-observation outer products around S)
+    against its distance from the target (d^2).
+
+    Every pairwise moment (p_ij = sum x_i x_j, q_ij = sum (x_i x_j)^2)
+    is an exact BIGINT over the jointly-aligned HOURLY grid (the tick
+    tape is too sparse for an all-symbols minute grid; winsorized e3
+    integer returns); the scalar pipeline snaps each
+    cell's contribution to integer units BEFORE summing, and the final
+    delta/shrunk values run through ONE shared formula string.
+
+    Scale shape: one aligned self-join keyed on the hour bucket,
+    one |universe|^2-cell aggregate; both scalar passes run over the
+    cell table (pairs of symbols), never the tape."""
+    ticks = ticks_from_events(spark, sf_dir)
+    hclose = aggregate_candles(ticks, 3600).select("symbol", "timestamp", "close")
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    prev = F.lag("close").over(w)
+    rv = (
+        hclose.withColumn("lag_close", prev)
+        .select(
+            "symbol",
+            F.col("timestamp").alias("bucket"),
+            F.expr(
+                "greatest(least(CAST(round((close - lag_close) "
+                "/ nullif(lag_close, 0) * 1000) AS BIGINT), 1000), -1000)"
+            ).alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+    )
+    nsym = rv.agg(F.count_distinct("symbol").alias("pp"))
+    full_minutes = (
+        rv.join(F.broadcast(nsym))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"), F.any_value("pp").alias("pp"))
+        .filter(F.col("c") == F.col("pp"))
+        .select("bucket")
+    )
+    grid = rv.join(full_minutes, "bucket")
+    a = grid.select("bucket", F.col("symbol").alias("sym_i"), F.col("x").alias("xi"))
+    b = grid.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("symbol").alias("sym_j"),
+        F.col("x").alias("xj"),
+    )
+    cells = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("sym_i") <= F.col("sym_j")),
+        )
+        .groupBy("sym_i", "sym_j")
+        .agg(
+            F.count(F.lit(1)).alias("nn"),
+            F.sum(F.col("xi") * F.col("xj")).alias("p_ij"),
+            F.sum((F.col("xi") * F.col("xj")) * (F.col("xi") * F.col("xj"))).alias(
+                "q_ij"
+            ),
+        )
+        .withColumn(
+            "is_diag", F.when(F.col("sym_i") == F.col("sym_j"), 1).otherwise(0)
+        )
+        .withColumn("mult", F.when(F.col("is_diag") == 1, 1).otherwise(2))
+    )
+    s1 = (
+        cells.join(F.broadcast(nsym))
+        .agg(
+            F.any_value("nn").alias("nn"),
+            F.any_value("pp").alias("pp"),
+            F.sum(F.when(F.col("is_diag") == 1, F.col("p_ij")).otherwise(0)).alias(
+                "sum_pii"
+            ),
+            F.sum(F.expr(_LW_B2_CELL)).alias("b2num"),
+        )
+    )
+    cells2 = cells.drop("nn").join(F.broadcast(s1))
+    s2 = cells2.groupBy("nn", "pp", "sum_pii", "b2num").agg(
+        F.sum(F.expr(_LW_D2_CELL)).alias("d2num")
+    )
+    final = cells.select("sym_i", "sym_j", "is_diag", "p_ij").join(F.broadcast(s2))
+    return final.select(
+        "sym_i",
+        "sym_j",
+        "is_diag",
+        "p_ij",
+        F.expr("CAST(round(CAST(p_ij AS DOUBLE) / nn * 1000) AS BIGINT)").alias(
+            "s_e3"
+        ),
+        F.expr(f"CAST(round({_LW_B2RAW}) AS BIGINT)").alias("b2raw_u"),
+        F.expr(f"CAST(round({_LW_D2}) AS BIGINT)").alias("d2_u"),
+        F.expr(f"CAST(round({_LW_DELTA} * 1000000) AS BIGINT)").alias("delta_ppm"),
+        F.expr(f"CAST(round({_LW_SHRUNK} * 1000) AS BIGINT)").alias("shrunk_e3"),
+    )

@@ -430,9 +430,14 @@ _INVARIANCE_QUERIES = [
     "rfm_segmentation",
     "streaming_ab_replay",
     # round-4 ninth wave: integer-tail historical VaR/ES, shared
-    # exp/ln hyperbolics for the AC liquidation trajectory
+    # exp/ln hyperbolics for the AC liquidation trajectory,
+    # integer-exact Markov power iteration
     "var_es_historical",
     "almgren_chriss_schedule",
+    "markov_stationary_mix",
+    # (ledoit_wolf_shrinkage is hash-verified at sf0.01 and sf0.1; its
+    # all-symbols hourly grid is EMPTY at sf0.001 — no hour has full
+    # coverage there — so it would be a vacuous invariance row.)
 ]
 
 
