@@ -236,6 +236,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "almgren_chriss_schedule",
     "markov_stationary_mix",
     "ledoit_wolf_shrinkage",
+    "seasonal_trend_decomposition",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -485,6 +486,7 @@ _ORDER = [
     "almgren_chriss_schedule",
     "markov_stationary_mix",
     "ledoit_wolf_shrinkage",
+    "seasonal_trend_decomposition",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -4216,3 +4216,118 @@ def ledoit_wolf_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(round({_LW_DELTA} * 1000000) AS BIGINT)").alias("delta_ppm"),
         F.expr(f"CAST(round({_LW_SHRUNK} * 1000) AS BIGINT)").alias("shrunk_e3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-trend decomposition (STL-lite: daily trend + hour-of-day seasonal)
+# ---------------------------------------------------------------------------
+
+_STL_SHIFT = 10**9  # keeps integer-division numerators positive
+
+_STL_EXPLAINED = (
+    "CASE WHEN ss_tot = 0 THEN NULL "
+    "ELSE CAST(round((1.0 - CAST(ss_res AS DOUBLE) / ss_tot) * 1000000) AS BIGINT) END"
+)
+
+_STL_ORACLE = f"""
+WITH {TICKS_CTE},
+hourly AS (
+  SELECT symbol, CAST(timestamp AS DATE) AS day,
+         CAST(hour(timestamp) AS BIGINT) AS hod,
+         CAST(sum(CAST(round(price * 10000) AS BIGINT))
+              // count(*) AS BIGINT) AS h_e4
+  FROM ticks GROUP BY symbol, CAST(timestamp AS DATE), hour(timestamp)
+),
+trended AS (
+  SELECT symbol, day, hod, h_e4,
+         CAST(sum(h_e4) OVER (PARTITION BY symbol, day)
+              // count(*) OVER (PARTITION BY symbol, day) AS BIGINT) AS day_e4
+  FROM hourly
+),
+detr AS (
+  SELECT symbol, day, hod, h_e4 - day_e4 AS d FROM trended
+),
+seas AS (
+  SELECT symbol, hod,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST((sum(d) + count(*) * {_STL_SHIFT}) // count(*) - {_STL_SHIFT}
+              AS BIGINT) AS seasonal_e4
+  FROM detr GROUP BY symbol, hod
+),
+resid AS (
+  SELECT d.symbol, d.hod, d.d, d.d - s.seasonal_e4 AS r
+  FROM detr d JOIN seas s ON d.symbol = s.symbol AND d.hod = s.hod
+),
+sym AS (
+  SELECT symbol,
+         CAST(sum(d * d) AS BIGINT) AS ss_tot,
+         CAST(sum(r * r) AS BIGINT) AS ss_res
+  FROM resid GROUP BY symbol
+)
+SELECT s.symbol, s.hod AS hour_of_day, s.n_days, s.seasonal_e4,
+       {_STL_EXPLAINED} AS explained_ppm
+FROM seas s JOIN sym ON s.symbol = sym.symbol
+"""
+
+
+@register("seasonal_trend_decomposition", _STL_ORACLE, tags=("A4", "A7", "W-"))
+def seasonal_trend_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the intraday price surface:
+    trend = the per-(symbol, day) mean level (exact integer e4
+    division), seasonal = the hour-of-day mean of the detrended
+    values across days (shifted integer division — numerators stay
+    positive so Spark `div` == DuckDB `//`), residual = what's left;
+    each symbol reports its seasonal curve plus the share of detrended
+    variance the curve explains (exact BIGINT sums of squares, one
+    shared ratio formula). The price twin of intraday_seasonality's
+    activity curve — level shape, not volume share.
+
+    Scale shape: one (symbol, day, hour) aggregate over the tape;
+    the trend rides a window over the per-day hourly rows; seasonal
+    and variance aggregates are hour-of-day/symbol-sized. Nothing
+    wider than (symbol, day, hour) ever shuffles."""
+    ticks = ticks_from_events(spark, sf_dir)
+    hourly = ticks.groupBy(
+        "symbol",
+        F.to_date("timestamp").alias("day"),
+        F.hour("timestamp").cast("long").alias("hod"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(price * 10000) AS BIGINT)) div count(*) AS BIGINT)"
+        ).alias("h_e4")
+    )
+    wd = Window.partitionBy("symbol", "day")
+    trended = hourly.select(
+        "symbol",
+        "day",
+        "hod",
+        "h_e4",
+        F.expr(
+            "CAST(sum(h_e4) OVER (PARTITION BY symbol, day) "
+            "div count(*) OVER (PARTITION BY symbol, day) AS BIGINT)"
+        ).alias("day_e4"),
+    )
+    detr = trended.select(
+        "symbol", "day", "hod", (F.col("h_e4") - F.col("day_e4")).alias("d")
+    )
+    seas = detr.groupBy("symbol", "hod").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(
+            f"CAST((sum(d) + count(*) * {_STL_SHIFT}) div count(*) - {_STL_SHIFT} "
+            "AS BIGINT)"
+        ).alias("seasonal_e4"),
+    )
+    resid = detr.join(seas.select("symbol", "hod", "seasonal_e4"), ["symbol", "hod"]).select(
+        "symbol", "d", (F.col("d") - F.col("seasonal_e4")).alias("r")
+    )
+    sym = resid.groupBy("symbol").agg(
+        F.sum(F.col("d") * F.col("d")).alias("ss_tot"),
+        F.sum(F.col("r") * F.col("r")).alias("ss_res"),
+    )
+    return seas.join(sym, "symbol").select(
+        "symbol",
+        F.col("hod").alias("hour_of_day"),
+        "n_days",
+        "seasonal_e4",
+        F.expr(_STL_EXPLAINED).alias("explained_ppm"),
+    )

@@ -435,6 +435,7 @@ _INVARIANCE_QUERIES = [
     "var_es_historical",
     "almgren_chriss_schedule",
     "markov_stationary_mix",
+    "seasonal_trend_decomposition",
     # (ledoit_wolf_shrinkage is hash-verified at sf0.01 and sf0.1; its
     # all-symbols hourly grid is EMPTY at sf0.001 — no hour has full
     # coverage there — so it would be a vacuous invariance row.)
