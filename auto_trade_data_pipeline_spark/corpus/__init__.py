@@ -237,6 +237,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "markov_stationary_mix",
     "ledoit_wolf_shrinkage",
     "seasonal_trend_decomposition",
+    "pareto_frontier_orders",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -487,6 +488,7 @@ _ORDER = [
     "markov_stationary_mix",
     "ledoit_wolf_shrinkage",
     "seasonal_trend_decomposition",
+    "pareto_frontier_orders",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

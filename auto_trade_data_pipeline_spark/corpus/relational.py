@@ -1822,3 +1822,69 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_monetary_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2D skyline): cheapest-for-its-recency orders
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day_no
+  FROM orders
+),
+swept AS (
+  -- sweep in (price asc, day desc, key asc) order: a row is dominated
+  -- iff some preceding row's day >= its own (cheaper-or-tie-broken
+  -- rows with at-least-as-recent dates); exact ties keep the lowest key
+  SELECT o_orderkey, price_c, day_no,
+         max(day_no) OVER (ORDER BY price_c, day_no DESC, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_prev_day
+  FROM pts
+)
+SELECT o_orderkey, price_c, day_no
+FROM swept
+WHERE best_prev_day IS NULL OR best_prev_day < day_no
+"""
+
+
+@register("pareto_frontier_orders", _SKYLINE_ORACLE, tags=("O1", "W-rank", "A-"))
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline / Pareto frontier — the classic multi-objective
+    operator (BÖRZSÖNYI et al.'s SKYLINE OF): orders not dominated on
+    (cheaper price, more recent date). The sort-sweep formulation —
+    in (price asc, date desc) order a row survives iff its date
+    strictly exceeds the running max over all preceding rows; exact
+    (price, date) ties keep the lowest key — is O(n log n), and the
+    running max runs through the distributed zipWithIndex recipe
+    (operators/ranking.py:global_running_max: range exchange +
+    per-partition carry maxima), NEVER a SinglePartition window. The
+    oracle states the identical sweep as a plain SQL window.
+
+    Scale shape: one range exchange on the sort key + partition-max
+    metadata to the driver; output is the frontier (typically tiny).
+    The same operator answers best-execution scans (cheapest-for-its-
+    fill-rate venues) and quality/cost frontier queries."""
+    from auto_trade_data_pipeline_spark.operators.ranking import global_running_max
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no"),
+    ).withColumn("neg_day", -F.col("day_no"))
+    swept = global_running_max(
+        pts,
+        ["price_c", "neg_day", "o_orderkey"],
+        value_col="day_no",
+        out_col="best_prev_day",
+    )
+    return swept.filter(
+        F.col("best_prev_day").isNull() | (F.col("best_prev_day") < F.col("day_no"))
+    ).select("o_orderkey", "price_c", "day_no")

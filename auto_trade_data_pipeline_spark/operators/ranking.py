@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "global_running_sum"]
+__all__ = ["global_row_number", "global_running_sum", "global_running_max"]
 
 
 def global_row_number(
@@ -147,6 +147,86 @@ def global_running_sum(
             pdf = pdf.copy()
             pdf[out_col] = pdf[value_col].astype("int64").cumsum() + pos
             pos = int(pdf[out_col].iloc[-1]) if len(pdf) else pos
+            yield pdf
+
+    return ordered.mapInPandas(attach, schema=out_schema)
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global EXCLUSIVE prefix maximum of ``value_col`` over the total
+    order ``order_cols`` (each row sees the max over STRICTLY
+    preceding rows; the global first row gets NULL) — the third
+    sibling of the zipWithIndex recipe: range-partition + sort,
+    collect per-partition maxima (partition metadata — one long
+    each), broadcast the exclusive prefix maxima, add a
+    within-partition shifted cummax. The naive
+    ``max() OVER (ORDER BY ... ROWS ... 1 PRECEDING)`` funnels
+    everything through one task; this never does.
+
+    The exclusive prefix max is the workhorse of sort-order sweep
+    algorithms — 2D skyline/Pareto filtering, envelope detection,
+    record-breaking scans."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols).persist()
+    )
+    maxima = (
+        ordered.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.max(F.col(value_col).cast("long")).alias("__m"))
+        .collect()
+    )
+    pmax = {r["__pid"]: r["__m"] for r in maxima}
+    offsets: dict[int, object] = {}
+    acc = None
+    for pid in sorted(pmax):
+        offsets[pid] = acc  # exclusive: max of all PRIOR partitions
+        if pmax[pid] is not None and (acc is None or pmax[pid] > acc):
+            acc = pmax[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(ordered.schema.fields) + [StructField(out_col, LongType())]
+    )
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    def attach(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        import numpy as np
+
+        pid = TaskContext.get().partitionId()
+        prior = bc.value.get(pid, None)
+        for pdf in iterator:
+            pdf = pdf.copy()
+            v = pdf[value_col].astype("int64").to_numpy()
+            k = len(v)
+            if k == 0:
+                pdf[out_col] = pd.array([], dtype="Int64")
+                yield pdf
+                continue
+            incl = np.maximum.accumulate(v)
+            # exclusive shift: row i sees max of rows < i (plus the
+            # prior-partition carry); the global first row stays NULL
+            excl = np.empty(k, dtype="int64")
+            excl[1:] = incl[:-1]
+            mask_null = np.zeros(k, dtype=bool)
+            if prior is None:
+                excl[0] = v[0]  # placeholder, masked to NULL below
+                mask_null[0] = True
+            else:
+                excl[0] = prior
+                np.maximum(excl, prior, out=excl)
+            out = pd.array(excl, dtype="Int64")
+            out[mask_null] = None
+            pdf[out_col] = out
+            prior = int(incl[-1]) if prior is None else max(prior, int(incl[-1]))
             yield pdf
 
     return ordered.mapInPandas(attach, schema=out_schema)

@@ -112,3 +112,23 @@ def test_cdc_apply_tombstones_updates_and_inserts(spark):
     step1 = cdc_apply(snap, chg.filter(F.col("v") == 1), ["k"], ["v"])
     step2 = cdc_apply(step1, chg.filter(F.col("v") == 2), ["k"], ["v"])
     assert {r.k: r.payload for r in step2.collect()} == got
+
+
+def test_global_running_max_exclusive_matches_sequential_and_partition_invariant(spark):
+    from auto_trade_data_pipeline_spark.operators.ranking import global_running_max
+
+    rows = [(i, (i * 37) % 101, ((i * 13) % 29) - 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, key long, v long").repartition(13)
+    out = {
+        r.id: r.m
+        for r in global_running_max(df, ["key", "id"], "v", "m").collect()
+    }
+    run = None
+    for i, _k, v in sorted(rows, key=lambda t: (t[1], t[0])):
+        assert out[i] == run, f"id {i}: {out[i]} != {run}"
+        run = v if run is None or v > run else run
+    out1 = {
+        r.id: r.m
+        for r in global_running_max(df.coalesce(1), ["key", "id"], "v", "m").collect()
+    }
+    assert out == out1
