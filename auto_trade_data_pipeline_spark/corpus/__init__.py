@@ -238,6 +238,8 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "ledoit_wolf_shrinkage",
     "seasonal_trend_decomposition",
     "pareto_frontier_orders",
+    "item_item_cf",
+    "forecast_eval_mase",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -489,6 +491,8 @@ _ORDER = [
     "ledoit_wolf_shrinkage",
     "seasonal_trend_decomposition",
     "pareto_frontier_orders",
+    "item_item_cf",
+    "forecast_eval_mase",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

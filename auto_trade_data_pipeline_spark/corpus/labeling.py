@@ -4331,3 +4331,109 @@ def seasonal_trend_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal_e4",
         F.expr(_STL_EXPLAINED).alias("explained_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast evaluation: Holt one-step-ahead vs naive carry-forward (MASE)
+# ---------------------------------------------------------------------------
+
+_MASE_EXPR = (
+    "CASE WHEN sum_naive = 0 THEN NULL "
+    "ELSE CAST(round(CAST(sum_holt AS DOUBLE) / sum_naive * 1000000) AS BIGINT) END"
+)
+
+_FC_EVAL_ORACLE = f"""
+WITH {_MINUTE_CLOSE_CTE},
+lists AS (
+  SELECT symbol, list(close ORDER BY bucket) AS l
+  FROM mclose GROUP BY symbol
+),
+idx AS (SELECT symbol, l, unnest(range(2, len(l) + 1)) AS i FROM lists),
+st AS (
+  -- one-step-ahead forecast for row i comes from the state AFTER
+  -- row i-1 (the same LIST-accumulator fold as holt_winters_smooth)
+  SELECT symbol, l[i] AS close, l[i-1] AS prev_close,
+         CASE WHEN i = 2 THEN [CAST(l[1] AS DOUBLE), CAST(0.0 AS DOUBLE)]
+         ELSE list_reduce(
+            [[CAST(l[1] AS DOUBLE), CAST(0.0 AS DOUBLE)]] ||
+            list_transform(l[2:i-1], z -> [CAST(z AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+            (acc, el) -> [
+              {_HW_A} * el[1] + {_HW_AC} * (acc[1] + acc[2]),
+              {_HW_B} * (({_HW_A} * el[1] + {_HW_AC} * (acc[1] + acc[2])) - acc[1])
+                   + {_HW_BC} * acc[2]]
+         ) END AS s
+  FROM idx
+),
+err AS (
+  SELECT symbol,
+         abs(CAST(round(CAST(close AS DOUBLE) * 10000) AS BIGINT)
+             - CAST(round((s[1] + s[2]) * 10000) AS BIGINT)) AS e_holt,
+         abs(CAST(round(CAST(close AS DOUBLE) * 10000) AS BIGINT)
+             - CAST(round(CAST(prev_close AS DOUBLE) * 10000) AS BIGINT)) AS e_naive
+  FROM st
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_forecasts,
+       CAST(sum(e_holt) AS BIGINT) AS sum_holt,
+       CAST(sum(e_naive) AS BIGINT) AS sum_naive,
+       {_MASE_EXPR} AS mase_ppm
+FROM err GROUP BY symbol
+"""
+
+
+@register("forecast_eval_mase", _FC_EVAL_ORACLE, tags=("W-", "A4"))
+def forecast_eval_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation — the model-selection gate for the
+    Holt smoother: per symbol, the mean absolute one-step-ahead error
+    of the level+trend forecast divided by the naive carry-forward
+    error (MASE; < 1e6 ppm means the model beats persistence). Errors
+    are e4-snapped INTEGER absolute deviations, so both numerator and
+    denominator are exact BIGINT sums at any parallelism; only the
+    final ratio is a shared double division. The oracle replays the
+    identical Holt fold per row (the LIST-accumulator recipe).
+
+    Scale shape: one applyInPandas per symbol (the Holt kernel), one
+    lag window, one aggregate — the standard backtest-evaluation
+    pipeline shape."""
+    import pandas as pd
+
+    from auto_trade_data_pipeline_spark.functions import ta
+
+    ticks = ticks_from_events(spark, sf_dir)
+    mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
+        lvl, trd = ta.holt_winters(
+            pdf["close"].to_numpy(dtype=float), _HW_ALPHA, _HW_BETA
+        )
+        out = pd.DataFrame(
+            {
+                "symbol": pdf["symbol"],
+                "close": pdf["close"],
+                "prev_close": pdf["close"].shift(1),
+                "fc": pd.Series(lvl + trd).shift(1),
+            }
+        )
+        return out.iloc[1:]
+
+    st = mclose.groupBy("symbol").applyInPandas(
+        kernel,
+        schema="symbol string, close double, prev_close double, fc double",
+    )
+    err = st.select(
+        "symbol",
+        F.expr(
+            "abs(CAST(round(CAST(close AS DOUBLE) * 10000) AS BIGINT) "
+            "- CAST(round(fc * 10000) AS BIGINT))"
+        ).alias("e_holt"),
+        F.expr(
+            "abs(CAST(round(CAST(close AS DOUBLE) * 10000) AS BIGINT) "
+            "- CAST(round(CAST(prev_close AS DOUBLE) * 10000) AS BIGINT))"
+        ).alias("e_naive"),
+    )
+    return err.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.sum("e_holt").alias("sum_holt"),
+        F.sum("e_naive").alias("sum_naive"),
+        F.expr(_MASE_EXPR).alias("mase_ppm"),
+    )

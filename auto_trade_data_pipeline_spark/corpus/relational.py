@@ -1888,3 +1888,99 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.filter(
         F.col("best_prev_day").isNull() | (F.col("best_prev_day") < F.col("day_no"))
     ).select("o_orderkey", "price_c", "day_no")
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (co-purchase cosine neighbors)
+# ---------------------------------------------------------------------------
+
+_CF_TOPK = 3
+_CF_COS = "CAST(n_ij AS DOUBLE) / sqrt(CAST(n_a AS DOUBLE) * n_b)"
+
+_ITEM_CF_ORACLE = f"""
+WITH ui AS (
+  SELECT DISTINCT o.o_custkey AS ukey, p.p_brand AS item
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+),
+sing AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_u FROM ui GROUP BY item
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ij
+  FROM ui a JOIN ui b ON a.ukey = b.ukey AND a.item <> b.item
+  GROUP BY a.item, b.item
+),
+scored AS (
+  SELECT p.item_a, p.item_b, p.n_ij, sa.n_u AS n_a, sb.n_u AS n_b,
+         CAST(round(CAST(p.n_ij AS DOUBLE)
+                    / sqrt(CAST(sa.n_u AS DOUBLE) * sb.n_u) * 1000000) AS BIGINT)
+           AS cosine_e6
+  FROM pairs p
+  JOIN sing sa ON sa.item = p.item_a
+  JOIN sing sb ON sb.item = p.item_b
+)
+SELECT item_a, item_b, n_ij, cosine_e6,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY item_a
+                               ORDER BY cosine_e6 DESC, item_b) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_CF_TOPK}
+"""
+
+
+@register("item_item_cf", _ITEM_CF_ORACLE, tags=("A4", "J4", "W-rank"))
+def item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering — the 'customers who bought
+    X also bought Y' recommender core (Amazon's item-to-item CF,
+    Linden et al. 2003): binary user-brand incidence vectors, item
+    cosine = co-user count / sqrt(user-count product) from exact
+    integer counts (one shared DOUBLE formula, e6-snapped), top-{K}
+    neighbors per item by integer-ranked score with a deterministic
+    tiebreak.
+
+    Scale shape: the co-occurrence self-join is keyed on the USER
+    (uniform, bounded per-user item sets — the same a-priori layout as
+    the basket miner); singleton counts broadcast back; the top-K
+    window partitions by item over the |items|^2 pair table, never
+    the facts.""".replace("{K}", str(_CF_TOPK))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ui = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("o_custkey").alias("ukey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    sing = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n_u"))
+    a = ui.select("ukey", F.col("item").alias("item_a"))
+    b = ui.select(F.col("ukey").alias("ukey_b"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, (F.col("ukey") == F.col("ukey_b")) & (F.col("item_a") != F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+    )
+    sa = sing.select(F.col("item").alias("item_a"), F.col("n_u").alias("n_a"))
+    sb = sing.select(F.col("item").alias("item_b"), F.col("n_u").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ij",
+            F.expr(f"CAST(round(({_CF_COS}) * 1000000) AS BIGINT)").alias("cosine_e6"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cosine_e6").desc(), F.col("item_b")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _CF_TOPK)
+        .select("item_a", "item_b", "n_ij", "cosine_e6", "rnk")
+    )
