@@ -240,6 +240,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "pareto_frontier_orders",
     "item_item_cf",
     "forecast_eval_mase",
+    "graph_bfs_levels",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -493,6 +494,7 @@ _ORDER = [
     "pareto_frontier_orders",
     "item_item_cf",
     "forecast_eval_mase",
+    "graph_bfs_levels",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -2824,3 +2824,83 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi_ppm"), "w1", "w2").limit(_PMI_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop levels over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_BFS_SEED_SOURCE = "src0"
+_BFS_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    """Unrolled min-plus BFS rounds over the symmetrized njpairs
+    edges (MATERIALIZED once); the relax step is the same explicit
+    CASE the Spark operator uses, so NULL semantics match exactly."""
+    ctes = [
+        """bfs_e AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM njpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM njpairs
+)""",
+        f"""bfs_l0 AS MATERIALIZED (
+  SELECT doc_id AS node,
+         CASE WHEN source = '{_BFS_SEED_SOURCE}'
+              THEN CAST(0 AS BIGINT) END AS level
+  FROM docs
+)""",
+    ]
+    for i in range(_BFS_HOPS):
+        ctes += [
+            f"""bfs_c{i} AS (
+  SELECT e.v AS node, CAST(min(l.level) + 1 AS BIGINT) AS cand
+  FROM bfs_e e JOIN bfs_l{i} l ON l.node = e.u
+  WHERE l.level IS NOT NULL
+  GROUP BY e.v
+)""",
+            f"""bfs_l{i + 1} AS MATERIALIZED (
+  SELECT b.node,
+         CASE WHEN b.level IS NULL THEN c.cand
+              WHEN c.cand IS NULL THEN b.level
+              WHEN c.cand < b.level THEN c.cand ELSE b.level END AS level
+  FROM bfs_l{i} b LEFT JOIN bfs_c{i} c ON c.node = b.node
+)""",
+        ]
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_minhash_ctes()},
+{body}
+SELECT node AS doc_id, CAST(coalesce(level, -1) AS BIGINT) AS level
+FROM bfs_l{_BFS_HOPS}
+"""
+
+
+@register("graph_bfs_levels", _bfs_oracle(), tags=("EXT1", "J4"))
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance through the near-dup graph
+    (operators/graph.py:bfs_levels): every document's degrees of
+    separation from the trusted seed source's documents — the
+    blast-radius / provenance-propagation audit (how far does content
+    trace back to a trusted origin through near-duplicate chains).
+    {H} min-plus rounds over the symmetrized MinHash-LSH pair edges;
+    levels are small exact integers updated by MIN, so the fixpoint
+    is order-free at any parallelism and the DuckDB oracle replays
+    the identical unrolled rounds; isolated documents report -1.
+
+    Scale shape: per round, one frontier-x-edges shuffle join + one
+    min-groupBy (the Pregel BFS layout); lineage truncated per round
+    via localCheckpoint.""".replace("{H}", str(_BFS_HOPS))
+    from auto_trade_data_pipeline_spark.operators.graph import bfs_levels
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_near_minhash_lsh(spark, sf_dir)
+    seeds = docs.filter(F.col("source") == _BFS_SEED_SOURCE).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_levels(
+        docs.select(F.col("doc_id").alias("node")),
+        pairs,
+        seeds,
+        max_hops=_BFS_HOPS,
+    ).select(F.col("node").alias("doc_id"), "level")

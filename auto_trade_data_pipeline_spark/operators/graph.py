@@ -29,6 +29,7 @@ __all__ = [
     "component_sizes",
     "pagerank",
     "triangle_counts",
+    "bfs_levels",
 ]
 
 
@@ -352,3 +353,76 @@ def triangle_counts(
         F.expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"),
     ).otherwise(F.lit(0).cast("long"))
     return out.withColumn("clustering_ppm", cc)
+
+
+def bfs_levels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    node_col: str = "node",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_hops: int = 4,
+    unreached: int = -1,
+) -> DataFrame:
+    """Multi-source BFS hop levels over an undirected graph — the
+    'distance to the nearest trusted source' signal (hop distance from
+    seed documents through near-dup edges, degrees-of-separation
+    audits, blast-radius analysis). ``seeds`` rows get level 0; each
+    of ``max_hops`` rounds relaxes one hop:
+    level[v] = min(level[v], min over neighbors u of level[u] + 1).
+
+    Determinism contract: levels are small exact integers updated by
+    MIN — order-free at any parallelism; a DuckDB oracle replays the
+    identical unrolled rounds. Nodes still unreached after
+    ``max_hops`` report ``unreached``.
+
+    Scale shape: per round, one shuffle join (frontier levels x edges
+    on the src key) + one min-groupBy on the dst key — the Pregel BFS
+    layout in plain DataFrame ops; levels are localCheckpoint'ed per
+    round to truncate the iterative-plan lineage.
+
+    Returns one row per node: (node, level).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.select(F.col(node_col).alias("node")).distinct()
+    s = seeds.select(F.col(node_col).alias("node")).distinct()
+    lvl = n.join(s.withColumn("__seed", F.lit(1)), "node", "left").select(
+        "node",
+        F.when(F.col("__seed").isNotNull(), F.lit(0).cast("long")).alias("level"),
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            lvl.filter(F.col("level").isNotNull())
+            .join(und, lvl["node"] == und["u"])
+            .groupBy(F.col("v").alias("node"))
+            .agg((F.min("level") + 1).alias("cand"))
+        )
+        # explicit CASE, not least(): least() skips NULLs in Spark but
+        # not in every engine an oracle might replay this in
+        lvl = (
+            lvl.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "CASE WHEN level IS NULL THEN cand "
+                    "WHEN cand IS NULL THEN level "
+                    "WHEN cand < level THEN cand ELSE level END"
+                ).alias("level"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lvl.select(
+        "node", F.coalesce(F.col("level"), F.lit(unreached).cast("long")).alias("level")
+    )

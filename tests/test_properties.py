@@ -439,6 +439,7 @@ _INVARIANCE_QUERIES = [
     "pareto_frontier_orders",
     "item_item_cf",
     "forecast_eval_mase",
+    "graph_bfs_levels",
     # (ledoit_wolf_shrinkage is hash-verified at sf0.01 and sf0.1; its
     # all-symbols hourly grid is EMPTY at sf0.001 — no hour has full
     # coverage there — so it would be a vacuous invariance row.)
