@@ -241,6 +241,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "item_item_cf",
     "forecast_eval_mase",
     "graph_bfs_levels",
+    "funnel_latency_quantiles",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -495,6 +496,7 @@ _ORDER = [
     "item_item_cf",
     "forecast_eval_mase",
     "graph_bfs_levels",
+    "funnel_latency_quantiles",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

@@ -1311,3 +1311,122 @@ def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_i").alias("n_transitions_out"),
         F.col("pi").alias("pi_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert quantiles
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LATENCY_ORACLE = f"""
+WITH {_EVENTS_CTE},
+s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 2 HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 2 HOUR
+  GROUP BY e.user_id
+),
+lat AS (
+  -- floor(epoch()) per timestamp before differencing (the KM recipe:
+  -- Spark's unix_timestamp truncates each side to whole seconds)
+  SELECT s1.user_id,
+         CAST(floor(epoch(s3.t3)) AS BIGINT)
+           - CAST(floor(epoch(s1.t1)) AS BIGINT) AS secs
+  FROM s1 JOIN s3 ON s1.user_id = s3.user_id
+),
+ranked AS (
+  SELECT secs, row_number() OVER (ORDER BY secs, user_id) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM lat
+)
+SELECT any_value(n) AS n_converted,
+       CAST(max(CASE WHEN rk = greatest(CAST(ceil(n * 50 / 100.0) AS BIGINT), 1)
+                     THEN secs END) AS BIGINT) AS p50_s,
+       CAST(max(CASE WHEN rk = greatest(CAST(ceil(n * 90 / 100.0) AS BIGINT), 1)
+                     THEN secs END) AS BIGINT) AS p90_s,
+       CAST(min(secs) AS BIGINT) AS min_s,
+       CAST(max(secs) AS BIGINT) AS max_s
+FROM ranked
+"""
+
+
+@register("funnel_latency_quantiles", _FUNNEL_LATENCY_ORACLE, tags=("A4", "J4", "O1"))
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the full view->click->purchase
+    funnel — the conversion-speed readout product teams pair with the
+    stage counts: per converted user the first-view-to-first-purchase
+    latency in whole seconds (floor-per-timestamp, the KM recipe),
+    then EXACT P50/P90 by deterministic rank (user tiebreak) — no
+    approximate percentile sketch, so cross-engine parity is exact.
+
+    Scale shape: the staged funnel aggregates reuse the
+    funnel_conversion layout (user-keyed, shrinking sets); the ranked
+    object is converted USERS (dimension-sized), so the rank window
+    costs nothing at any tape size."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 2 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 2 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = s1.join(s3, "user_id").select(
+        "user_id",
+        F.expr(
+            "CAST(unix_timestamp(t3) AS BIGINT) - CAST(unix_timestamp(t1) AS BIGINT)"
+        ).alias("secs"),
+    )
+    w = Window.orderBy("secs", "user_id")
+    ranked = lat.select(
+        "secs",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.any_value("n").alias("n_converted"),
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.expr("greatest(CAST(ceil(n * 50 / 100.0) AS BIGINT), 1)"),
+                F.col("secs"),
+            )
+        ).alias("p50_s"),
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.expr("greatest(CAST(ceil(n * 90 / 100.0) AS BIGINT), 1)"),
+                F.col("secs"),
+            )
+        ).alias("p90_s"),
+        F.min("secs").alias("min_s"),
+        F.max("secs").alias("max_s"),
+    )
