@@ -210,3 +210,30 @@ def test_triangles_direction_and_duplicates_irrelevant(spark):
     b = triangle_counts(_edges(spark, [(2, 1), (3, 2), (1, 3), (1, 3)]))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert {r.n_triangles for r in a.collect()} == {1}
+
+
+def test_bfs_levels_hop_distances_and_unreached(spark):
+    """Chain 1-2-3-4-5 seeded at 1, a separate pair 10-11 seeded
+    nowhere, an isolated node 20: levels are exact hop counts, the
+    max_hops horizon truncates, unreached nodes report the sentinel,
+    and edge direction is irrelevant."""
+    from auto_trade_data_pipeline_spark.operators.graph import bfs_levels
+
+    edges = _edges(spark, [(1, 2), (3, 2), (3, 4), (5, 4), (10, 11)])
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 20)], "node long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.level for r in bfs_levels(nodes, edges, seeds, max_hops=4).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 10: -1, 11: -1, 20: -1}
+    # horizon truncation: with max_hops=2, nodes 4 and 5 stay unreached
+    out2 = {
+        r.node: r.level for r in bfs_levels(nodes, edges, seeds, max_hops=2).collect()
+    }
+    assert out2 == {1: 0, 2: 1, 3: 2, 4: -1, 5: -1, 10: -1, 11: -1, 20: -1}
+    # multi-source: seeding both ends halves the worst distance
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node long")
+    out3 = {
+        r.node: r.level for r in bfs_levels(nodes, edges, seeds2, max_hops=4).collect()
+    }
+    assert out3[3] == 2 and out3[4] == 1 and out3[5] == 0
