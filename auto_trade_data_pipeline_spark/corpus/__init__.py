@@ -242,6 +242,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "forecast_eval_mase",
     "graph_bfs_levels",
     "funnel_latency_quantiles",
+    "weighted_sample_es",
 })
 
 #: Explicit registry order — the ROUND-4 rotation. Window layout:
@@ -497,6 +498,7 @@ _ORDER = [
     "forecast_eval_mase",
     "graph_bfs_levels",
     "funnel_latency_quantiles",
+    "weighted_sample_es",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",

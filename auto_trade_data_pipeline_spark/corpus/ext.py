@@ -2904,3 +2904,82 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds,
         max_hops=_BFS_HOPS,
     ).select(F.col("node").alias("doc_id"), "level")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis race)
+# ---------------------------------------------------------------------------
+
+_ES_K = 100
+#: Deterministic uniform in (0, 1]: the 60-bit salted hash shifted by
+#: one so ln() never sees 0; 1152921504606846977 = 2^60 + 1.
+_ES_U = "((CAST(h AS DOUBLE) + 1.0) / 1152921504606846977.0)"
+#: ES race key: rank by ln(u)/w DESCENDING == rank by u^(1/w) — the
+#: classic one-pass weighted-without-replacement reservoir key.
+_ES_KEY = f"(ln({_ES_U}) / greatest(n_chars, 1))"
+
+_ES_SAMPLE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         {_duck_hash("CAST(doc_id AS VARCHAR)", "es")} AS h
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_chars,
+         {_ES_KEY} AS k
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(round(k * 1000000000) AS BIGINT) AS key_e9,
+         row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, key_e9, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_ES_K}
+"""
+
+
+@register("weighted_sample_es", _ES_SAMPLE_ORACLE, tags=("EXT3", "O2"))
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    2006 exponential race) — the corpus-subsampling primitive that
+    pps/source-cap sampling doesn't give: each document gets the race
+    key u^(1/w) (here ranked as ln(u)/w with w = document length),
+    and the global top-{K} keys ARE a weighted sample without
+    replacement. u comes from a salted 60-bit hash, so the sample is
+    deterministic, reproducible under re-runs, and mergeable: the
+    top-{K} of a union is the top-{K} of the per-shard top-{K}s — the
+    property that makes the one-pass distributed reservoir work.
+
+    Scale shape: pure scan-side key computation + one
+    TakeOrderedAndProject (per-task {K}-row heaps, driver merge) —
+    no shuffle of the corpus, ever. Both engines rank the identical
+    IEEE key; output snaps it to e9 for the hash.""".replace(
+        "{K}", str(_ES_K)
+    )
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        hash64(F.col("doc_id").cast("string"), salt="es").alias("h"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(_ES_KEY).alias("k"),
+    )
+    from pyspark.sql.window import Window
+
+    top = keyed.orderBy(F.col("k").desc(), F.col("doc_id")).limit(_ES_K)
+    w = Window.orderBy(F.col("k").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("CAST(round(k * 1000000000) AS BIGINT)").alias("key_e9"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    )

@@ -443,6 +443,7 @@ _INVARIANCE_QUERIES = [
     # sf0.001 exercises the empty-funnel edge: the all-NULL aggregate
     # row must be identical at any parallelism
     "funnel_latency_quantiles",
+    "weighted_sample_es",
     # (ledoit_wolf_shrinkage is hash-verified at sf0.01 and sf0.1; its
     # all-symbols hourly grid is EMPTY at sf0.001 — no hour has full
     # coverage there — so it would be a vacuous invariance row.)
