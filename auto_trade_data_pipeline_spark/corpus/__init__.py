@@ -113,6 +113,107 @@ DRIVER_QUERY_SLOTS = 50
 #: OUTSIDE this declared set — deferral must be a visible decision,
 #: never an accident. This set must empty out as rotation proceeds.
 DEFERRED_TO_NEXT_ROUND = frozenset({
+    # Round-5 residue of the rotation drain: the 50-slot window now
+    # holds candle_patterns_pack + full_enrichment (SURVEY §2 A8/W14,
+    # the reference's own headline outputs — src/candle_to_calcs.py:
+    # 316-350) followed by the 48 OLDEST never-driver-hash-checked
+    # oracled queries in declaration order (second/third round-4 push
+    # blocks). These 76 are the younger strandees (fourth–twelfth
+    # round-4 pushes) — next two rounds drain them at ≤50/round.
+    # Corpus growth is FROZEN this round per the round-4 verdict.
+    "ab_test_report",
+    "acf_returns",
+    "almgren_chriss_schedule",
+    "asof_join_tolerance",
+    "association_rules_basket",
+    "attribution_first_last_touch",
+    "benford_digit_audit",
+    "bet_sizing_positions",
+    "bigram_lm_score",
+    "bucketed_colocated_join",
+    "cdc_apply_changelog",
+    "cointegration_scan",
+    "concurrent_sessions_census",
+    "corwin_schultz_spread",
+    "cross_sectional_factor",
+    "cusum_event_filter",
+    "dollar_bars",
+    "dynamic_session_window_agg",
+    "ewma_beta_recursive",
+    "execution_schedule_profile",
+    "forecast_eval_mase",
+    "frac_diff_features",
+    "funnel_latency_quantiles",
+    "gini_concentration",
+    "graph_bfs_levels",
+    "haar_wavelet_energy",
+    "heikin_ashi_candles",
+    "hll_distinct_sketch",
+    "holt_winters_smooth",
+    "hrp_cluster_allocation",
+    "imbalance_bars",
+    "intraday_seasonality",
+    "inverse_variance_weights",
+    "item_item_cf",
+    "kalman_price_smooth",
+    "label_backtest_pnl",
+    "label_uniqueness_weights",
+    "lead_lag_xcorr",
+    "ledoit_wolf_shrinkage",
+    "markov_stationary_mix",
+    "meta_labels",
+    "microstructure_metrics",
+    "mutual_info_features",
+    "pareto_frontier_orders",
+    "pmi_collocations",
+    "purged_kfold_cv",
+    "realized_vol_estimators",
+    "referential_integrity_report",
+    "rfm_segmentation",
+    "risk_metrics_report",
+    "rolling_pair_beta",
+    "schema_evolution_merge",
+    "seasonal_trend_decomposition",
+    "sign_lz78_complexity",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_xml_roundtrip",
+    "streaming_ab_replay",
+    "streaming_cdc_apply_replay",
+    "streaming_drift_replay",
+    "streaming_dynamic_session_replay",
+    "streaming_session_replay",
+    "streaming_volume_bars_replay",
+    "supertrend_recursive",
+    "survival_retention_km",
+    "target_encoding_kfold",
+    "time_range_window_stats",
+    "token_entropy_score",
+    "triple_barrier_labels",
+    "var_es_historical",
+    "variant_props_histogram",
+    "vpin_toxicity",
+    "weighted_price_quantiles",
+    "weighted_sample_es",
+    "woe_iv_report",
+})
+
+#: Explicit registry order — the ROUND-5 rotation (drain the driver
+#: debt; corpus growth frozen). Window layout: slots 0-1 =
+#: candle_patterns_pack and full_enrichment — SURVEY §2 A8/W14, the
+#: reference's headline outputs (src/candle_to_calcs.py:316-350) and
+#: until now the only §2-core operators with no driver hash row
+#: (their r02 rows predate their oracles); slots 2-49 = the 48
+#: OLDEST never-driver-hash-checked oracled queries in declaration
+#: order (the round-4 second and third push blocks). Every displaced
+#: round-4-window query holds a green CORRECTNESS_r04 row. The 76
+#: younger strandees are declared deferrals
+#: (DEFERRED_TO_NEXT_ROUND); tests/test_rotation.py enforces both
+#: the visibility invariant and the staleness bound.
+_ORDER = [
+    "candle_patterns_pack",
+    "full_enrichment",
     "heavy_hitter_bigrams",
     "dedup_priority_keep",
     "lm_quality_score",
@@ -121,8 +222,6 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "corpus_keep_decision",
     "quality_percentile_gate",
     "source_mix_sample",
-    # New in round 4 (locally verified hash-exact; the round-4 window
-    # was already committed to the 44 never-driver-checked queries):
     "span_dedup_exact",
     "dsir_importance",
     "dedup_semantic_kmeans",
@@ -140,7 +239,6 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "kmv_distinct_sketch",
     "kmv_set_overlap",
     "streaming_kmv_replay",
-    # Third round-4 push (locally verified hash-exact on registration):
     "graph_pagerank",
     "candles_gap_interpolate",
     "cms_heavy_hitters",
@@ -163,110 +261,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "pps_sample_docs",
     "dataset_card",
     "asof_join_next_bar",
-    # Fourth round-4 push (locally verified hash-exact on registration):
     "volume_bars",
-    "dollar_bars",
-    "triple_barrier_labels",
-    "heikin_ashi_candles",
-    "purged_kfold_cv",
-    "frac_diff_features",
-    "vpin_toxicity",
-    "acf_returns",
-    "hll_distinct_sketch",
-    "cross_sectional_factor",
-    "bucketed_colocated_join",
-    "streaming_volume_bars_replay",
-    "weighted_price_quantiles",
-    "bigram_lm_score",
-    "haar_wavelet_energy",
-    "risk_metrics_report",
-    "label_backtest_pnl",
-    "cusum_event_filter",
-    "label_uniqueness_weights",
-    "rolling_pair_beta",
-    "microstructure_metrics",
-    "execution_schedule_profile",
-    "meta_labels",
-    "realized_vol_estimators",
-    "asof_join_tolerance",
-    "token_entropy_score",
-    "imbalance_bars",
-    # Fifth round-4 push (locally verified hash-exact on registration):
-    "intraday_seasonality",
-    "bet_sizing_positions",
-    "pmi_collocations",
-    "kalman_price_smooth",
-    "sign_lz78_complexity",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "streaming_drift_replay",
-    "cdc_apply_changelog",
-    "inverse_variance_weights",
-    "ewma_beta_recursive",
-    "corwin_schultz_spread",
-    "variant_props_histogram",
-    "supertrend_recursive",
-    "dynamic_session_window_agg",
-    "attribution_first_last_touch",
-    "streaming_session_replay",
-    "streaming_dynamic_session_replay",
-    "streaming_cdc_apply_replay",
-    "concurrent_sessions_census",
-    "hrp_cluster_allocation",
-    # Sixth round-4 push (locally verified hash-exact on registration):
-    "source_orc_roundtrip",
-    "source_xml_roundtrip",
-    "time_range_window_stats",
-    "referential_integrity_report",
-    "ab_test_report",
-    "schema_evolution_merge",
-    "holt_winters_smooth",
-    "cointegration_scan",
-    "woe_iv_report",
-    "target_encoding_kfold",
-    "lead_lag_xcorr",
-    "survival_retention_km",
-    "benford_digit_audit",
-    "gini_concentration",
-    "mutual_info_features",
-    "association_rules_basket",
-    "rfm_segmentation",
-    "streaming_ab_replay",
-    "var_es_historical",
-    "almgren_chriss_schedule",
-    "markov_stationary_mix",
-    "ledoit_wolf_shrinkage",
-    "seasonal_trend_decomposition",
-    "pareto_frontier_orders",
-    "item_item_cf",
-    "forecast_eval_mase",
-    "graph_bfs_levels",
-    "funnel_latency_quantiles",
-    "weighted_sample_es",
-})
-
-#: Explicit registry order — the ROUND-4 rotation. Window layout:
-#: slot 0 = the anchor-machine oracle; slots 1-3 = the round-3
-#: driver-red row (training_mix_pack) plus the two dtype-drift-fixed
-#: oracles; slots 4-47 = every round-3 never-driver-checked oracled
-#: query; slots 48-49 = the second-push flagships
-#: (quality_classifier_gd, similarity_topk_pq), swapped in for the
-#: two fillers that already hold round-3 driver-green rows
-#: (rank_parts_in_brand, rollup_lineitem_sales). All 50 verified
-#: hash-exact on a VANILLA untuned SparkSession
-#: (SPARK_GRAFT_VANILLA=1). The remaining round-4 additions (span
-#: dedup, DSIR, SemDeDup, temperature mix, outer stream join,
-#: composed pipeline, incremental dedup x2, ANN recall, drift
-#: monitor, streaming inference, IVF-PQ, BM25, source cap) are
-#: declared round-5 deferrals, as are the third-push additions
-#: (PageRank, triangles, BPE train/encode, CMS batch+streaming, CEP
-#: batch+streaming, tick rule, robust stats, interpolation, PNG/WAV
-#: round trips, sliced eval, calibration); every query in the corpus
-#: is oracled except the intentionally-approximate
-#: indicators_chunked_pack.
-#: tests/test_rotation.py enforces that no oracled query can
-#: silently stagnate outside the window.
-_ORDER = [
     "anchor_machine_recursive",
     "training_mix_pack",
     "rolling_corr_window",
@@ -375,54 +370,6 @@ _ORDER = [
     "json_props_stats",
     "embedding_norm_stats",
     "top_k_orders",
-    "heavy_hitter_bigrams",
-    "dedup_priority_keep",
-    "lm_quality_score",
-    "table_profile_orders",
-    "sql_hourly_ohlc",
-    "corpus_keep_decision",
-    "quality_percentile_gate",
-    "source_mix_sample",
-    "span_dedup_exact",
-    "dsir_importance",
-    "dedup_semantic_kmeans",
-    "stream_outer_join_replay",
-    "temperature_mix_sample",
-    "llm_corpus_pipeline",
-    "incremental_dedup_delta",
-    "incremental_dedup_embedding",
-    "ann_recall_report",
-    "distribution_drift_report",
-    "streaming_classifier_scores_replay",
-    "similarity_topk_ivfpq",
-    "bm25_retrieval_topk",
-    "source_cap_sample",
-    "kmv_distinct_sketch",
-    "kmv_set_overlap",
-    "streaming_kmv_replay",
-    "graph_pagerank",
-    "candles_gap_interpolate",
-    "cms_heavy_hitters",
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "streaming_cms_replay",
-    "tick_rule_flow",
-    "robust_price_stats",
-    "pattern_momentum_spike",
-    "streaming_pattern_replay",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
-    "graph_triangles",
-    "classifier_eval_slices",
-    "classifier_calibration",
-    "fuzzy_match_customers",
-    "equidepth_price_histogram",
-    "incremental_candle_refresh",
-    "kmeans_quality_report",
-    "pps_sample_docs",
-    "dataset_card",
-    "asof_join_next_bar",
-    "volume_bars",
     "dollar_bars",
     "triple_barrier_labels",
     "heikin_ashi_candles",
@@ -503,9 +450,7 @@ _ORDER = [
     "anchored_vwap_filled",
     "indicators_recursive_pack",
     "indicators_chunked_pack",
-    "candle_patterns_pack",
     "peaks_valleys",
-    "full_enrichment",
 ]
 
 

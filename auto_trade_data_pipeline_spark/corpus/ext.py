@@ -2925,14 +2925,16 @@ WITH base AS (
   FROM documents
 ),
 keyed AS (
+  -- snap BEFORE ranking: membership and rank are decided on the
+  -- integer e9 key (doc_id tiebreak), so a 1-ulp libm ln difference
+  -- at the K-th boundary cannot flip the sample (round-4 advice)
   SELECT doc_id, source, n_chars,
-         {_ES_KEY} AS k
+         CAST(round({_ES_KEY} * 1000000000) AS BIGINT) AS key_e9
   FROM base
 ),
 ranked AS (
-  SELECT doc_id, source, n_chars,
-         CAST(round(k * 1000000000) AS BIGINT) AS key_e9,
-         row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+  SELECT doc_id, source, n_chars, key_e9,
+         row_number() OVER (ORDER BY key_e9 DESC, doc_id) AS rk
   FROM keyed
 )
 SELECT doc_id, source, n_chars, key_e9, CAST(rk AS BIGINT) AS rk
@@ -2954,8 +2956,11 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure scan-side key computation + one
     TakeOrderedAndProject (per-task {K}-row heaps, driver merge) —
-    no shuffle of the corpus, ever. Both engines rank the identical
-    IEEE key; output snaps it to e9 for the hash.""".replace(
+    no shuffle of the corpus, ever. The race key is snapped to an
+    integer e9 BEFORE ranking on both engines (doc_id tiebreak), so
+    top-{K} membership is exact-integer — a 1-ulp JVM-vs-libm ln
+    difference at the boundary cannot flip the sample (round-4
+    advice).""".replace(
         "{K}", str(_ES_K)
     )
     from auto_trade_data_pipeline_spark.operators.text import hash64
@@ -2970,16 +2975,16 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_chars",
-        F.expr(_ES_KEY).alias("k"),
+        F.expr(f"CAST(round({_ES_KEY} * 1000000000) AS BIGINT)").alias("key_e9"),
     )
     from pyspark.sql.window import Window
 
-    top = keyed.orderBy(F.col("k").desc(), F.col("doc_id")).limit(_ES_K)
-    w = Window.orderBy(F.col("k").desc(), F.col("doc_id"))
+    top = keyed.orderBy(F.col("key_e9").desc(), F.col("doc_id")).limit(_ES_K)
+    w = Window.orderBy(F.col("key_e9").desc(), F.col("doc_id"))
     return top.select(
         "doc_id",
         "source",
         "n_chars",
-        F.expr("CAST(round(k * 1000000000) AS BIGINT)").alias("key_e9"),
+        "key_e9",
         F.row_number().over(w).cast("long").alias("rk"),
     )

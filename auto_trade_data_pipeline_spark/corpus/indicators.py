@@ -394,28 +394,23 @@ def ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just golden-pinned. 4-decimal rounding absorbs the only
     engine difference left (compiler FMA fusion in the last bits).
 
-    Spark side: the production ta.ema kernel in one Arrow-batched
-    applyInPandas per symbol."""
-    import pandas as pd
-
-    from auto_trade_data_pipeline_spark.functions import ta
+    Spark side: the pure-JVM aggregate() scan fold
+    (operators/jvm_folds.py — the round-5 port off the interpreted
+    numpy loop; tests/test_jvm_folds.py pins bit-exact parity with
+    the ta.ema kernel, which remains the documented fallback)."""
+    from auto_trade_data_pipeline_spark.operators import jvm_folds as jf
 
     candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
-        close = pdf["close"].to_numpy(dtype=float)
-        return pd.DataFrame(
-            {
-                "symbol": pdf["symbol"],
-                "timestamp": pdf["timestamp"],
-                "ema12": ta.ema(close, 12),
-                "ema26": ta.ema(close, 26),
-            }
-        )
-
-    out = candles.select("symbol", "timestamp", "close").groupBy("symbol").applyInPandas(
-        kernel, schema="symbol string, timestamp timestamp, ema12 double, ema26 double"
+    closes = "transform(s, e -> e.close)"
+    out = jf.scan_by_key(
+        candles.select("symbol", "timestamp", "close"),
+        ["symbol"],
+        "timestamp",
+        ["close"],
+        {
+            "ema12": jf.ema_scan_sql(closes, 12),
+            "ema26": jf.ema_scan_sql(closes, 26),
+        },
     )
     return out.select(
         "symbol",
@@ -576,31 +571,27 @@ def atr_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     index 14) and Wilder recursion ``(prev*13 + tr)/14`` replayed as
     a per-row prefix list_reduce — cross-engine verification of the
     W5 smoothing machinery (the ADX/DI family shares it). Spark side:
-    the production ta.atr kernel."""
-    import pandas as pd
-
-    from auto_trade_data_pipeline_spark.functions import ta
+    the pure-JVM aggregate() scan fold (operators/jvm_folds.py, the
+    round-5 port; ta.atr stays as the pinned-parity fallback). True
+    range is a zip_with over the one-element-shifted bar array —
+    identical to the kernel's lag semantics."""
+    from auto_trade_data_pipeline_spark.operators import jvm_folds as jf
 
     candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
-        return pd.DataFrame(
-            {
-                "symbol": pdf["symbol"],
-                "timestamp": pdf["timestamp"],
-                "atr": ta.atr(
-                    pdf["high"].to_numpy(dtype=float),
-                    pdf["low"].to_numpy(dtype=float),
-                    pdf["close"].to_numpy(dtype=float),
-                    _ATR_N,
-                ),
-            }
-        )
-
-    out = candles.select("symbol", "timestamp", "high", "low", "close").groupBy(
-        "symbol"
-    ).applyInPandas(kernel, schema="symbol string, timestamp timestamp, atr double")
+    tr_arr = (
+        "zip_with(s, array_insert(slice(s, 1, size(s) - 1), 1, s[0]),"
+        " (cur, prv) -> CASE WHEN cur.timestamp = prv.timestamp"
+        " THEN cur.high - cur.low"
+        " ELSE greatest(cur.high - cur.low, abs(cur.high - prv.close),"
+        " abs(cur.low - prv.close)) END)"
+    )
+    out = jf.scan_by_key(
+        candles.select("symbol", "timestamp", "high", "low", "close"),
+        ["symbol"],
+        "timestamp",
+        ["high", "low", "close"],
+        {"atr": jf.wilder_atr_scan_sql(tr_arr, _ATR_N)},
+    )
     return out.select(
         "symbol",
         F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),

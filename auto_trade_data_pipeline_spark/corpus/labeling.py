@@ -2399,31 +2399,22 @@ def kalman_price_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     state machine (after EMA, PSAR, and the anchor machine): the
     DuckDB oracle replays the gain/level/variance recursion per row
     as a STRUCT-accumulator prefix list_reduce, bit-for-bit in IEEE
-    doubles (functions/ta.py:kalman_filter). Spark side is one
-    Arrow-batched applyInPandas per symbol over minute closes; e4
-    integer scaling absorbs the last-bit FMA-fusion difference (the
-    EMA oracle convention)."""
-    import pandas as pd
-
-    from auto_trade_data_pipeline_spark.functions import ta
+    doubles (functions/ta.py:kalman_filter). Spark side is the
+    pure-JVM aggregate() scan fold (operators/jvm_folds.py, the
+    round-5 port off the numpy loop; bit-exact parity pinned in
+    tests/test_jvm_folds.py); e4 integer scaling absorbs the
+    last-bit FMA-fusion difference (the EMA oracle convention)."""
+    from auto_trade_data_pipeline_spark.operators import jvm_folds as jf
 
     ticks = ticks_from_events(spark, sf_dir)
     mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
-        kx = ta.kalman_filter(pdf["close"].to_numpy(dtype=float), _KAL_Q, _KAL_R)
-        return pd.DataFrame(
-            {
-                "symbol": pdf["symbol"],
-                "timestamp": pdf["timestamp"],
-                "close": pdf["close"],
-                "kx": kx,
-            }
-        )
-
-    out = mclose.groupBy("symbol").applyInPandas(
-        kernel, schema="symbol string, timestamp timestamp, close double, kx double"
+    out = jf.scan_by_key(
+        mclose,
+        ["symbol"],
+        "timestamp",
+        ["close"],
+        {"kx": jf.kalman_scan_sql("transform(s, e -> e.close)", _KAL_Q, _KAL_R)},
     )
     return out.select(
         "symbol",
@@ -3430,42 +3421,30 @@ def holt_winters_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the COUPLED two-variable recursion per row as a
     struct-accumulator prefix list_reduce, bit-for-bit in IEEE
     doubles (functions/ta.py:holt_winters); e4/e6 integer snaps
-    absorb last-bit FMA fusion. Spark side is one Arrow-batched
-    applyInPandas per symbol — the same bounded-state shape that
-    streams via the indicator tail buffer."""
-    import pandas as pd
-
-    from auto_trade_data_pipeline_spark.functions import ta
+    absorb last-bit FMA fusion. Spark side is the pure-JVM
+    aggregate() scan fold (operators/jvm_folds.py, the round-5 port;
+    Catalyst evaluates named_struct fields against the OLD
+    accumulator, so the coupled recursion is safe as a struct fold
+    on this side — the DuckDB in-place trap is oracle-only)."""
+    from auto_trade_data_pipeline_spark.operators import jvm_folds as jf
 
     ticks = ticks_from_events(spark, sf_dir)
     mclose = aggregate_candles(ticks, 60).select("symbol", "timestamp", "close")
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
-        lvl, trd = ta.holt_winters(
-            pdf["close"].to_numpy(dtype=float), _HW_ALPHA, _HW_BETA
-        )
-        return pd.DataFrame(
-            {
-                "symbol": pdf["symbol"],
-                "timestamp": pdf["timestamp"],
-                "close": pdf["close"],
-                "lvl": lvl,
-                "trd": trd,
-            }
-        )
-
-    out = mclose.groupBy("symbol").applyInPandas(
-        kernel,
-        schema="symbol string, timestamp timestamp, close double, lvl double, trd double",
+    out = jf.scan_by_key(
+        mclose,
+        ["symbol"],
+        "timestamp",
+        ["close"],
+        {"hw": jf.holt_scan_sql("transform(s, e -> e.close)", _HW_ALPHA, _HW_BETA)},
     )
     return out.select(
         "symbol",
         _fmt("timestamp").alias("bucket_ts"),
         "close",
-        F.expr("CAST(round(lvl * 10000) AS BIGINT)").alias("hw_level_e4"),
-        F.expr("CAST(round(trd * 1000000) AS BIGINT)").alias("hw_trend_e6"),
-        F.expr("CAST(round((lvl + trd) * 10000) AS BIGINT)").alias("hw_forecast_e4"),
+        F.expr("CAST(round(hw.l * 10000) AS BIGINT)").alias("hw_level_e4"),
+        F.expr("CAST(round(hw.b * 1000000) AS BIGINT)").alias("hw_trend_e6"),
+        F.expr("CAST(round((hw.l + hw.b) * 10000) AS BIGINT)").alias("hw_forecast_e4"),
     )
 
 
@@ -4403,7 +4382,7 @@ def forecast_eval_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("timestamp", kind="mergesort").reset_index(drop=True)
-        lvl, trd = ta.holt_winters(
+        lvl, trd = ta.holt_linear(
             pdf["close"].to_numpy(dtype=float), _HW_ALPHA, _HW_BETA
         )
         out = pd.DataFrame(

@@ -543,9 +543,12 @@ def supertrend(
     return line, dirn
 
 
-def holt_winters(z: np.ndarray, alpha: float, beta: float) -> tuple[np.ndarray, np.ndarray]:
-    """Holt double exponential smoothing (level + trend, no seasonal
-    term): l = alpha*z + (1-alpha)*(l_prev + b), then
+def holt_linear(z: np.ndarray, alpha: float, beta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Holt's linear (double exponential) smoothing — level + trend,
+    NO seasonal term (round-4 advice: the name says what it is; the
+    conventional "Holt-Winters" denotes the triple/seasonal method,
+    which this is not — ``holt_winters`` remains as a deprecated
+    alias): l = alpha*z + (1-alpha)*(l_prev + b), then
     b = beta*(l - l_prev) + (1-beta)*b — scalar IEEE doubles in this
     exact order so a DuckDB struct-accumulator list_reduce replays the
     coupled recursion bit-for-bit (the kalman_filter oracle pattern).
@@ -564,3 +567,9 @@ def holt_winters(z: np.ndarray, alpha: float, beta: float) -> tuple[np.ndarray, 
         b = beta * (l - lp) + (1.0 - beta) * b
         lvl[t], trd[t] = l, b
     return lvl, trd
+
+
+#: Deprecated alias — this is Holt's DOUBLE (linear) smoothing, not
+#: the seasonal triple method the Holt-Winters name conventionally
+#: means. Kept so existing callers keep working.
+holt_winters = holt_linear

@@ -249,40 +249,41 @@ def heikin_ashi_candles(candles: DataFrame) -> DataFrame:
     """Heikin-Ashi smoothed candles per symbol (functions.ta.heikin_ashi).
 
     The ha_open recursion is inherently per-symbol sequential (the
-    same constraint as every recursive indicator — SURVEY §2 W-family),
-    so it runs as one Arrow batch per symbol via applyInPandas; all
-    other HA columns are pointwise. Parallelism is symbol-keyed; for
-    a pathological single-symbol history the bounded-tail chunked
-    evaluator recipe of `operators.indicators.enrich_indicators`
-    applies unchanged (the recursion contracts by 1/2 per step, far
-    faster than EMA's 2/(n+1)).
+    same constraint as every recursive indicator — SURVEY §2 W-family).
+    Round 5 moved it from applyInPandas onto the pure-JVM aggregate()
+    scan fold (operators/jvm_folds.py; bit-exact parity with the
+    functions.ta.heikin_ashi kernel pinned in tests/test_jvm_folds.py
+    — the kernel remains the documented fallback); all other HA
+    columns are pointwise JVM expressions. Parallelism is
+    symbol-keyed; for a pathological single-symbol history the
+    bounded-tail chunked evaluator recipe of
+    `operators.indicators.enrich_indicators` applies unchanged (the
+    recursion contracts by 1/2 per step, far faster than EMA's
+    2/(n+1)).
     """
-    import pandas as pd
+    from pyspark.sql import functions as F
 
-    from auto_trade_data_pipeline_spark.functions.ta import heikin_ashi
+    from auto_trade_data_pipeline_spark.operators import jvm_folds as jf
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("timestamp").reset_index(drop=True)
-        o = pdf["open"].to_numpy(dtype="float64")
-        h = pdf["high"].to_numpy(dtype="float64")
-        l = pdf["low"].to_numpy(dtype="float64")
-        c = pdf["close"].to_numpy(dtype="float64")
-        ho, hh, hl, hc = heikin_ashi(o, h, l, c)
-        return pd.DataFrame(
-            {
-                "symbol": pdf["symbol"],
-                "timestamp": pdf["timestamp"],
-                "ha_open": ho,
-                "ha_high": hh,
-                "ha_low": hl,
-                "ha_close": hc,
-            }
-        )
-
-    schema = (
-        "symbol string, timestamp timestamp, ha_open double, "
-        "ha_high double, ha_low double, ha_close double"
+    with_hc = candles.select(
+        "symbol", "timestamp", "open", "high", "low", "close"
+    ).withColumn("hc", F.expr("(open + high + low + close) / 4.0"))
+    out = jf.scan_by_key(
+        with_hc,
+        ["symbol"],
+        "timestamp",
+        ["open", "high", "low", "close", "hc"],
+        {
+            "ha_open": jf.ha_open_scan_sql(
+                "transform(s, e -> named_struct('o', e.open, 'c', e.close, 'hc', e.hc))"
+            )
+        },
     )
-    return candles.select("symbol", "timestamp", "open", "high", "low", "close").groupBy(
-        "symbol"
-    ).applyInPandas(kernel, schema=schema)
+    return out.select(
+        "symbol",
+        "timestamp",
+        "ha_open",
+        F.expr("greatest(high, ha_open, hc)").alias("ha_high"),
+        F.expr("least(low, ha_open, hc)").alias("ha_low"),
+        F.col("hc").alias("ha_close"),
+    )

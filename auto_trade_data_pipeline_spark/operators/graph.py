@@ -377,6 +377,10 @@ def bfs_levels(
     identical unrolled rounds. Nodes still unreached after
     ``max_hops`` report ``unreached``.
 
+    Seeds outside ``nodes`` are unioned INTO the node universe (they
+    seed propagation and appear in the output at level 0) — a seed
+    can never be silently dropped (round-4 advice).
+
     Scale shape: per round, one shuffle join (frontier levels x edges
     on the src key) + one min-groupBy on the dst key — the Pregel BFS
     layout in plain DataFrame ops; levels are localCheckpoint'ed per
@@ -396,8 +400,8 @@ def bfs_levels(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = nodes.select(F.col(node_col).alias("node")).distinct()
     s = seeds.select(F.col(node_col).alias("node")).distinct()
+    n = nodes.select(F.col(node_col).alias("node")).unionByName(s).distinct()
     lvl = n.join(s.withColumn("__seed", F.lit(1)), "node", "left").select(
         "node",
         F.when(F.col("__seed").isNotNull(), F.lit(0).cast("long")).alias("level"),

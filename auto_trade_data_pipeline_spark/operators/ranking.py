@@ -108,8 +108,13 @@ def global_running_sum(
     `global_row_number`, with the same no-SinglePartition recipe:
     range-partition + sort, collect per-partition SUMS (partition
     metadata — one long each), broadcast the prefix offsets, add a
-    within-partition cumulative sum. Values must be integral (LONG)
-    so the prefix sum is exact under any partitioning.
+    within-partition cumulative sum. Values must be integral (LONG —
+    a non-integral float raises loudly in the pandas pass rather than
+    silently truncating); NULL values contribute 0, so every output
+    row carries the running total of the non-null inputs so far
+    (note: plain SQL ``sum() OVER`` instead emits NULL until the
+    first non-null value — callers that need that exact shape should
+    filter nulls first).
 
     This is what makes weight-based global layouts (systematic PPS
     sampling, sequence packing across shards, equi-weight file
@@ -145,7 +150,11 @@ def global_running_sum(
         pos = bc.value.get(pid, 0)
         for pdf in iterator:
             pdf = pdf.copy()
-            pdf[out_col] = pdf[value_col].astype("int64").cumsum() + pos
+            # Int64 (nullable) cast raises on non-integral floats —
+            # the BIGINT contract is enforced, never silently floored;
+            # NULLs contribute 0 (matching the F.sum partition pass).
+            vals = pdf[value_col].astype("Int64").fillna(0).astype("int64")
+            pdf[out_col] = vals.cumsum() + pos
             pos = int(pdf[out_col].iloc[-1]) if len(pdf) else pos
             yield pdf
 
@@ -171,7 +180,14 @@ def global_running_max(
 
     The exclusive prefix max is the workhorse of sort-order sweep
     algorithms — 2D skyline/Pareto filtering, envelope detection,
-    record-breaking scans."""
+    record-breaking scans.
+
+    Values must be integral (LONG — a non-integral float raises
+    loudly in the pandas pass rather than silently flooring); NULLs
+    are SKIPPED exactly like ``max() OVER``: a null row still sees
+    the max of the strictly-preceding non-null values, and rows
+    before the first non-null value get NULL (round-4 advice — both
+    passes now agree on window semantics)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = (
         df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols).persist()
@@ -199,34 +215,29 @@ def global_running_max(
     def attach(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        import numpy as np
-
         pid = TaskContext.get().partitionId()
         prior = bc.value.get(pid, None)
         for pdf in iterator:
             pdf = pdf.copy()
-            v = pdf[value_col].astype("int64").to_numpy()
-            k = len(v)
-            if k == 0:
+            if not len(pdf):
                 pdf[out_col] = pd.array([], dtype="Int64")
                 yield pdf
                 continue
-            incl = np.maximum.accumulate(v)
-            # exclusive shift: row i sees max of rows < i (plus the
-            # prior-partition carry); the global first row stays NULL
-            excl = np.empty(k, dtype="int64")
-            excl[1:] = incl[:-1]
-            mask_null = np.zeros(k, dtype=bool)
-            if prior is None:
-                excl[0] = v[0]  # placeholder, masked to NULL below
-                mask_null[0] = True
-            else:
-                excl[0] = prior
-                np.maximum(excl, prior, out=excl)
-            out = pd.array(excl, dtype="Int64")
-            out[mask_null] = None
-            pdf[out_col] = out
-            prior = int(incl[-1]) if prior is None else max(prior, int(incl[-1]))
+            # Int64 (nullable) cast raises on non-integral floats —
+            # the BIGINT contract is enforced, never silently floored.
+            s = pdf[value_col].astype("Int64")
+            # inclusive running max skipping NULLs (ffill carries the
+            # last valid max through null holes), then the exclusive
+            # shift: row i sees max of STRICTLY preceding non-nulls.
+            incl = s.cummax().ffill()
+            excl = incl.shift(1)
+            if prior is not None:
+                # NA (no preceding non-null) resolves to the carry
+                excl = excl.where(excl >= prior, prior)
+            pdf[out_col] = excl.astype("Int64")
+            last = incl.iloc[-1]
+            if not pd.isna(last):
+                prior = int(last) if prior is None else max(prior, int(last))
             yield pdf
 
     return ordered.mapInPandas(attach, schema=out_schema)

@@ -75,7 +75,12 @@ def write_upsert_snapshot(
     semantics, atomically-ish via a staging-dir swap (write the merged
     snapshot next to the live dir, then replace). The reference's
     pandas merge rewrites its CSV the same way, minus the staging
-    discipline (``src/fetch_historical_trades_nvda.py:237-258``)."""
+    discipline (``src/fetch_historical_trades_nvda.py:237-258``).
+
+    Plain local paths swap with POSIX ``os.rename``; URI paths
+    (``file://``, ``hdfs://``, ...) swap through the Hadoop
+    FileSystem API so the staging discipline works on the table's own
+    store (round-5; pairs with streaming/sink._MarkerStore)."""
     spark = new.sparkSession
     if _path_exists(spark, path):
         existing = spark.read.format(fmt).load(path)
@@ -85,6 +90,19 @@ def write_upsert_snapshot(
     staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").format(fmt).save(staging)
     backup = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    if "://" in path:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        jp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(conf)
+        jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+        jbackup = jvm.org.apache.hadoop.fs.Path(backup)
+        if fs.exists(jp):
+            fs.rename(jp, jbackup)
+        fs.rename(jstaging, jp)
+        if fs.exists(jbackup):
+            fs.delete(jbackup, True)
+        return
     if os.path.exists(path):
         os.rename(path, backup)
     os.rename(staging, path)

@@ -132,3 +132,22 @@ def test_global_running_max_exclusive_matches_sequential_and_partition_invariant
         for r in global_running_max(df.coalesce(1), ["key", "id"], "v", "m").collect()
     }
     assert out == out1
+
+
+def test_global_running_max_skips_nulls_like_sql_window(spark):
+    """Round-4 advice: NULL values must be skipped (max() OVER
+    semantics) — a null row still sees the prior running max, rows
+    before the first non-null get NULL — and non-integral floats
+    raise instead of silently flooring."""
+    import pytest
+
+    from auto_trade_data_pipeline_spark.operators.ranking import global_running_max
+
+    rows = [(0, None), (1, 5), (2, None), (3, 3), (4, 9), (5, None)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(3)
+    out = {r.id: r.m for r in global_running_max(df, ["id"], "v", "m").collect()}
+    assert out == {0: None, 1: None, 2: 5, 3: 5, 4: 5, 5: 9}
+
+    bad = spark.createDataFrame([(0, 1.5), (1, 2.0)], "id long, v double")
+    with pytest.raises(Exception, match="(?i)cast|convert"):
+        global_running_max(bad, ["id"], "v", "m").collect()

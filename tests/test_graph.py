@@ -237,3 +237,16 @@ def test_bfs_levels_hop_distances_and_unreached(spark):
         r.node: r.level for r in bfs_levels(nodes, edges, seeds2, max_hops=4).collect()
     }
     assert out3[3] == 2 and out3[4] == 1 and out3[5] == 0
+
+
+def test_bfs_levels_seed_outside_node_universe_still_propagates(spark):
+    """Round-4 advice: a seed absent from `nodes` must not be silently
+    dropped — it joins the universe at level 0 and its neighbors get
+    hop distances through it."""
+    from auto_trade_data_pipeline_spark.operators.graph import bfs_levels
+
+    edges = _edges(spark, [(99, 2), (2, 3)])
+    nodes = spark.createDataFrame([(2,), (3,)], "node long")  # 99 missing
+    seeds = spark.createDataFrame([(99,)], "node long")
+    out = {r.node: r.level for r in bfs_levels(nodes, edges, seeds, max_hops=3).collect()}
+    assert out == {99: 0, 2: 1, 3: 2}

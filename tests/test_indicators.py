@@ -439,12 +439,13 @@ def test_lz78_jvm_fold_matches_python_reference(spark):
 def test_holt_winters_matches_naive_reference_and_tracks_trend():
     import numpy as np
 
-    from auto_trade_data_pipeline_spark.functions.ta import holt_winters
+    from auto_trade_data_pipeline_spark.functions.ta import holt_linear, holt_winters
 
     rng = np.random.default_rng(11)
     z = 100 + 0.05 * np.arange(600) + rng.normal(0, 1, 600)
     a, b = 0.5, 0.3
-    lvl, trd = holt_winters(z, a, b)
+    lvl, trd = holt_linear(z, a, b)
+    assert holt_winters is holt_linear  # deprecated alias kept
     # Naive reference recursion, scalar step by step.
     l, t = float(z[0]), 0.0
     rl, rt = [l], [t]

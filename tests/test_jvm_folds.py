@@ -1,0 +1,157 @@
+"""Bit-exact parity: JVM aggregate() scan folds vs the numpy kernels.
+
+The round-5 port (operators/jvm_folds.py) moves the EMA-class
+recursions off interpreted Python loops; these tests pin that the JVM
+fold reproduces functions/ta.py EXACTLY (same doubles, no tolerance) —
+NULL on the JVM side corresponds to NaN from the kernels (the Arrow
+boundary always converted NaN to NULL, so this is the contract the
+oracles compare against).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.functions import ta
+from auto_trade_data_pipeline_spark.operators import jvm_folds as jf
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _walk(seed: int, n: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return np.round(100.0 + np.cumsum(rng.randn(n) * 0.5), 4)
+
+
+def _df(spark, n=257):
+    rows = []
+    for s, seed in (("AAA", 7), ("BBB", 11), ("CCC", 13)):
+        px = _walk(seed, n)
+        hi = px + np.abs(np.round(np.random.RandomState(seed + 1).rand(n), 4))
+        lo = px - np.abs(np.round(np.random.RandomState(seed + 2).rand(n), 4))
+        op = np.round((hi + lo) / 2.0, 4)
+        rows += [
+            (s, i, float(op[i]), float(hi[i]), float(lo[i]), float(px[i]))
+            for i in range(n)
+        ]
+    return spark.createDataFrame(
+        rows, "symbol string, i int, open double, high double, low double, close double"
+    )
+
+
+def _pairs(out, col, key="symbol", order="i"):
+    return {(r[key], r[order]): r[col] for r in out.collect()}
+
+
+def _assert_exact(got: dict, symbol: str, expect: np.ndarray):
+    for i, e in enumerate(expect):
+        g = got[(symbol, i)]
+        if math.isnan(e):
+            assert g is None, f"i={i}: expected NULL, got {g!r}"
+        else:
+            assert g == e, f"i={i}: {g!r} != {e!r} (diff {g - e!r})"
+
+
+def test_ema_scan_bit_exact(spark):
+    df = _df(spark)
+    out = jf.scan_by_key(
+        df, ["symbol"], "i", ["close"],
+        {"ema12": jf.ema_scan_sql("transform(s, e -> e.close)", 12),
+         "ema26": jf.ema_scan_sql("transform(s, e -> e.close)", 26)},
+    )
+    e12 = _pairs(out, "ema12")
+    e26 = _pairs(out, "ema26")
+    for s, seed in (("AAA", 7), ("BBB", 11), ("CCC", 13)):
+        px = _walk(seed, 257)
+        _assert_exact(e12, s, ta.ema(px, 12))
+        _assert_exact(e26, s, ta.ema(px, 26))
+
+
+def test_ema_scan_leading_nulls(spark):
+    """A cascaded EMA input (leading NULLs — the MACD signal shape)
+    starts its warm-up at the first non-null value."""
+    px = _walk(3, 120)
+    vals = [None] * 25 + [float(v) for v in px[25:]]
+    df = spark.createDataFrame(
+        [("S", i, v) for i, v in enumerate(vals)], "symbol string, i int, x double"
+    )
+    out = jf.scan_by_key(
+        df, ["symbol"], "i", ["x"],
+        {"e9": jf.ema_scan_sql("transform(s, e -> e.x)", 9)},
+    )
+    arr = px.copy()
+    arr[:25] = np.nan
+    _assert_exact(_pairs(out, "e9"), "S", ta.ema(arr, 9))
+
+
+def test_atr_scan_bit_exact(spark):
+    df = _df(spark)
+    tr_arr = """transform(s, e -> e.high - e.low)"""
+    # true range needs prev close; build it with a zip over the shifted array
+    tr_full = (
+        "zip_with(s, array_insert(slice(s, 1, size(s) - 1), 1, s[0]),"
+        " (cur, prv) -> CASE WHEN cur.i = prv.i THEN cur.high - cur.low"
+        " ELSE greatest(cur.high - cur.low, abs(cur.high - prv.close),"
+        " abs(cur.low - prv.close)) END)"
+    )
+    out = jf.scan_by_key(
+        df, ["symbol"], "i", ["high", "low", "close"],
+        {"atr14": jf.wilder_atr_scan_sql(tr_full, 14)},
+    )
+    got = _pairs(out, "atr14")
+    for s, seed in (("AAA", 7), ("BBB", 11), ("CCC", 13)):
+        px = _walk(seed, 257)
+        hi = px + np.abs(np.round(np.random.RandomState(seed + 1).rand(257), 4))
+        lo = px - np.abs(np.round(np.random.RandomState(seed + 2).rand(257), 4))
+        _assert_exact(got, s, ta.atr(hi, lo, px, 14))
+
+
+def test_kalman_scan_bit_exact(spark):
+    df = _df(spark)
+    out = jf.scan_by_key(
+        df, ["symbol"], "i", ["close"],
+        {"kx": jf.kalman_scan_sql("transform(s, e -> e.close)", 0.01, 1.0)},
+    )
+    got = _pairs(out, "kx")
+    for s, seed in (("AAA", 7), ("BBB", 11), ("CCC", 13)):
+        px = _walk(seed, 257)
+        _assert_exact(got, s, ta.kalman_filter(px, 0.01, 1.0))
+
+
+def test_holt_scan_bit_exact(spark):
+    df = _df(spark)
+    scan = jf.holt_scan_sql("transform(s, e -> e.close)", 0.5, 0.3)
+    out = jf.scan_by_key(df, ["symbol"], "i", ["close"], {"hw": scan}).select(
+        "symbol", "i", F.col("hw.l").alias("l"), F.col("hw.b").alias("b")
+    )
+    gl, gb = _pairs(out, "l"), _pairs(out, "b")
+    for s, seed in (("AAA", 7), ("BBB", 11), ("CCC", 13)):
+        px = _walk(seed, 257)
+        lvl, trd = ta.holt_linear(px, 0.5, 0.3)
+        _assert_exact(gl, s, lvl)
+        _assert_exact(gb, s, trd)
+
+
+def test_ha_open_scan_bit_exact(spark):
+    df = _df(spark).withColumn(
+        "hc", F.expr("(open + high + low + close) / 4.0")
+    )
+    bars = (
+        "transform(s, e -> named_struct('o', e.open, 'c', e.close, 'hc', e.hc))"
+    )
+    out = jf.scan_by_key(
+        df, ["symbol"], "i", ["open", "close", "hc"],
+        {"ha_open": jf.ha_open_scan_sql(bars)},
+    )
+    got = _pairs(out, "ha_open")
+    for s, seed in (("AAA", 7), ("BBB", 11), ("CCC", 13)):
+        px = _walk(seed, 257)
+        hi = px + np.abs(np.round(np.random.RandomState(seed + 1).rand(257), 4))
+        lo = px - np.abs(np.round(np.random.RandomState(seed + 2).rand(257), 4))
+        op = np.round((hi + lo) / 2.0, 4)
+        ho, _, _, _ = ta.heikin_ashi(op, hi, lo, px)
+        _assert_exact(got, s, ho)

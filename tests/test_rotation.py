@@ -58,6 +58,43 @@ def test_window_is_fully_oracled_and_full():
     assert all(q.oracle is not None for q in head)
 
 
+def test_staleness_bound():
+    """Round-4 verdict item 8: no oracled query may go >= 3 rounds
+    with neither a driver row nor a recorded local-sweep entry
+    (SWEEP_MANIFEST.json, written by tools/verify_local.py). Being in
+    the CURRENT window counts — it gets a driver row this round."""
+    from auto_trade_data_pipeline_spark.corpus import DRIVER_QUERY_SLOTS, load_all
+
+    rounds = [
+        int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    building = max(rounds, default=0) + 1
+
+    last_seen: dict[str, int] = {}
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        r = int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+        for n in json.load(open(p)):
+            last_seen[n] = max(last_seen.get(n, 0), r)
+    manifest_path = os.path.join(REPO, "SWEEP_MANIFEST.json")
+    if os.path.exists(manifest_path):
+        for n, rec in json.load(open(manifest_path)).items():
+            last_seen[n] = max(last_seen.get(n, 0), int(rec["round"]))
+
+    reg = load_all()
+    window = set(list(reg)[:DRIVER_QUERY_SLOTS])
+    stale = sorted(
+        n for n, q in reg.items()
+        if q.oracle is not None
+        and n not in window
+        and building - last_seen.get(n, 0) >= 3
+    )
+    assert not stale, (
+        f"oracled queries unverified for >=3 rounds (run tools/verify_local.py "
+        f"on them or rotate them into the window): {stale}"
+    )
+
+
 def test_rows_only_queries_sit_after_the_cut_line():
     from auto_trade_data_pipeline_spark.corpus import DRIVER_QUERY_SLOTS, load_all
 

@@ -196,7 +196,30 @@ def main() -> int:
             if ok_cols and not ok_hash:
                 _diff(srows, scols, orows, ocols)
     print(f"\n{len(names) - len(failures)}/{len(names)} passed; {len(no_oracle)} rows-only")
+    _record_sweep([n for n in names if n not in failures and n not in no_oracle], sf_dir)
     return 1 if failures else 0
+
+
+def _record_sweep(passed: list[str], sf_dir: str) -> None:
+    """Append passing queries to SWEEP_MANIFEST.json — the recorded
+    evidence trail tests/test_rotation.py's staleness bound reads.
+    ``round`` = the round currently being built (driver rounds that
+    already ran + 1)."""
+    import glob as _glob
+    import json as _json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    building = len(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))) + 1
+    path = os.path.join(repo, "SWEEP_MANIFEST.json")
+    manifest = _json.load(open(path)) if os.path.exists(path) else {}
+    for name in passed:
+        prev = manifest.get(name, {})
+        manifest[name] = {
+            "round": max(building, int(prev.get("round", 0))),
+            "sf_dir": sf_dir,
+        }
+    with open(path, "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
 
 
 def _diff(srows, scols, orows, ocols, limit: int = 5) -> None:
