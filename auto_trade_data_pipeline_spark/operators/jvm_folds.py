@@ -3,32 +3,68 @@
 The recursive TA kernels (``functions/ta.py``) are left-to-right IEEE
 scalar folds — inherently per-symbol sequential. Round-4 shipped them
 as interpreted numpy loops inside ``applyInPandas``; this module
-re-expresses each recursion as a Catalyst ``aggregate()`` higher-order
-expression over a per-key ``collect_list`` array, with an
-``array_append`` output accumulator (the scan). Same fold, same
+re-expresses each recursion as Catalyst ``aggregate()`` higher-order
+expressions over a per-key ``collect_list`` array. Same fold, same
 operand order, same doubles — so the existing DuckDB ``list_reduce``
 oracles (and the numpy kernels, kept as the documented fallback /
 parity reference) stay bit-exact — but the hot loop now runs JVM-side
 with zero Python/Arrow transfer (round-4 verdict item 2; the pattern
 was first proven for LZ78 in ``sign_lz78_complexity``).
 
+**Chunked scan, not a naive appending fold.** A scan accumulator that
+``array_append``s every output copies the whole output array per
+element — O(n²), a scale-killer on million-row symbol tapes. Instead
+the input array is sliced into ``CHUNK``-sized blocks and ONE outer
+fold walks the blocks: per block, an inner fold advances the state
+element-by-element and appends to a block-local output (O(CHUNK)
+copies per element), and the outer accumulator appends one block
+reference. Total work O(n·CHUNK) with identical element order —
+bit-exactness is untouched because the state sequence is the same
+fold, just materialized in blocks. SQL has no let-binding, so the
+single-evaluation of a sub-expression is done with the
+``transform(array(<expr>), v -> <body>)[0]`` idiom.
+
+Each recursion is declared as (state type, init, update(st, x),
+emit(new_st)) and compiled by :func:`_scan_sql`; emit always derives
+from the POST-update state. Catalyst evaluates ``named_struct``
+fields against the old accumulator (no DuckDB-style in-place update),
+so coupled recursions (Holt) are safe with the new-state expression
+inlined.
+
 Reference parity: the recursions mirror the TA-Lib definitions the
 reference calls through ``talib`` (``src/candle_to_calcs.py:60-120``);
 see each ``functions/ta.py`` kernel for the from-spec derivation.
 
-Scale shape: one ``collect_list`` per (key) group — parallelism is
-symbol cardinality, state O(tape length) per task. That is the same
-shape as the applyInPandas path it replaces (a serial recursion cannot
-do better without the chunked approximation in
-``operators/blocked.py`` / ``indicators_chunked_pack``); what changes
-is the constant factor: no Arrow round trip, no Python interpreter in
-the per-element loop.
+Scale shape: one ``collect_list`` per key — parallelism is symbol
+cardinality, state O(tape length) per task, the same shape as the
+applyInPandas path it replaces (a serial recursion cannot do better
+without the chunked approximation in ``operators/blocked.py`` /
+``indicators_chunked_pack``); the blocked output keeps array copying
+linear-per-element.
+
+**Measured crossover (local[32], round 5).** Catalyst evaluates
+higher-order-function lambdas INTERPRETED (no whole-stage codegen),
+at roughly 1 µs/element vs ~0.1 µs/element for the tight CPython
+float loop in the numpy kernels. What the JVM path removes instead is
+the fixed per-group cost: Python worker spin-up, Arrow
+serialization, pandas assembly. Net effect, measured here:
+
+- 5 symbols x 16-20k rows (the sf0.1 bench shape): JVM fold equal or
+  faster (kalman_price_smooth 0.61 s vs 0.72 s on the numpy path) —
+  upstream aggregation dominates and the Arrow hop is gone.
+- 5 symbols x 100k rows: numpy path ~6x faster (0.8 s vs 5.1 s for a
+  2-EMA scan) — per-element interpretation dominates.
+
+Rule of thumb: prefer these folds for many-group / bounded-tape
+shapes and for removing the Python-worker dependency; prefer the
+numpy kernels (``operators/indicators.py`` pack) for few very long
+tapes. Both are bit-identical, so swapping is a pure perf decision.
 
 All constants are embedded via ``repr()`` — the shortest round-trip
-decimal parses to the identical double on the JVM, DuckDB, and CPython.
-NULL (not NaN) marks warm-up rows: the Arrow path converted numpy NaN
-to NULL at the boundary, so NULL is what the oracles and the driver
-have always compared against.
+decimal parses to the identical double on the JVM, DuckDB, and
+CPython. NULL (not NaN) marks warm-up rows: the Arrow path converted
+numpy NaN to NULL at the boundary, so NULL is what the oracles and
+the driver have always compared against.
 """
 
 from __future__ import annotations
@@ -36,17 +72,97 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Output-block size for the chunked scan. Copies per element are
+#: O(CHUNK); per-chunk lambda-dispatch overhead is O(n / CHUNK).
+#: 1024 keeps both far from mattering (~8 KB block copies).
+CHUNK = 1024
+
 
 def _d(x: float) -> str:
     """Exact double literal for SQL embedding."""
     return f"CAST({x!r} AS DOUBLE)"
 
 
-_NULL_D = "CAST(NULL AS DOUBLE)"
-_EMPTY_D = "CAST(array() AS ARRAY<DOUBLE>)"
+def _scan_sql(
+    arr: str,
+    init: str,
+    update: str,
+    emit: str,
+    out_type: str,
+    chunk: int = CHUNK,
+) -> str:
+    """Compile a recursion into a chunked O(n·chunk) scan expression.
+
+    ``update`` uses ``st`` (pre-state) and ``x`` (element); ``emit``
+    uses ``ns`` (post-state). Returns SQL producing
+    ``array<out_type>`` with one element per input element, in order.
+    """
+    empty_out = f"CAST(array() AS ARRAY<{out_type}>)"
+    empty_chunks = f"CAST(array() AS ARRAY<ARRAY<{out_type}>>)"
+    # inner per-element step: bind the post-update state once as ns
+    inner_step = f"""(a2, x) -> transform(
+        array({update.replace("st.", "a2.st.")}),
+        ns -> named_struct('st', ns, 'o', array_append(a2.o, {emit}))
+    )[0]"""
+    # outer per-chunk step: run the inner fold once, bind as r
+    return f"""aggregate(
+      CASE WHEN size({arr}) = 0 THEN CAST(array() AS ARRAY<ARRAY<STRUCT<v: DOUBLE>>>)
+           ELSE transform(
+             sequence(0, (size({arr}) - 1) div {chunk}),
+             c -> transform(slice({arr}, c * {chunk} + 1, {chunk}),
+                            e -> named_struct('v', e)))
+      END,
+      named_struct('st', {init}, 'out', {empty_chunks}),
+      (acc, ch) -> transform(
+        array(aggregate(ch,
+                        named_struct('st', acc.st, 'o', {empty_out}),
+                        {inner_step})),
+        r -> named_struct('st', r.st, 'out', array_append(acc.out, r.o))
+      )[0],
+      acc -> flatten(acc.out)
+    )"""
 
 
-def ema_scan_sql(arr: str, period: int) -> str:
+def _scan_sql_struct(
+    arr: str,
+    elem_type: str,
+    init: str,
+    update: str,
+    emit: str,
+    out_type: str,
+    chunk: int = CHUNK,
+) -> str:
+    """Variant of :func:`_scan_sql` for struct-typed input elements
+    (``x`` exposes the struct's fields). ``elem_type`` is the input
+    element's SQL type, e.g. ``STRUCT<o: DOUBLE, c: DOUBLE>``."""
+    empty_out = f"CAST(array() AS ARRAY<{out_type}>)"
+    empty_chunks = f"CAST(array() AS ARRAY<ARRAY<{out_type}>>)"
+    inner_step = f"""(a2, x) -> transform(
+        array({update.replace("st.", "a2.st.")}),
+        ns -> named_struct('st', ns, 'o', array_append(a2.o, {emit}))
+    )[0]"""
+    return f"""aggregate(
+      CASE WHEN size({arr}) = 0 THEN CAST(array() AS ARRAY<ARRAY<{elem_type}>>)
+           ELSE transform(sequence(0, (size({arr}) - 1) div {chunk}),
+                          c -> slice({arr}, c * {chunk} + 1, {chunk}))
+      END,
+      named_struct('st', {init}, 'out', {empty_chunks}),
+      (acc, ch) -> transform(
+        array(aggregate(ch,
+                        named_struct('st', acc.st, 'o', {empty_out}),
+                        {inner_step})),
+        r -> named_struct('st', r.st, 'out', array_append(acc.out, r.o))
+      )[0],
+      acc -> flatten(acc.out)
+    )"""
+
+
+# The double-element scans wrap each element as named_struct('v', e)
+# so one code path (_scan_sql) serves arrays of doubles; updates
+# reference the element as x.v.
+
+
+def ema_scan_sql(arr: str, period: int, chunk: int = CHUNK) -> str:
     """``array<double> -> array<double>`` TA-Lib EMA scan
     (``functions/ta.py:ema``): NULL while warming up, the
     sequential-fold SMA of the first ``period`` finite values at the
@@ -55,29 +171,23 @@ def ema_scan_sql(arr: str, period: int) -> str:
     through without consuming warm-up count."""
     k = _d(2.0 / (period + 1.0))
     p = f"CAST({period} AS DOUBLE)"
-    return f"""aggregate(
-      {arr},
-      named_struct('cnt', 0, 'acc', {_d(0.0)}, 'prev', {_d(0.0)}, 'out', {_EMPTY_D}),
-      (st, x) -> CASE
-        WHEN x IS NULL AND st.cnt = 0 THEN named_struct(
-          'cnt', 0, 'acc', st.acc, 'prev', st.prev,
-          'out', array_append(st.out, {_NULL_D}))
+    init = f"named_struct('cnt', 0, 'acc', {_d(0.0)}, 'prev', {_d(0.0)})"
+    update = f"""CASE
+        WHEN x.v IS NULL AND st.cnt = 0 THEN named_struct(
+          'cnt', 0, 'acc', st.acc, 'prev', st.prev)
         WHEN st.cnt < {period} - 1 THEN named_struct(
-          'cnt', st.cnt + 1, 'acc', st.acc + x, 'prev', st.prev,
-          'out', array_append(st.out, {_NULL_D}))
+          'cnt', st.cnt + 1, 'acc', st.acc + x.v, 'prev', st.prev)
         WHEN st.cnt = {period} - 1 THEN named_struct(
-          'cnt', st.cnt + 1, 'acc', st.acc + x, 'prev', (st.acc + x) / {p},
-          'out', array_append(st.out, (st.acc + x) / {p}))
+          'cnt', st.cnt + 1, 'acc', st.acc + x.v, 'prev', (st.acc + x.v) / {p})
         ELSE named_struct(
           'cnt', st.cnt + 1, 'acc', st.acc,
-          'prev', (x - st.prev) * {k} + st.prev,
-          'out', array_append(st.out, (x - st.prev) * {k} + st.prev))
-      END,
-      st -> st.out
-    )"""
+          'prev', (x.v - st.prev) * {k} + st.prev)
+      END"""
+    emit = f"CASE WHEN ns.cnt >= {period} THEN ns.prev ELSE CAST(NULL AS DOUBLE) END"
+    return _scan_sql(arr, init, update, emit, "DOUBLE", chunk)
 
 
-def wilder_atr_scan_sql(tr_arr: str, period: int) -> str:
+def wilder_atr_scan_sql(tr_arr: str, period: int, chunk: int = CHUNK) -> str:
     """``array<double> -> array<double>`` Wilder ATR scan over a
     true-range array (``functions/ta.py:atr``): TR[0] is excluded from
     the seed (it has no previous close), the seed SMA of TR[1..period]
@@ -85,29 +195,22 @@ def wilder_atr_scan_sql(tr_arr: str, period: int) -> str:
     ``(prev * (period-1) + tr) / period``."""
     p = f"CAST({period} AS DOUBLE)"
     pm1 = f"CAST({period - 1} AS DOUBLE)"
-    return f"""aggregate(
-      {tr_arr},
-      named_struct('i', 0, 'acc', {_d(0.0)}, 'prev', {_d(0.0)}, 'out', {_EMPTY_D}),
-      (st, tr) -> CASE
-        WHEN st.i = 0 THEN named_struct(
-          'i', 1, 'acc', st.acc, 'prev', st.prev,
-          'out', array_append(st.out, {_NULL_D}))
+    init = f"named_struct('i', 0, 'acc', {_d(0.0)}, 'prev', {_d(0.0)})"
+    update = f"""CASE
+        WHEN st.i = 0 THEN named_struct('i', 1, 'acc', st.acc, 'prev', st.prev)
         WHEN st.i < {period} THEN named_struct(
-          'i', st.i + 1, 'acc', st.acc + tr, 'prev', st.prev,
-          'out', array_append(st.out, {_NULL_D}))
+          'i', st.i + 1, 'acc', st.acc + x.v, 'prev', st.prev)
         WHEN st.i = {period} THEN named_struct(
-          'i', st.i + 1, 'acc', st.acc + tr, 'prev', (st.acc + tr) / {p},
-          'out', array_append(st.out, (st.acc + tr) / {p}))
+          'i', st.i + 1, 'acc', st.acc + x.v, 'prev', (st.acc + x.v) / {p})
         ELSE named_struct(
           'i', st.i + 1, 'acc', st.acc,
-          'prev', (st.prev * {pm1} + tr) / {p},
-          'out', array_append(st.out, (st.prev * {pm1} + tr) / {p}))
-      END,
-      st -> st.out
-    )"""
+          'prev', (st.prev * {pm1} + x.v) / {p})
+      END"""
+    emit = f"CASE WHEN ns.i > {period} THEN ns.prev ELSE CAST(NULL AS DOUBLE) END"
+    return _scan_sql(tr_arr, init, update, emit, "DOUBLE", chunk)
 
 
-def kalman_scan_sql(arr: str, q: float, r: float) -> str:
+def kalman_scan_sql(arr: str, q: float, r: float, chunk: int = CHUNK) -> str:
     """``array<double> -> array<double>`` 1-D random-walk Kalman scan
     (``functions/ta.py:kalman_filter``): seed x = z[0], p = 1; then
     pp = p + q, k = pp/(pp+r), x += k*(z-x), p = (1-k)*pp. The gain
@@ -115,73 +218,63 @@ def kalman_scan_sql(arr: str, q: float, r: float) -> str:
     value both times (the DuckDB oracle does the same)."""
     qs, rs = _d(q), _d(r)
     gain = f"(st.p + {qs}) / (st.p + {qs} + {rs})"
-    return f"""aggregate(
-      {arr},
-      named_struct('n', 0, 'x', {_d(0.0)}, 'p', {_d(1.0)}, 'out', {_EMPTY_D}),
-      (st, z) -> CASE
-        WHEN st.n = 0 THEN named_struct(
-          'n', 1, 'x', z, 'p', {_d(1.0)}, 'out', array_append(st.out, z))
+    init = f"named_struct('n', 0, 'x', {_d(0.0)}, 'p', {_d(1.0)})"
+    update = f"""CASE
+        WHEN st.n = 0 THEN named_struct('n', 1, 'x', x.v, 'p', {_d(1.0)})
         ELSE named_struct(
           'n', st.n + 1,
-          'x', st.x + ({gain}) * (z - st.x),
-          'p', ({_d(1.0)} - {gain}) * (st.p + {qs}),
-          'out', array_append(st.out, st.x + ({gain}) * (z - st.x)))
-      END,
-      st -> st.out
-    )"""
+          'x', st.x + ({gain}) * (x.v - st.x),
+          'p', ({_d(1.0)} - {gain}) * (st.p + {qs}))
+      END"""
+    return _scan_sql(arr, init, update, "ns.x", "DOUBLE", chunk)
 
 
-def holt_scan_sql(arr: str, alpha: float, beta: float) -> str:
+def holt_scan_sql(arr: str, alpha: float, beta: float, chunk: int = CHUNK) -> str:
     """``array<double> -> array<struct<l:double, b:double>>`` Holt
-    double-exponential (level + trend) scan
-    (``functions/ta.py:holt_winters``): seed l = z[0], b = 0; then
+    linear (double-exponential level + trend) scan
+    (``functions/ta.py:holt_linear``): seed l = z[0], b = 0; then
     l' = alpha*z + (1-alpha)*(l+b) and b' = beta*(l'-l) + (1-beta)*b.
     The coupled read is safe here: Catalyst evaluates every
     ``named_struct`` field against the OLD accumulator (no DuckDB-style
     in-place update), so l' is inlined into b's expression."""
     a, b_ = _d(alpha), _d(beta)
     one_a, one_b = _d(1.0 - alpha), _d(1.0 - beta)
-    lnew = f"({a} * z + {one_a} * (st.l + st.b))"
-    empty = "CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE>>)"
-    return f"""aggregate(
-      {arr},
-      named_struct('n', 0, 'l', {_d(0.0)}, 'b', {_d(0.0)}, 'out', {empty}),
-      (st, z) -> CASE
-        WHEN st.n = 0 THEN named_struct(
-          'n', 1, 'l', z, 'b', {_d(0.0)},
-          'out', array_append(st.out, named_struct('l', z, 'b', {_d(0.0)})))
+    lnew = f"({a} * x.v + {one_a} * (st.l + st.b))"
+    init = f"named_struct('n', 0, 'l', {_d(0.0)}, 'b', {_d(0.0)})"
+    update = f"""CASE
+        WHEN st.n = 0 THEN named_struct('n', 1, 'l', x.v, 'b', {_d(0.0)})
         ELSE named_struct(
           'n', st.n + 1,
           'l', {lnew},
-          'b', {b_} * ({lnew} - st.l) + {one_b} * st.b,
-          'out', array_append(st.out, named_struct(
-            'l', {lnew},
-            'b', {b_} * ({lnew} - st.l) + {one_b} * st.b)))
-      END,
-      st -> st.out
-    )"""
+          'b', {b_} * ({lnew} - st.l) + {one_b} * st.b)
+      END"""
+    emit = "named_struct('l', ns.l, 'b', ns.b)"
+    return _scan_sql(arr, init, update, emit, "STRUCT<l: DOUBLE, b: DOUBLE>", chunk)
 
 
-def ha_open_scan_sql(bars_arr: str) -> str:
+def ha_open_scan_sql(bars_arr: str, chunk: int = CHUNK) -> str:
     """``array<struct<o,c,hc>> -> array<double>`` Heikin-Ashi open scan
     (``functions/ta.py:heikin_ashi``): ha_open[0] = (o0+c0)/2, then
     ha_open[i] = (ha_open[i-1] + ha_close[i-1]) / 2. The element struct
     must carry fields named o, c, hc (raw open, raw close, ha_close)."""
-    return f"""aggregate(
-      {bars_arr},
-      named_struct('n', 0, 'prev', {_d(0.0)}, 'last_hc', {_d(0.0)}, 'out', {_EMPTY_D}),
-      (st, e) -> CASE
+    init = f"named_struct('n', 0, 'prev', {_d(0.0)}, 'last_hc', {_d(0.0)})"
+    update = f"""CASE
         WHEN st.n = 0 THEN named_struct(
-          'n', 1, 'prev', (e.o + e.c) / {_d(2.0)}, 'last_hc', e.hc,
-          'out', array_append(st.out, (e.o + e.c) / {_d(2.0)}))
+          'n', 1, 'prev', (x.o + x.c) / {_d(2.0)}, 'last_hc', x.hc)
         ELSE named_struct(
           'n', st.n + 1,
           'prev', (st.prev + st.last_hc) / {_d(2.0)},
-          'last_hc', e.hc,
-          'out', array_append(st.out, (st.prev + st.last_hc) / {_d(2.0)}))
-      END,
-      st -> st.out
-    )"""
+          'last_hc', x.hc)
+      END"""
+    return _scan_sql_struct(
+        bars_arr,
+        "STRUCT<o: DOUBLE, c: DOUBLE, hc: DOUBLE>",
+        init,
+        update,
+        "ns.prev",
+        "DOUBLE",
+        chunk,
+    )
 
 
 def scan_by_key(

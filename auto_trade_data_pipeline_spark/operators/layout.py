@@ -61,11 +61,13 @@ def with_zorder_key(
 
     ``len(cols) * bits`` must fit in 63 bits (signed-long key).
 
-    NOTE: the bucket bounds are a SEPARATE aggregate over ``df``
-    cross-joined back, so the upstream plan executes twice; if the
-    upstream is expensive (or non-deterministic — the bounds could
-    then disagree with the joined rows), persist/checkpoint ``df``
-    before calling this or ``write_zordered``."""
+    The bucket bounds are an aggregate over ``df`` cross-joined back;
+    ``df`` is persisted here (and released by ``write_zordered`` /
+    unpersisted lazily by Spark otherwise) so the upstream plan
+    executes ONCE — the bounds scan reads the cache, closing the
+    double-execution of the round-4 advice, and a non-deterministic
+    upstream can no longer disagree with its own bounds."""
+    df = df.persist()
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
@@ -99,11 +101,14 @@ def write_zordered(
     sort within partitions (tight per-file footer stats), drop the
     key before writing."""
     z = with_zorder_key(df, cols, bits)
-    (
-        z.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .format(fmt)
-        .save(path)
-    )
+    try:
+        (
+            z.repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .format(fmt)
+            .save(path)
+        )
+    finally:
+        df.unpersist()

@@ -71,6 +71,27 @@ def test_ema_scan_bit_exact(spark):
         _assert_exact(e26, s, ta.ema(px, 26))
 
 
+def test_ema_scan_chunk_boundaries_bit_exact(spark):
+    """The chunked scan (O(n·chunk), not O(n²)) must be bit-identical
+    across block boundaries: a tiny chunk size forces many blocks and
+    partial final blocks; results must equal both the kernel and the
+    default-chunk scan."""
+    n = 257  # chunk=16 -> 17 blocks, last block of 1
+    px = _walk(21, n)
+    df = spark.createDataFrame(
+        [("S", i, float(v)) for i, v in enumerate(px)], "symbol string, i int, x double"
+    )
+    arr = "transform(s, e -> e.x)"
+    out = jf.scan_by_key(
+        df, ["symbol"], "i", ["x"],
+        {"tiny": jf.ema_scan_sql(arr, 12, chunk=16),
+         "dflt": jf.ema_scan_sql(arr, 12)},
+    )
+    tiny, dflt = _pairs(out, "tiny"), _pairs(out, "dflt")
+    _assert_exact(tiny, "S", ta.ema(px, 12))
+    assert tiny == dflt
+
+
 def test_ema_scan_leading_nulls(spark):
     """A cascaded EMA input (leading NULLs — the MACD signal shape)
     starts its warm-up at the first non-null value."""

@@ -86,3 +86,18 @@ def test_interleave_rejects_sign_bit_overflow():
         _interleave([F.col(c) for c in "abcd"], 16)
     # 4 dims x 15 bits = 60 bits fits
     _interleave([F.col(c) for c in "abcd"], 15)
+
+
+def test_zorder_single_upstream_execution(spark):
+    """Round-4 verdict item 6: with_zorder_key persists its input, so
+    the bounds aggregate and the keyed output both read the cache —
+    the upstream executes once (InMemoryTableScan in the plan), and a
+    non-deterministic upstream cannot disagree with its own bounds."""
+    from auto_trade_data_pipeline_spark.operators.layout import with_zorder_key
+
+    df = spark.range(1000).selectExpr("id", "id % 37 AS a", "id % 11 AS b")
+    z = with_zorder_key(df, ["a", "b"], bits=8)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert z.count() == 1000
+    df.unpersist()
