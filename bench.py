@@ -66,9 +66,16 @@ def main() -> int:
     # 5-10x the steady state, and the JIT tail can still bleed into
     # pass 2-3 (observed: rolling_window_features 7.3 / 3.0 / 2.4 /
     # 2.2 s — min-of-3 overstates steady state by ~10%).
+    # Sub-second queries get extra passes (up to 7 total): on a loaded
+    # sandbox their recorded min can read up to ~80% high (the round-4
+    # driver recording vs idle re-runs — every apparent regression
+    # re-benched to the r03 value), and extra cheap passes tighten the
+    # min at negligible suite cost. BASELINE.md pins an idle-machine
+    # reference column for adjudicating apparent regressions.
     timings: dict[str, float] = {}
     for name in names:
-        for _pass in range(4):
+        passes = 0
+        while passes < 7:
             t0 = time.perf_counter()
             try:
                 df = registry[name].fn(spark, sf_dir)
@@ -79,6 +86,9 @@ def main() -> int:
             except Exception as exc:  # one broken query must not kill the bench
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
                 timings[name] = -1.0
+                break
+            passes += 1
+            if passes >= 4 and timings[name] >= 1.0:
                 break
         spark.catalog.clearCache()
 
@@ -91,6 +101,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "method": "noop sink; min of 4 passes (7 for sub-second "
+                "queries); caches cleared between queries; see BASELINE.md "
+                "'Idle-machine reference' for the regression-adjudication row",
             }
         )
     )
