@@ -113,105 +113,110 @@ DRIVER_QUERY_SLOTS = 50
 #: OUTSIDE this declared set — deferral must be a visible decision,
 #: never an accident. This set must empty out as rotation proceeds.
 DEFERRED_TO_NEXT_ROUND = frozenset({
-    # Round-5 residue of the rotation drain: the 50-slot window now
-    # holds candle_patterns_pack + full_enrichment (SURVEY §2 A8/W14,
-    # the reference's own headline outputs — src/candle_to_calcs.py:
-    # 316-350) followed by the 48 OLDEST never-driver-hash-checked
-    # oracled queries in declaration order (second/third round-4 push
-    # blocks). These 76 are the younger strandees (fourth–twelfth
-    # round-4 pushes) — next two rounds drain them at ≤50/round.
-    # Corpus growth is FROZEN this round per the round-4 verdict.
+    # Round-6 residue of the rotation drain: the window now holds the
+    # 4 pack-tail queries (their only prior driver rows are rows-only
+    # r02 relics that predate their oracles) followed by the 46
+    # OLDEST never-driver-hash-checked oracled queries in declaration
+    # order (round-4 fourth/fifth/sixth push blocks). These 30 are
+    # the youngest strandees (late round-4 pushes) — ROUND 7 DRAINS
+    # THEM TO ZERO: 30 < 50 slots, so the round-7 window holds all 30
+    # plus the 20 stalest previously-green queries, and this set
+    # empties. Corpus growth remains frozen per the round-4 verdict.
     "ab_test_report",
-    "acf_returns",
     "almgren_chriss_schedule",
-    "asof_join_tolerance",
     "association_rules_basket",
-    "attribution_first_last_touch",
     "benford_digit_audit",
-    "bet_sizing_positions",
-    "bigram_lm_score",
-    "bucketed_colocated_join",
-    "cdc_apply_changelog",
     "cointegration_scan",
-    "concurrent_sessions_census",
-    "corwin_schultz_spread",
-    "cross_sectional_factor",
-    "cusum_event_filter",
-    "dollar_bars",
-    "dynamic_session_window_agg",
-    "ewma_beta_recursive",
-    "execution_schedule_profile",
     "forecast_eval_mase",
-    "frac_diff_features",
     "funnel_latency_quantiles",
     "gini_concentration",
     "graph_bfs_levels",
-    "haar_wavelet_energy",
-    "heikin_ashi_candles",
-    "hll_distinct_sketch",
     "holt_winters_smooth",
     "hrp_cluster_allocation",
-    "imbalance_bars",
-    "intraday_seasonality",
-    "inverse_variance_weights",
     "item_item_cf",
-    "kalman_price_smooth",
-    "label_backtest_pnl",
-    "label_uniqueness_weights",
     "lead_lag_xcorr",
     "ledoit_wolf_shrinkage",
     "markov_stationary_mix",
-    "meta_labels",
-    "microstructure_metrics",
     "mutual_info_features",
     "pareto_frontier_orders",
-    "pmi_collocations",
-    "purged_kfold_cv",
-    "realized_vol_estimators",
     "referential_integrity_report",
     "rfm_segmentation",
-    "risk_metrics_report",
-    "rolling_pair_beta",
     "schema_evolution_merge",
     "seasonal_trend_decomposition",
-    "sign_lz78_complexity",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
     "source_orc_roundtrip",
     "source_xml_roundtrip",
     "streaming_ab_replay",
-    "streaming_cdc_apply_replay",
-    "streaming_drift_replay",
-    "streaming_dynamic_session_replay",
-    "streaming_session_replay",
-    "streaming_volume_bars_replay",
-    "supertrend_recursive",
     "survival_retention_km",
     "target_encoding_kfold",
     "time_range_window_stats",
-    "token_entropy_score",
-    "triple_barrier_labels",
     "var_es_historical",
-    "variant_props_histogram",
-    "vpin_toxicity",
-    "weighted_price_quantiles",
     "weighted_sample_es",
     "woe_iv_report",
 })
 
-#: Explicit registry order — the ROUND-5 rotation (drain the driver
-#: debt; corpus growth frozen). Window layout: slots 0-1 =
-#: candle_patterns_pack and full_enrichment — SURVEY §2 A8/W14, the
-#: reference's headline outputs (src/candle_to_calcs.py:316-350) and
-#: until now the only §2-core operators with no driver hash row
-#: (their r02 rows predate their oracles); slots 2-49 = the 48
-#: OLDEST never-driver-hash-checked oracled queries in declaration
-#: order (the round-4 second and third push blocks). Every displaced
-#: round-4-window query holds a green CORRECTNESS_r04 row. The 76
-#: younger strandees are declared deferrals
-#: (DEFERRED_TO_NEXT_ROUND); tests/test_rotation.py enforces both
-#: the visibility invariant and the staleness bound.
+#: Explicit registry order — the ROUND-6 rotation (continue the
+#: drain; corpus growth frozen). Window layout: slots 0-3 = the 4
+#: pack-tail queries (`anchored_vwap_points`, `anchored_vwap_filled`,
+#: `indicators_recursive_pack`, `peaks_valleys`) whose only driver
+#: rows are rows-only r02 relics predating their oracles; slots 4-49
+#: = the 46 OLDEST never-driver-hash-checked oracled queries in
+#: declaration order (round-4 fourth/fifth/sixth push blocks). Every
+#: displaced round-5-window query holds a green CORRECTNESS_r05 row.
+#: The 30 younger strandees are declared deferrals
+#: (DEFERRED_TO_NEXT_ROUND) and round 7 drains them to zero;
+#: tests/test_rotation.py enforces both the visibility invariant and
+#: the staleness bound.
 _ORDER = [
+    "anchored_vwap_points",
+    "anchored_vwap_filled",
+    "indicators_recursive_pack",
+    "peaks_valleys",
+    "dollar_bars",
+    "triple_barrier_labels",
+    "heikin_ashi_candles",
+    "purged_kfold_cv",
+    "frac_diff_features",
+    "vpin_toxicity",
+    "acf_returns",
+    "hll_distinct_sketch",
+    "cross_sectional_factor",
+    "bucketed_colocated_join",
+    "streaming_volume_bars_replay",
+    "weighted_price_quantiles",
+    "bigram_lm_score",
+    "haar_wavelet_energy",
+    "risk_metrics_report",
+    "label_backtest_pnl",
+    "cusum_event_filter",
+    "label_uniqueness_weights",
+    "rolling_pair_beta",
+    "microstructure_metrics",
+    "execution_schedule_profile",
+    "meta_labels",
+    "realized_vol_estimators",
+    "asof_join_tolerance",
+    "token_entropy_score",
+    "imbalance_bars",
+    "intraday_seasonality",
+    "bet_sizing_positions",
+    "pmi_collocations",
+    "kalman_price_smooth",
+    "sign_lz78_complexity",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "streaming_drift_replay",
+    "cdc_apply_changelog",
+    "inverse_variance_weights",
+    "ewma_beta_recursive",
+    "corwin_schultz_spread",
+    "variant_props_histogram",
+    "supertrend_recursive",
+    "dynamic_session_window_agg",
+    "attribution_first_last_touch",
+    "streaming_session_replay",
+    "streaming_dynamic_session_replay",
+    "streaming_cdc_apply_replay",
+    "concurrent_sessions_census",
     "candle_patterns_pack",
     "full_enrichment",
     "heavy_hitter_bigrams",
@@ -370,52 +375,6 @@ _ORDER = [
     "json_props_stats",
     "embedding_norm_stats",
     "top_k_orders",
-    "dollar_bars",
-    "triple_barrier_labels",
-    "heikin_ashi_candles",
-    "purged_kfold_cv",
-    "frac_diff_features",
-    "vpin_toxicity",
-    "acf_returns",
-    "hll_distinct_sketch",
-    "cross_sectional_factor",
-    "bucketed_colocated_join",
-    "streaming_volume_bars_replay",
-    "weighted_price_quantiles",
-    "bigram_lm_score",
-    "haar_wavelet_energy",
-    "risk_metrics_report",
-    "label_backtest_pnl",
-    "cusum_event_filter",
-    "label_uniqueness_weights",
-    "rolling_pair_beta",
-    "microstructure_metrics",
-    "execution_schedule_profile",
-    "meta_labels",
-    "realized_vol_estimators",
-    "asof_join_tolerance",
-    "token_entropy_score",
-    "imbalance_bars",
-    "intraday_seasonality",
-    "bet_sizing_positions",
-    "pmi_collocations",
-    "kalman_price_smooth",
-    "sign_lz78_complexity",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "streaming_drift_replay",
-    "cdc_apply_changelog",
-    "inverse_variance_weights",
-    "ewma_beta_recursive",
-    "corwin_schultz_spread",
-    "variant_props_histogram",
-    "supertrend_recursive",
-    "dynamic_session_window_agg",
-    "attribution_first_last_touch",
-    "streaming_session_replay",
-    "streaming_dynamic_session_replay",
-    "streaming_cdc_apply_replay",
-    "concurrent_sessions_census",
     "hrp_cluster_allocation",
     "source_orc_roundtrip",
     "source_xml_roundtrip",
@@ -446,11 +405,7 @@ _ORDER = [
     "graph_bfs_levels",
     "funnel_latency_quantiles",
     "weighted_sample_es",
-    "anchored_vwap_points",
-    "anchored_vwap_filled",
-    "indicators_recursive_pack",
     "indicators_chunked_pack",
-    "peaks_valleys",
 ]
 
 

@@ -245,16 +245,20 @@ def interpolate_candles(candles: DataFrame, seconds: int = 60) -> DataFrame:
     )
 
 
-def heikin_ashi_candles(candles: DataFrame) -> DataFrame:
+def heikin_ashi_candles(
+    candles: DataFrame, rows_per_key: int | None = None
+) -> DataFrame:
     """Heikin-Ashi smoothed candles per symbol (functions.ta.heikin_ashi).
 
     The ha_open recursion is inherently per-symbol sequential (the
     same constraint as every recursive indicator — SURVEY §2 W-family).
-    Round 5 moved it from applyInPandas onto the pure-JVM aggregate()
-    scan fold (operators/jvm_folds.py; bit-exact parity with the
-    functions.ta.heikin_ashi kernel pinned in tests/test_jvm_folds.py
-    — the kernel remains the documented fallback); all other HA
-    columns are pointwise JVM expressions. Parallelism is
+    Shape-routed since round 6 (operators/jvm_folds.py:scan_by_key):
+    the pure-JVM aggregate() scan fold below the rows-per-key
+    crossover, the bit-identical functions.ta.heikin_ashi numpy
+    kernel above it (parity pinned in tests/test_jvm_folds.py);
+    callers pass a ``rows_per_key`` estimate (e.g.
+    jvm_folds.rows_per_key_estimate) to enable the routing. All
+    other HA columns are pointwise JVM expressions. Parallelism is
     symbol-keyed; for a pathological single-symbol history the
     bounded-tail chunked evaluator recipe of
     `operators.indicators.enrich_indicators` applies unchanged (the
@@ -263,7 +267,16 @@ def heikin_ashi_candles(candles: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from auto_trade_data_pipeline_spark.functions import ta
     from auto_trade_data_pipeline_spark.operators import jvm_folds as jf
+
+    def _ha_open_np(pdf):
+        return ta.heikin_ashi(
+            pdf["open"].to_numpy(dtype=float),
+            pdf["high"].to_numpy(dtype=float),
+            pdf["low"].to_numpy(dtype=float),
+            pdf["close"].to_numpy(dtype=float),
+        )[0]
 
     with_hc = candles.select(
         "symbol", "timestamp", "open", "high", "low", "close"
@@ -278,6 +291,8 @@ def heikin_ashi_candles(candles: DataFrame) -> DataFrame:
                 "transform(s, e -> named_struct('o', e.open, 'c', e.close, 'hc', e.hc))"
             )
         },
+        numpy_scans={"ha_open": ("double", _ha_open_np)},
+        rows_per_key=rows_per_key,
     )
     return out.select(
         "symbol",

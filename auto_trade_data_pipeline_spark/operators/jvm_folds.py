@@ -104,12 +104,17 @@ def _scan_sql(
         array({update.replace("st.", "a2.st.")}),
         ns -> named_struct('st', ns, 'o', array_append(a2.o, {emit}))
     )[0]"""
-    # outer per-chunk step: run the inner fold once, bind as r
-    return f"""aggregate(
-      CASE WHEN size({arr}) = 0 THEN CAST(array() AS ARRAY<ARRAY<STRUCT<v: DOUBLE>>>)
+    # outer per-chunk step: run the inner fold once, bind as r.
+    # The input-array expression {arr} (often itself a transform() /
+    # zip_with over the collected tape) is bound ONCE as s0 via the
+    # module's single-evaluation idiom — splicing it into the
+    # per-chunk slice() would make Catalyst re-evaluate the O(n)
+    # expression per chunk, O(n²/CHUNK) element work on long tapes.
+    body = f"""aggregate(
+      CASE WHEN size(s0) = 0 THEN CAST(array() AS ARRAY<ARRAY<STRUCT<v: DOUBLE>>>)
            ELSE transform(
-             sequence(0, (size({arr}) - 1) div {chunk}),
-             c -> transform(slice({arr}, c * {chunk} + 1, {chunk}),
+             sequence(0, (size(s0) - 1) div {chunk}),
+             c -> transform(slice(s0, c * {chunk} + 1, {chunk}),
                             e -> named_struct('v', e)))
       END,
       named_struct('st', {init}, 'out', {empty_chunks}),
@@ -121,6 +126,7 @@ def _scan_sql(
       )[0],
       acc -> flatten(acc.out)
     )"""
+    return f"transform(array({arr}), s0 -> {body})[0]"
 
 
 def _scan_sql_struct(
@@ -141,10 +147,12 @@ def _scan_sql_struct(
         array({update.replace("st.", "a2.st.")}),
         ns -> named_struct('st', ns, 'o', array_append(a2.o, {emit}))
     )[0]"""
-    return f"""aggregate(
-      CASE WHEN size({arr}) = 0 THEN CAST(array() AS ARRAY<ARRAY<{elem_type}>>)
-           ELSE transform(sequence(0, (size({arr}) - 1) div {chunk}),
-                          c -> slice({arr}, c * {chunk} + 1, {chunk}))
+    # As in _scan_sql: bind the input array once as s0 so transform/
+    # zip_with inputs are materialized a single time, not per chunk.
+    body = f"""aggregate(
+      CASE WHEN size(s0) = 0 THEN CAST(array() AS ARRAY<ARRAY<{elem_type}>>)
+           ELSE transform(sequence(0, (size(s0) - 1) div {chunk}),
+                          c -> slice(s0, c * {chunk} + 1, {chunk}))
       END,
       named_struct('st', {init}, 'out', {empty_chunks}),
       (acc, ch) -> transform(
@@ -155,6 +163,7 @@ def _scan_sql_struct(
       )[0],
       acc -> flatten(acc.out)
     )"""
+    return f"transform(array({arr}), s0 -> {body})[0]"
 
 
 # The double-element scans wrap each element as named_struct('v', e)
@@ -277,12 +286,82 @@ def ha_open_scan_sql(bars_arr: str, chunk: int = CHUNK) -> str:
     )
 
 
+#: Rows-per-key routing threshold (measured on local[32], rounds 5-6):
+#: Catalyst evaluates higher-order-function lambdas INTERPRETED at
+#: ~1 µs/element vs ~0.1 µs/element for the numpy kernels' CPython
+#: float loop, while the numpy path pays a fixed per-stage Python
+#: worker + Arrow cost. Below this tape length the fixed cost
+#: dominates (JVM fold wins, and the Python-worker dependency
+#: disappears); above it per-element interpretation dominates (numpy
+#: wins — measured 0.73 s vs 1.87 s for kalman at ~16k rows/key,
+#: sf0.1). Both paths are bit-identical (tests/test_jvm_folds.py), so
+#: routing is a pure perf decision.
+CROSSOVER_ROWS_PER_KEY = 4096
+
+
+def rows_per_key_estimate(sf_dir: str, table: str, n_keys: int) -> int:
+    """Upper-bound tape-length estimate: total parquet rows (footer
+    metadata only — driver-side, zero Spark jobs, no data scan)
+    divided by the key cardinality. Callers pass the source table
+    feeding the tape (candle tapes are bounded above by their tick
+    count) and a key-cardinality hint (symbol count)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        [path]
+        if _os.path.isfile(path)
+        else _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    total = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    return max(1, total // max(1, n_keys))
+
+
+def _scan_by_key_numpy(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    numpy_scans: dict,
+) -> DataFrame:
+    """The long-tape arm of :func:`scan_by_key`: one Arrow-batched
+    ``applyInPandas`` per key runs each numpy kernel over the
+    stably-sorted tape. NaN in float outputs crosses the Arrow
+    boundary as NULL — the same warm-up contract the JVM folds emit."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    proj = df.select(*key_cols, order_col, *payload_cols)
+    out_schema = StructType(
+        list(proj.schema.fields)
+        + [
+            StructField(name, _parse_datatype_string(ddl))
+            for name, (ddl, _fn) in numpy_scans.items()
+        ]
+    )
+    items = list(numpy_scans.items())
+    out_cols = [*key_cols, order_col, *payload_cols]
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        out = pdf[out_cols].copy()
+        for name, (_ddl, fn) in items:
+            out[name] = fn(pdf)
+        return out
+
+    return proj.groupBy(*key_cols).applyInPandas(kernel, schema=out_schema)
+
+
 def scan_by_key(
     df: DataFrame,
     key_cols: list[str],
     order_col: str,
     payload_cols: list[str],
     scans: dict[str, Column | str],
+    numpy_scans: dict | None = None,
+    rows_per_key: int | None = None,
 ) -> DataFrame:
     """Collect ``payload_cols`` per key ordered by ``order_col``, apply
     each scan expression (referring to the collected array as ``s``,
@@ -292,7 +371,28 @@ def scan_by_key(
     Output columns: ``key_cols`` + ``order_col`` + ``payload_cols`` +
     one column per ``scans`` entry (element type of the scan's output
     array). Scans must return arrays the same length as ``s``.
-    """
+
+    CONTRACT: ``(key_cols, order_col)`` must be UNIQUE per row. The
+    tape is ordered by ``array_sort`` over ``struct(order_col,
+    payload...)``, which breaks order ties by comparing payload values
+    — for duplicate order values the recursion input order (hence the
+    result) would differ from the stable-mergesort numpy arm. Every
+    call site orders on a bucketed/deduplicated timestamp, where the
+    pair is unique by construction.
+
+    Shape routing: when ``numpy_scans`` (``{name: (spark_type_ddl,
+    fn(sorted_pdf) -> column)}`` — same names as ``scans``) and a
+    ``rows_per_key`` estimate (see :func:`rows_per_key_estimate`) are
+    supplied and the estimate is at or above
+    ``CROSSOVER_ROWS_PER_KEY``, the bit-identical numpy kernels run
+    instead of the interpreted JVM fold (round-6: the round-5
+    fold-everywhere routing regressed kalman 2.3x at sf0.1)."""
+    if (
+        numpy_scans is not None
+        and rows_per_key is not None
+        and rows_per_key >= CROSSOVER_ROWS_PER_KEY
+    ):
+        return _scan_by_key_numpy(df, key_cols, order_col, payload_cols, numpy_scans)
     lists = df.groupBy(*key_cols).agg(
         F.array_sort(F.collect_list(F.struct(order_col, *payload_cols))).alias("s")
     )

@@ -62,12 +62,21 @@ def with_zorder_key(
     ``len(cols) * bits`` must fit in 63 bits (signed-long key).
 
     The bucket bounds are an aggregate over ``df`` cross-joined back;
-    ``df`` is persisted here (and released by ``write_zordered`` /
-    unpersisted lazily by Spark otherwise) so the upstream plan
-    executes ONCE — the bounds scan reads the cache, closing the
-    double-execution of the round-4 advice, and a non-deterministic
-    upstream can no longer disagree with its own bounds."""
-    df = df.persist()
+    ``df`` is persisted here — unless the caller already persisted it
+    — so the upstream plan executes ONCE: the bounds scan reads the
+    cache, closing the double-execution of the round-4 advice, and a
+    non-deterministic upstream can no longer disagree with its own
+    bounds. Cache ownership (round-5 advice): the returned DataFrame
+    carries ``_zorder_owns_cache`` = (this call persisted ``df``);
+    ``write_zordered`` unpersists only when it owns the cache, and
+    direct callers should ``df.unpersist()`` when done iff the flag
+    is set — a caller's pre-existing persist is never released as a
+    side effect."""
+    from pyspark import StorageLevel
+
+    owns_cache = df.storageLevel == StorageLevel.NONE
+    if owns_cache:
+        df = df.persist()
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
@@ -83,9 +92,12 @@ def with_zorder_key(
             F.lit(n).cast("long"),
         )
         buckets.append(F.coalesce(idx, F.lit(0).cast("long")))
-    return joined.withColumn(key_col, _interleave(buckets, bits)).drop(
+    out = joined.withColumn(key_col, _interleave(buckets, bits)).drop(
         *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
     )
+    out._zorder_owns_cache = owns_cache  # noqa: SLF001 — see docstring
+    out._zorder_cached_input = df
+    return out
 
 
 def write_zordered(
@@ -111,4 +123,9 @@ def write_zordered(
             .save(path)
         )
     finally:
-        df.unpersist()
+        # Release only a cache with_zorder_key itself created — a
+        # caller's pre-existing persist is theirs to manage (round-5
+        # advice: the unconditional unpersist here released it as a
+        # side effect).
+        if z._zorder_owns_cache:
+            z._zorder_cached_input.unpersist()

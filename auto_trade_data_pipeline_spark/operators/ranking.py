@@ -134,7 +134,10 @@ def global_running_sum(
     acc = 0
     for pid in sorted(sums):
         offsets[pid] = acc
-        acc += sums[pid]
+        # F.sum returns NULL (None) for a partition holding only NULL
+        # values — it contributes 0 to the running total (round-5
+        # advice: the += of None crashed on all-null partitions).
+        acc += sums[pid] or 0
 
     from pyspark.sql.types import LongType, StructField, StructType
 

@@ -97,9 +97,21 @@ def write_upsert_snapshot(
         fs = jp.getFileSystem(conf)
         jstaging = jvm.org.apache.hadoop.fs.Path(staging)
         jbackup = jvm.org.apache.hadoop.fs.Path(backup)
-        if fs.exists(jp):
-            fs.rename(jp, jbackup)
-        fs.rename(jstaging, jp)
+        # Hadoop FileSystem.rename reports failure by returning false
+        # (it does not raise like os.rename) — check every swap step,
+        # and never delete the backup (the only complete copy of the
+        # previous table) until the new snapshot is confirmed live
+        # (round-5 advice; _MarkerStore.commit follows the same rule).
+        had_live = fs.exists(jp)
+        if had_live and not fs.rename(jp, jbackup):
+            raise IOError(f"upsert swap: failed to move live {path} aside")
+        if not fs.rename(jstaging, jp):
+            if had_live and not fs.rename(jbackup, jp):
+                raise IOError(
+                    f"upsert swap: staging->live rename failed AND the backup "
+                    f"could not be restored — table left at {backup}"
+                )
+            raise IOError(f"upsert swap: failed to publish staging for {path}")
         if fs.exists(jbackup):
             fs.delete(jbackup, True)
         return

@@ -3,6 +3,7 @@ REST-paginated batch source adapter, and the Spark 4 Python
 DataSource form of the same API (`format("trade_rest")`)."""
 
 from auto_trade_data_pipeline_spark.sources.files import (
+    N_TICK_SYMBOLS,
     load_table,
     read_candles,
     read_ticks,
@@ -11,6 +12,7 @@ from auto_trade_data_pipeline_spark.sources.files import (
 from auto_trade_data_pipeline_spark.sources.pyds import TickRestDataSource
 
 __all__ = [
+    "N_TICK_SYMBOLS",
     "load_table",
     "read_ticks",
     "read_candles",

@@ -72,6 +72,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return schemas.assert_schema(df, expected, table=name)
 
 
+#: Distinct ``event_type`` values in the driver's events table at
+#: every sf (signup/error/click/view/purchase) — the symbol
+#: cardinality of the tick tape, used as the key-cardinality hint for
+#: the recursive-scan shape routing (operators/jvm_folds.py).
+N_TICK_SYMBOLS = 5
+
+
 def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's ``events`` table onto the reference ``ticks`` schema
     (FIXTURES.md §B): ``event_type`` → symbol, ``ts`` → timestamp,

@@ -82,6 +82,28 @@ def test_global_running_sum_matches_sequential_and_is_partition_invariant(spark)
     assert out == out1
 
 
+def test_global_running_sum_all_null_partition(spark):
+    """Round-5 advice: a range partition holding only NULL values
+    makes F.sum return NULL for that partition — the driver offsets
+    loop must treat it as 0, not crash on int += None. Keys 0..9 all
+    carry NULL weights and many range partitions are requested, so at
+    least one partition is all-NULL."""
+    from auto_trade_data_pipeline_spark.operators.ranking import global_running_sum
+
+    rows = [(i, i, None if i < 10 else (i % 5) + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, key long, wt long")
+    out = {
+        r.id: r.cum
+        for r in global_running_sum(
+            df, ["key", "id"], "wt", "cum", num_partitions=8
+        ).collect()
+    }
+    acc = 0
+    for i, _k, w in rows:
+        acc += w or 0
+        assert out[i] == acc
+
+
 def test_cdc_apply_tombstones_updates_and_inserts(spark):
     from auto_trade_data_pipeline_spark.operators.dedup import cdc_apply
     from pyspark.sql import functions as F

@@ -176,3 +176,51 @@ def test_ha_open_scan_bit_exact(spark):
         op = np.round((hi + lo) / 2.0, 4)
         ho, _, _, _ = ta.heikin_ashi(op, hi, lo, px)
         _assert_exact(got, s, ho)
+
+
+def test_shape_routing_numpy_arm_bit_exact(spark):
+    """Round-6 shape routing: above CROSSOVER_ROWS_PER_KEY the numpy
+    kernels run via applyInPandas instead of the interpreted JVM fold
+    — same rows, same doubles, same NULL warm-ups, same schema."""
+    df = _df(spark)
+    scans = {
+        "ema12": jf.ema_scan_sql("transform(s, e -> e.close)", 12),
+        "kx": jf.kalman_scan_sql("transform(s, e -> e.close)", 1e-5, 0.01),
+    }
+    numpy_scans = {
+        "ema12": ("double", lambda pdf: ta.ema(pdf["close"].to_numpy(dtype=float), 12)),
+        "kx": (
+            "double",
+            lambda pdf: ta.kalman_filter(pdf["close"].to_numpy(dtype=float), 1e-5, 0.01),
+        ),
+    }
+    args = (df, ["symbol"], "i", ["close"], scans)
+    jvm = jf.scan_by_key(*args, numpy_scans=numpy_scans,
+                         rows_per_key=jf.CROSSOVER_ROWS_PER_KEY - 1)
+    np_ = jf.scan_by_key(*args, numpy_scans=numpy_scans,
+                         rows_per_key=jf.CROSSOVER_ROWS_PER_KEY)
+    assert [f.name for f in jvm.schema.fields] == [f.name for f in np_.schema.fields]
+    for col in ("ema12", "kx"):
+        assert _pairs(jvm, col) == _pairs(np_, col)
+
+
+def test_shape_routing_struct_output_bit_exact(spark):
+    """The struct-typed scan output (Holt level+trend) survives the
+    numpy arm's dict->struct Arrow conversion bit-exactly."""
+    df = _df(spark)
+    a, b = 0.3, 0.1
+
+    def hw_np(pdf):
+        lev, tr = ta.holt_linear(pdf["close"].to_numpy(dtype=float), a, b)
+        return [{"l": float(li), "b": float(bi)} for li, bi in zip(lev, tr)]
+
+    args = (
+        df, ["symbol"], "i", ["close"],
+        {"hw": jf.holt_scan_sql("transform(s, e -> e.close)", a, b)},
+    )
+    kw = dict(numpy_scans={"hw": ("struct<l: double, b: double>", hw_np)})
+    jvm = jf.scan_by_key(*args, **kw, rows_per_key=1)
+    np_ = jf.scan_by_key(*args, **kw, rows_per_key=10**9)
+    jj = {(r["symbol"], r["i"]): (r["hw"]["l"], r["hw"]["b"]) for r in jvm.collect()}
+    nn = {(r["symbol"], r["i"]): (r["hw"]["l"], r["hw"]["b"]) for r in np_.collect()}
+    assert jj == nn

@@ -100,4 +100,29 @@ def test_zorder_single_upstream_execution(spark):
     plan = z._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     assert z.count() == 1000
-    df.unpersist()
+    # Round-5 advice: the call persisted df itself, so it owns the
+    # cache and exposes that to direct callers for release.
+    assert z._zorder_owns_cache is True
+    z._zorder_cached_input.unpersist()
+
+
+def test_zorder_respects_caller_persist(spark):
+    """Round-5 advice: if the CALLER already persisted the input,
+    with_zorder_key must not re-persist it, and write_zordered must
+    not release the caller's cache as a side effect."""
+    from pyspark import StorageLevel
+
+    from auto_trade_data_pipeline_spark.operators.layout import with_zorder_key
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS a", "id % 5 AS b").persist()
+    try:
+        df.count()
+        z = with_zorder_key(df, ["a", "b"], bits=8)
+        assert z._zorder_owns_cache is False
+        assert z.count() == 100
+        # simulate write_zordered's finally-clause contract
+        if z._zorder_owns_cache:
+            z._zorder_cached_input.unpersist()
+        assert df.storageLevel != StorageLevel.NONE, "caller's cache was released"
+    finally:
+        df.unpersist()

@@ -62,6 +62,28 @@ def test_upsert_snapshot_idempotent_and_keeps_last(spark, tmp_path):
     assert [r["price"] for r in out] == [99.0, 98.0]
 
 
+def test_upsert_snapshot_uri_path_swaps_and_cleans_up(spark, tmp_path):
+    """The Hadoop-FS arm (URI paths): the swap must publish the merged
+    snapshot, check every rename result (round-5 advice — Hadoop
+    rename reports failure by returning false), and leave no staging
+    or backup residue behind."""
+    path = f"file://{tmp_path}/merged_uri"
+    first = _ticks(spark, [("A", 10, 5, 1), ("A", 11, 6, 2)])
+    write_upsert_snapshot(first, path, ["symbol", "timestamp"], "tick_id")
+    second = spark.createDataFrame(
+        [("A", datetime(2024, 1, 2, 15, 0, 1), 99.0, 5.0, 11)], TICKS
+    )
+    write_upsert_snapshot(second, path, ["symbol", "timestamp"], "tick_id")
+    out = spark.read.parquet(path).orderBy("timestamp").collect()
+    assert [r["price"] for r in out] == [99.0, 11.0]
+    residue = [
+        p.name
+        for p in tmp_path.iterdir()
+        if p.name.startswith("merged_uri.__")
+    ]
+    assert residue == []
+
+
 def test_write_split_single_pass_partitions(spark, tmp_path):
     root = str(tmp_path / "split")
     df = _ticks(spark, [("A", 10, 5, 1), ("A", -1, 5, 2), ("A", 11, -2, 3)])
