@@ -598,3 +598,40 @@ def test_pmi_topk_is_take_ordered(spark, sf_small):
     plan = _plan(load_all()["pmi_collocations"].fn(spark, sf_small))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort [pmi_ppm" not in plan, plan
+
+
+def test_no_unbounded_single_partition_window_in_corpus(spark, sf_small):
+    """Round-5 verdict item 5: the corpus-wide SinglePartition-window
+    backstop. A full sweep logs ~160 `WindowExec: No Partition
+    Defined` warnings; every one must come from a window whose input
+    the plan visibly bounds (aggregate / limit below it —
+    dimension-sized at any scale: hourly profiles, histograms, fold
+    reports). A SinglePartition window directly over a scan would
+    serialize the full table through one task at 100 TB — refused
+    here for every BATCH corpus query. Streaming `*_replay` queries
+    are excluded: building them executes availableNow streams (slow,
+    and their returned frames are plain reads of the replay sink);
+    their stateful plans are pinned in tests/test_streaming*.py."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+    from auto_trade_data_pipeline_spark.plan_audit import (
+        unbounded_single_partition_windows,
+    )
+
+    reg = load_all()
+    offenders: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name, q in reg.items():
+        if name.startswith(("stream", "streaming_")):
+            continue
+        try:
+            bad = unbounded_single_partition_windows(q.fn(spark, sf_small))
+        except Exception as exc:  # pragma: no cover - audit must name the query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        if bad:
+            offenders[name] = bad
+    assert not errors, f"plan audit could not build: {errors}"
+    assert not offenders, (
+        "SinglePartition windows with unbounded input (full table "
+        f"through ONE task at scale): {offenders}"
+    )

@@ -47,6 +47,8 @@ QUERIES = [
     "rolling_window_features",
     "ema_recursive",
     "kalman_price_smooth",
+    "heikin_ashi_candles",
+    "holt_winters_smooth",
     "pps_sample_docs",
     "gini_concentration",
     "dedup_near_minhash_lsh",
