@@ -224,3 +224,19 @@ def test_shape_routing_struct_output_bit_exact(spark):
     jj = {(r["symbol"], r["i"]): (r["hw"]["l"], r["hw"]["b"]) for r in jvm.collect()}
     nn = {(r["symbol"], r["i"]): (r["hw"]["l"], r["hw"]["b"]) for r in np_.collect()}
     assert jj == nn
+
+
+def test_scan_sql_binds_input_array_once():
+    """Round-5 advice: the input-array expression must appear exactly
+    once in the compiled scan SQL — spliced into the per-chunk slice()
+    it would be re-evaluated per chunk, O(n²/CHUNK) element work when
+    the input is itself an O(n) transform/zip_with."""
+    arr = "transform(s, e -> e.close)"
+    for sql in (
+        jf.ema_scan_sql(arr, 12),
+        jf.wilder_atr_scan_sql(arr, 14),
+        jf.kalman_scan_sql(arr, 1e-5, 0.01),
+        jf.holt_scan_sql(arr, 0.3, 0.1),
+        jf.ha_open_scan_sql(arr),
+    ):
+        assert sql.count(arr) == 1, "input array expression evaluated per chunk"
