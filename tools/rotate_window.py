@@ -1,0 +1,144 @@
+"""Compute (and optionally apply) the next round's 50-slot driver
+window rotation — the mechanical form of the plan STATUS.md commits
+each round, so the rotation can never drift from its own rules.
+
+Selection order (highest priority first):
+1. any query RED in the latest ``CORRECTNESS_r*.json`` (a red must be
+   re-checked the round after its fix);
+2. every remaining ``DEFERRED_TO_NEXT_ROUND`` entry, in current
+   declaration order (the drain);
+3. fill to 50 with the STALEST previously-green oracled queries —
+   smallest last-driver-row round, ties by current declaration order.
+
+``--apply`` rewrites ``corpus/__init__.py``'s ``_ORDER`` (new window
+first, every displaced query keeping its relative order behind it)
+and ``DEFERRED_TO_NEXT_ROUND`` (whatever deferrals did not fit —
+empty once the drain completes). After applying, re-verify the window
+on a vanilla session before committing:
+
+    SPARK_GRAFT_VANILLA=1 python tools/verify_local.py \
+        /root/testdata/sf0.01 $(python tools/rotate_window.py --names)
+
+Without flags, prints the planned window + residual deferrals.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+INIT = os.path.join(REPO, "auto_trade_data_pipeline_spark", "corpus", "__init__.py")
+sys.path.insert(0, REPO)
+
+
+def _correctness_rounds() -> dict[int, dict]:
+    out = {}
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        r = int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+        out[r] = json.load(open(p))
+    return out
+
+
+def plan() -> tuple[list[str], list[str], list[str]]:
+    """Return (window, residual_deferred, new_order)."""
+    from auto_trade_data_pipeline_spark.corpus import (
+        DEFERRED_TO_NEXT_ROUND,
+        DRIVER_QUERY_SLOTS,
+        load_all,
+    )
+
+    reg = load_all()
+    order = list(reg)
+    rounds = _correctness_rounds()
+    latest = max(rounds, default=0)
+
+    def is_green(rec: dict) -> bool:
+        return bool(rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"))
+
+    reds = [
+        n for n in order
+        if latest and n in rounds[latest] and not is_green(rounds[latest][n])
+        and reg[n].oracle is not None
+    ]
+    deferred = [n for n in order if n in DEFERRED_TO_NEXT_ROUND and n not in reds]
+
+    last_seen: dict[str, int] = {}
+    for r, recs in rounds.items():
+        for n, rec in recs.items():
+            if is_green(rec):
+                last_seen[n] = max(last_seen.get(n, 0), r)
+    pool = [
+        n for n in order
+        if reg[n].oracle is not None and n not in reds and n not in deferred
+    ]
+    pool.sort(key=lambda n: (last_seen.get(n, 0), order.index(n)))
+
+    window = (reds + deferred + pool)[:DRIVER_QUERY_SLOTS]
+    residual = [n for n in deferred if n not in window]
+    new_order = window + [n for n in order if n not in set(window)]
+    return window, residual, new_order
+
+
+def apply(window: list[str], residual: list[str], new_order: list[str]) -> None:
+    rounds = _correctness_rounds()
+    nxt = max(rounds, default=0) + 1
+    src = open(INIT).read()
+
+    def_body = "\n".join(f'    "{n}",' for n in sorted(residual))
+    def_txt = (
+        "DEFERRED_TO_NEXT_ROUND = frozenset({"
+        + (
+            f"\n    # Residual of the round-{nxt} rotation "
+            "(tools/rotate_window.py).\n" + def_body + "\n"
+            if residual
+            else ""
+        )
+        + "})"
+    )
+    src, n1 = re.subn(
+        r"DEFERRED_TO_NEXT_ROUND = frozenset\(\{.*?\}\)", def_txt, src, count=1, flags=re.S
+    )
+    order_body = "\n".join(f'    "{n}",' for n in new_order)
+    order_txt = (
+        f"#: Explicit registry order — round-{nxt} rotation, computed by\n"
+        "#: tools/rotate_window.py (reds, then the deferral drain, then the\n"
+        "#: stalest previously-green queries; displaced queries keep their\n"
+        "#: relative order behind the window).\n"
+        "_ORDER = [\n" + order_body + "\n]"
+    )
+    src, n2 = re.subn(
+        r"#: Explicit registry order[^\n]*\n(#:[^\n]*\n)*_ORDER = \[.*?\n\]",
+        order_txt,
+        src,
+        count=1,
+        flags=re.S,
+    )
+    if n1 != 1 or n2 != 1:
+        raise RuntimeError(f"rewrite anchors not found (deferred={n1}, order={n2})")
+    open(INIT, "w").write(src)
+
+
+def main() -> int:
+    window, residual, new_order = plan()
+    if "--names" in sys.argv:
+        print(" ".join(window))
+        return 0
+    print(f"window ({len(window)}):")
+    for n in window:
+        print("  ", n)
+    print(f"residual deferrals ({len(residual)}):")
+    for n in residual:
+        print("  ", n)
+    if "--apply" in sys.argv:
+        apply(window, residual, new_order)
+        print("applied — re-run pytest tests/test_rotation.py and the "
+              "vanilla window verification before committing")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
