@@ -316,6 +316,15 @@ def rows_per_key_estimate(sf_dir: str, table: str, n_keys: int) -> int:
         if _os.path.isfile(path)
         else _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
     )
+    if not files:
+        # A silent 0 would pin routing to the interpreted JVM fold
+        # forever (the exact regression the routing exists to fix) —
+        # an unreadable layout (URI-scheme dir, renamed table) must
+        # fail loudly instead.
+        raise FileNotFoundError(
+            f"rows_per_key_estimate: no parquet files under {path!r} — "
+            "pass an explicit rows_per_key for non-local table layouts"
+        )
     total = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
     return max(1, total // max(1, n_keys))
 
@@ -378,7 +387,13 @@ def scan_by_key(
     — for duplicate order values the recursion input order (hence the
     result) would differ from the stable-mergesort numpy arm. Every
     call site orders on a bucketed/deduplicated timestamp, where the
-    pair is unique by construction.
+    pair is unique by construction. Payload doubles must be FINITE or
+    NULL, with NULL only as a leading warm-up prefix (the cascaded-EMA
+    shape) — NaN inputs are outside the parity contract: the numpy
+    kernels skip non-finite warm-up values while the JVM folds test
+    ``IS NULL``, so a NaN-bearing tape could route-differently.
+    Candle tapes satisfy this by construction (aggregates of finite
+    prices are finite; gaps are NULL).
 
     Shape routing: when ``numpy_scans`` (``{name: (spark_type_ddl,
     fn(sorted_pdf) -> column)}`` — same names as ``scans``) and a
@@ -387,6 +402,14 @@ def scan_by_key(
     ``CROSSOVER_ROWS_PER_KEY``, the bit-identical numpy kernels run
     instead of the interpreted JVM fold (round-6: the round-5
     fold-everywhere routing regressed kalman 2.3x at sf0.1)."""
+    if numpy_scans is not None and set(numpy_scans) != set(scans):
+        # A name mismatch would otherwise surface only ABOVE the
+        # crossover as a missing output column — a scale-dependent
+        # break the routing abstraction exists to preclude.
+        raise ValueError(
+            f"numpy_scans keys {sorted(numpy_scans)} must match scans "
+            f"keys {sorted(scans)}"
+        )
     if (
         numpy_scans is not None
         and rows_per_key is not None

@@ -74,6 +74,10 @@ def with_zorder_key(
     side effect."""
     from pyspark import StorageLevel
 
+    # Validate the bit budget BEFORE persisting — a raise after
+    # persist() would leak a cache entry the caller has no handle to.
+    if len(cols) * bits > 63:
+        _interleave([F.lit(0)] * len(cols), bits)  # raises with the full message
     owns_cache = df.storageLevel == StorageLevel.NONE
     if owns_cache:
         df = df.persist()

@@ -71,6 +71,13 @@ def plan() -> tuple[list[str], list[str], list[str]]:
         for n, rec in recs.items():
             if is_green(rec):
                 last_seen[n] = max(last_seen.get(n, 0), r)
+    # Queries in the CURRENT window are guaranteed a driver row in the
+    # round being built (same convention as test_staleness_bound) —
+    # rank them freshest, so running this tool BEFORE that round's
+    # CORRECTNESS file lands cannot misread them as never-checked and
+    # strand them outside both the new window and the deferral set.
+    for n in order[:DRIVER_QUERY_SLOTS]:
+        last_seen[n] = max(last_seen.get(n, 0), latest + 1)
     pool = [
         n for n in order
         if reg[n].oracle is not None and n not in reds and n not in deferred
@@ -80,7 +87,20 @@ def plan() -> tuple[list[str], list[str], list[str]]:
     window = (reds + deferred + pool)[:DRIVER_QUERY_SLOTS]
     residual = [n for n in deferred if n not in window]
     new_order = window + [n for n in order if n not in set(window)]
-    return window, residual, new_order
+
+    # The visibility invariant tests/test_rotation.py enforces: every
+    # oracled query is in the new window, has SOME driver row already,
+    # or is a declared residual deferral. Current-window queries
+    # without rows yet make the plan PROVISIONAL (their rows land with
+    # the in-flight round's CORRECTNESS file): main() warns on them,
+    # apply() refuses — so --apply can never write a violating state.
+    checked = {n for recs in rounds.values() for n in recs}
+    stranded = sorted(
+        n for n in order
+        if reg[n].oracle is not None
+        and n not in set(window) and n not in checked and n not in set(residual)
+    )
+    return window, residual, new_order, stranded
 
 
 def apply(window: list[str], residual: list[str], new_order: list[str]) -> None:
@@ -123,7 +143,7 @@ def apply(window: list[str], residual: list[str], new_order: list[str]) -> None:
 
 
 def main() -> int:
-    window, residual, new_order = plan()
+    window, residual, new_order, stranded = plan()
     if "--names" in sys.argv:
         print(" ".join(window))
         return 0
@@ -133,7 +153,19 @@ def main() -> int:
     print(f"residual deferrals ({len(residual)}):")
     for n in residual:
         print("  ", n)
+    if stranded:
+        print(
+            f"PROVISIONAL: {len(stranded)} current-window queries have no "
+            "recorded driver row yet (their rows land with the in-flight "
+            "round's CORRECTNESS file) — re-run after it lands; --apply "
+            "refuses until then"
+        )
     if "--apply" in sys.argv:
+        if stranded:
+            raise RuntimeError(
+                "rotation would strand oracled queries with no driver row, "
+                f"no window slot, and no declared deferral: {stranded}"
+            )
         apply(window, residual, new_order)
         print("applied — re-run pytest tests/test_rotation.py and the "
               "vanilla window verification before committing")
