@@ -286,17 +286,22 @@ def ha_open_scan_sql(bars_arr: str, chunk: int = CHUNK) -> str:
     )
 
 
-#: Rows-per-key routing threshold (measured on local[32], rounds 5-6):
-#: Catalyst evaluates higher-order-function lambdas INTERPRETED at
-#: ~1 µs/element vs ~0.1 µs/element for the numpy kernels' CPython
-#: float loop, while the numpy path pays a fixed per-stage Python
-#: worker + Arrow cost. Below this tape length the fixed cost
-#: dominates (JVM fold wins, and the Python-worker dependency
-#: disappears); above it per-element interpretation dominates (numpy
-#: wins — measured 0.73 s vs 1.87 s for kalman at ~16k rows/key,
-#: sf0.1). Both paths are bit-identical (tests/test_jvm_folds.py), so
+#: Rows-per-key routing threshold (measured on local[32], round 6 —
+#: tools/measure_crossover.py): Catalyst evaluates higher-order-
+#: function lambdas INTERPRETED at ~1 µs/element vs ~0.1 µs/element
+#: for the numpy kernels' CPython float loop, while the numpy path
+#: pays a fixed per-GROUP Python-worker/Arrow/pandas-assembly cost.
+#: Measured grid (kalman+EMA scan, min of 3, noop sink):
+#:   2000 keys x  64 rows/key: JVM 1.29 s vs numpy 7.02 s (0.18x)
+#:   2000 keys x 256 rows/key: JVM 1.74 s vs numpy 1.82 s (~1x)
+#:      5 keys x 512 rows/key: JVM 0.51 s vs numpy 0.34 s (1.5x)
+#:      5 keys x  16k rows/key: JVM 2.66 s vs numpy 0.32 s (8.3x)
+#: The per-GROUP fixed cost makes ROWS PER KEY the routing variable:
+#: below ~256-512 the fold wins (and drops the Python-worker
+#: dependency); above it interpretation dominates and the kernels
+#: win. Both paths are bit-identical (tests/test_jvm_folds.py), so
 #: routing is a pure perf decision.
-CROSSOVER_ROWS_PER_KEY = 4096
+CROSSOVER_ROWS_PER_KEY = 512
 
 
 def rows_per_key_estimate(sf_dir: str, table: str, n_keys: int) -> int:
