@@ -635,3 +635,34 @@ def test_no_unbounded_single_partition_window_in_corpus(spark, sf_small):
         "SinglePartition windows with unbounded input (full table "
         f"through ONE task at scale): {offenders}"
     )
+
+
+def test_blocked_evaluator_side_branch_is_pruned_and_precounted(spark, sf_small):
+    """Round-6 audit of blocked_copies' offsets side-table: it
+    re-traverses the upstream, which is acceptable at 100 TB ONLY
+    because Catalyst prunes that branch hard — the second scan must
+    read just the group-key columns (ts + event_type here, 2 of 4),
+    and the count must partial-aggregate BELOW its exchange so the
+    side shuffle carries tiny (symbol, day, count) rows, never data
+    rows. (Alternatives measured round 6: persisting the input cost
+    +13% at sf0.1 from the cache boundary, and a window-based count
+    shuffles full rows — the pruned second pass beats both.)"""
+    from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles
+    from auto_trade_data_pipeline_spark.operators.windows import (
+        with_rolling_features_blocked,
+    )
+
+    spark.catalog.clearCache()
+    candles = aggregate_candles(ticks_from_events(spark, sf_small), 1)
+    plan = _plan(with_rolling_features_blocked(candles))
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 2, f"expected main + side scans, got {schemas}"
+    pruned = min(schemas, key=lambda s: s.count(","))
+    assert set(f.split(":")[0] for f in pruned.split(",")) == {"ts", "event_type"}, (
+        f"side-branch scan must prune to the group-key columns, read: {pruned}"
+    )
+    assert "partial_count" in plan, (
+        "side-branch count must map-side combine below its exchange"
+    )
