@@ -108,12 +108,32 @@ def train_logistic_gd(
     r = s(z) - y → per-bucket gradient (bucket-keyed shuffle, exact
     integer-scaled sum) → broadcast model update. The weight values
     are deterministic doubles derived from exact sums, so retraining
-    on any engine at any parallelism gives identical weights."""
+    on any engine at any parallelism gives identical weights.
+
+    Each iteration's weight table is MATERIALIZED
+    (n_buckets+1 rows — model-sized, never data-sized): the update
+    expression references the previous weights twice (margins + the
+    update join), so a lazy lineage doubles per iteration and the
+    doc-sized margin/residual stages re-execute 2^iters times — the
+    Spark twin of the exponential inlined-CTE trap the corpus oracle
+    conventions document for DuckDB. Training is therefore eager
+    (iters tiny jobs), like any iterative fit — each iteration ends
+    in a model-sized collect (the dimension-metadata pattern of
+    operators/ranking.py; the GD normalizer N itself stays a
+    broadcast aggregate). Callers should persist
+    `feats` (every iteration reads it); `labels` is persisted here
+    for the loop and released before returning."""
+    from pyspark import StorageLevel
+
     spark = feats.sparkSession
     w = spark.range(n_buckets + 1).select(
         F.col("id").cast("int").alias("bucket"), F.lit(0.0).alias("w")
     )
+    owns_labels = labels.storageLevel == StorageLevel.NONE
+    if owns_labels:
+        labels = labels.persist()
     total = F.broadcast(labels.agg(F.count(F.lit(1)).alias("__N")))
+    prev = None
     for _ in range(iters):
         z = _margins(feats, w, id_col, scale)
         resid = z.join(labels, id_col).select(
@@ -136,6 +156,15 @@ def train_logistic_gd(
                 ).alias("w"),
             )
         )
+        # Materialize the model into a LocalRelation: truncates the
+        # doubling lineage (see docstring). n_buckets+1 rows of
+        # (int, double) — model-sized driver metadata, the same
+        # category as ranking.py's partition sums, never data-sized.
+        w = spark.createDataFrame(
+            sorted(w.collect()), schema="bucket int, w double"
+        )
+    if owns_labels:
+        labels.unpersist()
     return w
 
 
