@@ -639,10 +639,17 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_trade_data_pipeline_spark.operators.sketch import kmv_pair_overlap, kmv_sketch
 
     ev = load_table(spark, sf_dir, "events")
-    sk = kmv_sketch(ev, "event_type", "user_id", k=KMV_K)
+    # The sketch table is G x k-sized (dimension metadata): truncate
+    # its lineage before the pairwise self-join, which otherwise
+    # re-executes the full sketch aggregation once per branch it
+    # appears in (round-6 scan audit: ~16 event-tape reads in one
+    # lazy plan; now 2 — one per independent aggregation shape).
+    sk = kmv_sketch(ev, "event_type", "user_id", k=KMV_K).localCheckpoint(eager=True)
     est = kmv_pair_overlap(sk, "event_type", k=KMV_K)
 
-    ut = ev.select("event_type", "user_id").distinct()
+    # The exact-reference self-join reads the distinct pairs twice —
+    # persist so both sides share one scan (locally created: owned).
+    ut = ev.select("event_type", "user_id").distinct().persist()
     ex = (
         ut.alias("x")
         .join(
@@ -1265,8 +1272,14 @@ def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the integer-exact PageRank recipe).
 
     Scale shape: the event tape shuffles ONCE (by user) for the
-    bigram lead; everything after is |states|^2-sized — the iteration
-    joins run on a 25-cell matrix regardless of data volume.""".replace(
+    bigram lead; everything after is |states|^2-sized — the
+    transition matrix and state list are MATERIALIZED into
+    LocalRelations (|states|^2 rows — dimension metadata, the
+    ranking.py partition-sums pattern), so the iteration joins run on
+    a 25-cell local matrix and the final plan contains exactly ONE
+    pass over the event tape. Left lazy, every iteration's reference
+    to the states/matrix lineages re-scanned events — ~2 x {K} full
+    tape reads at scale for identical results.""".replace(
         "{K}", str(_MK_ITERS)
     )
     from pyspark.sql.window import Window
@@ -1278,15 +1291,23 @@ def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
     trans = big.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_ij"))
-    row = trans.groupBy("src").agg(F.sum("n_ij").alias("n_i"))
-    states = ev.select(F.col("event_type").alias("state")).distinct()
-    ns = states.count()  # |states| — dimension metadata, not data
+    row_agg = trans.groupBy("src").agg(F.sum("n_ij").alias("n_i"))
+    tmat = spark.createDataFrame(
+        sorted(trans.join(row_agg, "src").select("src", "dst", "n_ij", "n_i").collect()),
+        schema="src string, dst string, n_ij long, n_i long",
+    )
+    state_names = sorted(
+        r["state"]
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("state"))
+        .distinct()
+        .collect()
+    )
+    ns = len(state_names)  # |states| — dimension metadata, not data
+    states = spark.createDataFrame([(s,) for s in state_names], "state string")
+    row = tmat.select("src", "n_i").distinct()
     pi = states.select(
         "state", F.lit(_MK_TOTAL // ns).cast("long").alias("pi")
-    )
-    tmat = (
-        trans.join(row, "src")
-        .select("src", "dst", "n_ij", "n_i")
     )
     for _ in range(_MK_ITERS):
         terms = pi.join(

@@ -4155,7 +4155,12 @@ def ledoit_wolf_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("x").isNotNull())
     )
-    nsym = rv.agg(F.count_distinct("symbol").alias("pp"))
+    # The return tape feeds three branches (symbol census, full-grid
+    # filter, both sides of the pairwise self-join) — persist it and
+    # the aligned grid so the candle aggregation executes once, not
+    # once per branch (round-6 scan audit: 6 tape reads in one plan).
+    rv = rv.persist()
+    nsym = rv.agg(F.count_distinct("symbol").alias("pp")).localCheckpoint(eager=True)
     full_minutes = (
         rv.join(F.broadcast(nsym))
         .groupBy("bucket")
@@ -4163,7 +4168,7 @@ def ledoit_wolf_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") == F.col("pp"))
         .select("bucket")
     )
-    grid = rv.join(full_minutes, "bucket")
+    grid = rv.join(full_minutes, "bucket").persist()
     a = grid.select("bucket", F.col("symbol").alias("sym_i"), F.col("x").alias("xi"))
     b = grid.select(
         F.col("bucket").alias("bucket_b"),

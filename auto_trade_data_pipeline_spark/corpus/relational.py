@@ -1788,7 +1788,10 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(ranked, ["neg_recency", "o_custkey"], out_col="rk_r")
     ranked = global_row_number(ranked, ["frequency", "o_custkey"], out_col="rk_f")
     ranked = global_row_number(ranked, ["monetary_cents", "o_custkey"], out_col="rk_m")
-    total = cust.agg(F.count(F.lit(1)).alias("n"))
+    # n = max contiguous rank: rides the rank chain's own cached
+    # stages instead of re-executing the orders scan + customer
+    # aggregation a second time (round-6 scan audit).
+    total = ranked.agg(F.max("rk_m").alias("n"))
     scored = ranked.join(F.broadcast(total)).select(
         F.expr("CAST((rk_r - 1) * 5 div n + 1 AS BIGINT)").alias("r_score"),
         F.expr("CAST((rk_f - 1) * 5 div n + 1 AS BIGINT)").alias("f_score"),

@@ -42,6 +42,13 @@ def robust_stats(
     broadcast medians back to compute MAD; pass 3 counts outliers
     against the broadcast (median, MAD) table. Three scans, zero
     row-level shuffles of the fact table.
+
+    The per-group stat tables (p1, bounds — group-cardinality rows)
+    are eagerly localCheckpoint'ed: each is referenced by multiple
+    downstream branches, and left lazy every reference re-executes
+    its full fact-table aggregation (round-6 scan audit: 7 scans in
+    the final plan where the docstring promises 3). On a cluster swap
+    for reliable ``checkpoint`` (the graph.py convention).
     """
     v = F.col(value_col)
     p1 = df.groupBy(group_col).agg(
@@ -49,12 +56,12 @@ def robust_stats(
         F.expr(f"percentile({value_col}, 0.5)").alias("med"),
         F.expr(f"percentile({value_col}, 0.01)").alias("p01"),
         F.expr(f"percentile({value_col}, 0.99)").alias("p99"),
-    )
+    ).localCheckpoint(eager=True)
     j = df.join(F.broadcast(p1.select(group_col, "med")), group_col)
     p2 = j.groupBy(group_col).agg(
         F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
     )
-    bounds = p1.join(p2, group_col)
+    bounds = p1.join(p2, group_col).localCheckpoint(eager=True)
     out = (
         df.join(F.broadcast(bounds.select(group_col, "med", "mad")), group_col)
         .groupBy(group_col)

@@ -163,9 +163,18 @@ def kmeans_cells(
     centroids ``(cell, centroid)``). Empty cells drop out naturally on
     both engines. Per round: one broadcast join + one k×dims-sized
     aggregation — the iteration cost at 100 TB is `iters` corpus scans,
-    nothing quadratic."""
+    nothing quadratic. The corpus is persisted for the training loop
+    (unless the caller already persisted it): each round's assignment
+    and the final assignment all read the same input, and caching it
+    turns `iters + 1` table scans into one scan plus cache reads (the
+    MLlib convention for iterative fits; the cache is LRU-evictable
+    and results are unchanged)."""
+    from pyspark import StorageLevel
+
     from auto_trade_data_pipeline_spark.operators.text import hash64
 
+    if corpus.storageLevel == StorageLevel.NONE:
+        corpus = corpus.persist()
     hashed = corpus.select(
         F.col(id_col), F.col(vec_col), hash64(F.col(id_col).cast("string")).alias("__h")
     )
@@ -348,7 +357,10 @@ def pq_train(
     if ksub < 1 or iters < 0:
         raise ValueError("ksub must be >= 1 and iters >= 0")
     dsub = dims // m
-    subrows = _subspace_rows(corpus, m, dsub, id_col, vec_col)
+    # Persist the subspace rows: every k-means round re-reads them,
+    # and they exist only inside this call (clearly owned; the
+    # kmeans_cells caching rationale applies).
+    subrows = _subspace_rows(corpus, m, dsub, id_col, vec_col).persist()
     hashed = subrows.withColumn("__h", hash64(F.col(id_col).cast("string")))
     seed_w = Window.partitionBy("sub").orderBy("__h", id_col)
     books = (
