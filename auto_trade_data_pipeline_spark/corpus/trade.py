@@ -283,8 +283,10 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator resolves them keep-last on (rev, tick_id) before the
     merge — the determinism upgrade over pandas' positional
     ``keep='last'``. AQE broadcasts the distinct-key side when
-    small."""
-    t = ticks_from_events(spark, sf_dir)
+    small. The tape feeds three branches (old, rev-1 and rev-2
+    updates) — persisted so the scan runs once, not per branch
+    (measured 1.28 -> 0.99 s at sf0.1, round 6)."""
+    t = ticks_from_events(spark, sf_dir).persist()
     old = t.filter(F.col("tick_id") % 2 == 0)
     upd = (
         t.filter(F.col("tick_id") % 3 == 0)
