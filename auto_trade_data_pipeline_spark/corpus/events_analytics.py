@@ -1275,16 +1275,17 @@ def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram lead; everything after is |states|^2-sized — the
     transition matrix and state list are MATERIALIZED into
     LocalRelations (|states|^2 rows — dimension metadata, the
-    ranking.py partition-sums pattern), so the iteration joins run on
-    a 25-cell local matrix and the final plan contains exactly ONE
-    pass over the event tape. Left lazy, every iteration's reference
-    to the states/matrix lineages re-scanned events — ~2 x {K} full
-    tape reads at scale for identical results.""".replace(
+    ranking.py partition-sums pattern) from ONE persisted pass over
+    the event tape at build time, so the iteration joins run on a
+    25-cell local matrix and the returned plan touches no tape at
+    all. Left lazy, every iteration's reference to the states/matrix
+    lineages re-scanned events — ~2 x {K} full tape reads at scale
+    for identical results.""".replace(
         "{K}", str(_MK_ITERS)
     )
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").persist()
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     big = ev.select(
         F.col("event_type").alias("src"),
@@ -1292,16 +1293,20 @@ def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     trans = big.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_ij"))
     row_agg = trans.groupBy("src").agg(F.sum("n_ij").alias("n_i"))
+    none_low = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
     tmat = spark.createDataFrame(
-        sorted(trans.join(row_agg, "src").select("src", "dst", "n_ij", "n_i").collect()),
+        sorted(
+            trans.join(row_agg, "src").select("src", "dst", "n_ij", "n_i").collect(),
+            key=none_low,
+        ),
         schema="src string, dst string, n_ij long, n_i long",
     )
     state_names = sorted(
-        r["state"]
-        for r in load_table(spark, sf_dir, "events")
-        .select(F.col("event_type").alias("state"))
-        .distinct()
-        .collect()
+        (
+            r["state"]
+            for r in ev.select(F.col("event_type").alias("state")).distinct().collect()
+        ),
+        key=lambda v: (v is None, v),
     )
     ns = len(state_names)  # |states| — dimension metadata, not data
     states = spark.createDataFrame([(s,) for s in state_names], "state string")

@@ -490,7 +490,9 @@ def streaming_classifier_scores_replay(spark: SparkSession, sf_dir: str) -> Data
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", TX.tokens(F.col("text")).alias("__ts"))
-    feats = CF.hashed_features(base, "__ts", "doc_id", n_buckets=CLS_BUCKETS)
+    # train_logistic_gd's caller contract: persist feats — every
+    # eager training iteration reads it twice (margins + gradient).
+    feats = CF.hashed_features(base, "__ts", "doc_id", n_buckets=CLS_BUCKETS).persist()
     labels = docs.select(
         "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
     )

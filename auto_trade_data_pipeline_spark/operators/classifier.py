@@ -133,7 +133,6 @@ def train_logistic_gd(
     if owns_labels:
         labels = labels.persist()
     total = F.broadcast(labels.agg(F.count(F.lit(1)).alias("__N")))
-    prev = None
     for _ in range(iters):
         z = _margins(feats, w, id_col, scale)
         resid = z.join(labels, id_col).select(
