@@ -2802,10 +2802,15 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.w1", "p.w2")
     )
-    n = bg.agg(F.count(F.lit(1)).alias("nb"))
-    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    # ONE corpus tokenization pass: the unigram margins and the
+    # corpus total are exact sums over the bigram TYPE counts
+    # (c1(x) = sum_w2 c12(x, w2), etc.), so they derive from the
+    # persisted type table instead of three more passes over the
+    # exploded token stream (round-6 scan audit: 4 corpus reads -> 1).
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    n = cb.agg(F.sum("c12").alias("nb"))
+    c1 = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = cb.groupBy("w2").agg(F.sum("c12").alias("c2"))
     scored = (
         cb.filter(F.col("c12") >= _PMI_MIN_COUNT)
         .join(c1, "w1")
