@@ -112,61 +112,63 @@ DRIVER_QUERY_SLOTS = 50
 #: tests/test_rotation.py fails if any oracled query is stranded
 #: OUTSIDE this declared set — deferral must be a visible decision,
 #: never an accident. This set must empty out as rotation proceeds.
-DEFERRED_TO_NEXT_ROUND = frozenset({
-    # Round-6 residue of the rotation drain: the window now holds the
-    # 4 pack-tail queries (their only prior driver rows are rows-only
-    # r02 relics that predate their oracles) followed by the 46
-    # OLDEST never-driver-hash-checked oracled queries in declaration
-    # order (round-4 fourth/fifth/sixth push blocks). These 30 are
-    # the youngest strandees (late round-4 pushes) — ROUND 7 DRAINS
-    # THEM TO ZERO: 30 < 50 slots, so the round-7 window holds all 30
-    # plus the 20 stalest previously-green queries, and this set
-    # empties. Corpus growth remains frozen per the round-4 verdict.
-    "ab_test_report",
-    "almgren_chriss_schedule",
-    "association_rules_basket",
-    "benford_digit_audit",
-    "cointegration_scan",
-    "forecast_eval_mase",
-    "funnel_latency_quantiles",
-    "gini_concentration",
-    "graph_bfs_levels",
-    "holt_winters_smooth",
+DEFERRED_TO_NEXT_ROUND = frozenset({})
+
+#: Explicit registry order — round-7 rotation, computed by
+#: tools/rotate_window.py (reds, then the deferral drain, then the
+#: stalest previously-green queries; displaced queries keep their
+#: relative order behind the window).
+_ORDER = [
     "hrp_cluster_allocation",
-    "item_item_cf",
-    "lead_lag_xcorr",
-    "ledoit_wolf_shrinkage",
-    "markov_stationary_mix",
-    "mutual_info_features",
-    "pareto_frontier_orders",
-    "referential_integrity_report",
-    "rfm_segmentation",
-    "schema_evolution_merge",
-    "seasonal_trend_decomposition",
     "source_orc_roundtrip",
     "source_xml_roundtrip",
-    "streaming_ab_replay",
-    "survival_retention_km",
-    "target_encoding_kfold",
     "time_range_window_stats",
-    "var_es_historical",
-    "weighted_sample_es",
+    "referential_integrity_report",
+    "ab_test_report",
+    "schema_evolution_merge",
+    "holt_winters_smooth",
+    "cointegration_scan",
     "woe_iv_report",
-})
-
-#: Explicit registry order — the ROUND-6 rotation (continue the
-#: drain; corpus growth frozen). Window layout: slots 0-3 = the 4
-#: pack-tail queries (`anchored_vwap_points`, `anchored_vwap_filled`,
-#: `indicators_recursive_pack`, `peaks_valleys`) whose only driver
-#: rows are rows-only r02 relics predating their oracles; slots 4-49
-#: = the 46 OLDEST never-driver-hash-checked oracled queries in
-#: declaration order (round-4 fourth/fifth/sixth push blocks). Every
-#: displaced round-5-window query holds a green CORRECTNESS_r05 row.
-#: The 30 younger strandees are declared deferrals
-#: (DEFERRED_TO_NEXT_ROUND) and round 7 drains them to zero;
-#: tests/test_rotation.py enforces both the visibility invariant and
-#: the staleness bound.
-_ORDER = [
+    "target_encoding_kfold",
+    "lead_lag_xcorr",
+    "survival_retention_km",
+    "benford_digit_audit",
+    "gini_concentration",
+    "mutual_info_features",
+    "association_rules_basket",
+    "rfm_segmentation",
+    "streaming_ab_replay",
+    "var_es_historical",
+    "almgren_chriss_schedule",
+    "markov_stationary_mix",
+    "ledoit_wolf_shrinkage",
+    "seasonal_trend_decomposition",
+    "pareto_frontier_orders",
+    "item_item_cf",
+    "forecast_eval_mase",
+    "graph_bfs_levels",
+    "funnel_latency_quantiles",
+    "weighted_sample_es",
+    "dedup_embedding_cosine",
+    "ngram_jaccard_blocked",
+    "symbol_stats",
+    "daily_key_levels",
+    "join_broadcast_nation_region",
+    "salted_symbol_stats",
+    "json_props_stats",
+    "embedding_norm_stats",
+    "top_k_orders",
+    "rank_parts_in_brand",
+    "rollup_lineitem_sales",
+    "cube_order_priorities",
+    "set_ops_customers",
+    "range_join_price_bands",
+    "asof_join_latest_bar",
+    "pivot_unpivot_status_metrics",
+    "percentiles_order_value",
+    "anchored_vwap_fill",
+    "candles_cascade",
+    "doc_tokens_fingerprint",
     "anchored_vwap_points",
     "anchored_vwap_filled",
     "indicators_recursive_pack",
@@ -317,17 +319,6 @@ _ORDER = [
     "peaks_major_full",
     "quality_classifier_gd",
     "similarity_topk_pq",
-    "rank_parts_in_brand",
-    "rollup_lineitem_sales",
-    "cube_order_priorities",
-    "set_ops_customers",
-    "range_join_price_bands",
-    "asof_join_latest_bar",
-    "pivot_unpivot_status_metrics",
-    "percentiles_order_value",
-    "anchored_vwap_fill",
-    "candles_cascade",
-    "doc_tokens_fingerprint",
     "tick_quality_report",
     "upsert_merge",
     "similarity_topk_ivf",
@@ -366,45 +357,6 @@ _ORDER = [
     "dedup_simhash",
     "similarity_topk_cosine",
     "multimodal_decode_stats",
-    "dedup_embedding_cosine",
-    "ngram_jaccard_blocked",
-    "symbol_stats",
-    "daily_key_levels",
-    "join_broadcast_nation_region",
-    "salted_symbol_stats",
-    "json_props_stats",
-    "embedding_norm_stats",
-    "top_k_orders",
-    "hrp_cluster_allocation",
-    "source_orc_roundtrip",
-    "source_xml_roundtrip",
-    "time_range_window_stats",
-    "referential_integrity_report",
-    "ab_test_report",
-    "schema_evolution_merge",
-    "holt_winters_smooth",
-    "cointegration_scan",
-    "woe_iv_report",
-    "target_encoding_kfold",
-    "lead_lag_xcorr",
-    "survival_retention_km",
-    "benford_digit_audit",
-    "gini_concentration",
-    "mutual_info_features",
-    "association_rules_basket",
-    "rfm_segmentation",
-    "streaming_ab_replay",
-    "var_es_historical",
-    "almgren_chriss_schedule",
-    "markov_stationary_mix",
-    "ledoit_wolf_shrinkage",
-    "seasonal_trend_decomposition",
-    "pareto_frontier_orders",
-    "item_item_cf",
-    "forecast_eval_mase",
-    "graph_bfs_levels",
-    "funnel_latency_quantiles",
-    "weighted_sample_es",
     "indicators_chunked_pack",
 ]
 

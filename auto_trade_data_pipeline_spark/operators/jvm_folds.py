@@ -304,14 +304,24 @@ def ha_open_scan_sql(bars_arr: str, chunk: int = CHUNK) -> str:
 CROSSOVER_ROWS_PER_KEY = 512
 
 
-def rows_per_key_estimate(sf_dir: str, table: str, n_keys: int) -> int:
+def rows_per_key_estimate(sf_dir: str, table: str, n_keys: int) -> int | None:
     """Upper-bound tape-length estimate: total parquet rows (footer
     metadata only — driver-side, zero Spark jobs, no data scan)
     divided by the key cardinality. Callers pass the source table
     feeding the tape (candle tapes are bounded above by their tick
-    count) and a key-cardinality hint (symbol count)."""
+    count) and a key-cardinality hint (symbol count).
+
+    Returns ``None`` (with a loud warning) when the layout is not
+    glob-readable on the driver's local filesystem — URI-scheme dirs
+    (``s3a://...``), renamed tables. The estimate is a pure perf
+    routing hint: an unreadable layout must degrade to the default
+    arm (``rows_per_key=None`` → the JVM fold), never crash a query
+    that would otherwise run. Callers on non-local layouts who know
+    their tape shape should pass an explicit ``rows_per_key`` to
+    :func:`scan_by_key` instead."""
     import glob as _glob
     import os as _os
+    import warnings as _warnings
 
     import pyarrow.parquet as _pq
 
@@ -322,14 +332,19 @@ def rows_per_key_estimate(sf_dir: str, table: str, n_keys: int) -> int:
         else _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
     )
     if not files:
-        # A silent 0 would pin routing to the interpreted JVM fold
-        # forever (the exact regression the routing exists to fix) —
-        # an unreadable layout (URI-scheme dir, renamed table) must
-        # fail loudly instead.
-        raise FileNotFoundError(
-            f"rows_per_key_estimate: no parquet files under {path!r} — "
-            "pass an explicit rows_per_key for non-local table layouts"
+        # Loud (the interpreted JVM fold loses ~6x on long tapes, so a
+        # silent fallback could mask the exact regression the routing
+        # exists to fix) but AVAILABLE: the hint must never turn a
+        # runnable query into a build-time crash on URI-scheme layouts.
+        _warnings.warn(
+            f"rows_per_key_estimate: no parquet files glob-readable under "
+            f"{path!r} (URI-scheme or non-local layout?) — falling back to "
+            "the JVM fold arm; pass an explicit rows_per_key to scan_by_key "
+            "to restore shape routing",
+            RuntimeWarning,
+            stacklevel=2,
         )
+        return None
     total = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
     return max(1, total // max(1, n_keys))
 

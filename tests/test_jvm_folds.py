@@ -240,3 +240,25 @@ def test_scan_sql_binds_input_array_once():
         jf.ha_open_scan_sql(arr),
     ):
         assert sql.count(arr) == 1, "input array expression evaluated per chunk"
+
+
+def test_rows_per_key_estimate_unreadable_layout_warns_not_raises(tmp_path):
+    """Round-6 advice (medium): the estimate is a pure perf routing
+    hint — an unreadable layout (URI scheme, renamed table) must warn
+    and return None (→ the JVM fold arm), never crash query build."""
+    with pytest.warns(RuntimeWarning, match="falling back to the JVM fold"):
+        assert jf.rows_per_key_estimate(str(tmp_path), "events", 5) is None
+    with pytest.warns(RuntimeWarning):
+        assert jf.rows_per_key_estimate("s3a://bucket/prefix", "events", 5) is None
+
+
+def test_rows_per_key_estimate_local_layout(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({"x": range(100)})),
+                   d / "part-0.parquet")
+    assert jf.rows_per_key_estimate(str(tmp_path), "events", 4) == 25

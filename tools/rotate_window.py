@@ -43,8 +43,12 @@ def _correctness_rounds() -> dict[int, dict]:
     return out
 
 
-def plan() -> tuple[list[str], list[str], list[str]]:
-    """Return (window, residual_deferred, new_order)."""
+def plan() -> tuple[list[str], list[str], list[str], list[str]]:
+    """Return (window, residual_deferred, new_order, stranded) —
+    ``stranded`` lists oracled queries the rotation would leave with
+    no driver row, no window slot, and no declared deferral (non-empty
+    only when run mid-round, before the in-flight CORRECTNESS file
+    lands; ``--apply`` refuses while it is non-empty)."""
     from auto_trade_data_pipeline_spark.corpus import (
         DEFERRED_TO_NEXT_ROUND,
         DRIVER_QUERY_SLOTS,
