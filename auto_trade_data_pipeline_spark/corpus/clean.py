@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus import register, scoped_persist
 from auto_trade_data_pipeline_spark.corpus.ext import _DOCS_CTE, _duck_hash
 from auto_trade_data_pipeline_spark.operators import clean as CL
 from auto_trade_data_pipeline_spark.operators import text as TX
@@ -683,7 +683,7 @@ def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", TX.tokens(F.col("text")).alias("__ts"))
-    feats = CF.hashed_features(base, "__ts", "doc_id", n_buckets=CLS_BUCKETS).persist()
+    feats = scoped_persist(CF.hashed_features(base, "__ts", "doc_id", n_buckets=CLS_BUCKETS))
     labels = docs.select(
         "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
     )

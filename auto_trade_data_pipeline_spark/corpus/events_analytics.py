@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus import register, scoped_persist
 from auto_trade_data_pipeline_spark.sources import load_table
 
 _EVENTS_CTE = """
@@ -649,7 +649,7 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The exact-reference self-join reads the distinct pairs twice —
     # persist so both sides share one scan (locally created: owned).
-    ut = ev.select("event_type", "user_id").distinct().persist()
+    ut = scoped_persist(ev.select("event_type", "user_id").distinct())
     ex = (
         ut.alias("x")
         .join(
@@ -1285,7 +1285,7 @@ def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events").persist()
+    ev = scoped_persist(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     big = ev.select(
         F.col("event_type").alias("src"),

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus import register, scoped_persist
 from auto_trade_data_pipeline_spark.operators import text as TX
 from auto_trade_data_pipeline_spark.operators import vectors as VX
 from auto_trade_data_pipeline_spark.operators.multimodal import (
@@ -449,11 +449,11 @@ def dedup_near_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    rows = TX.shingle_rows(docs, "text", "doc_id", SHINGLE_N).persist()
+    rows = scoped_persist(TX.shingle_rows(docs, "text", "doc_id", SHINGLE_N))
     # Signature persisted too: the band self-join reads it from both
     # sides (NUM_PERMS longs per doc — a checkpointed signature table
     # in production).
-    sig = TX.minhash_signature_rows(rows, "shingle", "doc_id", NUM_PERMS).persist()
+    sig = scoped_persist(TX.minhash_signature_rows(rows, "shingle", "doc_id", NUM_PERMS))
     pairs = TX.lsh_candidate_pairs(sig, "doc_id", NUM_PERMS, ROWS_PER_BAND)
     return TX.jaccard_verify_rows(pairs, rows, "doc_id", "shingle", JACCARD_T)
 
@@ -725,7 +725,7 @@ def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage reads them from both sides of the self-join (and through
     # two analytic windows); without materialization the optimizer
     # replicates the gram-hash pipeline into every branch.
-    fp = TX.winnow_fingerprints(docs, "text", "doc_id", WINNOW_K, WINNOW_W).persist()
+    fp = scoped_persist(TX.winnow_fingerprints(docs, "text", "doc_id", WINNOW_K, WINNOW_W))
     return TX.winnow_overlap_pairs(
         fp,
         "doc_id",
@@ -1081,7 +1081,7 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         TX.word_shingles(TX.tokens(F.col("text")), SHINGLE_N).alias("shingles"),
     )
-    shingled = split_oversized_blocks(shingled, "source", "doc_id", max_rows=10_000).persist()
+    shingled = scoped_persist(split_oversized_blocks(shingled, "source", "doc_id", max_rows=10_000))
     a = shingled.select(
         F.col("source"), F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa")
     )
@@ -1416,8 +1416,8 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
     )
     s1 = q.join(keep.select("doc_id"), "doc_id", "left_semi")
-    rows = TX.shingle_rows(s1, "text", "doc_id", SHINGLE_N).persist()
-    sig = TX.minhash_signature_rows(rows, "shingle", "doc_id", NUM_PERMS).persist()
+    rows = scoped_persist(TX.shingle_rows(s1, "text", "doc_id", SHINGLE_N))
+    sig = scoped_persist(TX.minhash_signature_rows(rows, "shingle", "doc_id", NUM_PERMS))
     cand = TX.lsh_candidate_pairs(sig, "doc_id", NUM_PERMS, ROWS_PER_BAND)
     nd_pairs = TX.jaccard_verify_rows(cand, rows, "doc_id", "shingle", JACCARD_T)
     labels = connected_components(nd_pairs)
@@ -1535,8 +1535,8 @@ def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("__cid").alias("exact_id"))
     )
-    rows_c = TX.shingle_rows(corpus, "text", "doc_id", SHINGLE_N).persist()
-    rows_d = TX.shingle_rows(delta, "text", "doc_id", SHINGLE_N).persist()
+    rows_c = scoped_persist(TX.shingle_rows(corpus, "text", "doc_id", SHINGLE_N))
+    rows_d = scoped_persist(TX.shingle_rows(delta, "text", "doc_id", SHINGLE_N))
     sig_c = TX.minhash_signature_rows(rows_c, "shingle", "doc_id", NUM_PERMS)
     sig_d = TX.minhash_signature_rows(rows_d, "shingle", "doc_id", NUM_PERMS)
     cand = TX.lsh_candidate_pairs_between(sig_d, sig_c, "doc_id", NUM_PERMS, ROWS_PER_BAND)
@@ -1643,9 +1643,9 @@ def incremental_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     and integer-scaled projections, so even the banding is
     cross-engine bit-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = emb.select(
+    sig = scoped_persist(emb.select(
         "vec_id", "embedding", VX.srp_signature(F.col("embedding"), 16, 64).alias("__sig")
-    ).persist()
+    ))
     bands = VX.srp_bands(sig, "vec_id", "__sig", 16, 4)
     d = bands.filter(F.col("vec_id") >= INCR_VEC_START).withColumnRenamed("vec_id", "id_a")
     c = bands.filter(F.col("vec_id") < INCR_VEC_START).withColumnRenamed("vec_id", "id_b")
@@ -2290,7 +2290,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
-    tk = tk.persist()  # scanned by both the sketch and the exact counts
+    tk = scoped_persist(tk)  # scanned by both the sketch and the exact counts
     cms = cms_sketch(tk, "tok", depth=CMS_DEPTH, width=CMS_WIDTH)
     probes = (
         tk.groupBy("tok")
@@ -2807,7 +2807,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (c1(x) = sum_w2 c12(x, w2), etc.), so they derive from the
     # persisted type table instead of three more passes over the
     # exploded token stream (round-6 scan audit: 4 corpus reads -> 1).
-    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    cb = scoped_persist(bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
     n = cb.agg(F.sum("c12").alias("nb"))
     c1 = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
     c2 = cb.groupBy("w2").agg(F.sum("c12").alias("c2"))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus import register, scoped_persist
 from auto_trade_data_pipeline_spark.corpus.trade import (
     TICKS_CTE,
     TS_FMT_DUCK,
@@ -3112,9 +3112,9 @@ def _hrp_frames(spark: SparkSession, sf_dir: str):
     # runs once, not 4^merges times (the chained-iteration trap the
     # PageRank oracle documents; there the fix was MATERIALIZED CTEs,
     # here a persist of tiny tables).
-    own = own.persist()
-    pw = pw.persist()
-    dt = dt.persist()
+    own = scoped_persist(own)
+    pw = scoped_persist(pw)
+    dt = scoped_persist(dt)
     return own, pw, syms, dt
 
 
@@ -4159,7 +4159,7 @@ def ledoit_wolf_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter, both sides of the pairwise self-join) — persist it and
     # the aligned grid so the candle aggregation executes once, not
     # once per branch (round-6 scan audit: 6 tape reads in one plan).
-    rv = rv.persist()
+    rv = scoped_persist(rv)
     nsym = rv.agg(F.count_distinct("symbol").alias("pp")).localCheckpoint(eager=True)
     full_minutes = (
         rv.join(F.broadcast(nsym))
@@ -4168,7 +4168,7 @@ def ledoit_wolf_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") == F.col("pp"))
         .select("bucket")
     )
-    grid = rv.join(full_minutes, "bucket").persist()
+    grid = scoped_persist(rv.join(full_minutes, "bucket"))
     a = grid.select("bucket", F.col("symbol").alias("sym_i"), F.col("x").alias("xi"))
     b = grid.select(
         F.col("bucket").alias("bucket_b"),

@@ -10,7 +10,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus import register, scoped_persist
 from auto_trade_data_pipeline_spark.corpus.trade import (
     CANDLES_CTE,
     TICKS_CTE,
@@ -492,7 +492,7 @@ def streaming_classifier_scores_replay(spark: SparkSession, sf_dir: str) -> Data
     base = docs.select("doc_id", TX.tokens(F.col("text")).alias("__ts"))
     # train_logistic_gd's caller contract: persist feats — every
     # eager training iteration reads it twice (margins + gradient).
-    feats = CF.hashed_features(base, "__ts", "doc_id", n_buckets=CLS_BUCKETS).persist()
+    feats = scoped_persist(CF.hashed_features(base, "__ts", "doc_id", n_buckets=CLS_BUCKETS))
     labels = docs.select(
         "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
     )
@@ -1155,6 +1155,9 @@ def streaming_cdc_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    from auto_trade_data_pipeline_spark.plan_audit import audit_streaming_query
+
+    audit_streaming_query(q, "corpus_stream_cdc_apply")
     return spark.read.parquet(target).select("o_orderkey", "price_e2", "src")
 
 

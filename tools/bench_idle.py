@@ -1,0 +1,135 @@
+"""Re-record BASELINE.md's "Idle-machine reference" table (round-6
+verdict item 6: promote the idle-reference discipline into tooling).
+
+Runs ``bench.py`` ``--runs`` times back to back (each query inside a
+run is already min-of-4 passes, min-of-7 for sub-second queries),
+takes the per-query MINIMUM across runs, and rewrites the idle table
+between the markers in BASELINE.md in one command. Refuses to rewrite
+when the runs disagree badly on the suite total (>15%) — that is the
+signature of a LOADED machine, and a loaded recording would poison
+every future regression adjudication.
+
+Usage (on an idle machine — nothing else running):
+
+    python tools/bench_idle.py            # 2 runs, rewrite BASELINE.md
+    python tools/bench_idle.py --runs 3
+    python tools/bench_idle.py --dry-run  # print the table, touch nothing
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE = os.path.join(REPO, "BASELINE.md")
+
+#: Agreement gate on the suite total across runs: max/min above this
+#: means the machine was not idle and the recording is untrustworthy.
+MAX_RUN_DISAGREEMENT = 1.15
+
+
+def run_bench() -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=True,
+    )
+    # bench.py prints ONE JSON line on stdout (Spark noise goes to stderr).
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench.py printed no JSON line:\n{out.stdout[-2000:]}")
+
+
+def check_idle(totals: list[float]) -> None:
+    """Refuse a recording whose runs disagree more than the gate —
+    the signature of a loaded machine."""
+    if max(totals) / min(totals) > MAX_RUN_DISAGREEMENT:
+        raise RuntimeError(
+            f"suite totals disagree {max(totals) / min(totals):.2f}x across "
+            f"runs ({totals}) — machine is not idle; recording refused"
+        )
+
+
+def render_table(mins: dict[str, float]) -> str:
+    rows = "\n".join(f"| `{n}` | {t:.3f} |" for n, t in sorted(mins.items()))
+    total = sum(mins.values())
+    return (
+        "| Query | idle min (s), sf0.1 |\n|---|---|\n"
+        + rows
+        + f"\n\nSuite total of mins: **{total:.2f} s** ({len(mins)} queries)."
+    )
+
+
+def rewrite_baseline(mins: dict[str, float], runs: int, totals: list[float]) -> None:
+    src = open(BASELINE).read()
+    today = datetime.date.today().isoformat()
+    totals_txt = " / ".join(f"{t:.2f} s" for t in totals)
+    preamble = (
+        f"Recorded **{today}** (tools/bench_idle.py) on the build sandbox "
+        f"with nothing else running: {runs} full back-to-back `bench.py` "
+        "runs (each query already min-of-4 passes, min-of-7 for sub-second "
+        "queries), per-query minimum across the runs. Suite totals per run: "
+        f"{totals_txt}."
+    )
+    # Replace from the recording preamble through the suite-total line.
+    pat = re.compile(
+        r"Recorded \*\*.*?Suite total of mins: \*\*[0-9.]+ s\*\* \(\d+ queries\)\.",
+        re.S,
+    )
+    new = preamble + "\n\n" + _use_note(src) + render_table(mins)
+    src, n = pat.subn(new, src, count=1)
+    if n != 1:
+        raise RuntimeError(
+            "BASELINE.md idle-reference section anchors not found — "
+            "rewrite it by hand once, keeping the 'Recorded **' prefix "
+            "and the 'Suite total of mins:' suffix"
+        )
+    open(BASELINE, "w").write(src)
+
+
+def _use_note(src: str) -> str:
+    """Keep the existing 'Use:' adjudication paragraph verbatim if
+    present (it carries round history worth preserving)."""
+    m = re.search(r"(Use: .*?)\n\n\| Query \|", src, re.S)
+    return (m.group(1) + "\n\n") if m else ""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args()
+
+    mins: dict[str, float] = {}
+    totals: list[float] = []
+    for i in range(args.runs):
+        rec = run_bench()
+        totals.append(rec["value"])
+        print(f"run {i + 1}/{args.runs}: suite {rec['value']} s", file=sys.stderr)
+        for name, t in rec["queries"].items():
+            if t < 0:
+                raise RuntimeError(f"{name} failed in bench run {i + 1}")
+            mins[name] = min(mins.get(name, float("inf")), t)
+
+    check_idle(totals)
+    if args.dry_run:
+        print(render_table(mins))
+        return 0
+    rewrite_baseline(mins, args.runs, totals)
+    print(f"BASELINE.md idle table rewritten ({len(mins)} queries, "
+          f"total {sum(mins.values()):.2f} s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
