@@ -84,63 +84,35 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
-#: Caches opened by corpus query builders (``scoped_persist``), tagged
-#: with the owning query's name. A builder's returned plan usually
-#: still READS its persists lazily, so the builder cannot unpersist
-#: before returning; instead the registry wrapper releases every
-#: OTHER query's caches when a query is built. Accumulation across a
-#: looped corpus run is therefore bounded at one query's caches
-#: (round-6 verdict: a bare ``persist()`` per builder leaked a cache
-#: entry per call), while same-query rebuilds — bench.py's min-of-N
-#: passes — keep their caches, so pass 2+ still reuses pass 1's fill
-#: (Spark's CacheManager matches re-persists of an identical
-#: canonical plan to the existing entry).
-_QUERY_SCOPED_CACHES: list[tuple[str, DataFrame]] = []
-_CURRENT_QUERY: str = ""
-
-
-def scoped_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` whose cache entry is owned by the corpus query
-    currently being built: released automatically when a DIFFERENT
-    corpus query is next built, or explicitly via
-    :func:`release_query_caches`. Every ``persist()`` inside a corpus
-    query builder must go through here (enforced by
-    ``tests/test_cache_hygiene.py``)."""
-    df = df.persist()
-    _QUERY_SCOPED_CACHES.append((_CURRENT_QUERY, df))
-    return df
-
-
-def release_query_caches(keep: str | None = None) -> None:
-    """Unpersist every scoped cache except those owned by ``keep``.
-    Safe at any time: an unpersisted plan stays correct (Spark
-    recomputes), only the reuse speed-up is forfeited."""
-    kept: list[tuple[str, DataFrame]] = []
-    while _QUERY_SCOPED_CACHES:
-        owner, df = _QUERY_SCOPED_CACHES.pop()
-        if keep is not None and owner == keep:
-            kept.append((owner, df))
-            continue
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
-    _QUERY_SCOPED_CACHES.extend(reversed(kept))
+# Query-scoped cache ownership lives in cache_scope.py (a neutral
+# module so library operators — ranking's zipWithIndex siblings, the
+# k-means/PQ trainers — inherit the active corpus scope without
+# depending on the corpus package). Builders persist shared
+# intermediates through scoped_persist; the registry wrapper below
+# releases every OTHER query's caches when a query is built, so a
+# looped corpus run accumulates at most one query's caches (round-6
+# verdict: a bare persist() per builder leaked an entry per call)
+# while same-query rebuilds — bench.py's min-of-N passes — keep
+# their caches for pass-2+ reuse.
+from auto_trade_data_pipeline_spark.cache_scope import (  # noqa: F401 (re-export)
+    begin_scope as _begin_scope,
+    release_scoped_caches as release_query_caches,
+    scoped_persist,
+)
 
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     """Decorator: add a (spark_fn, duckdb_oracle) pair to the corpus.
-    The registered callable releases other queries' scoped caches
-    before building (see :func:`scoped_persist`)."""
+    The registered callable enters the query's cache scope before
+    building (see cache_scope.py), releasing other queries' scoped
+    caches."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
 
         def scoped(spark: SparkSession, sf_dir: str, _fn=fn, _name=name):
-            global _CURRENT_QUERY
-            release_query_caches(keep=_name)
-            _CURRENT_QUERY = _name
+            _begin_scope(_name)
             return _fn(spark, sf_dir)
 
         scoped.__name__ = fn.__name__

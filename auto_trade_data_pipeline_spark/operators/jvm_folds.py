@@ -421,7 +421,17 @@ def scan_by_key(
     supplied and the estimate is at or above
     ``CROSSOVER_ROWS_PER_KEY``, the bit-identical numpy kernels run
     instead of the interpreted JVM fold (round-6: the round-5
-    fold-everywhere routing regressed kalman 2.3x at sf0.1)."""
+    fold-everywhere routing regressed kalman 2.3x at sf0.1).
+
+    For layouts :func:`rows_per_key_estimate` cannot read (URI-scheme
+    dirs, views, non-parquet sources) pass the shape you know
+    directly — any upper bound of the same order works, only the
+    side of the crossover matters::
+
+        scan_by_key(df, ["symbol"], "ts", ["close"], scans,
+                    numpy_scans=numpy_scans,
+                    rows_per_key=df.count() // n_symbols)  # or a constant
+    """
     if numpy_scans is not None and set(numpy_scans) != set(scans):
         # A name mismatch would otherwise surface only ABOVE the
         # crossover as a missing output column — a scale-dependent

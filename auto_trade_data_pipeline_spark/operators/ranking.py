@@ -29,6 +29,8 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+from auto_trade_data_pipeline_spark.cache_scope import scoped_persist
 from pyspark.sql import functions as F
 
 __all__ = ["global_row_number", "global_running_sum", "global_running_max"]
@@ -55,8 +57,8 @@ def global_row_number(
     # attributed to different buckets. (At 100 TB: DISK_ONLY persist
     # or a checkpoint — the cost a contiguous global rank inherently
     # carries; it replaces the two range exchanges, not adds to them.)
-    ordered = (
-        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols).persist()
+    ordered = scoped_persist(
+        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     )
 
     # Partition metadata: one (pid, count) row per physical partition.
@@ -121,8 +123,8 @@ def global_running_sum(
     splits) scale: the naive ``sum() OVER (ORDER BY ...)`` funnels
     100 TB through one task; this recipe never does."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ordered = (
-        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols).persist()
+    ordered = scoped_persist(
+        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     )
     counts = (
         ordered.groupBy(F.spark_partition_id().alias("__pid"))
@@ -192,8 +194,8 @@ def global_running_max(
     before the first non-null value get NULL (round-4 advice — both
     passes now agree on window semantics)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ordered = (
-        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols).persist()
+    ordered = scoped_persist(
+        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     )
     maxima = (
         ordered.groupBy(F.spark_partition_id().alias("__pid"))

@@ -22,6 +22,8 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from auto_trade_data_pipeline_spark.cache_scope import scoped_persist
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -174,7 +176,7 @@ def kmeans_cells(
     from auto_trade_data_pipeline_spark.operators.text import hash64
 
     if corpus.storageLevel == StorageLevel.NONE:
-        corpus = corpus.persist()
+        corpus = scoped_persist(corpus)
     hashed = corpus.select(
         F.col(id_col), F.col(vec_col), hash64(F.col(id_col).cast("string")).alias("__h")
     )
@@ -360,7 +362,7 @@ def pq_train(
     # Persist the subspace rows: every k-means round re-reads them,
     # and they exist only inside this call (clearly owned; the
     # kmeans_cells caching rationale applies).
-    subrows = _subspace_rows(corpus, m, dsub, id_col, vec_col).persist()
+    subrows = scoped_persist(_subspace_rows(corpus, m, dsub, id_col, vec_col))
     hashed = subrows.withColumn("__h", hash64(F.col(id_col).cast("string")))
     seed_w = Window.partitionBy("sub").orderBy("__h", id_col)
     books = (
@@ -602,9 +604,9 @@ def srp_near_dup(
     nbits/band_bits tune the recall/candidate-volume trade
     (production sizing: 64-128 bits, 8-16 bit bands).
     Output: (id_a, id_b, cos)."""
-    sig = corpus.select(
+    sig = scoped_persist(corpus.select(
         F.col(id_col), F.col(vec_col), srp_signature(F.col(vec_col), nbits, dims).alias("__sig")
-    ).persist()
+    ))
     bands = srp_bands(sig, id_col, "__sig", nbits, band_bits)
     cand = (
         bands.alias("x")

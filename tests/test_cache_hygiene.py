@@ -49,7 +49,11 @@ def test_looping_persisted_queries_does_not_grow_cache(spark):
     # Two persisted queries alternated twice: the wrapper must release
     # the other query's caches at each build, so the cache registry
     # count at the same loop point is IDENTICAL across iterations.
-    names = ["upsert_merge", "doc_tokens_fingerprint"]
+    # upsert_merge persists in its builder; gini_concentration's
+    # persist happens INSIDE a library operator (ranking's distributed
+    # zipWithIndex) — it must inherit the corpus scope via
+    # cache_scope and release just the same.
+    names = ["upsert_merge", "gini_concentration"]
     counts = []
     for _ in range(2):
         for name in names:
