@@ -37,9 +37,11 @@ CORPUS_DIR = os.path.join(
 
 
 def _n_cached(spark) -> int:
-    """Persistent-RDD count on the SparkContext — one (materialized)
-    entry per live `persist()` cache; drops to zero on unpersist."""
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    """Entries in the SQL CacheManager — exactly what `persist()` on a
+    DataFrame registers and `unpersist()` removes. (NOT SparkContext
+    persistent-RDD count: that also sees localCheckpoint RDDs from
+    unrelated earlier tests until GC, making full-suite runs flaky.)"""
+    return spark._jsparkSession.sharedState().cacheManager().numCachedEntries()
 
 
 def test_looping_persisted_queries_does_not_grow_cache(spark):
