@@ -38,10 +38,21 @@ def begin_scope(name: str) -> None:
     other query's scoped caches, then tag subsequent scoped persists
     with ``name``. Same-name re-entry (bench.py's min-of-N passes of
     one query) keeps the existing caches so pass 2+ reuses pass 1's
-    fill."""
+    fill. Pair with :func:`end_scope` when the build returns — a
+    scope left open would capture (and later release) persists made
+    by DIRECT library-operator calls whose caches are the caller's to
+    manage."""
     global _CURRENT
     release_scoped_caches(keep=name)
     _CURRENT = name
+
+
+def end_scope() -> None:
+    """Leave the current build scope: subsequent persists are plain
+    caller-managed again. Already-tracked caches stay tracked (they
+    are released when a different query next begins)."""
+    global _CURRENT
+    _CURRENT = None
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:

@@ -94,8 +94,11 @@ REGISTRY: dict[str, Query] = {}
 # verdict: a bare persist() per builder leaked an entry per call)
 # while same-query rebuilds — bench.py's min-of-N passes — keep
 # their caches for pass-2+ reuse.
+import functools
+
 from auto_trade_data_pipeline_spark.cache_scope import (  # noqa: F401 (re-export)
     begin_scope as _begin_scope,
+    end_scope as _end_scope,
     release_scoped_caches as release_query_caches,
     scoped_persist,
 )
@@ -103,22 +106,23 @@ from auto_trade_data_pipeline_spark.cache_scope import (  # noqa: F401 (re-expor
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     """Decorator: add a (spark_fn, duckdb_oracle) pair to the corpus.
-    The registered callable enters the query's cache scope before
-    building (see cache_scope.py), releasing other queries' scoped
-    caches."""
+    The registered callable builds inside the query's cache scope
+    (see cache_scope.py): entry releases other queries' scoped
+    caches; exit closes the scope so direct library-operator calls
+    between corpus builds keep their caller-managed persists."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
 
+        @functools.wraps(fn)
         def scoped(spark: SparkSession, sf_dir: str, _fn=fn, _name=name):
             _begin_scope(_name)
-            return _fn(spark, sf_dir)
+            try:
+                return _fn(spark, sf_dir)
+            finally:
+                _end_scope()
 
-        scoped.__name__ = fn.__name__
-        scoped.__qualname__ = fn.__qualname__
-        scoped.__doc__ = fn.__doc__
-        scoped.__wrapped__ = fn
         REGISTRY[name] = Query(
             name=name, fn=scoped, oracle=oracle, tags=tags, doc=fn.__doc__ or ""
         )

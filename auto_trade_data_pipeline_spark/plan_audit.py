@@ -31,6 +31,8 @@ corpus-wide by tests/test_plans.py's streaming sibling sweep).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 #: Node classes that bound the row count of everything above them.
@@ -51,26 +53,35 @@ _BOUNDING = frozenset(
 _WINDOW_NODES = frozenset({"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"})
 
 
-def _walk(jplan):
+def _walk(jplan, subqueries: bool = True):
     """Depth-first over the physical plan, descending through the
     subtrees a plain children() walk misses (round-6 advice): nested
-    AdaptiveSparkPlanExec (initialPlan), subquery expression plans
-    (scalar/IN subqueries carry their own physical plans), and the
-    cached plan behind an InMemoryTableScan — a SinglePartition window
-    hidden in any of these funnels exactly the same at scale."""
+    AdaptiveSparkPlanExec (initialPlan), the cached plan behind an
+    InMemoryTableScan, and — for the ENUMERATION walk only —
+    subquery expression plans (scalar/IN subqueries carry their own
+    physical plans); a SinglePartition window hidden in any of these
+    funnels exactly the same at scale.
+
+    ``subqueries=False`` is the DATAFLOW walk used for the bounding
+    check: a subquery's aggregate does not bound the row count of the
+    plan that merely references it (a scalar-subquery filter under an
+    unpartitioned window must not whitelist that window), while AQE
+    initialPlan and the cached InMemoryTableScan plan ARE the
+    row-producing dataflow and stay in both walks."""
     yield jplan
     name = jplan.getClass().getSimpleName()
     if name == "AdaptiveSparkPlanExec":
-        yield from _walk(jplan.initialPlan())
+        yield from _walk(jplan.initialPlan(), subqueries)
         return
     if name == "InMemoryTableScanExec":
-        yield from _walk(jplan.relation().cachedPlan())
-    subs = jplan.subqueries()
-    for i in range(subs.size()):
-        yield from _walk(subs.apply(i))
+        yield from _walk(jplan.relation().cachedPlan(), subqueries)
+    if subqueries:
+        subs = jplan.subqueries()
+        for i in range(subs.size()):
+            yield from _walk(subs.apply(i), subqueries)
     children = jplan.children()
     for i in range(children.size()):
-        yield from _walk(children.apply(i))
+        yield from _walk(children.apply(i), subqueries)
 
 
 def _offenders(jplan) -> list[str]:
@@ -78,7 +89,9 @@ def _offenders(jplan) -> list[str]:
     for node in _walk(jplan):
         name = node.getClass().getSimpleName()
         if name in _WINDOW_NODES and node.partitionSpec().isEmpty():
-            subtree = {n.getClass().getSimpleName() for n in _walk(node)}
+            subtree = {
+                n.getClass().getSimpleName() for n in _walk(node, subqueries=False)
+            }
             if not (subtree & _BOUNDING):
                 offenders.append(name)
     return offenders
@@ -94,25 +107,33 @@ def unbounded_single_partition_windows(df: DataFrame) -> list[str]:
 
 
 #: Audit results for streaming replays, keyed by writeStream query
-#: name — filled by the replay harnesses (streaming/candles.py
+#: name with any trailing ``_<8-hex>`` uniquifier stripped (replay
+#: builders uuid-suffix their memory-sink names, and an unstripped
+#: key would grow this dict per BUILD, unbounded in a long-lived
+#: session) — filled by the replay harnesses (streaming/candles.py
 #: ``run_available_now``, corpus CDC replay) from each finished
 #: stream's LAST micro-batch IncrementalExecution. Batch plans of the
 #: same corpus queries are covered by the corpus-wide sweep in
 #: tests/test_plans.py; this extends the backstop to the streaming
 #: side (round-6 verdict item 5). Values: offender node names (empty
 #: = clean) or the sentinel ``["<no lastExecution>"]`` when the
-#: stream ran zero batches.
+#: stream ran zero batches. Bounded by the number of distinct replay
+#: call sites.
 STREAMING_AUDIT: dict[str, list[str]] = {}
+
+_UUID_SUFFIX = re.compile(r"_[0-9a-f]{8}$")
 
 
 def audit_streaming_query(q, name: str) -> None:
     """Record the SinglePartition-window audit of a FINISHED streaming
-    query's last micro-batch plan under ``name``. Never raises — the
-    harness runs inside corpus builders; tests assert on the dict."""
+    query's last micro-batch plan under ``name`` (uuid suffix
+    stripped). Never raises — the harness runs inside corpus
+    builders; tests assert on the dict."""
+    key = _UUID_SUFFIX.sub("", name)
     try:
         le = q._jsq.streamingQuery().lastExecution()
-        STREAMING_AUDIT[name] = (
+        STREAMING_AUDIT[key] = (
             ["<no lastExecution>"] if le is None else _offenders(le.executedPlan())
         )
     except Exception as exc:  # audit must never break a replay
-        STREAMING_AUDIT[name] = [f"<audit error: {type(exc).__name__}>"]
+        STREAMING_AUDIT[key] = [f"<audit error: {type(exc).__name__}>"]

@@ -88,6 +88,43 @@ def test_same_query_rebuild_keeps_cache(spark):
     assert _n_cached(spark) == 0
 
 
+def test_direct_operator_persist_after_corpus_build_is_caller_managed(spark):
+    """Round-7 review: the registry wrapper must CLOSE its scope after
+    the build — otherwise a direct library call between corpus builds
+    (whose persist is documented caller-managed) would be captured
+    under the stale query name and yanked by the next corpus build,
+    recomputing ranking's range exchange independently of its pinned
+    offsets."""
+    from auto_trade_data_pipeline_spark import cache_scope
+    from auto_trade_data_pipeline_spark.operators.ranking import global_row_number
+
+    reg = corpus.load_all()
+    spark.catalog.clearCache()
+    corpus.release_query_caches()
+    reg["upsert_merge"].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    assert cache_scope._CURRENT is None, "corpus build left its scope open"
+    tracked_before = len(cache_scope._LIVE)
+    # Direct library call AFTER the corpus build returned: its internal
+    # persist must be plain/untracked (caller-managed contract).
+    ranked = global_row_number(spark.range(100).selectExpr("id", "id % 3 AS k"), ["id"])
+    assert ranked.count() == 100
+    assert len(cache_scope._LIVE) == tracked_before, (
+        "direct operator persist was captured by a stale corpus scope"
+    )
+    # Building another corpus query releases the tracked upsert_merge
+    # caches but must NOT touch the direct call's untracked cache:
+    # afterwards the CacheManager holds exactly the direct cache plus
+    # whatever the new query tracked.
+    reg["doc_tokens_fingerprint"].fn(spark, SF_DIR).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    assert _n_cached(spark) == 1 + len(cache_scope._LIVE), (
+        "direct library persist was released by the corpus build"
+    )
+    spark.catalog.clearCache()
+    corpus.release_query_caches()
+
+
 def test_no_bare_persist_in_corpus_builders():
     """Every corpus-level cache must go through scoped_persist, or the
     release wrapper cannot see it and the round-6 leak returns."""

@@ -638,6 +638,41 @@ def test_no_unbounded_single_partition_window_in_corpus(spark, sf_small):
     )
 
 
+def test_plan_audit_subquery_aggregate_does_not_whitelist(spark):
+    """Round-7 review: the walker descends subquery plans when
+    ENUMERATING windows, but a subquery's aggregate must NOT count as
+    bounding the outer window's input — a scalar-subquery filter under
+    an unpartitioned window still funnels the full table through one
+    task."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from auto_trade_data_pipeline_spark.plan_audit import (
+        unbounded_single_partition_windows,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    df.createOrReplaceTempView("pa_probe")
+    # Scalar subquery (contains HashAggregate) feeding a filter BELOW
+    # an unpartitioned window over the raw scan: must be flagged.
+    funneled = (
+        df.filter(F.col("id") > F.expr("(SELECT avg(id) - 1000 FROM pa_probe)"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    assert unbounded_single_partition_windows(funneled), (
+        "subquery aggregate incorrectly whitelisted an unbounded "
+        "SinglePartition window"
+    )
+    # Control: the same window over a genuine aggregate is whitelisted.
+    bounded = (
+        df.groupBy("k").count()
+        .withColumn("rn", F.row_number().over(Window.orderBy("k")))
+    )
+    assert unbounded_single_partition_windows(bounded) == []
+    # And a window hidden inside a subquery plan is still FOUND.
+    spark.catalog.dropTempView("pa_probe")
+
+
 def test_no_unbounded_single_partition_window_in_streaming_corpus(spark, sf_small):
     """Round-6 verdict item 5: extend the SinglePartition-window
     backstop to the streaming corpus. Every `stream*` replay builder

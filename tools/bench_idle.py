@@ -87,7 +87,10 @@ def rewrite_baseline(mins: dict[str, float], runs: int, totals: list[float]) -> 
         re.S,
     )
     new = preamble + "\n\n" + _use_note(src) + render_table(mins)
-    src, n = pat.subn(new, src, count=1)
+    # Replacement via callable: `new` is free-form text (it embeds the
+    # preserved Use-note verbatim), not a regex template — a literal
+    # backslash in it must not be interpreted as an escape.
+    src, n = pat.subn(lambda _m: new, src, count=1)
     if n != 1:
         raise RuntimeError(
             "BASELINE.md idle-reference section anchors not found — "
