@@ -72,10 +72,18 @@ def main() -> int:
     # re-benched to the r03 value), and extra cheap passes tighten the
     # min at negligible suite cost. BASELINE.md pins an idle-machine
     # reference column for adjudicating apparent regressions.
+    # Round 7 adds a STABILITY extension on top of the pass floors:
+    # the recording sandbox shows ~10-15% run-to-run variance even
+    # when idle (BASELINE.md adjudication notes), so after the floor
+    # a query keeps earning passes (cap 10) until one of the last two
+    # passes lands within 5% of the running min — a min that two
+    # consecutive passes cannot approach was set by a transient quiet
+    # window and would overstate a later "regression".
     timings: dict[str, float] = {}
     for name in names:
         passes = 0
-        while passes < 7:
+        recent: list[float] = []
+        while passes < 10:
             t0 = time.perf_counter()
             try:
                 df = registry[name].fn(spark, sf_dir)
@@ -83,12 +91,14 @@ def main() -> int:
                 dt = round(time.perf_counter() - t0, 3)
                 prev = timings.get(name)
                 timings[name] = dt if prev is None or (0 <= dt < prev) else prev
+                recent = (recent + [dt])[-2:]
             except Exception as exc:  # one broken query must not kill the bench
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
                 timings[name] = -1.0
                 break
             passes += 1
-            if passes >= 4 and timings[name] >= 1.0:
+            floor = 4 if timings[name] >= 1.0 else 7
+            if passes >= floor and min(recent) <= timings[name] * 1.05:
                 break
         spark.catalog.clearCache()
 
@@ -101,9 +111,11 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "method": "noop sink; min of 4 passes (7 for sub-second "
-                "queries); caches cleared between queries; see BASELINE.md "
-                "'Idle-machine reference' for the regression-adjudication row",
+                "method": "noop sink; min of >=4 passes (>=7 for sub-second "
+                "queries), extended to at most 10 until a recent pass lands "
+                "within 5% of the min (noisy-sandbox stabilization); caches "
+                "cleared between queries; see BASELINE.md 'Idle-machine "
+                "reference' for the regression-adjudication row",
             }
         )
     )

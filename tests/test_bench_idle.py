@@ -41,3 +41,9 @@ def test_refuses_disagreeing_runs():
     with pytest.raises(RuntimeError, match="not idle"):
         bench_idle.check_idle([10.0, 13.0])
     bench_idle.check_idle([10.0, 10.9])  # within the gate — accepted
+    # 3+ runs: the closest PAIR gates — one contaminated run among
+    # otherwise-agreeing runs is tolerated...
+    bench_idle.check_idle([10.0, 15.0, 10.8])
+    # ...but all-mutually-disagreeing runs are still refused.
+    with pytest.raises(RuntimeError, match="not idle"):
+        bench_idle.check_idle([10.0, 13.0, 17.0])
