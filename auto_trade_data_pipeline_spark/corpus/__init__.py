@@ -116,10 +116,10 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
             raise ValueError(f"duplicate query name {name!r}")
 
         @functools.wraps(fn)
-        def scoped(spark: SparkSession, sf_dir: str, _fn=fn, _name=name):
-            _begin_scope(_name)
+        def scoped(spark: SparkSession, sf_dir: str):
+            _begin_scope(name)
             try:
-                return _fn(spark, sf_dir)
+                return fn(spark, sf_dir)
             finally:
                 _end_scope()
 

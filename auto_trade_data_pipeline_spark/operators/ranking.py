@@ -57,8 +57,15 @@ def global_row_number(
     # attributed to different buckets. (At 100 TB: DISK_ONLY persist
     # or a checkpoint — the cost a contiguous global rank inherently
     # carries; it replaces the two range exchanges, not adds to them.)
+    # pin=True: the collect()ed per-partition counts below are
+    # metadata OF THIS materialization — a re-executed range exchange
+    # may sample different bounds, so this cache must never be
+    # auto-released while the returned plan might still be consumed
+    # (cache_scope releases pinned entries only on explicit full
+    # release; entries dedup by canonical plan, so loops don't leak).
     ordered = scoped_persist(
-        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols),
+        pin=True,
     )
 
     # Partition metadata: one (pid, count) row per physical partition.
@@ -123,8 +130,15 @@ def global_running_sum(
     splits) scale: the naive ``sum() OVER (ORDER BY ...)`` funnels
     100 TB through one task; this recipe never does."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # pin=True: the collect()ed per-partition counts below are
+    # metadata OF THIS materialization — a re-executed range exchange
+    # may sample different bounds, so this cache must never be
+    # auto-released while the returned plan might still be consumed
+    # (cache_scope releases pinned entries only on explicit full
+    # release; entries dedup by canonical plan, so loops don't leak).
     ordered = scoped_persist(
-        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols),
+        pin=True,
     )
     counts = (
         ordered.groupBy(F.spark_partition_id().alias("__pid"))
@@ -194,8 +208,15 @@ def global_running_max(
     before the first non-null value get NULL (round-4 advice — both
     passes now agree on window semantics)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # pin=True: the collect()ed per-partition counts below are
+    # metadata OF THIS materialization — a re-executed range exchange
+    # may sample different bounds, so this cache must never be
+    # auto-released while the returned plan might still be consumed
+    # (cache_scope releases pinned entries only on explicit full
+    # release; entries dedup by canonical plan, so loops don't leak).
     ordered = scoped_persist(
-        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols),
+        pin=True,
     )
     maxima = (
         ordered.groupBy(F.spark_partition_id().alias("__pid"))

@@ -75,14 +75,16 @@ def main() -> int:
     # Round 7 adds a STABILITY extension on top of the pass floors:
     # the recording sandbox shows ~10-15% run-to-run variance even
     # when idle (BASELINE.md adjudication notes), so after the floor
-    # a query keeps earning passes (cap 10) until one of the last two
-    # passes lands within 5% of the running min — a min that two
-    # consecutive passes cannot approach was set by a transient quiet
-    # window and would overstate a later "regression".
+    # a query keeps earning passes (cap 10) until a pass AFTER the
+    # min-setting one lands within 5% of the min — a min no later
+    # pass can approach was set by a transient quiet window and would
+    # overstate a later "regression". (The min-setting pass must not
+    # confirm itself: whenever a pass lowers the min, confirmation
+    # resets and another pass is required, up to the cap.)
     timings: dict[str, float] = {}
     for name in names:
         passes = 0
-        recent: list[float] = []
+        confirmed = False
         while passes < 10:
             t0 = time.perf_counter()
             try:
@@ -90,15 +92,18 @@ def main() -> int:
                 df.write.mode("overwrite").format("noop").save()
                 dt = round(time.perf_counter() - t0, 3)
                 prev = timings.get(name)
-                timings[name] = dt if prev is None or (0 <= dt < prev) else prev
-                recent = (recent + [dt])[-2:]
+                if prev is None or (0 <= dt < prev):
+                    timings[name] = dt
+                    confirmed = False  # new min needs a later witness
+                elif dt <= prev * 1.05:
+                    confirmed = True
             except Exception as exc:  # one broken query must not kill the bench
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
                 timings[name] = -1.0
                 break
             passes += 1
             floor = 4 if timings[name] >= 1.0 else 7
-            if passes >= floor and min(recent) <= timings[name] * 1.05:
+            if passes >= floor and confirmed:
                 break
         spark.catalog.clearCache()
 

@@ -27,14 +27,31 @@ def test_rewrite_anchors_match_current_baseline(tmp_path, monkeypatch):
     out = open(tmp).read()
     assert "| `q_alpha` | 1.234 |" in out or "| `q_alpha` | 1.235 |" in out
     assert "Suite total of mins: **1.73 s** (2 queries)." in out
-    # The adjudication 'Use:' paragraph must survive the rewrite.
+    # EVERY paragraph between preamble and table must survive the
+    # rewrite — the 'Use:' adjudication protocol AND machine-change
+    # notes (round-7 review: the narrower Use:-only capture silently
+    # dropped the machine-change paragraph).
     assert "Use: when a driver-recorded" in out
+    assert "ROUND-7 MACHINE CHANGE" in out
     # Old table rows must be gone.
     assert "`candles_1s`" not in out
     # Idempotent anchors: a second rewrite still finds them.
     bench_idle.rewrite_baseline({"q_gamma": 2.0}, runs=2, totals=[2.0, 2.1])
     out2 = open(tmp).read()
     assert "q_gamma" in out2 and "q_alpha" not in out2
+    assert "ROUND-7 MACHINE CHANGE" in out2 and "Use: when a driver-recorded" in out2
+
+
+def test_rewrite_refuses_when_adjudication_notes_missing(tmp_path, monkeypatch):
+    """Round-7 review: a regex miss on the middle paragraphs must be
+    LOUD — silently dropping the adjudication protocol would defeat
+    the table's purpose."""
+    tmp = tmp_path / "BASELINE.md"
+    src = open(os.path.join(REPO, "BASELINE.md")).read().replace("Use:", "Usage:")
+    tmp.write_text(src)
+    monkeypatch.setattr(bench_idle, "BASELINE", str(tmp))
+    with pytest.raises(RuntimeError, match="refusing to rewrite"):
+        bench_idle.rewrite_baseline({"q": 1.0}, runs=2, totals=[1.0, 1.0])
 
 
 def test_refuses_disagreeing_runs():

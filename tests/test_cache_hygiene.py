@@ -53,17 +53,21 @@ def test_looping_persisted_queries_does_not_grow_cache(spark):
     # count at the same loop point is IDENTICAL across iterations.
     # upsert_merge persists in its builder; gini_concentration's
     # persist happens INSIDE a library operator (ranking's distributed
-    # zipWithIndex) — it must inherit the corpus scope via
-    # cache_scope and release just the same.
+    # zipWithIndex) — it inherits the corpus scope via cache_scope as
+    # a PINNED entry (range-bounds metadata), which survives scope
+    # changes but dedups by canonical plan, so loops still cannot
+    # grow the registry. Loop 1 warms the pinned entry; loops 2+ must
+    # be in steady state.
     names = ["upsert_merge", "gini_concentration"]
     counts = []
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             df = reg[name].fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             counts.append(_n_cached(spark))
     assert counts[0] >= 1, "upsert_merge should persist its tape"
-    assert counts[2:] == counts[:2], f"cache registry grew across loops: {counts}"
+    assert counts[2:4] == counts[4:6], f"cache registry grew across loops: {counts}"
+    # Explicit full release drops everything, pinned entries included.
     corpus.release_query_caches()
     assert _n_cached(spark) == 0
 

@@ -2,9 +2,10 @@
 verdict item 6: promote the idle-reference discipline into tooling).
 
 Runs ``bench.py`` ``--runs`` times back to back (each query inside a
-run is already min-of-4 passes, min-of-7 for sub-second queries),
-takes the per-query MINIMUM across runs, and rewrites the idle table
-between the markers in BASELINE.md in one command. Refuses to rewrite
+run is already a stabilized multi-pass minimum — see bench.py's
+method note for the exact pass policy), takes the per-query MINIMUM
+across runs, and rewrites the idle table between the markers in
+BASELINE.md in one command. Refuses to rewrite
 when the runs disagree badly on the suite total (>15%) — that is the
 signature of a LOADED machine, and a loaded recording would poison
 every future regression adjudication.
@@ -83,8 +84,9 @@ def rewrite_baseline(mins: dict[str, float], runs: int, totals: list[float]) -> 
     preamble = (
         f"Recorded **{today}** (tools/bench_idle.py) on the build sandbox "
         f"with nothing else running: {runs} full back-to-back `bench.py` "
-        "runs (each query already min-of-4 passes, min-of-7 for sub-second "
-        "queries), per-query minimum across the runs. Suite totals per run: "
+        "runs (each query already a stabilized multi-pass minimum — see "
+        "bench.py's method note for the pass policy), per-query minimum "
+        "across the runs. Suite totals per run: "
         f"{totals_txt}."
     )
     # Replace from the recording preamble through the suite-total line.
@@ -107,10 +109,22 @@ def rewrite_baseline(mins: dict[str, float], runs: int, totals: list[float]) -> 
 
 
 def _use_note(src: str) -> str:
-    """Keep the existing 'Use:' adjudication paragraph verbatim if
-    present (it carries round history worth preserving)."""
-    m = re.search(r"(Use: .*?)\n\n\| Query \|", src, re.S)
-    return (m.group(1) + "\n\n") if m else ""
+    """Keep EVERY paragraph between the recording preamble and the
+    table verbatim (the 'Use:' adjudication protocol, machine-change
+    notes — round history worth preserving). Raises rather than
+    silently dropping them — losing the adjudication protocol would
+    defeat the table's purpose."""
+    m = re.search(
+        r"Recorded \*\*[^\n]*(?:\n[^\n]+)*\n\n(.*?)\n\n\| Query \|", src, re.S
+    )
+    if not m or "Use:" not in m.group(1):
+        raise RuntimeError(
+            "BASELINE.md idle section has no 'Use: ...' adjudication "
+            "notes between the preamble and the table — refusing to "
+            "rewrite (they would be silently dropped); restore them or "
+            "update _use_note's anchor"
+        )
+    return m.group(1) + "\n\n"
 
 
 def main() -> int:
