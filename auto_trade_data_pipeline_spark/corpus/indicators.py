@@ -36,9 +36,15 @@ def _cdl_full_oracle() -> str:
     return cdl_full_oracle_sql(CANDLES_CTE, TS_FMT_DUCK)
 
 
-def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _enriched(
+    spark: SparkSession, sf_dir: str, families: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Kernel output over the 1 s candle tape. ``families`` is the
+    kernel-side column pruning (operators/indicators.py): queries that
+    read one family pass it so the kernel skips the others' compute
+    and Arrow transfer — values are identical for any subset."""
     candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
-    return enrich_indicators(candles)
+    return enrich_indicators(candles, families=families)
 
 
 @register("indicators_chunked_pack", None, tags=("W2", "W3", "W5", "W7", "skew"))
@@ -51,7 +57,9 @@ def indicators_chunked_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer (``src/candle_to_calcs.py:42,691``). Rows-only; bounded
     divergence vs the exact kernel is pinned by pytest."""
     candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
-    e = enrich_indicators(candles, chunked=True, buffer_rows=2000, block_rows=2000)
+    e = enrich_indicators(
+        candles, chunked=True, buffer_rows=2000, block_rows=2000, families=("pack",)
+    )
     return e.select(
         "symbol",
         F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
@@ -70,7 +78,7 @@ def candle_patterns_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons + trailing candle-setting averages
     (corpus/cdl_oracle.py) and hash-checked against the numpy kernel
     bit-for-bit, including the horizontal pattern sum (A8)."""
-    e = _enriched(spark, sf_dir)
+    e = _enriched(spark, sf_dir, families=("cdl",))
     return e.select(
         "symbol",
         F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
@@ -197,7 +205,7 @@ def peaks_valleys(spark: SparkSession, sf_dir: str) -> DataFrame:
     instantiates the complete find_peaks semantics in DuckDB via the
     parameterized generator and the flags are hash-checked against
     the production kernel."""
-    e = _enriched(spark, sf_dir)
+    e = _enriched(spark, sf_dir, families=("peaks",))
     return e.select(
         "symbol",
         F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
@@ -324,7 +332,7 @@ def cdl_patterns_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified against an independent DuckDB SQL reimplementation of
     the TA-Lib candle-setting framework — the cross-engine
     differential for W9."""
-    e = _enriched(spark, sf_dir)
+    e = _enriched(spark, sf_dir, families=("cdl",))
     return e.select(
         "symbol",
         F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),
@@ -1333,7 +1341,7 @@ def indicators_recursive_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (corpus/indicators.py:_pack_oracle) with the kernel's
     nan_to_num / placeholder-fill / diff semantics, so the whole
     22-column pack is hash-checked cross-engine."""
-    e = _enriched(spark, sf_dir)
+    e = _enriched(spark, sf_dir, families=("pack",))
     return e.select(
         "symbol",
         F.date_format("timestamp", TS_FMT_SPARK).alias("bucket_ts"),

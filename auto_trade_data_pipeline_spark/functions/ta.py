@@ -364,21 +364,24 @@ def rolling_mean(x: np.ndarray, window: int, min_periods: int | None = None) -> 
 
 def _local_maxima(x: np.ndarray) -> np.ndarray:
     """Plateau-aware local maxima (scipy semantics: midpoint of flat
-    tops, boundaries never peaks)."""
-    peaks = []
+    tops, boundaries never peaks). Vectorized over the sign-change
+    points of ``diff(x)``: a plateau [s, e] is a peak iff the change
+    entering s is a rise and the change leaving e is a fall (plateaus
+    touching either boundary have no such change on that side and are
+    correctly excluded). Bit-identical to the scalar scan it replaced
+    (tests/test_indicators.py pins equality on adversarial shapes)."""
     n = len(x)
-    i = 1
-    while i < n - 1:
-        if x[i - 1] < x[i]:
-            ahead = i + 1
-            while ahead < n - 1 and x[ahead] == x[i]:
-                ahead += 1
-            if x[ahead] < x[i]:
-                peaks.append((i + ahead - 1) // 2)
-                i = ahead
-                continue
-        i += 1
-    return np.asarray(peaks, dtype=np.intp)
+    if n < 3:
+        return np.empty(0, dtype=np.intp)
+    d = np.sign(np.diff(x))
+    nz = np.flatnonzero(d)
+    if len(nz) < 2:
+        return np.empty(0, dtype=np.intp)
+    sv = d[nz]
+    up = (sv[:-1] > 0) & (sv[1:] < 0)
+    # plateau start = index after the rising change, end = index of
+    # the falling change; scipy emits the floor midpoint.
+    return ((nz[:-1][up] + 1 + nz[1:][up]) // 2).astype(np.intp)
 
 
 def _select_by_distance(peaks: np.ndarray, priority: np.ndarray, distance: float) -> np.ndarray:
@@ -400,24 +403,42 @@ def _select_by_distance(peaks: np.ndarray, priority: np.ndarray, distance: float
     return keep
 
 
+def _jump_bounds(x: np.ndarray, p: np.ndarray, sentinel: int) -> np.ndarray:
+    """Shared pointer-doubling kernel for the strictly-greater bounds:
+    ``p`` holds each index's current candidate (its immediate neighbor
+    on the search side); while any candidate is in range but not
+    strictly greater, jump it to the candidate's own candidate.
+
+    Correctness invariant (pointwise, preserved by every jump): every
+    element strictly between ``p[i]`` and ``i`` is <= ``x[i]``, so when
+    the loop exits, ``p[i]`` is the NEAREST strictly-greater index (or
+    the sentinel). Each round at least doubles every unresolved chain's
+    hop distance, so rounds are O(log n) and total work O(n log n) —
+    all of it in whole-array numpy, replacing the scalar monotonic
+    stacks that dominated the indicator kernel's profile."""
+    unresolved = np.arange(len(x), dtype=np.intp)
+    while len(unresolved):
+        cand = p[unresolved]
+        alive = cand != sentinel
+        unresolved = unresolved[alive]
+        if not len(unresolved):
+            break
+        bad = x[p[unresolved]] <= x[unresolved]
+        unresolved = unresolved[bad]
+        if not len(unresolved):
+            break
+        p[unresolved] = p[p[unresolved]]
+    return p
+
+
 def _strictly_greater_bounds(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For every index i: nearest j<i with x[j] > x[i] (or -1) and
-    nearest j>i with x[j] > x[i] (or n). Monotonic stacks, O(n)."""
+    nearest j>i with x[j] > x[i] (or n). Vectorized pointer doubling
+    (see :func:`_jump_bounds`); integer-exact, pinned against the
+    scalar monotonic-stack reference in tests/test_indicators.py."""
     n = len(x)
-    prev = np.empty(n, dtype=np.intp)
-    nxt = np.empty(n, dtype=np.intp)
-    stack: list[int] = []
-    for i in range(n):
-        while stack and x[stack[-1]] <= x[i]:
-            stack.pop()
-        prev[i] = stack[-1] if stack else -1
-        stack.append(i)
-    stack.clear()
-    for i in range(n - 1, -1, -1):
-        while stack and x[stack[-1]] <= x[i]:
-            stack.pop()
-        nxt[i] = stack[-1] if stack else n
-        stack.append(i)
+    prev = _jump_bounds(x, np.arange(-1, n - 1, dtype=np.intp), -1)
+    nxt = _jump_bounds(x, np.arange(1, n + 1, dtype=np.intp), n)
     return prev, nxt
 
 

@@ -95,6 +95,82 @@ def test_find_peaks_scipy_semantics():
     assert ta.find_peaks(y, 1, 0.5).tolist() == [2]
 
 
+def _local_maxima_scalar(x):
+    """The scalar scan _local_maxima replaced — the equality reference."""
+    peaks, n, i = [], len(x), 1
+    while i < n - 1:
+        if x[i - 1] < x[i]:
+            ahead = i + 1
+            while ahead < n - 1 and x[ahead] == x[i]:
+                ahead += 1
+            if x[ahead] < x[i]:
+                peaks.append((i + ahead - 1) // 2)
+                i = ahead
+                continue
+        i += 1
+    return np.asarray(peaks, dtype=np.intp)
+
+
+def _sgb_scalar(x):
+    """The monotonic-stack _strictly_greater_bounds replaced."""
+    n = len(x)
+    prev = np.empty(n, dtype=np.intp)
+    nxt = np.empty(n, dtype=np.intp)
+    stack: list[int] = []
+    for i in range(n):
+        while stack and x[stack[-1]] <= x[i]:
+            stack.pop()
+        prev[i] = stack[-1] if stack else -1
+        stack.append(i)
+    stack.clear()
+    for i in range(n - 1, -1, -1):
+        while stack and x[stack[-1]] <= x[i]:
+            stack.pop()
+        nxt[i] = stack[-1] if stack else n
+        stack.append(i)
+    return prev, nxt
+
+
+def test_vectorized_peak_machinery_matches_scalar_reference():
+    """The pointer-doubling _strictly_greater_bounds and the
+    sign-change _local_maxima must be INDEX-EXACT vs the scalar
+    scans they replaced, across adversarial shapes: ties, plateaus,
+    monotone runs, sawtooth, short/empty arrays."""
+    rng = np.random.default_rng(7)
+    cases = [
+        np.array([]),
+        np.array([1.0]),
+        np.array([1.0, 1.0]),
+        np.array([0, 1, 0], dtype=float),
+        np.array([0, 5, 5, 5, 0], dtype=float),
+        np.array([5, 5, 5, 5], dtype=float),
+        np.arange(200, dtype=float),
+        np.arange(200, dtype=float)[::-1].copy(),
+        np.zeros(200),
+        np.tile([0.0, 1.0], 100),
+        np.repeat(rng.normal(0, 1, 30), 7),
+    ]
+    for k in range(40):
+        n = int(rng.integers(0, 1200))
+        kind = k % 4
+        if kind == 0:
+            x = rng.normal(0, 1, n)
+        elif kind == 1:
+            x = np.round(rng.normal(0, 1, n), 1)  # heavy ties
+        elif kind == 2:
+            x = np.cumsum(rng.normal(0, 1, n))
+        else:
+            x = rng.integers(0, 4, n).astype(float)
+        cases.append(x)
+    for x in cases:
+        x = np.asarray(x, dtype=float)
+        assert ta._local_maxima(x).tolist() == _local_maxima_scalar(x).tolist()
+        p1, n1 = ta._strictly_greater_bounds(x)
+        p2, n2 = _sgb_scalar(x)
+        assert p1.tolist() == p2.tolist()
+        assert n1.tolist() == n2.tolist()
+
+
 def test_cdl_outputs_domain_and_warmup(series):
     o, h, l, c, _ = series
     out = cdl.compute_all(o, h, l, c)
@@ -152,6 +228,37 @@ def test_kernel_end_to_end_and_partition_invariance(spark):
     row = out1[150]
     assert row["adx"] >= 0 and row["t3"] is not None
     assert row["is_uptrend"] + row["is_downtrend"] + row["is_no_trend"] == 1
+
+
+def test_kernel_family_pruning_identical_columns(spark):
+    """enrich_indicators(families=...) — kernel-side column pruning:
+    each family subset emits exactly the input columns + that family's
+    columns in reference order, with values identical to the full
+    kernel's (the families share only the raw OHLC inputs)."""
+    from auto_trade_data_pipeline_spark.operators.indicators import (
+        FAMILY_COLUMNS,
+        enrich_indicators,
+    )
+
+    df = _candles_df(spark, n=120, symbols=("S", "T"))
+    full = {
+        (r["symbol"], r["timestamp"]): r.asDict()
+        for r in enrich_indicators(df).collect()
+    }
+    for fams in (("pack",), ("cdl",), ("peaks",), ("peaks", "pack")):
+        sub = enrich_indicators(df, families=fams)
+        expected = df.columns + [
+            c for f in ("pack", "cdl", "peaks") if f in fams for c, _ in FAMILY_COLUMNS[f]
+        ]
+        assert sub.columns == expected
+        for r in sub.collect():
+            ref = full[(r["symbol"], r["timestamp"])]
+            got = r.asDict()
+            assert all(got[k] == ref[k] for k in got), (fams, got, ref)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown indicator families"):
+        enrich_indicators(df, families=("nope",))
 
 
 def test_kernel_short_group_gates(spark):
