@@ -32,12 +32,12 @@ left-to-right within a run is inherently sequential, while repeated
 literal replacement is a pure engine expression.)
 
 Scale shape: the histogram is built once (one shuffle on the word
-key); each iteration is one explode + one pair-keyed shuffle over
-the histogram (NOT the corpus), a 1-row TakeOrdered for the argmax
-that rides a broadcast into the merge, and a localCheckpoint to cut
-the iterative-plan lineage growth. At 100 TB the word histogram is
-millions of rows — cluster-trivial — and the corpus itself is
-touched exactly once.
+key); each iteration is ONE job — an explode + pair-keyed shuffle
+over the histogram (NOT the corpus) ending in a 1-row TakeOrdered
+whose argmax row is collected (model-sized by construction) and
+inlined as literals into the next iteration's replace projection.
+At 100 TB the word histogram is millions of rows — cluster-trivial —
+and the corpus itself is touched exactly once.
 """
 
 from __future__ import annotations
@@ -87,9 +87,20 @@ def bpe_train(
     - segmented: (word, wcount, seq) — the final space-padded
       segmentation of every word under the learned merges.
 
-    Both stay DataFrames end-to-end: the per-iteration argmax is a
-    1-row TakeOrderedAndProject that crossJoin-broadcasts into the
-    merge expression (no driver-side collect of model state).
+    The pair counting and merge application stay distributed; the ONLY
+    thing that leaves the cluster per iteration is the 1-row argmax —
+    which the TakeOrderedAndProject under ``limit(1)`` delivers to the
+    driver anyway — collected and inlined as string LITERALS into the
+    next iteration's replace expression. That removes the per-iteration
+    crossJoin/broadcast, the eager seq checkpoint, and the separate
+    isEmpty job the previous formulation paid (measured at sf0.1:
+    ~0.45 s/iteration of fixed job overhead on a dimension-sized
+    histogram → one job per iteration). The merge table is the
+    collected model — a LocalRelation, like the GD trainer's
+    per-iteration model (operators/classifier.py) — and the
+    segmentation lineage is the seed checkpoint + 3·iters literal
+    replaces (pure projection: one final checkpoint materializes it
+    once for the two downstream consumers).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -102,7 +113,7 @@ def bpe_train(
         F.col("wcount").cast("long").alias("wcount"),
         F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("seq"),
     ).localCheckpoint(eager=True)
-    merges: list[DataFrame] = []
+    merges: list[tuple[int, str, str, int]] = []
     for i in range(iters):
         toks = F.split(F.trim(F.col("seq")), " ")
         counts = (
@@ -110,43 +121,26 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("wcount").alias("cnt"))
         )
-        best = (
-            counts.orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-            .select(
-                F.col("a").alias("__a"), F.col("b").alias("__b"), F.col("cnt").alias("__cnt")
-            )
-            .localCheckpoint(eager=True)
-        )
-        if best.isEmpty():  # degenerate corpus: nothing left to merge
+        rows = counts.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not rows:  # degenerate corpus: nothing left to merge
             break
-        merges.append(
-            best.select(
-                F.lit(i + 1).alias("merge_idx"),
-                F.col("__a").alias("left"),
-                F.col("__b").alias("right"),
-                F.col("__cnt").alias("pair_count"),
-            )
-        )
-        pat = F.concat(F.lit(" "), F.col("__a"), F.lit(" "), F.col("__b"), F.lit(" "))
-        rep = F.concat(F.lit(" "), F.col("__a"), F.col("__b"), F.lit(" "))
+        a, b, cnt = rows[0]["a"], rows[0]["b"], rows[0]["cnt"]
+        merges.append((i + 1, a, b, int(cnt)))
+        # Literal-inline the learned pair (F.lit is injection-safe for
+        # any token content); repeated replace passes per the module
+        # docstring's determinism contract.
+        pat = F.concat(F.lit(" "), F.lit(a), F.lit(" "), F.lit(b), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.lit(a), F.lit(b), F.lit(" "))
         s = F.col("seq")
         for _ in range(replace_passes):
             s = F.replace(s, pat, rep)
-        seqs = (
-            seqs.crossJoin(F.broadcast(best))
-            .select("word", "wcount", s.alias("seq"))
-            .localCheckpoint(eager=True)
-        )
-    if not merges:
-        # Degenerate corpus (empty, or single-char words only):
-        # nothing to learn — empty merge table, identity segmentation.
-        spark = words.sparkSession
-        empty = spark.createDataFrame(
-            [], "merge_idx int, left string, right string, pair_count long"
-        )
-        return empty, seqs
-    merged = merges[0]
-    for m in merges[1:]:
-        merged = merged.unionByName(m)
+        seqs = seqs.select("word", "wcount", s.alias("seq"))
+    spark = words.sparkSession
+    if merges:
+        # One materialization of the final segmentation (seed
+        # checkpoint + 3*iters replaces) for the >=2 downstream reads.
+        seqs = seqs.localCheckpoint(eager=True)
+    merged = spark.createDataFrame(
+        merges, "merge_idx int, left string, right string, pair_count long"
+    )
     return merged, seqs
