@@ -59,23 +59,34 @@ def connected_components(
     ever produce, and the large-star/small-star variant (see module
     docstring) is the right tool.
     """
-    # Materialize the edge list BEFORE symmetrizing: the union below
-    # references the input twice, and without a checkpoint first the
-    # whole upstream plan (often an expensive LSH self-join) executes
-    # once per branch. Checkpointing first runs it once and the union
-    # reads the tiny materialized pair list.
-    edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
+    # Symmetrize in ONE pass over the input — explode each pair into
+    # both directions instead of a self-union, so the upstream plan
+    # (often an expensive LSH self-join) executes exactly once and a
+    # single checkpoint materializes the undirected edge list.
+    # (The previous two-step — checkpoint the pairs, then union with
+    # the reversed read — spent an extra materialization job for the
+    # same result.)
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )
     )
-    # Symmetrize once: propagation must flow both ways along a pair.
-    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    und = edges.unionByName(rev).distinct().localCheckpoint(eager=True)
+    und = (
+        edges.select(both.alias("e"))
+        .select("e.u", "e.v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
+    # Lazy checkpoint: round 1's convergence count materializes the
+    # node list through its join — an eager one here would be a
+    # separate job for the same state.
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iters):
