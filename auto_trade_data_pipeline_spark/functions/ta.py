@@ -415,7 +415,12 @@ def _jump_bounds(x: np.ndarray, p: np.ndarray, sentinel: int) -> np.ndarray:
     the sentinel). Each round at least doubles every unresolved chain's
     hop distance, so rounds are O(log n) and total work O(n log n) —
     all of it in whole-array numpy, replacing the scalar monotonic
-    stacks that dominated the indicator kernel's profile."""
+    stacks that dominated the indicator kernel's profile.
+
+    Mutates ``p`` in place and returns it; callers pass a fresh
+    arange. NaN samples act as comparison walls (every <= against NaN
+    is False, so a NaN is accepted as a bound and never jumped past) —
+    identical to the scalar stacks, pinned in the equality test."""
     unresolved = np.arange(len(x), dtype=np.intp)
     while len(unresolved):
         cand = p[unresolved]

@@ -149,6 +149,10 @@ def test_vectorized_peak_machinery_matches_scalar_reference():
         np.zeros(200),
         np.tile([0.0, 1.0], 100),
         np.repeat(rng.normal(0, 1, 30), 7),
+        # NaN acts as a comparison wall in both implementations (every
+        # <=/< against NaN is False) — pin that they agree on it.
+        np.array([0, 5, np.nan, 5, 0], dtype=float),
+        np.array([np.nan, 1, 0, 2, np.nan], dtype=float),
     ]
     for k in range(40):
         n = int(rng.integers(0, 1200))
