@@ -823,9 +823,11 @@ FROM bpe_s{BPE_ITERS}
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training IN the engine: learn 8 BPE merges over the
     corpus word histogram by the distributed pair-count -> argmax ->
-    merge loop (operators/bpe.py — per iteration one uniform-key
-    shuffle over the histogram, a 1-row TakeOrdered broadcast into a
-    literal-replace merge, lineage cut per round). Emits the learned
+    merge loop (operators/bpe.py — per iteration ONE job: a
+    uniform-key shuffle over the histogram ending in a 1-row
+    TakeOrdered whose collected argmax is inlined as literals into
+    the merge projection; lineage bounded by a lazy checkpoint
+    cadence). Emits the learned
     merge table, the final weighted sub-token vocabulary, AND every
     word's final segmentation — so the oracle (which replays the
     whole training loop in SQL) checks each iteration's argmax and

@@ -403,48 +403,75 @@ def _select_by_distance(peaks: np.ndarray, priority: np.ndarray, distance: float
     return keep
 
 
-def _jump_bounds(x: np.ndarray, p: np.ndarray, sentinel: int) -> np.ndarray:
-    """Shared pointer-doubling kernel for the strictly-greater bounds:
-    ``p`` holds each index's current candidate (its immediate neighbor
-    on the search side); while any candidate is in range but not
-    strictly greater, jump it to the candidate's own candidate.
+def _max_levels(x: np.ndarray) -> list[np.ndarray]:
+    """Range-max sparse table: ``levels[k][i] = max(x[i : i + 2**k])``.
+    O(n log n) build, all whole-array numpy."""
+    levels = [x]
+    k = 1
+    while (1 << k) <= len(x):
+        half = 1 << (k - 1)
+        prev = levels[-1]
+        levels.append(np.maximum(prev[: len(prev) - half], prev[half:]))
+        k += 1
+    return levels
 
-    Correctness invariant (pointwise, preserved by every jump): every
-    element strictly between ``p[i]`` and ``i`` is <= ``x[i]``, so when
-    the loop exits, ``p[i]`` is the NEAREST strictly-greater index (or
-    the sentinel). Each round at least doubles every unresolved chain's
-    hop distance, so rounds are O(log n) and total work O(n log n) —
-    all of it in whole-array numpy, replacing the scalar monotonic
-    stacks that dominated the indicator kernel's profile.
 
-    Mutates ``p`` in place and returns it; callers pass a fresh
-    arange. NaN samples act as comparison walls (every <= against NaN
-    is False, so a NaN is accepted as a bound and never jumped past) —
-    identical to the scalar stacks, pinned in the equality test."""
-    unresolved = np.arange(len(x), dtype=np.intp)
-    while len(unresolved):
-        cand = p[unresolved]
-        alive = cand != sentinel
-        unresolved = unresolved[alive]
-        if not len(unresolved):
-            break
-        bad = x[p[unresolved]] <= x[unresolved]
-        unresolved = unresolved[bad]
-        if not len(unresolved):
-            break
-        p[unresolved] = p[p[unresolved]]
-    return p
+def _greater_bound_at(
+    x: np.ndarray,
+    pos: np.ndarray,
+    levels: list[np.ndarray],
+    side: int,
+) -> np.ndarray:
+    """Nearest index strictly greater than ``x[pos]`` on one side of
+    each query position (``side=-1``: nearest j < pos with x[j] >
+    x[pos], else -1; ``side=+1``: nearest j > pos, else n).
+
+    Vectorized binary lifting over the range-max table: from each
+    query, greedily skip the largest 2^k block whose max is <= the
+    query value; the skip distances decompose like binary digits, so
+    every query finishes in exactly one pass over the levels —
+    worst-case O(|pos| log n), data-independent. (A pointer-jumping
+    formulation tried first degraded to O(n^2) on a monotone run
+    followed by a higher plateau: chains through already-resolved
+    nodes advance only one ancestor per round. The block-skip descent
+    has no such case.)
+
+    NaN samples act as comparison walls on both sides: a block
+    containing NaN has a NaN max, NaN <= v is False, so the block is
+    never skipped and the descent stops ON the NaN — identical to the
+    scalar stacks' accept-on-not-<= rule (pinned in the equality
+    test)."""
+    n = len(x)
+    v = x[pos]
+    q = pos + side
+    for k in range(len(levels) - 1, -1, -1):
+        w = 1 << k
+        if side < 0:
+            start = q - w + 1
+            can = start >= 0
+        else:
+            start = q
+            can = q + w - 1 <= n - 1
+        if not can.any():
+            continue
+        skip = can.copy()
+        skip[can] = levels[k][start[can]] <= v[can]
+        q[skip] += side * w
+    return q
 
 
 def _strictly_greater_bounds(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For every index i: nearest j<i with x[j] > x[i] (or -1) and
-    nearest j>i with x[j] > x[i] (or n). Vectorized pointer doubling
-    (see :func:`_jump_bounds`); integer-exact, pinned against the
+    nearest j>i with x[j] > x[i] (or n). Vectorized block-skip descent
+    (see :func:`_greater_bound_at`); integer-exact, pinned against the
     scalar monotonic-stack reference in tests/test_indicators.py."""
     n = len(x)
-    prev = _jump_bounds(x, np.arange(-1, n - 1, dtype=np.intp), -1)
-    nxt = _jump_bounds(x, np.arange(1, n + 1, dtype=np.intp), n)
-    return prev, nxt
+    pos = np.arange(n, dtype=np.intp)
+    levels = _max_levels(x)
+    return (
+        _greater_bound_at(x, pos, levels, -1),
+        _greater_bound_at(x, pos, levels, +1),
+    )
 
 
 def _prominences(x: np.ndarray, peaks: np.ndarray) -> np.ndarray:
@@ -458,7 +485,13 @@ def _prominences(x: np.ndarray, peaks: np.ndarray) -> np.ndarray:
     if len(peaks) == 0:
         return np.empty(0)
     n = len(x)
-    prev, nxt = _strictly_greater_bounds(x)
+    # Bounds are only needed AT the peaks (a small subset of the
+    # series): query them directly instead of solving all n indices.
+    max_levels = _max_levels(x)
+    prev = np.full(n, -1, dtype=np.intp)
+    nxt = np.full(n, n, dtype=np.intp)
+    prev[peaks] = _greater_bound_at(x, peaks, max_levels, -1)
+    nxt[peaks] = _greater_bound_at(x, peaks, max_levels, +1)
 
     # Sparse table of range minima.
     levels = [x]

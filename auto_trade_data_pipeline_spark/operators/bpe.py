@@ -47,6 +47,11 @@ from pyspark.sql import functions as F
 
 __all__ = ["bpe_train", "word_histogram"]
 
+#: Segmentation-lineage checkpoint cadence in bpe_train: between
+#: checkpoints each iteration re-runs at most 3*_CKPT_EVERY literal
+#: replaces from the last materialization (linear in iters overall).
+_CKPT_EVERY = 8
+
 
 def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus word histogram: (word, wcount) over lowercased word
@@ -98,9 +103,10 @@ def bpe_train(
     histogram → one job per iteration). The merge table is the
     collected model — a LocalRelation, like the GD trainer's
     per-iteration model (operators/classifier.py) — and the
-    segmentation lineage is the seed checkpoint + 3·iters literal
-    replaces (pure projection: one final checkpoint materializes it
-    once for the two downstream consumers).
+    segmentation lineage is bounded by a lazy checkpoint every
+    ``_CKPT_EVERY`` iterations (pure projections in between; one final
+    eager checkpoint materializes the result once for the two
+    downstream consumers).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -135,6 +141,15 @@ def bpe_train(
         for _ in range(replace_passes):
             s = F.replace(s, pat, rep)
         seqs = seqs.select("word", "wcount", s.alias("seq"))
+        # Lineage cadence: without any truncation, iteration i's
+        # pair-count job re-executes all 3*(i-1) earlier replace
+        # projections from the seed — quadratic in iters for callers
+        # training hundreds of merges. A LAZY checkpoint every
+        # _CKPT_EVERY iterations bounds both the re-executed work and
+        # the analyzed expression depth at a constant, and costs no
+        # extra job (the next iteration's collect materializes it).
+        if (i + 1) % _CKPT_EVERY == 0 and i + 1 < iters:
+            seqs = seqs.localCheckpoint(eager=False)
     spark = words.sparkSession
     if merges:
         # One materialization of the final segmentation (seed

@@ -54,6 +54,25 @@ def test_bpe_matches_reference_and_merged_tokens_compose(spark):
     assert got_s["abab"] == "abab"
 
 
+def test_bpe_long_training_crosses_the_checkpoint_cadence(spark):
+    """iters > _CKPT_EVERY exercises the lazy lineage checkpoint
+    inside the loop (review finding: unbounded lineage was quadratic
+    in iters); results must stay reference-exact across the cut."""
+    items = [
+        ("abababab", 9),
+        ("abcabc", 7),
+        ("bcbcbc", 5),
+        ("cacaca", 4),
+        ("aabbcc", 3),
+        ("abcabcabc", 2),
+    ]
+    got_m, got_s = _run(spark, items, iters=12)
+    ref_m, ref_s = _ref_bpe(dict(items), iters=12)
+    assert got_m == ref_m
+    assert got_s == ref_s
+    assert len(got_m) > 8  # the cadence actually fired mid-training
+
+
 def test_bpe_weights_drive_the_argmax(spark):
     # Unweighted, (x,y) and (y,z) tie at 1 each (lexicographic pick);
     # weighting 'wyz' makes (y,z) win outright.

@@ -153,6 +153,12 @@ def test_vectorized_peak_machinery_matches_scalar_reference():
         # <=/< against NaN is False) — pin that they agree on it.
         np.array([0, 5, np.nan, 5, 0], dtype=float),
         np.array([np.nan, 1, 0, 2, np.nan], dtype=float),
+        # Monotone run then a higher plateau — the shape that degraded
+        # a pointer-jumping formulation to O(n^2) (review finding):
+        # every plateau element's chain walked the run one node per
+        # round. The block-skip descent must stay exact AND flat here.
+        np.concatenate([np.arange(800.0)[::-1], np.full(400, 1e6)]),
+        np.concatenate([np.arange(800.0), np.full(400, -5.0)]),
     ]
     for k in range(40):
         n = int(rng.integers(0, 1200))
