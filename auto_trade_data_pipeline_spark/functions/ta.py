@@ -403,15 +403,19 @@ def _select_by_distance(peaks: np.ndarray, priority: np.ndarray, distance: float
     return keep
 
 
-def _max_levels(x: np.ndarray) -> list[np.ndarray]:
-    """Range-max sparse table: ``levels[k][i] = max(x[i : i + 2**k])``.
-    O(n log n) build, all whole-array numpy."""
+def _sparse_table(x: np.ndarray, op) -> list[np.ndarray]:
+    """Doubling sparse table: ``levels[k][i] = op-fold of
+    x[i : i + 2**k]`` (``op`` = np.maximum for the greater-bound
+    descent, np.minimum for range-min queries). O(n log n) build, all
+    whole-array numpy. NaN propagates through both ops — the
+    greater-bound descent relies on that (NaN blocks are never
+    skipped)."""
     levels = [x]
     k = 1
     while (1 << k) <= len(x):
         half = 1 << (k - 1)
         prev = levels[-1]
-        levels.append(np.maximum(prev[: len(prev) - half], prev[half:]))
+        levels.append(op(prev[: len(prev) - half], prev[half:]))
         k += 1
     return levels
 
@@ -467,7 +471,7 @@ def _strictly_greater_bounds(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     scalar monotonic-stack reference in tests/test_indicators.py."""
     n = len(x)
     pos = np.arange(n, dtype=np.intp)
-    levels = _max_levels(x)
+    levels = _sparse_table(x, np.maximum)
     return (
         _greater_bound_at(x, pos, levels, -1),
         _greater_bound_at(x, pos, levels, +1),
@@ -480,27 +484,16 @@ def _prominences(x: np.ndarray, peaks: np.ndarray) -> np.ndarray:
     walk, prominence = height - max(left_min, right_min).
 
     Computed without per-peak walks (O(n^2) on random walks):
-    strictly-greater bounds via monotonic stacks + range-min via a
-    sparse table, both vectorized — O(n log n) total."""
+    strictly-greater bounds via the block-skip descent, queried ONLY
+    at the peaks, + range-min via a sparse table — O(n log n) total,
+    data-independent."""
     if len(peaks) == 0:
         return np.empty(0)
-    n = len(x)
-    # Bounds are only needed AT the peaks (a small subset of the
-    # series): query them directly instead of solving all n indices.
-    max_levels = _max_levels(x)
-    prev = np.full(n, -1, dtype=np.intp)
-    nxt = np.full(n, n, dtype=np.intp)
-    prev[peaks] = _greater_bound_at(x, peaks, max_levels, -1)
-    nxt[peaks] = _greater_bound_at(x, peaks, max_levels, +1)
+    max_levels = _sparse_table(x, np.maximum)
+    left_lo = _greater_bound_at(x, peaks, max_levels, -1) + 1
+    right_hi = _greater_bound_at(x, peaks, max_levels, +1) - 1
 
-    # Sparse table of range minima.
-    levels = [x]
-    k = 1
-    while (1 << k) <= n:
-        half = 1 << (k - 1)
-        prev_lvl = levels[-1]
-        levels.append(np.minimum(prev_lvl[: len(prev_lvl) - half], prev_lvl[half:]))
-        k += 1
+    levels = _sparse_table(x, np.minimum)
 
     def rmq(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
         """Elementwise min over [lo, hi] inclusive (lo <= hi)."""
@@ -513,8 +506,6 @@ def _prominences(x: np.ndarray, peaks: np.ndarray) -> np.ndarray:
             out[m] = np.minimum(levels[kk][lo[m]], levels[kk][hi[m] - w + 1])
         return out
 
-    left_lo = prev[peaks] + 1
-    right_hi = nxt[peaks] - 1
     left_min = rmq(left_lo, peaks)
     right_min = rmq(peaks, right_hi)
     return x[peaks] - np.maximum(left_min, right_min)

@@ -132,7 +132,7 @@ def _sgb_scalar(x):
 
 
 def test_vectorized_peak_machinery_matches_scalar_reference():
-    """The pointer-doubling _strictly_greater_bounds and the
+    """The block-skip-descent _strictly_greater_bounds and the
     sign-change _local_maxima must be INDEX-EXACT vs the scalar
     scans they replaced, across adversarial shapes: ties, plateaus,
     monotone runs, sawtooth, short/empty arrays."""

@@ -88,13 +88,17 @@ def main() -> int:
                     n = q.fn(spark, sf_dir).count()
                     dt = round(time.time() - t0, 2)
                     best = dt if best is None else min(best, dt)
-                spark.catalog.clearCache()
                 rec[label] = {"rows": n, "sec": best}
             except Exception as exc:  # noqa: BLE001 - recorded, not masked
                 rec[label] = {
                     "error": f"{type(exc).__name__}: {str(exc)[:400]}",
                 }
                 traceback.print_exc()
+            finally:
+                # Always drop caches — a failing pass must not leave
+                # its persisted intermediates resident to skew (or
+                # OOM) every later query's recorded time.
+                spark.catalog.clearCache()
         r01, r1 = rec.get("sf0.1", {}), rec.get("sf1", {})
         if "sec" in r01 and "sec" in r1 and "error" not in r1 and r01["sec"] > 0:
             rec["ratio"] = round(r1["sec"] / r01["sec"], 2)
