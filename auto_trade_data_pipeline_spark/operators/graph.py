@@ -79,13 +79,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    # Lazy checkpoint: round 1's convergence count materializes the
-    # node list through its join — an eager one here would be a
-    # separate job for the same state.
+    # Seed = the FIRST propagation round, fused into one aggregation:
+    # label(u) = min(u, min over neighbors v) needs no join — the
+    # undirected edge list already pairs every node with each
+    # neighbor. (Seeding with label(u) = u and joining would spend a
+    # whole join round discovering the same values; for the
+    # clique-shaped components near-dup graphs produce, this seed is
+    # already the fixpoint and the loop only runs its confirmation
+    # round.) Lazy checkpoint: round 1's convergence count
+    # materializes it.
     labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.col("u"), F.min("v")).alias("component"))
         .localCheckpoint(eager=False)
     )
 
