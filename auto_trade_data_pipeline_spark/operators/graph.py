@@ -94,12 +94,21 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
+    id_type = dict(und.dtypes)["u"]
     for _ in range(max_iters):
-        nbr_min = (
-            und.join(labels, und.v == labels.node)
-            .select(F.col("u").alias("node"), "component")
-            .groupBy("node")
-            .agg(F.min("component").alias("nbr_component"))
+        # One round = propagate + merge in a SINGLE aggregation: the
+        # neighbor-propagated labels union the current table (which
+        # carries each node's own label tagged as __prev), and one
+        # groupBy-min yields the new label AND the old one for the
+        # convergence probe — no per-round left join stitching a
+        # separate nbr_min table back (measured: same results, one
+        # fewer join per round). Every node appears as `u` in the
+        # symmetrized edge list, so the union side only supplies the
+        # self-label floor.
+        prop = und.join(labels, und.v == labels.node).select(
+            F.col("u").alias("node"),
+            "component",
+            F.lit(None).cast(id_type).alias("__old"),
         )
         # Lazy checkpoint + full-count probe = ONE job per round: the
         # count computes every partition, which materializes the
@@ -107,13 +116,12 @@ def connected_components(
         # isEmpty probe would schedule two jobs per round — pure
         # overhead in the many-rounds regime).
         new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least("component", F.coalesce("nbr_component", "component")).alias(
-                    "component"
-                ),
-                F.col("component").alias("__prev"),
+            labels.select("node", "component", F.col("component").alias("__old"))
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__old").alias("__prev"),
             )
             .localCheckpoint(eager=False)
         )
