@@ -4,65 +4,14 @@ Every operator from SURVEY.md §2 that is implemented gets a named
 query here; the driver runs each against its DuckDB oracle at sf0.01
 (row-count + schema + order-insensitive value hash).
 
-Oracle-parity conventions (applied on BOTH sides so hashes match):
-- every computed column is aliased identically in Spark and SQL;
-- timestamp outputs are formatted to strings
-  (``yyyy-MM-dd HH:mm:ss[.SSSSSS]`` / ``%Y-%m-%d %H:%M:%S[.%f]``) —
-  sidesteps tz-localization differences between Spark collect and
-  DuckDB;
-- floating aggregates over many rows are ``round(x, 4)`` on both
-  sides (double summation order differs under parallelism at ~1e-9
-  relative; 1e-4 absolute rounding absorbs it — SURVEY §7 hard-part 6);
-- deterministic total orderings everywhere a window or first/last is
-  involved (unique id tiebreakers).
-
-Cross-engine determinism traps found by differential testing (work
-around them; don't rediscover them):
-- ``round(x, n)``: DuckDB multiplies-then-rounds while Spark rounds
-  the decimal expansion — they disagree when x * 10^n lands exactly
-  on .5 after the double multiply. Fix: do the multiply explicitly on
-  BOTH sides and emit an integer-scaled column
-  (``CAST(round(x * 10000) AS BIGINT)``).
-- integer division: Spark's ``div`` truncates toward zero, DuckDB's
-  ``//`` floors — they agree only on non-negative operands. Fix: keep
-  the numerator positive and apply the sign separately.
-- DuckDB ``sum(BIGINT)`` returns HUGEINT, which a pandas fetch
-  renders as float ('3.0' vs '3'). Fix: CAST back to BIGINT in the
-  oracle (enforced by verify_local's dtype-drift gate).
-- chained-iteration oracles (GD, PageRank, BPE): mark every CTE that
-  is referenced more than once ``MATERIALIZED`` — inlined, DuckDB
-  re-expands the whole upstream per reference and the oracle goes
-  exponential in the iteration count.
-- ``FLOAT * INTEGER`` stays FLOAT in DuckDB (Spark promotes to
-  double), so scaling a raw float column loses bits relative to the
-  Spark side — CAST the float to DOUBLE before any arithmetic in the
-  oracle. (Found at 1e-8 in the k-means centroids: invisible under
-  round-4 outputs, surfaced the moment a query emitted integer-e6
-  distances.)
-- data edges are SCALE-DEPENDENT: sf0.1 contains exact-zero prices
-  that sf0.01 does not, so ``close / lag(close)`` returns pass the
-  gate at sf0.01 and raise DIVIDE_BY_ZERO under Spark's ANSI mode at
-  10x. Route every data-denominator through ``nullif(x, 0)`` (NULL
-  semantics identical in both engines) and re-verify at 10x scale
-  before declaring a query done.
-- integer co-moment COMBINATIONS (``n*Sxy - Sx*Sy``) overflow int64
-  at ~10x even when every SUM is safely in range — Spark ANSI raises
-  while DuckDB silently widens to HUGEINT, so the engines diverge
-  exactly when it matters. Keep the sums BIGINT (exact, order-free)
-  but combine them in fixed-order DOUBLE on BOTH sides.
-- DuckDB ``list_reduce`` over a STRUCT accumulator updates the
-  accumulator fields IN PLACE from the second iteration on, so a
-  field expression that reads a DIFFERENT field of ``acc`` may
-  observe its already-written new value (found in the Holt fold:
-  trend read the new level and diverged 2x while level matched; a
-  single fold step evaluates correctly, masking it on short prefixes).
-  Self-reads during a field's own update see the old value (the
-  EMA/Kalman folds rely on this and are verified bit-exact). Rule:
-  cross-field reads in a struct fold are safe only when the inlined
-  expression is idempotent under re-application (supertrend's band
-  ratchet); for genuinely coupled recursions use a LIST accumulator
-  (``[l, b]``) — list-element construction evaluates against the old
-  accumulator (probed on DuckDB 1.0.0).
+Oracle-parity conventions (identical aliasing, string-formatted
+timestamps, round-to-1e-4 on floating aggregates, deterministic total
+orderings) and the cross-engine determinism traps found by
+differential testing (round(), integer division, HUGEINT dtype drift,
+MATERIALIZED CTEs for iteration chains, FLOAT promotion, ANSI-mode
+scale edges, struct-fold in-place updates) live in **ORACLES.md** at
+the repo root — read it before writing or debugging an oracle; new
+traps go there, not here.
 """
 
 from __future__ import annotations
@@ -134,25 +83,77 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 #: The driver's correctness gate evaluates the FIRST
 #: ``DRIVER_QUERY_SLOTS`` entries of ``queries()`` in iteration order
 #: (observed round 2: exactly positions 0-49 of 60 received rows in
-#: CORRECTNESS_r02.json). The corpus therefore keeps the oracled
-#: query count at exactly this budget and orders them first, with
-#: rows-only queries (recursive/stateful semantics, pinned by pytest
-#: goldens instead) after the cut line.
+#: CORRECTNESS_r02.json). The rotation (tools/rotate_window.py) keeps
+#: the window filled stalest-first. Rows-only queries (recursive /
+#: intentionally-approximate semantics, pinned by pytest goldens) are
+#: first-class rotation citizens since round 8: a window slot gets
+#: them the driver's weaker rows-only record, without which they are
+#: invisible to the driver gate forever (round-7 verdict item 2).
 DRIVER_QUERY_SLOTS = 50
 
-#: Oracled queries explicitly scheduled for the NEXT round's window
-#: (the window only holds 50; these lost the tiebreak because their
+#: Queries explicitly scheduled for the NEXT round's window (the
+#: window only holds 50; these lost the tiebreak because their
 #: operators already have green driver rows via sibling queries).
-#: tests/test_rotation.py fails if any oracled query is stranded
-#: OUTSIDE this declared set — deferral must be a visible decision,
-#: never an accident. This set must empty out as rotation proceeds.
+#: tests/test_rotation.py fails if any query is stranded OUTSIDE this
+#: declared set — deferral must be a visible decision, never an
+#: accident. This set must empty out as rotation proceeds.
 DEFERRED_TO_NEXT_ROUND = frozenset({})
 
-#: Explicit registry order — round-7 rotation, computed by
+#: Explicit registry order — round-8 rotation, computed by
 #: tools/rotate_window.py (reds, then the deferral drain, then the
 #: stalest previously-green queries; displaced queries keep their
 #: relative order behind the window).
 _ORDER = [
+    "indicators_chunked_pack",
+    "tick_quality_report",
+    "upsert_merge",
+    "similarity_topk_ivf",
+    "dedup_groups_cc",
+    "tfidf_top_terms",
+    "sliding_window_agg",
+    "text_quality_langid",
+    "join_customer_order_profile",
+    "semi_anti_join_customers",
+    "pii_redaction",
+    "doc_chunks",
+    "repetition_profile",
+    "contamination_check",
+    "global_rank_orders",
+    "candles_gap_fill",
+    "dedup_embedding_srp",
+    "winnowing_overlap",
+    "ema_recursive",
+    "candles_1s",
+    "dedup_keep_last",
+    "validation_split_invalid",
+    "filter_time_symbol_weekend",
+    "session_flags",
+    "rolling_window_features",
+    "gap_report",
+    "trend_labels",
+    "default_projection",
+    "cdl_patterns_simple",
+    "streaming_candles_replay",
+    "streaming_dedup_replay",
+    "session_window_agg",
+    "tpch_q1_pricing_summary",
+    "join_order_revenue",
+    "dedup_exact_text",
+    "dedup_near_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "multimodal_decode_stats",
+    "anchor_machine_recursive",
+    "training_mix_pack",
+    "rolling_corr_window",
+    "tpch_q12_late_priority_counts",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "funnel_conversion",
     "hrp_cluster_allocation",
     "source_orc_roundtrip",
     "source_xml_roundtrip",
@@ -303,17 +304,6 @@ _ORDER = [
     "dataset_card",
     "asof_join_next_bar",
     "volume_bars",
-    "anchor_machine_recursive",
-    "training_mix_pack",
-    "rolling_corr_window",
-    "tpch_q12_late_priority_counts",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "funnel_conversion",
     "cohort_retention",
     "window_function_family",
     "grouping_sets_revenue",
@@ -353,52 +343,14 @@ _ORDER = [
     "peaks_major_full",
     "quality_classifier_gd",
     "similarity_topk_pq",
-    "tick_quality_report",
-    "upsert_merge",
-    "similarity_topk_ivf",
-    "dedup_groups_cc",
-    "tfidf_top_terms",
-    "sliding_window_agg",
-    "text_quality_langid",
-    "join_customer_order_profile",
-    "semi_anti_join_customers",
-    "pii_redaction",
-    "doc_chunks",
-    "repetition_profile",
-    "contamination_check",
-    "global_rank_orders",
-    "candles_gap_fill",
-    "dedup_embedding_srp",
-    "winnowing_overlap",
-    "ema_recursive",
-    "candles_1s",
-    "dedup_keep_last",
-    "validation_split_invalid",
-    "filter_time_symbol_weekend",
-    "session_flags",
-    "rolling_window_features",
-    "gap_report",
-    "trend_labels",
-    "default_projection",
-    "cdl_patterns_simple",
-    "streaming_candles_replay",
-    "streaming_dedup_replay",
-    "session_window_agg",
-    "tpch_q1_pricing_summary",
-    "join_order_revenue",
-    "dedup_exact_text",
-    "dedup_near_minhash_lsh",
-    "dedup_simhash",
-    "similarity_topk_cosine",
-    "multimodal_decode_stats",
-    "indicators_chunked_pack",
 ]
 
 
 def load_all() -> dict[str, Query]:
     """Import every corpus module (side effect: fills REGISTRY) and
-    return it in the explicit ``_ORDER``, with invariants that keep
-    every oracled query inside the driver's evaluation budget."""
+    return it in the explicit ``_ORDER`` (the first
+    ``DRIVER_QUERY_SLOTS`` entries are the driver's evaluation
+    window, managed by tools/rotate_window.py)."""
     from auto_trade_data_pipeline_spark.corpus import (  # noqa: F401
         anchors,
         clean,
@@ -420,11 +372,4 @@ def load_all() -> dict[str, Query]:
     extra = [n for n in REGISTRY if n not in _ORDER]
     if missing or extra:
         raise RuntimeError(f"registry/_ORDER drift: missing={missing} extra={extra}")
-    ordered = {n: REGISTRY[n] for n in _ORDER}
-    head = list(ordered.values())[:DRIVER_QUERY_SLOTS]
-    if any(q.oracle is None for q in head):
-        raise RuntimeError(
-            f"the first {DRIVER_QUERY_SLOTS} registry slots (the driver's "
-            "evaluation budget) must all be oracled queries"
-        )
-    return ordered
+    return {n: REGISTRY[n] for n in _ORDER}

@@ -486,12 +486,17 @@ def _prominences(x: np.ndarray, peaks: np.ndarray) -> np.ndarray:
     Computed without per-peak walks (O(n^2) on random walks):
     strictly-greater bounds via the block-skip descent, queried ONLY
     at the peaks, + range-min via a sparse table — O(n log n) total,
-    data-independent."""
+    data-independent. Two sparse tables are needed (range-max for the
+    bounds, range-min for the RMQ), but never simultaneously: the max
+    table is freed before the min table is built, so peak temporary
+    memory per task stays one O(n log n) table — the figure the
+    giant-single-series note in the kernel docs assumes."""
     if len(peaks) == 0:
         return np.empty(0)
     max_levels = _sparse_table(x, np.maximum)
     left_lo = _greater_bound_at(x, peaks, max_levels, -1) + 1
     right_hi = _greater_bound_at(x, peaks, max_levels, +1) - 1
+    del max_levels
 
     levels = _sparse_table(x, np.minimum)
 

@@ -48,8 +48,9 @@ from pyspark.sql import functions as F
 __all__ = ["bpe_train", "word_histogram"]
 
 #: Segmentation-lineage checkpoint cadence in bpe_train: between
-#: checkpoints each iteration re-runs at most 3*_CKPT_EVERY literal
-#: replaces from the last materialization (linear in iters overall).
+#: checkpoints each iteration re-runs at most
+#: replace_passes*_CKPT_EVERY literal replaces from the last
+#: materialization (linear in iters overall).
 _CKPT_EVERY = 8
 
 

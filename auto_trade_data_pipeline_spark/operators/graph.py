@@ -43,9 +43,14 @@ def connected_components(
     row per node: (node, component) where component = min node id
     reachable from it.
 
-    Min-label propagation to fixpoint: label(u) starts as u; each
-    round sets label(u) = min(label(u), min over neighbors label(v)).
-    The convergence probe per round is an aggregate (isEmpty on the
+    Min-label propagation to fixpoint: the seed IS the first
+    propagation round, fused into one aggregation over the
+    symmetrized edge list (label(u) = min(u, min over neighbors v) —
+    no join needed); each later round unions the neighbor-propagated
+    labels with the current table and takes one groupBy-min, yielding
+    label(u) = min(label(u), min over neighbors label(v)) plus the
+    previous label for the convergence probe in a single aggregation.
+    The convergence probe per round is an aggregate (a count of the
     changed-set), never a collect of data rows. Each round's labels
     are localCheckpoint'ed — iterative joins DOUBLE the logical plan
     every round, and without lineage truncation Catalyst analysis

@@ -42,6 +42,25 @@ def test_rewrite_anchors_match_current_baseline(tmp_path, monkeypatch):
     assert "ROUND-7 RE-RECORDINGS" in out2 and "Use: when a driver-recorded" in out2
 
 
+def test_unconfirmed_min_is_marked(tmp_path, monkeypatch):
+    """Round-7 verdict item 5: a min whose setting run exhausted
+    bench.py's stabilization cap without a confirming pass must be
+    visibly flagged in the recorded table."""
+    tmp = tmp_path / "BASELINE.md"
+    shutil.copy(os.path.join(REPO, "BASELINE.md"), tmp)
+    monkeypatch.setattr(bench_idle, "BASELINE", str(tmp))
+    bench_idle.rewrite_baseline(
+        {"q_alpha": 1.0, "q_beta": 0.5},
+        runs=2,
+        totals=[1.5, 1.6],
+        unconfirmed={"q_beta"},
+    )
+    out = open(tmp).read()
+    assert "| `q_beta` | 0.500 † |" in out
+    assert "| `q_alpha` | 1.000 |" in out
+    assert "'unconfirmed'" in out  # preamble explains the marker
+
+
 def test_rewrite_refuses_when_adjudication_notes_missing(tmp_path, monkeypatch):
     """Round-7 review: a regex miss on the middle paragraphs must be
     LOUD — silently dropping the adjudication protocol would defeat

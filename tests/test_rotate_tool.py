@@ -57,10 +57,16 @@ def test_round7_plan_drains_deferrals_to_zero(monkeypatch):
 
 
 def test_red_queries_lead_the_window(monkeypatch):
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    reg = load_all()
+
     def with_red():
         rounds = _simulated_rounds()
         latest = max(rounds)
-        name = next(iter(rounds[latest]))
+        # Pick an ORACLED window entry: hash-red only exists for
+        # oracled queries (a rows-only record has no oracle hash).
+        name = next(n for n in rounds[latest] if reg[n].oracle is not None)
         rounds[latest][name] = {
             "rows_match": True, "schema_match": True, "hash_match": False,
         }
@@ -71,3 +77,33 @@ def test_red_queries_lead_the_window(monkeypatch):
     window, _residual, _new_order, stranded = rotate_window.plan()
     assert window[0] == with_red.red, "a red must headline the next window"
     assert stranded == []
+
+
+def test_rows_only_red_is_an_err_not_a_hash_miss(monkeypatch):
+    """A rows-only query's driver record carries no oracle hash:
+    hash_match=False must NOT mark it red (it would pin a window slot
+    forever), but a recorded err MUST."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    reg = load_all()
+    rows_only = next(n for n, q in reg.items() if q.oracle is None)
+
+    def hash_miss():
+        rounds = _simulated_rounds()
+        rounds[max(rounds)][rows_only] = {
+            "rows_match": True, "schema_match": False, "hash_match": False,
+        }
+        return rounds
+
+    monkeypatch.setattr(rotate_window, "_correctness_rounds", hash_miss)
+    window, _r, _o, _s = rotate_window.plan()
+    assert window[0] != rows_only
+
+    def errored():
+        rounds = _simulated_rounds()
+        rounds[max(rounds)][rows_only] = {"err": "boom", "rows_match": False}
+        return rounds
+
+    monkeypatch.setattr(rotate_window, "_correctness_rounds", errored)
+    window, _r, _o, _s = rotate_window.plan()
+    assert window[0] == rows_only, "an errored rows-only run must re-headline"

@@ -1,11 +1,14 @@
 """The 50-slot driver-window rotation invariant.
 
 The external driver evaluates only the first ``DRIVER_QUERY_SLOTS``
-entries of ``queries()`` each round. ``load_all`` already guarantees
-no rows-only query wastes a slot; this test pins the INVERSE
-invariant — driver coverage cannot silently stagnate: every oracled
-query must either sit inside the current window or already have a
-recorded driver row in a ``CORRECTNESS_r*.json``.
+entries of ``queries()`` each round — a full rows+schema+hash check
+for queries with an ``oracle_sql()`` twin, a weaker rows-only record
+otherwise. Since round 8 rows-only queries are first-class rotation
+citizens (round-7 verdict item 2: a rows-only query outside the
+window is invisible to the driver gate forever), so every invariant
+here ranges over ALL queries: driver coverage cannot silently
+stagnate — every query must either sit inside the current window or
+already have a recorded driver row in a ``CORRECTNESS_r*.json``.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ def _driver_checked() -> set[str]:
     return names
 
 
-def test_every_oracled_query_reaches_the_driver():
+def test_every_query_reaches_the_driver():
     from auto_trade_data_pipeline_spark.corpus import (
         DEFERRED_TO_NEXT_ROUND,
         DRIVER_QUERY_SLOTS,
@@ -35,12 +38,11 @@ def test_every_oracled_query_reaches_the_driver():
     window = set(list(reg)[:DRIVER_QUERY_SLOTS])
     checked = _driver_checked()
     stranded = {
-        n for n, q in reg.items()
-        if q.oracle is not None and n not in window and n not in checked
+        n for n in reg if n not in window and n not in checked
     }
     undeclared = stranded - DEFERRED_TO_NEXT_ROUND
     assert not undeclared, (
-        "oracled queries with no driver row, no slot in the current "
+        "queries with no driver row, no slot in the current "
         f"window, and no declared deferral: {sorted(undeclared)}"
     )
     stale = DEFERRED_TO_NEXT_ROUND - stranded
@@ -49,18 +51,22 @@ def test_every_oracled_query_reaches_the_driver():
     )
 
 
-def test_window_is_fully_oracled_and_full():
+def test_window_is_full():
     from auto_trade_data_pipeline_spark.corpus import DRIVER_QUERY_SLOTS, load_all
 
     reg = load_all()
     head = list(reg.values())[:DRIVER_QUERY_SLOTS]
     assert len(head) == DRIVER_QUERY_SLOTS
-    assert all(q.oracle is not None for q in head)
+    # Rows-only queries may hold a slot (their only path to a driver
+    # record), but they are rare by construction — a window that is
+    # mostly rows-only would be wasting the hash gate.
+    rows_only_in_window = [q.name for q in head if q.oracle is None]
+    assert len(rows_only_in_window) <= 5, rows_only_in_window
 
 
 def test_staleness_bound():
-    """Round-4 verdict item 8: no oracled query may go >= 3 rounds
-    with neither a driver row nor a recorded local-sweep entry
+    """Round-4 verdict item 8: no query may go >= 3 rounds with
+    neither a driver row nor a recorded local-sweep entry
     (SWEEP_MANIFEST.json, written by tools/verify_local.py). Being in
     the CURRENT window counts — it gets a driver row this round."""
     from auto_trade_data_pipeline_spark.corpus import DRIVER_QUERY_SLOTS, load_all
@@ -84,21 +90,10 @@ def test_staleness_bound():
     reg = load_all()
     window = set(list(reg)[:DRIVER_QUERY_SLOTS])
     stale = sorted(
-        n for n, q in reg.items()
-        if q.oracle is not None
-        and n not in window
-        and building - last_seen.get(n, 0) >= 3
+        n for n in reg
+        if n not in window and building - last_seen.get(n, 0) >= 3
     )
     assert not stale, (
-        f"oracled queries unverified for >=3 rounds (run tools/verify_local.py "
+        f"queries unverified for >=3 rounds (run tools/verify_local.py "
         f"on them or rotate them into the window): {stale}"
     )
-
-
-def test_rows_only_queries_sit_after_the_cut_line():
-    from auto_trade_data_pipeline_spark.corpus import DRIVER_QUERY_SLOTS, load_all
-
-    reg = load_all()
-    tail = list(reg.values())[DRIVER_QUERY_SLOTS:]
-    rows_only = [q.name for q in reg.values() if q.oracle is None]
-    assert set(rows_only) <= {q.name for q in tail}

@@ -15,6 +15,8 @@ Usage (on an idle machine — nothing else running):
     python tools/bench_idle.py            # 2 runs, rewrite BASELINE.md
     python tools/bench_idle.py --runs 3
     python tools/bench_idle.py --dry-run  # print the table, touch nothing
+    python tools/bench_idle.py --runs 3 --only kalman_price_smooth \
+        rolling_active_users              # scoped re-adjudication; print-only
 """
 
 from __future__ import annotations
@@ -35,13 +37,17 @@ BASELINE = os.path.join(REPO, "BASELINE.md")
 MAX_RUN_DISAGREEMENT = 1.15
 
 
-def run_bench() -> dict:
+def run_bench(only: list[str] | None = None) -> dict:
+    env = dict(os.environ)
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
         text=True,
         cwd=REPO,
         check=True,
+        env=env,
     )
     # bench.py prints ONE JSON line on stdout (Spark noise goes to stderr).
     for line in out.stdout.splitlines():
@@ -67,8 +73,11 @@ def check_idle(totals: list[float]) -> None:
         )
 
 
-def render_table(mins: dict[str, float]) -> str:
-    rows = "\n".join(f"| `{n}` | {t:.3f} |" for n, t in sorted(mins.items()))
+def render_table(mins: dict[str, float], unconfirmed: set[str] = frozenset()) -> str:
+    rows = "\n".join(
+        f"| `{n}` | {t:.3f}{' †' if n in unconfirmed else ''} |"
+        for n, t in sorted(mins.items())
+    )
     total = sum(mins.values())
     return (
         "| Query | idle min (s), sf0.1 |\n|---|---|\n"
@@ -77,7 +86,12 @@ def render_table(mins: dict[str, float]) -> str:
     )
 
 
-def rewrite_baseline(mins: dict[str, float], runs: int, totals: list[float]) -> None:
+def rewrite_baseline(
+    mins: dict[str, float],
+    runs: int,
+    totals: list[float],
+    unconfirmed: set[str] = frozenset(),
+) -> None:
     src = open(BASELINE).read()
     today = datetime.date.today().isoformat()
     totals_txt = " / ".join(f"{t:.2f} s" for t in totals)
@@ -88,13 +102,20 @@ def rewrite_baseline(mins: dict[str, float], runs: int, totals: list[float]) -> 
         "bench.py's method note for the pass policy), per-query minimum "
         "across the runs. Suite totals per run: "
         f"{totals_txt}."
+        + (
+            " † marks a query whose min-setting run reported it "
+            "'unconfirmed' (bench.py stabilization cap exhausted with no "
+            "later pass within 5% of the min) — its row may read low."
+            if unconfirmed
+            else ""
+        )
     )
     # Replace from the recording preamble through the suite-total line.
     pat = re.compile(
         r"Recorded \*\*.*?Suite total of mins: \*\*[0-9.]+ s\*\* \(\d+ queries\)\.",
         re.S,
     )
-    new = preamble + "\n\n" + _use_note(src) + render_table(mins)
+    new = preamble + "\n\n" + _use_note(src) + render_table(mins, unconfirmed)
     # Replacement via callable: `new` is free-form text (it embeds the
     # preserved Use-note verbatim), not a regex template — a literal
     # backslash in it must not be interpreted as an escape.
@@ -131,24 +152,45 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--only",
+        nargs="+",
+        metavar="QUERY",
+        help="re-adjudicate just these queries: runs the scoped suite "
+        "and PRINTS the idle-min table — never rewrites BASELINE.md "
+        "(a scoped rewrite would drop every other row)",
+    )
     args = ap.parse_args()
 
     mins: dict[str, float] = {}
     totals: list[float] = []
+    # A query is flagged when the run that SET its recorded min
+    # reported it "unconfirmed" (bench.py's stabilization-cap flag) —
+    # a later run confirming a slower time does not rescue a min that
+    # was never witnessed twice.
+    min_unconfirmed: dict[str, bool] = {}
     for i in range(args.runs):
-        rec = run_bench()
+        rec = run_bench(args.only)
         totals.append(rec["value"])
-        print(f"run {i + 1}/{args.runs}: suite {rec['value']} s", file=sys.stderr)
+        run_unconf = set(rec.get("unconfirmed", []))
+        print(
+            f"run {i + 1}/{args.runs}: suite {rec['value']} s"
+            + (f" (unconfirmed: {sorted(run_unconf)})" if run_unconf else ""),
+            file=sys.stderr,
+        )
         for name, t in rec["queries"].items():
             if t < 0:
                 raise RuntimeError(f"{name} failed in bench run {i + 1}")
-            mins[name] = min(mins.get(name, float("inf")), t)
+            if t < mins.get(name, float("inf")):
+                mins[name] = t
+                min_unconfirmed[name] = name in run_unconf
 
     check_idle(totals)
-    if args.dry_run:
-        print(render_table(mins))
+    unconfirmed = {n for n, u in min_unconfirmed.items() if u}
+    if args.dry_run or args.only:
+        print(render_table(mins, unconfirmed))
         return 0
-    rewrite_baseline(mins, args.runs, totals)
+    rewrite_baseline(mins, args.runs, totals, unconfirmed)
     print(f"BASELINE.md idle table rewritten ({len(mins)} queries, "
           f"total {sum(mins.values()):.2f} s)")
     return 0

@@ -7,8 +7,15 @@ Selection order (highest priority first):
    re-checked the round after its fix);
 2. every remaining ``DEFERRED_TO_NEXT_ROUND`` entry, in current
    declaration order (the drain);
-3. fill to 50 with the STALEST previously-green oracled queries —
-   smallest last-driver-row round, ties by current declaration order.
+3. fill to 50 with the STALEST previously-green queries — smallest
+   last-driver-row round, ties by current declaration order.
+
+Rows-only queries (``oracle is None``) are first-class here (round-7
+verdict item 2): the driver records a weaker rows-only check for a
+window entry with no ``oracle_sql()`` twin, which is still a driver
+row — without it a rows-only query is invisible to the driver gate
+forever. Green for a rows-only record = ran without error (no
+``err``), since there is no oracle hash to match.
 
 ``--apply`` rewrites ``corpus/__init__.py``'s ``_ORDER`` (new window
 first, every displaced query keeping its relative order behind it)
@@ -45,8 +52,8 @@ def _correctness_rounds() -> dict[int, dict]:
 
 def plan() -> tuple[list[str], list[str], list[str], list[str]]:
     """Return (window, residual_deferred, new_order, stranded) —
-    ``stranded`` lists oracled queries the rotation would leave with
-    no driver row, no window slot, and no declared deferral (non-empty
+    ``stranded`` lists queries the rotation would leave with no
+    driver row, no window slot, and no declared deferral (non-empty
     only when run mid-round, before the in-flight CORRECTNESS file
     lands; ``--apply`` refuses while it is non-empty)."""
     from auto_trade_data_pipeline_spark.corpus import (
@@ -60,20 +67,23 @@ def plan() -> tuple[list[str], list[str], list[str], list[str]]:
     rounds = _correctness_rounds()
     latest = max(rounds, default=0)
 
-    def is_green(rec: dict) -> bool:
+    def is_green(name: str, rec: dict) -> bool:
+        if name in reg and reg[name].oracle is None:
+            # Rows-only: the driver has no oracle to hash against; its
+            # weaker check is "the Spark side ran" (err absent/null).
+            return not rec.get("err")
         return bool(rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"))
 
     reds = [
         n for n in order
-        if latest and n in rounds[latest] and not is_green(rounds[latest][n])
-        and reg[n].oracle is not None
+        if latest and n in rounds[latest] and not is_green(n, rounds[latest][n])
     ]
     deferred = [n for n in order if n in DEFERRED_TO_NEXT_ROUND and n not in reds]
 
     last_seen: dict[str, int] = {}
     for r, recs in rounds.items():
         for n, rec in recs.items():
-            if is_green(rec):
+            if is_green(n, rec):
                 last_seen[n] = max(last_seen.get(n, 0), r)
     # Queries in the CURRENT window are guaranteed a driver row in the
     # round being built (same convention as test_staleness_bound) —
@@ -82,10 +92,7 @@ def plan() -> tuple[list[str], list[str], list[str], list[str]]:
     # strand them outside both the new window and the deferral set.
     for n in order[:DRIVER_QUERY_SLOTS]:
         last_seen[n] = max(last_seen.get(n, 0), latest + 1)
-    pool = [
-        n for n in order
-        if reg[n].oracle is not None and n not in reds and n not in deferred
-    ]
+    pool = [n for n in order if n not in reds and n not in deferred]
     pool.sort(key=lambda n: (last_seen.get(n, 0), order.index(n)))
 
     window = (reds + deferred + pool)[:DRIVER_QUERY_SLOTS]
@@ -93,16 +100,16 @@ def plan() -> tuple[list[str], list[str], list[str], list[str]]:
     new_order = window + [n for n in order if n not in set(window)]
 
     # The visibility invariant tests/test_rotation.py enforces: every
-    # oracled query is in the new window, has SOME driver row already,
-    # or is a declared residual deferral. Current-window queries
-    # without rows yet make the plan PROVISIONAL (their rows land with
-    # the in-flight round's CORRECTNESS file): main() warns on them,
-    # apply() refuses — so --apply can never write a violating state.
+    # query (oracled or rows-only) is in the new window, has SOME
+    # driver row already, or is a declared residual deferral.
+    # Current-window queries without rows yet make the plan
+    # PROVISIONAL (their rows land with the in-flight round's
+    # CORRECTNESS file): main() warns on them, apply() refuses — so
+    # --apply can never write a violating state.
     checked = {n for recs in rounds.values() for n in recs}
     stranded = sorted(
         n for n in order
-        if reg[n].oracle is not None
-        and n not in set(window) and n not in checked and n not in set(residual)
+        if n not in set(window) and n not in checked and n not in set(residual)
     )
     return window, residual, new_order, stranded
 
@@ -147,10 +154,16 @@ def apply(window: list[str], residual: list[str], new_order: list[str]) -> None:
 
 
 def main() -> int:
-    window, residual, new_order, stranded = plan()
     if "--names" in sys.argv:
-        print(" ".join(window))
+        # The CURRENT window (what the driver will evaluate) — NOT a
+        # recomputed plan: run after --apply, plan() would already
+        # rank the applied window freshest and print the NEXT
+        # rotation's window instead (the round-8 footgun).
+        from auto_trade_data_pipeline_spark.corpus import DRIVER_QUERY_SLOTS, load_all
+
+        print(" ".join(list(load_all())[:DRIVER_QUERY_SLOTS]))
         return 0
+    window, residual, new_order, stranded = plan()
     print(f"window ({len(window)}):")
     for n in window:
         print("  ", n)
