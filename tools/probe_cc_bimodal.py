@@ -39,10 +39,16 @@ sys.path.insert(0, {repo!r})
 from auto_trade_data_pipeline_spark.corpus import load_all
 from auto_trade_data_pipeline_spark.session import get_spark
 
-spark = get_spark("cc_probe", extra_conf={{
+conf = {{
     "spark.eventLog.enabled": "true",
     "spark.eventLog.dir": {eventlog_dir!r},
-}})
+}}
+# Hypothesis-testing hook: e.g. -XX:ReservedCodeCacheSize=512m (the
+# code-cache-exhaustion arm). Applied at JVM launch via the gateway.
+opts = os.environ.get("SPARK_GRAFT_PROBE_JAVA_OPTS")
+if opts:
+    conf["spark.driver.extraJavaOptions"] = opts
+spark = get_spark("cc_probe", extra_conf=conf)
 spark.sparkContext.setLogLevel("ERROR")
 reg = load_all()
 t0 = time.perf_counter()
@@ -68,11 +74,21 @@ def run_sessions(n: int, query: str, sf_dir: str) -> list[dict]:
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 rec = json.loads(line)
+        # Keep the child's stderr — the JVM prints 'CodeCache is full.
+        # Compiler has been disabled.' there, which is direct evidence
+        # for the code-cache-exhaustion hypothesis.
+        with open(os.path.join(PROBE_DIR, f"stderr_{i}.log"), "w") as f:
+            f.write(r.stderr)
         if rec is None:
             print(f"session {i}: FAILED\n{r.stderr[-2000:]}", file=sys.stderr)
             continue
         rec["session"] = i
-        print(f"session {i}: {rec['sec']} s  (app {rec['app_id']})", file=sys.stderr)
+        rec["codecache_full"] = "CodeCache is full" in r.stderr
+        print(
+            f"session {i}: {rec['sec']} s  (app {rec['app_id']})"
+            + ("  [CodeCache is full]" if rec["codecache_full"] else ""),
+            file=sys.stderr,
+        )
         out.append(rec)
         with open(SESSIONS, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -87,12 +103,31 @@ def digest_eventlog(app_id: str) -> dict:
             path = p
     if path is None:
         return {"error": f"no event log for {app_id}"}
+    # Spark 4 rolling event logs are a DIRECTORY of events_* files.
+    files = (
+        sorted(glob.glob(os.path.join(path, "events_*")))
+        if os.path.isdir(path)
+        else [path]
+    )
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     task_times: dict[int, list[float]] = {}
     gc: dict[int, float] = {}
     run: dict[int, float] = {}
-    for line in open(path):
+    def _events():
+        for f in files:
+            if f.endswith(".zstd"):
+                # Spark 4 compresses rolling event-log segments.
+                p = subprocess.Popen(
+                    ["zstd", "-dc", f], stdout=subprocess.PIPE, text=True
+                )
+                yield from p.stdout
+                p.wait()
+            else:
+                with open(f) as fh:
+                    yield from fh
+
+    for line in _events():
         try:
             ev = json.loads(line)
         except json.JSONDecodeError:
@@ -143,10 +178,15 @@ def digest_eventlog(app_id: str) -> dict:
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    query = sys.argv[2] if len(sys.argv) > 2 else "dedup_groups_cc"
+    argv = [a for a in sys.argv[1:] if a != "--digest"]
+    n = int(argv[0]) if argv else 6
+    query = argv[1] if len(argv) > 1 else "dedup_groups_cc"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", os.path.join(REPO, ".stress/sf1"))
-    recs = run_sessions(n, query, sf_dir)
+    if "--digest" in sys.argv:
+        # Re-analyze previously captured sessions without re-running.
+        recs = [json.loads(ln) for ln in open(SESSIONS)]
+    else:
+        recs = run_sessions(n, query, sf_dir)
     if not recs:
         return 1
     recs.sort(key=lambda r: r["sec"])
