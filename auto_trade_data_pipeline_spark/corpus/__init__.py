@@ -97,7 +97,13 @@ DRIVER_QUERY_SLOTS = 50
 #: tests/test_rotation.py fails if any query is stranded OUTSIDE this
 #: declared set — deferral must be a visible decision, never an
 #: accident. This set must empty out as rotation proceeds.
-DEFERRED_TO_NEXT_ROUND = frozenset({})
+DEFERRED_TO_NEXT_ROUND = frozenset({
+    # Round-8 additions (after the round-8 window was applied and
+    # driver-bound): first driver slot next rotation.
+    "boilerplate_span_report",
+    "sequence_packing",
+    "stratified_neyman_sample",
+})
 
 #: Explicit registry order — round-8 rotation, computed by
 #: tools/rotate_window.py (reds, then the deferral drain, then the
@@ -343,6 +349,9 @@ _ORDER = [
     "peaks_major_full",
     "quality_classifier_gd",
     "similarity_topk_pq",
+    "boilerplate_span_report",
+    "sequence_packing",
+    "stratified_neyman_sample",
 ]
 
 

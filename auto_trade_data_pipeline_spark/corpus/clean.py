@@ -1195,3 +1195,308 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1000000) div count(*)"
         ).alias("exact_dup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate span detection + removal (CCNet/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+#: Boilerplate unit: non-overlapping 2-token spans (the corpus has no
+#: line structure, so fixed spans stand in for lines); a span is
+#: boilerplate within a source when it appears in >= this percent of
+#: the source's documents. 12% actually fires on the synthetic
+#: word-soup corpus (max span df is 24% of a source's docs; a real
+#: line-structured crawl would run 50%+) — a threshold that never
+#: flags would leave the removal path oracle-untested.
+BOILER_SPAN = 2
+BOILER_DF_PCT = 12
+
+_BOILER_SPANS_DUCK = f"""
+CASE WHEN len(ts) > 0 THEN
+  list_transform(range(0, ((len(ts) - 1) // {BOILER_SPAN}) + 1),
+    i -> array_to_string(
+      list_slice(ts, i * {BOILER_SPAN} + 1,
+                 least(i * {BOILER_SPAN} + {BOILER_SPAN}, len(ts))), ' '))
+ELSE CAST([] AS VARCHAR[]) END"""
+
+_BOILERPLATE_ORACLE = f"""
+WITH {_DOCS_CTE},
+sp AS (SELECT source, doc_id, {_BOILER_SPANS_DUCK} AS spans FROM toks),
+dfreq AS (
+  SELECT source, span, count(*) AS df
+  FROM (SELECT source, doc_id, unnest(list_distinct(spans)) AS span FROM sp)
+  GROUP BY source, span
+),
+nd AS (SELECT source, count(*) AS ndocs FROM docs GROUP BY source),
+fl AS (
+  SELECT source, list(span) AS flagged
+  FROM dfreq JOIN nd USING (source)
+  WHERE df * 100 >= ndocs * {BOILER_DF_PCT}
+  GROUP BY source
+),
+k AS (
+  SELECT s.source, s.doc_id, s.spans,
+         list_filter(s.spans,
+           x -> NOT list_contains(coalesce(f.flagged, CAST([] AS VARCHAR[])), x)
+         ) AS kept
+  FROM sp s LEFT JOIN fl f USING (source)
+)
+SELECT source, doc_id,
+       len(spans) AS n_spans,
+       len(spans) - len(kept) AS boiler_spans,
+       CASE WHEN len(spans) > 0
+            THEN ((len(spans) - len(kept)) * 10000) // len(spans)
+            ELSE 0 END AS boiler_bp,
+       length(array_to_string(kept, ' ')) AS kept_len,
+       {_duck_hash("array_to_string(kept, ' ')")} AS kept_hash
+FROM k
+"""
+
+
+@register("boilerplate_span_report", _BOILERPLATE_ORACLE, tags=("EXT3",))
+def boilerplate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection and removal, the CCNet /
+    RefinedWeb cleaning stage re-expressed over fixed 2-token spans
+    (the synthetic corpus has no line structure): a span whose
+    document frequency within its source reaches ``BOILER_DF_PCT`` of
+    the source's documents is boilerplate; every document reports its
+    span count, boilerplate share (integer basis points — floor
+    division, the round()-trap-free form), and the length + 60-bit
+    hash of its text with boilerplate spans removed.
+
+    Scale shape: document frequency is ONE explode of distinct spans
+    per doc plus a (source, span)-keyed hash-agg (map-side
+    combinable); the flagged sets come back as a SOURCES-sized
+    dimension (collect_set per source), broadcast back onto documents
+    — the corpus-sized side never shuffles twice and the blobs never
+    carry span arrays through an exchange. At 100 TB the flagged set
+    per source is bounded by the df threshold itself (a span must
+    appear in half the source's docs), so the broadcast stays small
+    by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", "doc_id", TX.tokens(F.col("text")).alias("ts"))
+    n = F.size("ts")
+    spans_expr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), ((n - 1) / BOILER_SPAN).cast("int")),
+            lambda i: F.array_join(F.slice("ts", i * BOILER_SPAN + 1, BOILER_SPAN), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = toks.select("source", "doc_id", spans_expr.alias("spans"))
+    sp = scoped_persist(sp)
+
+    dfreq = (
+        sp.select("source", "doc_id", F.explode(F.array_distinct("spans")).alias("span"))
+        .groupBy("source", "span")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = sp.groupBy("source").agg(F.count(F.lit(1)).alias("ndocs"))
+    flagged = (
+        dfreq.join(nd, "source")
+        .where(F.col("df") * 100 >= F.col("ndocs") * BOILER_DF_PCT)
+        .groupBy("source")
+        .agg(F.collect_set("span").alias("flagged"))
+    )
+    k = sp.join(F.broadcast(flagged), "source", "left").select(
+        "source",
+        "doc_id",
+        "spans",
+        F.filter(
+            "spans",
+            lambda x: ~F.array_contains(
+                F.coalesce(F.col("flagged"), F.array().cast("array<string>")), x
+            ),
+        ).alias("kept"),
+    )
+    kept_text = F.array_join("kept", " ")
+    n_spans = F.size("spans").cast("long")
+    boiler = (F.size("spans") - F.size("kept")).cast("long")
+    return k.select(
+        "source",
+        "doc_id",
+        n_spans.alias("n_spans"),
+        boiler.alias("boiler_spans"),
+        # Floor division on non-negative operands — identical in both
+        # engines (ORACLES.md: round() is the trap, div/`//` is not).
+        F.when(n_spans > 0, F.expr(
+            "(CAST(size(spans) - size(kept) AS BIGINT) * 10000) "
+            "div CAST(size(spans) AS BIGINT)"
+        )).otherwise(F.lit(0).cast("long")).alias("boiler_bp"),
+        F.length(kept_text).cast("long").alias("kept_len"),
+        TX.hash64(kept_text).alias("kept_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (context-window prep)
+# ---------------------------------------------------------------------------
+
+#: Context-window capacity (tokens) for the packing query — sized so
+#: the synthetic 30-100-token documents pack several per bin.
+PACK_CAPACITY = 256
+
+_PACKING_ORACLE = f"""
+WITH {_DOCS_CTE},
+tc AS (
+  SELECT source, doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM toks
+),
+tapes AS (
+  SELECT source, list(n_tokens ORDER BY doc_id) AS tape FROM tc GROUP BY source
+)
+SELECT t.source, t.doc_id, t.n_tokens,
+       list_reduce(
+         list_transform(list_slice(p.tape, 1, t.rn),
+                        v -> [CAST(1 AS BIGINT), CAST(v AS BIGINT)]),
+         (acc, el) -> CASE WHEN acc[2] + el[2] > {PACK_CAPACITY}
+                           THEN [acc[1] + 1, el[2]]
+                           ELSE [acc[1], acc[2] + el[2]] END
+       )[1] AS bin_id
+FROM tc t JOIN tapes p USING (source)
+"""
+
+
+@register("sequence_packing", _PACKING_ORACLE, tags=("EXT3", "W3"))
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing — assign documents (in
+    doc_id order within source) to fixed-capacity context windows,
+    the training-batch prep stage that turns a cleaned corpus into
+    packed sequences. The recursion (a bin absorbs a doc while fill
+    stays <= capacity, else a new bin opens) runs as a pure-JVM
+    aggregate() scan fold (operators/jvm_folds.py:packing_scan_sql);
+    the DuckDB oracle replays it per row as a prefix list_reduce with
+    a LIST accumulator ([bin, fill] — ORACLES.md's coupled-recursion
+    rule). Integer-exact on both sides, so the parity is bit-free of
+    FP concerns.
+
+    Scale shape: one collect_list per source — per-source serial by
+    definition (packing order is the spec). At 100 TB you pack per
+    (source, shard) with shard-local bin ids exactly like this fold,
+    then offset bin ids by a per-shard prefix sum (the
+    global_rank_orders recipe) if globally unique ids are needed."""
+    from auto_trade_data_pipeline_spark.operators import jvm_folds as jf
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("double").alias("n_toks"),
+    )
+    out = jf.scan_by_key(
+        toks,
+        ["source"],
+        "doc_id",
+        ["n_toks"],
+        {"bin_id": jf.packing_scan_sql("transform(s, e -> e.n_toks)", PACK_CAPACITY)},
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_tokens"),
+        "bin_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling
+# ---------------------------------------------------------------------------
+
+#: Total sample budget for the Neyman query.
+NEYMAN_BUDGET = 100
+
+_NEYMAN_ORACLE = f"""
+WITH st AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n,
+         CAST(n AS DOUBLE) * sqrt(
+           (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         ) AS wgt
+  FROM st
+),
+alloc AS (
+  SELECT source, n, wgt,
+         CAST(floor({NEYMAN_BUDGET} * wgt / (SELECT sum(wgt) FROM w)) AS BIGINT)
+           AS n_alloc
+  FROM w
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_duck_hash("CAST(doc_id AS VARCHAR)", salt="neyman")}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.n_chars, a.n_alloc
+FROM ranked r JOIN alloc a USING (source)
+WHERE r.rn <= a.n_alloc
+"""
+
+
+@register("stratified_neyman_sample", _NEYMAN_ORACLE, tags=("EXT3", "A9"))
+def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: a fixed budget of
+    documents is split across sources proportional to N_h * S_h
+    (stratum size x stratum std of n_chars) — the variance-optimal
+    allocation for estimating a corpus mean, and the principled
+    alternative to the uniform source caps in source_cap_sample.
+    Selection within a stratum is deterministic: rank by salted
+    60-bit hash of doc_id (a pseudo-random but reproducible order),
+    take the first n_h.
+
+    Cross-engine exactness: the stratum moments are exact BIGINT sums
+    combined in FIXED-ORDER doubles (ORACLES.md co-moment rule), the
+    allocation uses floor (no round() trap), and sqrt is
+    correctly-rounded IEEE in both engines — identical doubles in,
+    identical allocation out.
+
+    Scale shape: moments are one map-side-combinable agg; the
+    allocation table is sources-sized and broadcast; the rank is one
+    window exchange partitioned BY STRATUM (parallel across strata —
+    no SinglePartition anywhere)."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    nd, s1d, s2d = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    w = st.select(
+        "source",
+        "n",
+        (nd * F.sqrt((nd * s2d - s1d * s1d) / (nd * nd))).alias("wgt"),
+    )
+    total = w.agg(F.sum("wgt").alias("tw"))
+    alloc = w.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.floor(F.lit(NEYMAN_BUDGET) * F.col("wgt") / F.col("tw"))
+        .cast("long")
+        .alias("n_alloc"),
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                TX.hash64(F.col("doc_id").cast("string"), salt="neyman"), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .where(F.col("rn") <= F.col("n_alloc"))
+        .select("source", "doc_id", "n_chars", "n_alloc")
+    )

@@ -238,6 +238,26 @@ def kalman_scan_sql(arr: str, q: float, r: float, chunk: int = CHUNK) -> str:
     return _scan_sql(arr, init, update, "ns.x", "DOUBLE", chunk)
 
 
+def packing_scan_sql(arr: str, capacity: int, chunk: int = CHUNK) -> str:
+    """``array<double> -> array<bigint>`` greedy contiguous
+    sequence-packing scan (LLM context-window prep): items arrive in
+    tape order carrying their token counts; the current bin absorbs an
+    item while its fill stays <= ``capacity``, otherwise a new bin
+    opens with the item (an item longer than ``capacity`` still gets
+    its own bin). Emits the 1-based bin id per item. Integer-exact:
+    counts ride the fold as doubles (exact below 2^53) and the state
+    is BIGINT, so there is no FP-order concern — the DuckDB oracle
+    replays the same recursion with a LIST accumulator."""
+    c = f"CAST({capacity} AS BIGINT)"
+    init = "named_struct('bin', CAST(0 AS BIGINT), 'fill', CAST(0 AS BIGINT))"
+    update = f"""CASE
+        WHEN st.bin = 0 OR st.fill + CAST(x.v AS BIGINT) > {c} THEN named_struct(
+          'bin', st.bin + CAST(1 AS BIGINT), 'fill', CAST(x.v AS BIGINT))
+        ELSE named_struct('bin', st.bin, 'fill', st.fill + CAST(x.v AS BIGINT))
+      END"""
+    return _scan_sql(arr, init, update, "ns.bin", "BIGINT", chunk)
+
+
 def holt_scan_sql(arr: str, alpha: float, beta: float, chunk: int = CHUNK) -> str:
     """``array<double> -> array<struct<l:double, b:double>>`` Holt
     linear (double-exponential level + trend) scan

@@ -262,3 +262,47 @@ def test_rows_per_key_estimate_local_layout(tmp_path):
     pq.write_table(pa.Table.from_pandas(pd.DataFrame({"x": range(100)})),
                    d / "part-0.parquet")
     assert jf.rows_per_key_estimate(str(tmp_path), "events", 4) == 25
+
+
+def test_packing_scan_greedy_bins(spark):
+    """Greedy contiguous packing: bin absorbs while fill <= capacity,
+    oversize items get their own bin, bin ids are 1-based. Python
+    reference recursion vs the JVM fold, including a tape longer than
+    one CHUNK so the blocked scan's carry is exercised."""
+    import random
+
+    rng = random.Random(7)
+    counts = [rng.randint(1, 40) for _ in range(jf.CHUNK * 2 + 17)]
+    counts[5] = 300  # oversize: > capacity, must sit alone in its bin
+    cap = 100
+
+    def ref(cs):
+        out, b, fill = [], 0, 0
+        for c in cs:
+            if b == 0 or fill + c > cap:
+                b, fill = b + 1, c
+            else:
+                fill += c
+            out.append(b)
+        return out
+
+    df = spark.createDataFrame(
+        [("K", i, float(c)) for i, c in enumerate(counts)], "k string, i int, n double"
+    )
+    out = jf.scan_by_key(
+        df, ["k"], "i", ["n"],
+        {"bin": jf.packing_scan_sql("transform(s, e -> e.n)", cap)},
+    )
+    got = [r["bin"] for r in out.orderBy("i").collect()]
+    assert got == ref(counts)
+    # The oversize item is alone: no neighbor shares its bin.
+    assert got.count(got[5]) == 1
+
+
+def test_packing_scan_empty_tape(spark):
+    df = spark.createDataFrame([], "k string, i int, n double")
+    out = jf.scan_by_key(
+        df, ["k"], "i", ["n"],
+        {"bin": jf.packing_scan_sql("transform(s, e -> e.n)", 100)},
+    )
+    assert out.count() == 0
