@@ -1360,12 +1360,16 @@ FROM tc t JOIN tapes p USING (source)
 
 @register("sequence_packing", _PACKING_ORACLE, tags=("EXT3", "W3"))
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy contiguous sequence packing — assign documents (in
-    doc_id order within source) to fixed-capacity context windows,
-    the training-batch prep stage that turns a cleaned corpus into
-    packed sequences. The recursion (a bin absorbs a doc while fill
-    stays <= capacity, else a new bin opens) runs as a pure-JVM
-    aggregate() scan fold (operators/jvm_folds.py:packing_scan_sql);
+    """Greedy DOC-ATOMIC sequence packing — assign documents (in
+    doc_id order within source) to fixed-capacity context windows
+    without splitting any document, the SFT/instruction-tuning
+    layout. The complement of operators/text.py:pack_sequences
+    (concat-and-chunk, where the token stream is sliced and documents
+    straddle sequence boundaries — pure window math): keeping docs
+    intact makes the fill level genuinely recursive, so this one is a
+    scan. The recursion (a bin absorbs a doc while fill stays <=
+    capacity, else a new bin opens) runs as a pure-JVM aggregate()
+    scan fold (operators/jvm_folds.py:packing_scan_sql);
     the DuckDB oracle replays it per row as a prefix list_reduce with
     a LIST accumulator ([bin, fill] — ORACLES.md's coupled-recursion
     rule). Integer-exact on both sides, so the parity is bit-free of
