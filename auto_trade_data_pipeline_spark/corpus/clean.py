@@ -1458,6 +1458,9 @@ def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit hash of doc_id (a pseudo-random but reproducible order),
     take the first n_h.
 
+    Verified ANSI-clean at sf1 (92 sampled of 50k docs) alongside the
+    sibling round-8 queries — the scale-edge rule in ORACLES.md.
+
     Cross-engine exactness: the stratum moments are exact BIGINT sums
     combined in FIXED-ORDER doubles (ORACLES.md co-moment rule), the
     allocation uses floor (no round() trap), and sqrt is
