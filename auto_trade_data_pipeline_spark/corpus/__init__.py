@@ -103,6 +103,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "boilerplate_span_report",
     "sequence_packing",
     "stratified_neyman_sample",
+    "dedup_cluster_audit",
 })
 
 #: Explicit registry order — round-8 rotation, computed by
@@ -352,6 +353,7 @@ _ORDER = [
     "boilerplate_span_report",
     "sequence_packing",
     "stratified_neyman_sample",
+    "dedup_cluster_audit",
 ]
 
 

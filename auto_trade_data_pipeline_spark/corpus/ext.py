@@ -510,6 +510,90 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup-cluster quality audit (LSH-precision QA)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_audit_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM njpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM njpairs
+),
+walk(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, min(v) AS group_id FROM walk GROUP BY u
+),
+sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS n_docs FROM comp GROUP BY group_id),
+grp AS (
+  SELECT c.group_id,
+         CAST(round(p.jaccard * 10000) AS BIGINT) AS je4
+  FROM njpairs p JOIN comp c ON p.id_a = c.doc_id
+)
+SELECT g.group_id, s.n_docs,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       min(je4) AS min_jaccard_e4,
+       CAST(sum(je4) AS BIGINT) AS jaccard_sum_e4,
+       (CAST(count(*) AS BIGINT) * 2 * 10000) // (s.n_docs * (s.n_docs - 1))
+         AS density_bp
+FROM grp g JOIN sizes s USING (group_id)
+GROUP BY g.group_id, s.n_docs
+"""
+
+
+@register("dedup_cluster_audit", _cluster_audit_oracle(), tags=("EXT1",))
+def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-precision QA over the resolved dedup clusters: for every
+    connected component of the verified near-dup graph, report its
+    size, verified-edge count, MINIMUM and SUM of the exact pair
+    Jaccards (integer e4 — the rounded pair values scaled exactly, no
+    FP summation order), and edge DENSITY in basis points
+    (2E / n(n-1), floor division). Low-density or low-min-Jaccard
+    clusters are transitive-closure overreach — A~B~C chains merged
+    without A~C — the thing a production dedup pipeline audits before
+    dropping documents (triangle_counts in operators/graph.py gives
+    the same signal per NODE; this is the component-level report the
+    keep/drop review actually consumes).
+
+    Scale shape: everything derives from the already-banded verified
+    pair list and the CC labels — no new all-pairs work anywhere; the
+    labels join is component-membership-sized and the aggregation is
+    one (group_id)-keyed map-side-combinable pass. The oracle replays
+    the closure with a recursive CTE and the same integer math."""
+    from auto_trade_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = scoped_persist(dedup_near_minhash_lsh(spark, sf_dir))
+    labels = connected_components(pairs).select(
+        F.col("node").alias("id_a"), F.col("component").alias("group_id")
+    )
+    sizes = labels.groupBy("group_id").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    je4 = F.expr("CAST(round(jaccard * 10000) AS BIGINT)")
+    agg = (
+        pairs.join(labels, "id_a")
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.min(je4).alias("min_jaccard_e4"),
+            F.sum(je4).cast("long").alias("jaccard_sum_e4"),
+        )
+    )
+    return agg.join(sizes, "group_id").select(
+        "group_id",
+        "n_docs",
+        "n_edges",
+        "min_jaccard_e4",
+        "jaccard_sum_e4",
+        F.expr("(n_edges * 2 * 10000) div (n_docs * (n_docs - 1))").alias("density_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the near-dup graph (corpus-authority signal)
 # ---------------------------------------------------------------------------
 
