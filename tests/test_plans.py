@@ -743,3 +743,35 @@ def test_blocked_evaluator_side_branch_is_pruned_and_precounted(spark, sf_small)
     assert "partial_count" in plan, (
         "side-branch count must map-side combine below its exchange"
     )
+
+
+def test_round8_queries_broadcast_their_dimension_sides(spark, sf_small):
+    """The round-8 additions keep their dimension-sized sides on the
+    broadcast path: boilerplate's flagged-span sets (sources-sized),
+    Neyman's allocation table, and the cluster audit's sizes join —
+    none may shuffle the document-sized side against a dimension."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    spark.catalog.clearCache()
+    reg = load_all()
+    for name, n_bcast in (
+        ("boilerplate_span_report", 1),
+        ("stratified_neyman_sample", 2),  # total-weight + allocation joins
+    ):
+        plan = _plan(reg[name].fn(spark, sf_small))
+        assert plan.count("BroadcastHashJoin") + plan.count(
+            "BroadcastNestedLoopJoin"
+        ) >= n_bcast, f"{name}: expected >= {n_bcast} broadcast joins\n{plan[:2000]}"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sequence_packing_single_shuffle(spark, sf_small):
+    """Doc-atomic packing is one collect_list per source: exactly one
+    shuffle exchange below the scan (plus AQE reads), never a
+    SinglePartition collapse."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    spark.catalog.clearCache()
+    plan = _plan(load_all()["sequence_packing"].fn(spark, sf_small))
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]

@@ -743,3 +743,44 @@ def test_scan_routing_arms_agree_on_any_tape(wa, wb):
         ).collect()
     }
     assert jvm == np_
+
+
+#: Token-count tapes for the packing fold: including zeros (empty
+#: docs), counts at exactly the capacity, and oversize items.
+pack_strategy = st.lists(
+    st.sampled_from([0, 1, 7, 40, 99, 100, 101, 300]),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(counts=pack_strategy)
+@_settings
+def test_packing_invariants(counts):
+    """For every tape: bin ids start at 1 and are non-decreasing with
+    steps of exactly 1; every bin's fill is <= capacity unless the
+    bin holds a single oversize item; no bin is empty."""
+    from auto_trade_data_pipeline_spark.operators import jvm_folds as jf
+
+    cap = 100
+    df = _spark.createDataFrame(
+        [("K", i, float(c)) for i, c in enumerate(counts)],
+        "k string, i int, n double",
+    )
+    out = jf.scan_by_key(
+        df, ["k"], "i", ["n"],
+        {"bin": jf.packing_scan_sql("transform(s, e -> e.n)", cap)},
+    )
+    rows = out.orderBy("i").collect()
+    bins = [r["bin"] for r in rows]
+    assert bins[0] == 1
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    fills: dict[int, list[int]] = {}
+    for r in rows:
+        fills.setdefault(r["bin"], []).append(int(r["n"]))
+    for members in fills.values():
+        assert members, "empty bin"
+        if sum(members) > cap:
+            assert len(members) == 1 and members[0] > cap, (
+                "over-capacity bin that is not a single oversize item"
+            )
