@@ -160,6 +160,16 @@ def main() -> int:
         "and PRINTS the idle-min table — never rewrites BASELINE.md "
         "(a scoped rewrite would drop every other row)",
     )
+    ap.add_argument(
+        "--canary",
+        metavar="LOG",
+        help="path to a running tools/canary.py log; the recording is "
+        "additionally audited against it over the exact run window and "
+        "REFUSED if contaminated. Round-8 lesson: two back-to-back runs "
+        "slowed UNIFORMLY by a host CPU-steal wave agree within the "
+        "1.15x gate and still record a poisoned table — only an "
+        "independent-process audit catches that mode.",
+    )
     args = ap.parse_args()
 
     mins: dict[str, float] = {}
@@ -169,6 +179,9 @@ def main() -> int:
     # a later run confirming a slower time does not rescue a min that
     # was never witnessed twice.
     min_unconfirmed: dict[str, bool] = {}
+    import time as _time
+
+    t_start = _time.time()
     for i in range(args.runs):
         rec = run_bench(args.only)
         totals.append(rec["value"])
@@ -186,6 +199,26 @@ def main() -> int:
                 min_unconfirmed[name] = name in run_unconf
 
     check_idle(totals)
+    if args.canary:
+        audit = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "canary.py"),
+                "--audit",
+                args.canary,
+                str(t_start),
+                str(_time.time()),
+            ],
+            capture_output=True,
+            text=True,
+        )
+        print(f"canary audit: {audit.stdout.strip()}", file=sys.stderr)
+        if audit.returncode != 0:
+            raise RuntimeError(
+                "canary audit of the recording window is contaminated — "
+                "the runs may agree only because a host wave slowed them "
+                "uniformly; recording refused"
+            )
     unconfirmed = {n for n, u in min_unconfirmed.items() if u}
     if args.dry_run or args.only:
         print(render_table(mins, unconfirmed))
