@@ -354,6 +354,9 @@ _ORDER = [
     "sequence_packing",
     "stratified_neyman_sample",
     "dedup_cluster_audit",
+    "semantic_contamination",
+    "streaming_packing_replay",
+    "packing_efficiency",
 ]
 
 

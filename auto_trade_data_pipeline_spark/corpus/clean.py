@@ -1270,9 +1270,14 @@ def boilerplate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (collect_set per source), broadcast back onto documents
     — the corpus-sized side never shuffles twice and the blobs never
     carry span arrays through an exchange. At 100 TB the flagged set
-    per source is bounded by the df threshold itself (a span must
-    appear in half the source's docs), so the broadcast stays small
-    by construction."""
+    per source is bounded by the df threshold itself: every flagged
+    span occupies >= BOILER_DF_PCT% of the source's docs, and a doc
+    contributes each distinct span once, so a source with ndocs docs
+    averaging k spans each can flag at most ndocs*k / (ndocs *
+    BOILER_DF_PCT/100) = k*100/BOILER_DF_PCT distinct spans (~8.3k at
+    the 12% threshold) — spans-per-doc-sized, not corpus-sized, so
+    the broadcast stays small by construction (and grows tighter, not
+    looser, if the threshold is raised toward a real crawl's 50%)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", "doc_id", TX.tokens(F.col("text")).alias("ts"))
     n = F.size("ts")
@@ -1403,6 +1408,47 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACKING_EFFICIENCY_ORACLE = f"""
+WITH packed AS ({_PACKING_ORACLE})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(bin_id) AS BIGINT) AS n_bins,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) FILTER (n_tokens > {PACK_CAPACITY}) AS BIGINT) AS oversize_docs,
+       (CAST(sum(n_tokens) AS BIGINT) * 10000)
+         // (CAST(max(bin_id) AS BIGINT) * {PACK_CAPACITY}) AS util_bp
+FROM packed GROUP BY source
+"""
+
+
+@register("packing_efficiency", _PACKING_EFFICIENCY_ORACLE, tags=("EXT3", "A4"))
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency QA readout over ``sequence_packing``'s bin
+    assignment — the report a training-data pipeline watches to tune
+    context capacity: per source, document/bin counts, total tokens,
+    capacity utilization in integer basis points (floor division —
+    round()-trap-free), and the count of oversize documents (>
+    capacity, each occupying a bin alone — the padding-waste signal
+    that says "split or drop these upstream").
+
+    Scale shape: inherits the packing fold's one hash exchange, then
+    one sources-sized map-side-combinable agg — the report adds no
+    corpus-sized shuffle of its own."""
+    packed = sequence_packing(spark, sf_dir)
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("bin_id").cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum((F.col("n_tokens") > PACK_CAPACITY).cast("long"))
+        .cast("long")
+        .alias("oversize_docs"),
+        F.expr(
+            f"CAST(sum(n_tokens) AS BIGINT) * 10000 "
+            f"div (CAST(max(bin_id) AS BIGINT) * {PACK_CAPACITY})"
+        ).alias("util_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Neyman-allocation stratified sampling
 # ---------------------------------------------------------------------------
@@ -1427,11 +1473,16 @@ w AS (
          ) AS wgt
   FROM st
 ),
+tw AS (
+  -- Fixed-order left fold over the sources-sized strata list: sum(wgt)
+  -- leaves the FP addition order to the engine, and a 1-ulp total can
+  -- flip floor(BUDGET*wgt/tw) at a near-integer boundary cross-engine.
+  SELECT list_reduce(list(wgt ORDER BY source), (a, b) -> a + b) AS tw FROM w
+),
 alloc AS (
   SELECT source, n, wgt,
-         CAST(floor({NEYMAN_BUDGET} * wgt / (SELECT sum(wgt) FROM w)) AS BIGINT)
-           AS n_alloc
-  FROM w
+         CAST(floor({NEYMAN_BUDGET} * wgt / tw.tw) AS BIGINT) AS n_alloc
+  FROM w, tw
 ),
 ranked AS (
   SELECT source, doc_id, n_chars,
@@ -1463,9 +1514,12 @@ def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness: the stratum moments are exact BIGINT sums
     combined in FIXED-ORDER doubles (ORACLES.md co-moment rule), the
-    allocation uses floor (no round() trap), and sqrt is
-    correctly-rounded IEEE in both engines — identical doubles in,
-    identical allocation out.
+    TOTAL weight is likewise a fixed-order left fold over the strata
+    sorted by source (never a parallel F.sum/sum(), whose FP addition
+    order is engine-dependent and whose 1-ulp drift can flip a floor()
+    at a near-integer boundary), the allocation uses floor (no round()
+    trap), and sqrt is correctly-rounded IEEE in both engines —
+    identical doubles in, identical allocation out.
 
     Scale shape: moments are one map-side-combinable agg; the
     allocation table is sources-sized and broadcast; the rank is one
@@ -1483,7 +1537,18 @@ def stratified_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (nd * F.sqrt((nd * s2d - s1d * s1d) / (nd * nd))).alias("wgt"),
     )
-    total = w.agg(F.sum("wgt").alias("tw"))
+    # Fixed-order fold, NOT F.sum: a parallel sum's FP addition order is
+    # engine- and run-dependent, and a 1-ulp difference in tw can flip
+    # floor(BUDGET*wgt/tw) at a near-integer boundary. Left fold over
+    # the strata sorted by source with init 0.0 (0.0+x == x exactly for
+    # the non-negative wgt) matches the oracle's list_reduce bit for bit.
+    total = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "wgt"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["wgt"],
+        ).alias("tw")
+    )
     alloc = w.crossJoin(F.broadcast(total)).select(
         "source",
         F.floor(F.lit(NEYMAN_BUDGET) * F.col("wgt") / F.col("tw"))

@@ -12,7 +12,7 @@ LSH pipelines hash-match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from auto_trade_data_pipeline_spark.corpus import register, scoped_persist
@@ -865,14 +865,16 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
-def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS, src: str = "embeddings") -> str:
     """Shared DuckDB twin of operators.vectors.kmeans_cells: the same
     seed selection (smallest md5-60bit of the id), the same round-6
     cosine argmax assignment, the same integer-scaled centroid means —
     iteration for iteration, so the trained quantizer is
     bit-reproducible cross-engine. Returns the CTE body ending with
     ``afin`` (the final cell assignment) and ``c{iters}`` (the trained
-    centroids); callers append their own consumers."""
+    centroids); callers append their own consumers. ``src`` names the
+    corpus the quantizer trains on/assigns — the ``embeddings`` table
+    by default, or a caller-provided CTE (e.g. a train split)."""
 
     def assign(prev_cents: str, out: str) -> str:
         return f"""{out} AS (
@@ -880,7 +882,7 @@ def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     SELECT e.vec_id, e.embedding, p.cell,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY round({_cos('e.embedding', 'p.centroid')}, 6) DESC, p.cell) AS pr
-    FROM embeddings e, {prev_cents} p
+    FROM {src} e, {prev_cents} p
   ) WHERE pr = 1
 )"""
 
@@ -900,7 +902,7 @@ def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
   SELECT cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid FROM (
     SELECT embedding,
            row_number() OVER (ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) - 1 AS cell
-    FROM embeddings
+    FROM {src}
   ) WHERE cell < {k}
 )"""
     ]
@@ -950,6 +952,124 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = VX.kmeans_cells(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     return VX.ivf_topk(
         assigned, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=2, cell_col="cell"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) train/test contamination
+# ---------------------------------------------------------------------------
+
+#: Cosine threshold for the semantic contamination query — calibrated
+#: so it fires on the synthetic near-random embeddings (max eval/train
+#: cosine ~0.49; ~30 pairs >= 0.35 before cell routing) without
+#: flagging everything. Real text embeddings of a leaked benchmark
+#: doc sit at 0.9+; the MACHINERY, not the constant, is the operator.
+SEM_CONTAM_T = 0.35
+#: Cells probed per eval vector (of KMEANS_K trained cells).
+SEM_CONTAM_NPROBE = 2
+#: Deterministic eval/benchmark split: vec_id % 20 == 7 plays the
+#: held-out benchmark; the rest is the training corpus.
+SEM_CONTAM_EVAL_MOD, SEM_CONTAM_EVAL_RESIDUE = 20, 7
+
+
+def _sem_contam_oracle(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    t: float = SEM_CONTAM_T,
+    nprobe: int = SEM_CONTAM_NPROBE,
+) -> str:
+    m, r = SEM_CONTAM_EVAL_MOD, SEM_CONTAM_EVAL_RESIDUE
+    return f"""
+WITH train AS (SELECT * FROM embeddings WHERE vec_id % {m} <> {r}),
+{_kmeans_ctes(k, iters, src="train")},
+q AS (SELECT vec_id AS eval_id, embedding AS qv
+      FROM embeddings WHERE vec_id % {m} = {r}),
+probes AS (
+  SELECT eval_id, qv, cell FROM (
+    SELECT q.eval_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.eval_id
+                              ORDER BY round({_cos('q.qv', 'c.centroid')}, 6) DESC, c.cell) AS pr
+    FROM q, c{iters} c
+  ) WHERE pr <= {nprobe}
+),
+hits AS (
+  SELECT train_id, eval_id, cos FROM (
+    SELECT e.vec_id AS train_id, p.eval_id,
+           round({_cos('p.qv', 'e.embedding')}, 6) AS cos
+    FROM probes p JOIN afin e ON e.cell = p.cell
+  ) WHERE cos >= {t}
+),
+ranked AS (
+  SELECT train_id, eval_id, cos,
+         row_number() OVER (PARTITION BY train_id ORDER BY cos DESC, eval_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY train_id) AS BIGINT) AS n_eval_hits
+  FROM hits
+)
+SELECT train_id, n_eval_hits, cos AS max_cos, eval_id AS top_eval_id
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("semantic_contamination", _sem_contam_oracle(), tags=("EXT2", "EXT3"))
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) train/test contamination detection —
+    the vector-space complement of the n-gram ``contamination_check``
+    (corpus/clean.py): a TRAIN vector is contaminated when its cosine
+    to some held-out EVAL/benchmark vector reaches ``SEM_CONTAM_T``.
+    The comparison is routed through the trained IVF coarse quantizer
+    (operators/vectors.py:kmeans_cells — trained on the TRAIN split
+    only, the honest protocol: the index must not see the benchmark):
+    each eval vector probes its ``nprobe`` nearest cells and compares
+    against train vectors IN THOSE CELLS only — the standard
+    ANN-decontamination trade, and part of the spec here (the oracle
+    replays the identical probing, so the result is hash-exact, not
+    "approximately similar"). Output: one row per contaminated train
+    vector — hit count, max cosine, and the argmax eval id (smallest
+    id on ties, deterministic cross-engine).
+
+    Scale shape (100 TB): the quantizer + probe table are
+    dimension-sized broadcasts; the corpus-sized train side shuffles
+    ONCE (by cell, for the window) — with cell-partitioned storage
+    even that disappears into partition pruning, and unprobed cells
+    are never read. The eval/benchmark side is benchmark-sized by
+    construction. Nothing is all-pairs; per-cell work is
+    |cell| x |probes into that cell|, the IVF trade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, r = SEM_CONTAM_EVAL_MOD, SEM_CONTAM_EVAL_RESIDUE
+    train = emb.filter(F.col("vec_id") % m != r)
+    evalq = emb.filter(F.col("vec_id") % m == r)
+    assigned, cents = VX.kmeans_cells(train, k=KMEANS_K, iters=KMEANS_ITERS)
+
+    probe_w = Window.partitionBy("eval_id").orderBy(F.col("__ccos").desc(), "cell")
+    probes = (
+        evalq.select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("__qv"))
+        .join(F.broadcast(cents))
+        .withColumn("__ccos", F.round(VX.cosine(F.col("__qv"), F.col("centroid")), 6))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= SEM_CONTAM_NPROBE)
+        .select("eval_id", "__qv", "cell")
+    )
+    hits = (
+        assigned.select(
+            F.col("vec_id").alias("train_id"), F.col("embedding").alias("__tv"), "cell"
+        )
+        .join(F.broadcast(probes), "cell")
+        .withColumn("cos", F.round(VX.cosine(F.col("__qv"), F.col("__tv")), 6))
+        .filter(F.col("cos") >= SEM_CONTAM_T)
+    )
+    w = Window.partitionBy("train_id").orderBy(F.col("cos").desc(), "eval_id")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_eval_hits", F.count(F.lit(1)).over(Window.partitionBy("train_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "train_id",
+            "n_eval_hits",
+            F.col("cos").alias("max_cos"),
+            F.col("eval_id").alias("top_eval_id"),
+        )
     )
 
 

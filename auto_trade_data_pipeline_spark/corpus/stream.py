@@ -20,6 +20,7 @@ from auto_trade_data_pipeline_spark.corpus.trade import (
 from auto_trade_data_pipeline_spark.streaming import (
     interval_join_after_anchor,
     interval_left_outer_orphans,
+    read_table_stream,
     read_ticks_stream,
     run_available_now,
     streaming_candles,
@@ -507,11 +508,11 @@ def streaming_classifier_scores_replay(spark: SparkSession, sf_dir: str) -> Data
         ).withColumn("__k", F.lit(1))
     )
 
-    stream = (
-        spark.readStream.format("parquet")
-        .schema("doc_id long, text string, lang string, source string, n_chars long")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
+    stream = read_table_stream(
+        spark,
+        sf_dir,
+        "documents",
+        "doc_id long, text string, lang string, source string, n_chars long",
     )
     toks = TX.tokens(F.col("text"))
     joined = stream.withColumn("__k", F.lit(1)).join(wrow, "__k")
@@ -581,11 +582,8 @@ def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
-    stream = (
-        spark.readStream.format("parquet")
-        .schema("event_id long, user_id long, event_type string")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    stream = read_table_stream(
+        spark, sf_dir, "events", "event_id long, user_id long, event_type string"
     )
     vals = stream.select("event_type", F.col("user_id").cast("string").alias("v"))
     sk = streaming_kmv_sketch(vals, "event_type", k=64)
@@ -643,11 +641,11 @@ def streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_trade_data_pipeline_spark.streaming.sketch import streaming_cms_sketch
     from pyspark.sql.window import Window as W
 
-    stream = (
-        spark.readStream.format("parquet")
-        .schema("doc_id long, text string, lang string, source string, n_chars long")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
+    stream = read_table_stream(
+        spark,
+        sf_dir,
+        "documents",
+        "doc_id long, text string, lang string, source string, n_chars long",
     )
     pairs = (
         stream.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
@@ -844,13 +842,12 @@ def streaming_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch_ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     bounds = drift_bounds(batch_ev)
-    stream = (
-        spark.readStream.format("parquet")
-        .schema("event_id long, ts timestamp_ntz, user_id long, event_type string, value double")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
-    )
+    stream = read_table_stream(
+        spark,
+        sf_dir,
+        "events",
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    ).select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
     binned = drift_binned(stream, bounds)
     cnts = binned.groupBy("event_type", "bin").agg(
         F.sum("is_base").alias("cb"), F.sum(1 - F.col("is_base")).alias("cc")
@@ -1191,16 +1188,13 @@ def streaming_ab_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ab_report_from_user_counts,
     )
 
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(
-            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
-            "value double"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .select("user_id", "event_type")
-    )
+    stream = read_table_stream(
+        spark,
+        sf_dir,
+        "events",
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double",
+    ).select("user_id", "event_type")
     cnts = stream.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "n_purchases"
@@ -1211,3 +1205,53 @@ def streaming_ab_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = out.groupBy("user_id").agg(F.max("n_purchases").alias("n_purchases"))
     return ab_report_from_user_counts(final)
+
+
+# ---------------------------------------------------------------------------
+# ST+: streaming sequence packing (stateful fill carry per source)
+# ---------------------------------------------------------------------------
+
+def _stream_packing_oracle() -> str:
+    # A document's bin assignment is final on arrival (the greedy fold
+    # never revisits a closed bin), so the drained replay equals the
+    # batch fold row for row and the batch packing oracle IS the
+    # streaming oracle.
+    from auto_trade_data_pipeline_spark.corpus.clean import _PACKING_ORACLE
+
+    return _PACKING_ORACLE
+
+
+@register("streaming_packing_replay", _stream_packing_oracle(), tags=("ST4", "EXT3"))
+def streaming_packing_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window prep as a STREAM (streaming/packing.py): the
+    doc-atomic greedy packing fold of ``sequence_packing`` carried as
+    O(1) keyed state per source (open bin id + fill) — the shape of a
+    continuous pretraining-ingest pipeline, where documents pack into
+    fixed-capacity windows as they arrive rather than in a nightly
+    batch. Every document's assignment is emitted exactly once, in its
+    arrival micro-batch (append mode, no watermark); multi-batch ==
+    single-batch parity is pinned in tests/test_streaming_packing.py,
+    and the DuckDB oracle is the batch packing SQL unchanged."""
+    from auto_trade_data_pipeline_spark.corpus.clean import PACK_CAPACITY
+    from auto_trade_data_pipeline_spark.operators import text as TX
+    from auto_trade_data_pipeline_spark.streaming.packing import (
+        streaming_sequence_packing,
+    )
+
+    stream = read_table_stream(
+        spark,
+        sf_dir,
+        "documents",
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = stream.select(
+        "source",
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    out = run_available_now(
+        streaming_sequence_packing(docs, PACK_CAPACITY),
+        f"corpus_stream_pack_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return out.select("source", "doc_id", "n_tokens", "bin_id")

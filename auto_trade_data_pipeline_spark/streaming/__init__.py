@@ -38,6 +38,7 @@ from auto_trade_data_pipeline_spark.streaming.joins import (  # noqa: F401
     interval_left_outer_orphans,
 )
 from auto_trade_data_pipeline_spark.streaming.candles import (  # noqa: F401
+    read_table_stream,
     read_ticks_stream,
     run_available_now,
     streaming_candles,

@@ -43,6 +43,37 @@ _EVENTS_RAW_TEMPLATE = (
 )
 
 
+def read_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over one testdata table, handling BOTH
+    physical layouts a parquet table can have:
+
+    - a single file ``{sf_dir}/{table}.parquet`` (the driver's
+      testdata) — the streaming source refuses a file as its load
+      path ("Option 'basePath' must be a directory"), so it loads
+      the parent dir with a pathGlobFilter;
+    - a DIRECTORY of part files (Spark-written tables, e.g. the sf1
+      stress set) — a pathGlobFilter on the parent would only match
+      top-level FILE names and silently stream ZERO rows (the
+      round-9 sf1 scale-edge find), so it loads the directory
+      directly.
+    """
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
+
+
 def read_ticks_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -64,14 +95,13 @@ def read_ticks_stream(
         ts_decl, ts_expr = "timestamp_ntz", F.col("ts").cast(T.TimestampType())
     else:
         ts_decl, ts_expr = "timestamp", F.col("ts")
-    reader = (
-        spark.readStream.format("parquet")
-        .schema(_EVENTS_RAW_TEMPLATE.format(ts_type=ts_decl))
-        .option("pathGlobFilter", "events.parquet")
+    ev = read_table_stream(
+        spark,
+        sf_dir,
+        "events",
+        _EVENTS_RAW_TEMPLATE.format(ts_type=ts_decl),
+        max_files_per_trigger,
     )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    ev = reader.load(sf_dir)
     return ev.select(
         F.col("event_type").alias("symbol"),
         ts_expr.alias("timestamp"),

@@ -21,7 +21,11 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+from canary import MED_GATE_MS, P90_GATE_MS, probe_ms  # noqa: E402
 
 #: Headline suite — one representative per major operator family.
 #: Extend as families land; keep total runtime at sf0.1 under ~3 min.
@@ -97,12 +101,24 @@ def main() -> int:
     # quiet window may have set it, so adjudicate apparent
     # regressions on these against BASELINE.md's idle table rather
     # than the recorded number.
+    # Ambient-load evidence, embedded in the artifact itself (round-8
+    # verdict item 4): the driver records BENCH files on a box the
+    # builder cannot schedule, and host CPU-steal waves (the round-8
+    # root cause) poison face-value deltas. One canary probe
+    # (tools/canary.py's fixed numpy op — GIL-releasing, outside the
+    # JVM, so it reads HOST health) is timed before every query pass;
+    # the per-query median plus suite med/p90 let a reader adjudicate
+    # "code regression vs loaded recording" without a separate canary
+    # log. Probes run BETWEEN passes, so they never inflate timings.
+    probe_ms()  # warm-up: the first call pays BLAS init, not host load
+    ambient_by_query: dict[str, list[float]] = {}
     unconfirmed: list[str] = []
     timings: dict[str, float] = {}
     for name in names:
         passes = 0
         confirmed = False
         while passes < 10:
+            ambient_by_query.setdefault(name, []).append(probe_ms())
             t0 = time.perf_counter()
             try:
                 df = registry[name].fn(spark, sf_dir)
@@ -127,6 +143,27 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    all_samples = sorted(s for v in ambient_by_query.values() for s in v)
+    med = all_samples[len(all_samples) // 2] if all_samples else None
+    p90 = all_samples[int(0.9 * len(all_samples))] if all_samples else None
+    ambient = {
+        "suite_med_ms": round(med, 1) if med is not None else None,
+        "suite_p90_ms": round(p90, 1) if p90 is not None else None,
+        "n": len(all_samples),
+        # Same gates as tools/canary.py --audit (clean baseline on this
+        # sandbox: ~15-24 ms/probe). clean=false means the recording
+        # window was wave-ridden: adjudicate apparent regressions
+        # against BASELINE.md's idle table, not this file's numbers.
+        "gates_ms": {"med": MED_GATE_MS, "p90": P90_GATE_MS},
+        "clean": bool(
+            med is not None and med < MED_GATE_MS and p90 < P90_GATE_MS
+        ),
+        "per_query_med_ms": {
+            n: round(sorted(v)[len(v) // 2], 1)
+            for n, v in ambient_by_query.items()
+            if v
+        },
+    }
     print(
         json.dumps(
             {
@@ -135,14 +172,19 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "unconfirmed": sorted(unconfirmed),
+                "ambient_ms": ambient,
                 "sf": sf,
                 "method": "noop sink; min of >=4 passes (>=7 for sub-second "
                 "queries), extended to at most 10 until a recent pass lands "
                 "within 5% of the min (noisy-sandbox stabilization); "
                 "'unconfirmed' lists queries that exhausted the cap with no "
                 "later pass within 5% of their min; caches cleared between "
-                "queries; see BASELINE.md 'Idle-machine reference' for the "
-                "regression-adjudication row",
+                "queries; 'ambient_ms' is a host-load canary (tools/"
+                "canary.py's fixed numpy op, timed before every pass — "
+                "never inside a timed pass): clean=false means a host "
+                "CPU-steal wave rode the recording; see BASELINE.md "
+                "'Idle-machine reference' for the regression-adjudication "
+                "row",
             }
         )
     )

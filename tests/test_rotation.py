@@ -97,3 +97,33 @@ def test_staleness_bound():
         f"queries unverified for >=3 rounds (run tools/verify_local.py "
         f"on them or rotate them into the window): {stale}"
     )
+
+
+def test_no_oracle_convention_guard():
+    """Round-8 verdict item 5: the driver's ``err: "no_oracle"``
+    convention (a rows-only query ran; nothing to hash) must never
+    whitewash an ORACLED query's record. The guard lives in
+    tools/rotate_window.py (plan() raises on violation); this pins
+    both the recorded history and the guard's own logic."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from rotate_window import _correctness_rounds, no_oracle_violations
+
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    reg = load_all()
+    rounds = _correctness_rounds()
+    assert no_oracle_violations(rounds, reg) == []
+
+    # Synthetic violation: 'no_oracle' on an oracled query is caught.
+    oracled = next(n for n in reg if reg[n].oracle is not None)
+    fake = {99: {oracled: {"err": "no_oracle", "spark_rows": 1}}}
+    assert no_oracle_violations(fake, reg) == [f"r99:{oracled}"]
+
+    # The convention itself stays allowed: 'no_oracle' on a rows-only
+    # query is NOT a violation.
+    rows_only = [n for n in reg if reg[n].oracle is None]
+    if rows_only:
+        ok = {99: {rows_only[0]: {"err": "no_oracle", "spark_rows": 1}}}
+        assert no_oracle_violations(ok, reg) == []

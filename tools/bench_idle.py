@@ -32,6 +32,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE = os.path.join(REPO, "BASELINE.md")
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from canary import MED_GATE_MS, P90_GATE_MS  # noqa: E402
+
 #: Agreement gate on the suite total across runs: max/min above this
 #: means the machine was not idle and the recording is untrustworthy.
 MAX_RUN_DISAGREEMENT = 1.15
@@ -91,6 +94,7 @@ def rewrite_baseline(
     runs: int,
     totals: list[float],
     unconfirmed: set[str] = frozenset(),
+    canary_verdict: dict | None = None,
 ) -> None:
     src = open(BASELINE).read()
     today = datetime.date.today().isoformat()
@@ -102,6 +106,20 @@ def rewrite_baseline(
         "bench.py's method note for the pass policy), per-query minimum "
         "across the runs. Suite totals per run: "
         f"{totals_txt}."
+        + (
+            # Auditable gate constants (round-8 verdict finding 3): if
+            # the sandbox hardware generation changes, the recorded
+            # clean-window numbers date the gates instead of letting
+            # them silently mis-adjudicate.
+            " Canary audit of the exact recording window: "
+            f"med {canary_verdict['med_ms']} ms / "
+            f"p90 {canary_verdict['p90_ms']} ms over "
+            f"{canary_verdict['n']} samples — CLEAN under tools/canary.py's "
+            f"gates (med<{MED_GATE_MS:g} ms, p90<{P90_GATE_MS:g} ms, "
+            "calibrated against this sandbox's ~15-24 ms clean baseline)."
+            if canary_verdict
+            else ""
+        )
         + (
             " † marks a query whose min-setting run reported it "
             "'unconfirmed' (bench.py stabilization cap exhausted with no "
@@ -199,6 +217,7 @@ def main() -> int:
                 min_unconfirmed[name] = name in run_unconf
 
     check_idle(totals)
+    canary_verdict = None
     if args.canary:
         audit = subprocess.run(
             [
@@ -213,17 +232,35 @@ def main() -> int:
             text=True,
         )
         print(f"canary audit: {audit.stdout.strip()}", file=sys.stderr)
-        if audit.returncode != 0:
+        # Adjudicate on the audit's JSON verdict, not its exit code
+        # alone: a missing/unreadable log or a canary crash also exits
+        # nonzero, and misreading a tooling error as "host interference"
+        # would poison the adjudication record (ADVICE r8).
+        verdict = None
+        for line in audit.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                verdict = json.loads(line)
+                break
+        if verdict is None:
             raise RuntimeError(
-                "canary audit of the recording window is contaminated — "
-                "the runs may agree only because a host wave slowed them "
-                "uniformly; recording refused"
+                "canary audit produced no verdict (tool failure, not a "
+                "contamination finding) — "
+                f"exit {audit.returncode}; stdout: {audit.stdout.strip()!r}; "
+                f"stderr: {audit.stderr.strip()!r}"
             )
+        if not verdict.get("clean"):
+            raise RuntimeError(
+                "canary audit of the recording window is contaminated "
+                f"({verdict}) — the runs may agree only because a host "
+                "wave slowed them uniformly; recording refused"
+            )
+        canary_verdict = verdict
     unconfirmed = {n for n, u in min_unconfirmed.items() if u}
     if args.dry_run or args.only:
         print(render_table(mins, unconfirmed))
         return 0
-    rewrite_baseline(mins, args.runs, totals, unconfirmed)
+    rewrite_baseline(mins, args.runs, totals, unconfirmed, canary_verdict)
     print(f"BASELINE.md idle table rewritten ({len(mins)} queries, "
           f"total {sum(mins.values()):.2f} s)")
     return 0

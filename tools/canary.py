@@ -28,16 +28,30 @@ MED_GATE_MS = 35.0
 P90_GATE_MS = 150.0
 
 
-def run() -> None:
+_PROBE = None
+
+
+def probe_ms() -> float:
+    """Time ONE canary workload, in milliseconds — the exact op the
+    long-running canary samples. numpy matmul releases the GIL and
+    runs outside any JVM, so it measures HOST cpu health (steal /
+    throttling waves), not the calling process's own load. Importable
+    (bench.py embeds it between query passes to stamp every bench
+    artifact with ambient evidence — round-8 verdict item 4)."""
+    global _PROBE
     import numpy as np
 
-    a = np.random.default_rng(0).standard_normal((256, 256))
+    if _PROBE is None:
+        _PROBE = np.random.default_rng(0).standard_normal((256, 256))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        _PROBE @ _PROBE
+    return (time.perf_counter() - t0) * 1000
+
+
+def run() -> None:
     while True:
-        t0 = time.perf_counter()
-        for _ in range(8):
-            a @ a
-        dt = (time.perf_counter() - t0) * 1000
-        print(json.dumps({"t": time.time(), "ms": round(dt, 1)}), flush=True)
+        print(json.dumps({"t": time.time(), "ms": round(probe_ms(), 1)}), flush=True)
         time.sleep(0.4)
 
 

@@ -97,10 +97,18 @@ def run_sessions(n: int, query: str, sf_dir: str) -> list[dict]:
 
 def digest_eventlog(app_id: str) -> dict:
     """Stage/job digest from one session's event log."""
-    path = None
-    for p in glob.glob(os.path.join(EVENTLOG_DIR, "*")):
-        if app_id in os.path.basename(p):
-            path = p
+    # Exact-name match only: a substring match can digest the wrong
+    # session when one app id is a prefix of another. Prefer the
+    # completed log over a stale .inprogress duplicate of the same app.
+    exact = {app_id, f"eventlog_v2_{app_id}"}
+    candidates = [
+        p
+        for p in glob.glob(os.path.join(EVENTLOG_DIR, "*"))
+        if os.path.basename(p) in exact
+        or os.path.basename(p) in {n + ".inprogress" for n in exact}
+    ]
+    candidates.sort(key=lambda p: p.endswith(".inprogress"))  # completed first
+    path = candidates[0] if candidates else None
     if path is None:
         return {"error": f"no event log for {app_id}"}
     # Spark 4 rolling event logs are a DIRECTORY of events_* files.

@@ -50,6 +50,29 @@ def _correctness_rounds() -> dict[int, dict]:
     return out
 
 
+def no_oracle_violations(rounds: dict[int, dict], reg) -> list[str]:
+    """Guard on the driver's ``err: "no_oracle"`` convention (round-8
+    verdict finding 1 / item 5): that literal is the driver saying "a
+    rows-only query ran; there is nothing to hash" — it may ONLY ever
+    appear on a query registered rows-only (``oracle is None``). On an
+    oracled query it means the driver could not see the oracle entry
+    (a rename or registry bug) — a record that must never adjudicate
+    green. Only the LATEST round is judged against the CURRENT
+    registry: a query may gain an oracle over time (six round-2
+    rows-only queries did exactly that), so an older round's marker
+    reflects the registry as of that round — and the rotation only
+    adjudicates reds from the latest file anyway. Returns
+    ``["r<N>:<name>", ...]`` violations; callers raise."""
+    if not rounds:
+        return []
+    latest = max(rounds)
+    return [
+        f"r{latest}:{n}"
+        for n, rec in rounds[latest].items()
+        if rec.get("err") == "no_oracle" and n in reg and reg[n].oracle is not None
+    ]
+
+
 def plan() -> tuple[list[str], list[str], list[str], list[str]]:
     """Return (window, residual_deferred, new_order, stranded) —
     ``stranded`` lists queries the rotation would leave with no
@@ -67,11 +90,24 @@ def plan() -> tuple[list[str], list[str], list[str], list[str]]:
     rounds = _correctness_rounds()
     latest = max(rounds, default=0)
 
+    violations = no_oracle_violations(rounds, reg)
+    if violations:
+        raise RuntimeError(
+            "err='no_oracle' recorded for ORACLED queries — a real "
+            f"breakage is hiding behind the rows-only convention: {violations}"
+        )
+
     def is_green(name: str, rec: dict) -> bool:
         if name in reg and reg[name].oracle is None:
             # Rows-only: the driver has no oracle to hash against; its
-            # weaker check is "the Spark side ran" (err absent/null).
-            return not rec.get("err")
+            # weaker check is "the Spark side ran". The driver records
+            # the literal err='no_oracle' for such a ran-fine row
+            # (CORRECTNESS_r08: indicators_chunked_pack, 9,997 rows);
+            # any OTHER err string is a genuine failure. The guard
+            # above ensures 'no_oracle' can never whitewash an oracled
+            # query's record.
+            err = rec.get("err")
+            return not err or err == "no_oracle"
         return bool(rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"))
 
     reds = [
