@@ -97,20 +97,63 @@ DRIVER_QUERY_SLOTS = 50
 #: tests/test_rotation.py fails if any query is stranded OUTSIDE this
 #: declared set — deferral must be a visible decision, never an
 #: accident. This set must empty out as rotation proceeds.
-DEFERRED_TO_NEXT_ROUND = frozenset({
-    # Round-8 additions (after the round-8 window was applied and
-    # driver-bound): first driver slot next rotation.
-    "boilerplate_span_report",
-    "sequence_packing",
-    "stratified_neyman_sample",
-    "dedup_cluster_audit",
-})
+DEFERRED_TO_NEXT_ROUND = frozenset({})
 
-#: Explicit registry order — round-8 rotation, computed by
+#: Explicit registry order — round-9 rotation, computed by
 #: tools/rotate_window.py (reds, then the deferral drain, then the
 #: stalest previously-green queries; displaced queries keep their
 #: relative order behind the window).
 _ORDER = [
+    "boilerplate_span_report",
+    "sequence_packing",
+    "stratified_neyman_sample",
+    "dedup_cluster_audit",
+    "semantic_contamination",
+    "streaming_packing_replay",
+    "packing_efficiency",
+    "cohort_retention",
+    "window_function_family",
+    "grouping_sets_revenue",
+    "scalar_subquery_above_avg",
+    "stream_interval_join_replay",
+    "multimodal_frame_sample",
+    "multimodal_byte_histogram",
+    "scd2_user_state",
+    "tpch_q13_custdist",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q18_large_volume_customers",
+    "tpch_q20_concentrated_demand",
+    "full_outer_daily_reconciliation",
+    "rolling_active_users",
+    "symbol_corr_stats",
+    "price_histogram",
+    "stream_static_enrich_replay",
+    "streaming_cascade_replay",
+    "event_transitions",
+    "table_diff_orders",
+    "peaks_prominence_d1",
+    "atr_recursive",
+    "t3_recursive",
+    "adx_recursive",
+    "macd_recursive",
+    "psar_recursive",
+    "peaks_major_full",
+    "quality_classifier_gd",
+    "similarity_topk_pq",
+    "candle_patterns_pack",
+    "full_enrichment",
+    "heavy_hitter_bigrams",
+    "dedup_priority_keep",
     "indicators_chunked_pack",
     "tick_quality_report",
     "upsert_merge",
@@ -261,10 +304,6 @@ _ORDER = [
     "streaming_dynamic_session_replay",
     "streaming_cdc_apply_replay",
     "concurrent_sessions_census",
-    "candle_patterns_pack",
-    "full_enrichment",
-    "heavy_hitter_bigrams",
-    "dedup_priority_keep",
     "lm_quality_score",
     "table_profile_orders",
     "sql_hourly_ohlc",
@@ -311,52 +350,6 @@ _ORDER = [
     "dataset_card",
     "asof_join_next_bar",
     "volume_bars",
-    "cohort_retention",
-    "window_function_family",
-    "grouping_sets_revenue",
-    "scalar_subquery_above_avg",
-    "stream_interval_join_replay",
-    "multimodal_frame_sample",
-    "multimodal_byte_histogram",
-    "scd2_user_state",
-    "tpch_q13_custdist",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q18_large_volume_customers",
-    "tpch_q20_concentrated_demand",
-    "full_outer_daily_reconciliation",
-    "rolling_active_users",
-    "symbol_corr_stats",
-    "price_histogram",
-    "stream_static_enrich_replay",
-    "streaming_cascade_replay",
-    "event_transitions",
-    "table_diff_orders",
-    "peaks_prominence_d1",
-    "atr_recursive",
-    "t3_recursive",
-    "adx_recursive",
-    "macd_recursive",
-    "psar_recursive",
-    "peaks_major_full",
-    "quality_classifier_gd",
-    "similarity_topk_pq",
-    "boilerplate_span_report",
-    "sequence_packing",
-    "stratified_neyman_sample",
-    "dedup_cluster_audit",
-    "semantic_contamination",
-    "streaming_packing_replay",
-    "packing_efficiency",
 ]
 
 

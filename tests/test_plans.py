@@ -775,3 +775,30 @@ def test_sequence_packing_single_shuffle(spark, sf_small):
     plan = _plan(load_all()["sequence_packing"].fn(spark, sf_small))
     assert "SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_round9_queries_plan_shapes(spark, sf_small):
+    """Round-9 additions keep their scale contracts: semantic
+    contamination broadcasts the quantizer/probe dimension sides with
+    no cartesian and no SinglePartition funnel (its windows partition
+    by eval_id/train_id); packing_efficiency adds only a
+    map-side-combinable source agg on top of the packing fold (no
+    SinglePartition, no cartesian)."""
+    from auto_trade_data_pipeline_spark.corpus import load_all
+
+    spark.catalog.clearCache()
+    reg = load_all()
+
+    plan = _plan(reg["semantic_contamination"].fn(spark, sf_small))
+    assert (
+        plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    ), plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan, (
+        "per-vector windows must partition by key, never collapse"
+    )
+
+    plan = _plan(reg["packing_efficiency"].fn(spark, sf_small))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan, "source agg must map-side combine"
