@@ -97,7 +97,13 @@ DRIVER_QUERY_SLOTS = 50
 #: tests/test_rotation.py fails if any query is stranded OUTSIDE this
 #: declared set — deferral must be a visible decision, never an
 #: accident. This set must empty out as rotation proceeds.
-DEFERRED_TO_NEXT_ROUND = frozenset({})
+DEFERRED_TO_NEXT_ROUND = frozenset({
+    # Landed after the round-9 window was applied and driver-bound
+    # (the round-8 pattern): first driver slot next rotation. Already
+    # hash-exact at sf0.01 AND sf0.1, sf1-clean (1,780 rows, matching
+    # its batch twin).
+    "streaming_contamination_replay",
+})
 
 #: Explicit registry order — round-9 rotation, computed by
 #: tools/rotate_window.py (reds, then the deferral drain, then the
@@ -350,6 +356,7 @@ _ORDER = [
     "dataset_card",
     "asof_join_next_bar",
     "volume_bars",
+    "streaming_contamination_replay",
 ]
 
 

@@ -1255,3 +1255,101 @@ def streaming_packing_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.select("source", "doc_id", "n_tokens", "bin_id")
+
+
+# ---------------------------------------------------------------------------
+# ST+: streaming semantic decontamination (model-in-the-loop ingest)
+# ---------------------------------------------------------------------------
+
+def _stream_sem_contam_oracle() -> str:
+    # Stateless stream-static scoring of vectors that each appear
+    # exactly once: the drained replay equals the batch query, so the
+    # batch oracle (which replays the quantizer training + probing in
+    # SQL) is the streaming oracle.
+    from auto_trade_data_pipeline_spark.corpus.ext import _sem_contam_oracle
+
+    return _sem_contam_oracle()
+
+
+@register("streaming_contamination_replay", _stream_sem_contam_oracle(), tags=("ST2", "EXT2", "EXT3"))
+def streaming_contamination_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/test decontamination of a continuous ingest —
+    the streaming twin of ``semantic_contamination`` and the vector
+    sibling of ``streaming_classifier_scores_replay``'s
+    model-in-the-loop shape: the IVF quantizer is trained in BATCH on
+    the train split (the index never sees the benchmark), the eval
+    probes are computed in batch (benchmark-sized), and the incoming
+    TRAIN stream is scored statelessly — each vector's cell comes
+    from a pure-expression argmax fold against the one-row broadcast
+    centroid table (`operators/vectors.py:assign_cell_expr` — stream
+    DataFrames cannot run `assign_cells`'s ranking window), then a
+    stream-static equi join against the broadcast probes on cell and
+    a cosine-threshold filter. Per-train-vector hit aggregation runs
+    as an update-mode streaming agg (each vector arrives once, so its
+    row finalizes in its arrival batch); the deterministic argmax
+    eval id rides a struct max (max cos, then min eval id via
+    negation). At 100 TB/day: retraining swaps the broadcast side,
+    the ingest stream never repartitions, and state is O(flagged
+    vectors), itself benchmark-bounded in practice."""
+    from auto_trade_data_pipeline_spark.corpus.ext import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        SEM_CONTAM_EVAL_MOD,
+        SEM_CONTAM_EVAL_RESIDUE,
+        SEM_CONTAM_NPROBE,
+        SEM_CONTAM_T,
+    )
+    from auto_trade_data_pipeline_spark.operators import vectors as VX
+    from auto_trade_data_pipeline_spark.sources import load_table
+    from pyspark.sql import Window as W
+
+    m, r = SEM_CONTAM_EVAL_MOD, SEM_CONTAM_EVAL_RESIDUE
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % m != r)
+    evalq = emb.filter(F.col("vec_id") % m == r)
+    _assigned, cents = VX.kmeans_cells(train, k=KMEANS_K, iters=KMEANS_ITERS)
+    ctab = F.broadcast(VX.centroids_as_row(cents))
+
+    probe_w = W.partitionBy("eval_id").orderBy(F.col("__ccos").desc(), "cell")
+    probes = (
+        evalq.select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("__qv"))
+        .join(F.broadcast(cents))
+        .withColumn("__ccos", F.round(VX.cosine(F.col("__qv"), F.col("centroid")), 6))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= SEM_CONTAM_NPROBE)
+        .select("eval_id", "__qv", "cell")
+    )
+
+    stream = read_table_stream(
+        spark, sf_dir, "embeddings", "vec_id long, embedding array<float>, label int"
+    ).filter(F.col("vec_id") % m != r)
+    routed = stream.withColumn("__k", F.lit(1)).join(ctab, "__k").select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("__tv"),
+        VX.assign_cell_expr(F.col("embedding"), F.col("__ctab")).alias("cell"),
+    )
+    hits = (
+        routed.join(F.broadcast(probes), "cell")
+        .withColumn("cos", F.round(VX.cosine(F.col("__qv"), F.col("__tv")), 6))
+        .filter(F.col("cos") >= SEM_CONTAM_T)
+    )
+    agg = hits.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        F.max(F.struct(F.col("cos"), (-F.col("eval_id")).alias("neg_eval"))).alias("__top"),
+    )
+    out = run_available_now(
+        agg, f"corpus_stream_contam_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    # Each train vector arrives exactly once, so its group finalizes
+    # in one batch; the re-agg makes the readout robust to any replay
+    # that splits a vector's hits across update rows anyway.
+    final = out.groupBy("train_id").agg(
+        F.max("n_eval_hits").alias("n_eval_hits"),
+        F.max("__top").alias("__top"),
+    )
+    return final.select(
+        "train_id",
+        "n_eval_hits",
+        F.col("__top.cos").alias("max_cos"),
+        (-F.col("__top.neg_eval")).alias("top_eval_id"),
+    )

@@ -40,6 +40,8 @@ __all__ = [
     "srp_bands",
     "srp_near_dup",
     "semantic_dedup",
+    "centroids_as_row",
+    "assign_cell_expr",
     "sq_l2",
     "l2_normalize",
     "pq_train",
@@ -68,6 +70,44 @@ def l2_normalize(a: Column) -> Column:
     2 - 2*cos, so L2-based ANN (PQ/ADC) ranks identically to cosine."""
     nrm = l2_norm(a)
     return F.transform(a.cast("array<double>"), lambda x: x / nrm)
+
+
+def centroids_as_row(centroids: DataFrame) -> DataFrame:
+    """Collapse a (cell, centroid) table into ONE row holding the
+    cell-ascending array<struct<cell, centroid>> plus a constant join
+    key ``__k`` — the broadcastable form a STREAM can consume (stream
+    DataFrames cannot run the ranking window `assign_cells` uses;
+    `assign_cell_expr` replaces it with a pure-expression fold)."""
+    return (
+        centroids.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("__ctab"))
+        .withColumn("__k", F.lit(1))
+    )
+
+
+def assign_cell_expr(vec_col: Column, ctab_col: Column) -> Column:
+    """Nearest-cell id by round-6 cosine as a pure expression fold —
+    bit-identical to `assign_cells`'s window (desc cosine, cell-asc
+    tiebreak): the fold visits cells in ASCENDING cell order (the
+    array is sorted by `centroids_as_row`), replacing the accumulator
+    only on a STRICTLY greater rounded cosine, so a tie keeps the
+    smaller cell. Windowless => legal on streaming DataFrames, and on
+    batch plans it trades the per-vector rank exchange for a narrow
+    map — the corpus never shuffles at all."""
+    init = F.struct(
+        F.lit(-2.0).alias("cos"), F.lit(-1).cast("int").alias("cell")
+    )
+    return F.aggregate(
+        ctab_col,
+        init,
+        lambda acc, c: F.when(
+            F.round(cosine(vec_col, c["centroid"]), 6) > acc["cos"],
+            F.struct(
+                F.round(cosine(vec_col, c["centroid"]), 6).alias("cos"),
+                c["cell"].alias("cell"),
+            ),
+        ).otherwise(acc),
+    )["cell"]
 
 
 def cosine_topk(
