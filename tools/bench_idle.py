@@ -111,12 +111,15 @@ def rewrite_baseline(
             # the sandbox hardware generation changes, the recorded
             # clean-window numbers date the gates instead of letting
             # them silently mis-adjudicate.
-            " Canary audit of the exact recording window: "
+            " Canary audit over the kept runs' exact windows: "
             f"med {canary_verdict['med_ms']} ms / "
             f"p90 {canary_verdict['p90_ms']} ms over "
             f"{canary_verdict['n']} samples — CLEAN under tools/canary.py's "
             f"gates (med<{MED_GATE_MS:g} ms, p90<{P90_GATE_MS:g} ms, "
-            "calibrated against this sandbox's ~15-24 ms clean baseline)."
+            "calibrated against this sandbox's ~15-24 ms clean baseline); "
+            f"{canary_verdict['runs_clean']} run(s) kept, "
+            f"{canary_verdict['runs_dropped']} dropped as wave-ridden "
+            "(per-run audits; a min never comes from a contaminated run)."
             if canary_verdict
             else ""
         )
@@ -181,14 +184,64 @@ def main() -> int:
     ap.add_argument(
         "--canary",
         metavar="LOG",
-        help="path to a running tools/canary.py log; the recording is "
-        "additionally audited against it over the exact run window and "
-        "REFUSED if contaminated. Round-8 lesson: two back-to-back runs "
-        "slowed UNIFORMLY by a host CPU-steal wave agree within the "
-        "1.15x gate and still record a poisoned table — only an "
-        "independent-process audit catches that mode.",
+        help="path to a running tools/canary.py log; EACH run's window "
+        "is audited separately and wave-ridden runs are DROPPED (the "
+        "round-9 refinement: an all-or-nothing audit over the union "
+        "window demands ~30 uninterrupted quiet minutes, which this "
+        "host's minutes-long steal waves rarely allow — per-run "
+        "auditing keeps the sound property, a min never comes from a "
+        "contaminated run, while needing only two disjoint quiet "
+        "runs). Fewer than 2 clean runs refuses the recording. "
+        "Round-8 lesson stands: back-to-back runs slowed UNIFORMLY by "
+        "a wave agree within the 1.15x gate and would record a "
+        "poisoned table — only an independent-process audit catches "
+        "that mode.",
     )
     args = ap.parse_args()
+
+    import time as _time
+
+    # (rec, t0, t1) per run — the window is audited per run when
+    # --canary is given, and a contaminated run is dropped wholesale.
+    runs: list[tuple[dict, float, float]] = []
+    for i in range(args.runs):
+        t0 = _time.time()
+        rec = run_bench(args.only)
+        runs.append((rec, t0, _time.time()))
+        run_unconf = set(rec.get("unconfirmed", []))
+        print(
+            f"run {i + 1}/{args.runs}: suite {rec['value']} s"
+            + (f" (unconfirmed: {sorted(run_unconf)})" if run_unconf else ""),
+            file=sys.stderr,
+        )
+
+    canary_verdict = None
+    if args.canary:
+        from canary import audit_windows
+
+        kept = []
+        for i, (rec, t0, t1) in enumerate(runs):
+            # audit_windows raises on a missing/empty log — a tooling
+            # error, reported as such, never as contamination (ADVICE r8).
+            v = audit_windows(args.canary, [(t0, t1)])
+            print(f"run {i + 1} canary audit: {json.dumps(v)}", file=sys.stderr)
+            if v["clean"]:
+                kept.append((rec, t0, t1))
+            else:
+                print(
+                    f"run {i + 1} DROPPED (host wave rode its window)",
+                    file=sys.stderr,
+                )
+        if len(kept) < 2:
+            raise RuntimeError(
+                f"only {len(kept)}/{len(runs)} runs had canary-clean "
+                "windows — a single clean run cannot witness its own "
+                "minimum; recording refused (re-run on a quieter host)"
+            )
+        canary_verdict = audit_windows(args.canary, [(t0, t1) for _, t0, t1 in kept])
+        canary_verdict["runs_clean"] = len(kept)
+        canary_verdict["runs_dropped"] = len(runs) - len(kept)
+        runs = kept
 
     mins: dict[str, float] = {}
     totals: list[float] = []
@@ -197,18 +250,9 @@ def main() -> int:
     # a later run confirming a slower time does not rescue a min that
     # was never witnessed twice.
     min_unconfirmed: dict[str, bool] = {}
-    import time as _time
-
-    t_start = _time.time()
-    for i in range(args.runs):
-        rec = run_bench(args.only)
+    for i, (rec, _t0, _t1) in enumerate(runs):
         totals.append(rec["value"])
         run_unconf = set(rec.get("unconfirmed", []))
-        print(
-            f"run {i + 1}/{args.runs}: suite {rec['value']} s"
-            + (f" (unconfirmed: {sorted(run_unconf)})" if run_unconf else ""),
-            file=sys.stderr,
-        )
         for name, t in rec["queries"].items():
             if t < 0:
                 raise RuntimeError(f"{name} failed in bench run {i + 1}")
@@ -217,50 +261,11 @@ def main() -> int:
                 min_unconfirmed[name] = name in run_unconf
 
     check_idle(totals)
-    canary_verdict = None
-    if args.canary:
-        audit = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(REPO, "tools", "canary.py"),
-                "--audit",
-                args.canary,
-                str(t_start),
-                str(_time.time()),
-            ],
-            capture_output=True,
-            text=True,
-        )
-        print(f"canary audit: {audit.stdout.strip()}", file=sys.stderr)
-        # Adjudicate on the audit's JSON verdict, not its exit code
-        # alone: a missing/unreadable log or a canary crash also exits
-        # nonzero, and misreading a tooling error as "host interference"
-        # would poison the adjudication record (ADVICE r8).
-        verdict = None
-        for line in audit.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                verdict = json.loads(line)
-                break
-        if verdict is None:
-            raise RuntimeError(
-                "canary audit produced no verdict (tool failure, not a "
-                "contamination finding) — "
-                f"exit {audit.returncode}; stdout: {audit.stdout.strip()!r}; "
-                f"stderr: {audit.stderr.strip()!r}"
-            )
-        if not verdict.get("clean"):
-            raise RuntimeError(
-                "canary audit of the recording window is contaminated "
-                f"({verdict}) — the runs may agree only because a host "
-                "wave slowed them uniformly; recording refused"
-            )
-        canary_verdict = verdict
     unconfirmed = {n for n, u in min_unconfirmed.items() if u}
     if args.dry_run or args.only:
         print(render_table(mins, unconfirmed))
         return 0
-    rewrite_baseline(mins, args.runs, totals, unconfirmed, canary_verdict)
+    rewrite_baseline(mins, len(runs), totals, unconfirmed, canary_verdict)
     print(f"BASELINE.md idle table rewritten ({len(mins)} queries, "
           f"total {sum(mins.values()):.2f} s)")
     return 0

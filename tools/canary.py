@@ -55,32 +55,43 @@ def run() -> None:
         time.sleep(0.4)
 
 
-def audit(path: str, t0: float | None, t1: float | None) -> int:
+def audit_windows(path: str, windows: list[tuple[float | None, float | None]]) -> dict:
+    """Pool the canary samples falling inside ANY of the [t0, t1]
+    windows and adjudicate against the gates. Importable (bench_idle
+    audits each bench run's window separately and records the verdict
+    over the union of the CLEAN windows). Raises ValueError when no
+    samples land in the windows — a tooling error (canary not
+    running), never a contamination finding."""
     vals = []
     for line in open(path):
         if not line.strip():
             continue
         rec = json.loads(line)
-        if (t0 is None or rec["t"] >= t0) and (t1 is None or rec["t"] <= t1):
-            vals.append(rec["ms"])
+        for t0, t1 in windows:
+            if (t0 is None or rec["t"] >= t0) and (t1 is None or rec["t"] <= t1):
+                vals.append(rec["ms"])
+                break
     if not vals:
-        print("no canary samples in window")
-        return 1
+        raise ValueError(f"no canary samples in window(s) {windows} of {path}")
     med = statistics.median(vals)
     p90 = sorted(vals)[int(0.9 * len(vals))]
-    clean = med < MED_GATE_MS and p90 < P90_GATE_MS
-    print(
-        json.dumps(
-            {
-                "n": len(vals),
-                "med_ms": round(med, 1),
-                "p90_ms": round(p90, 1),
-                "max_ms": round(max(vals), 1),
-                "clean": clean,
-            }
-        )
-    )
-    return 0 if clean else 1
+    return {
+        "n": len(vals),
+        "med_ms": round(med, 1),
+        "p90_ms": round(p90, 1),
+        "max_ms": round(max(vals), 1),
+        "clean": med < MED_GATE_MS and p90 < P90_GATE_MS,
+    }
+
+
+def audit(path: str, t0: float | None, t1: float | None) -> int:
+    try:
+        verdict = audit_windows(path, [(t0, t1)])
+    except ValueError as exc:
+        print(exc)
+        return 1
+    print(json.dumps(verdict))
+    return 0 if verdict["clean"] else 1
 
 
 def main() -> int:
