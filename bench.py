@@ -146,18 +146,24 @@ def main() -> int:
     all_samples = sorted(s for v in ambient_by_query.values() for s in v)
     med = all_samples[len(all_samples) // 2] if all_samples else None
     p90 = all_samples[int(0.9 * len(all_samples))] if all_samples else None
+    # The IN-PROCESS probe baseline differs from the external canary's:
+    # sampled hot between passes it reads ~3-4 ms clean (the external
+    # canary's sleep-wake loop reads 15-24 ms), so the canary gates
+    # would be blind to a 4x wave here. Gate the SUITE median at 3x the
+    # observed in-process clean baseline; the p90 and per-query tails
+    # are reported but not gated — probes right after a heavy query's
+    # pass land during JVM cleanup (observed 40-60 ms on a
+    # canary-verified-clean window) and reflect self-load, not host
+    # waves.
+    suite_med_gate = 12.0
     ambient = {
         "suite_med_ms": round(med, 1) if med is not None else None,
         "suite_p90_ms": round(p90, 1) if p90 is not None else None,
         "n": len(all_samples),
-        # Same gates as tools/canary.py --audit (clean baseline on this
-        # sandbox: ~15-24 ms/probe). clean=false means the recording
-        # window was wave-ridden: adjudicate apparent regressions
-        # against BASELINE.md's idle table, not this file's numbers.
-        "gates_ms": {"med": MED_GATE_MS, "p90": P90_GATE_MS},
-        "clean": bool(
-            med is not None and med < MED_GATE_MS and p90 < P90_GATE_MS
-        ),
+        "gates_ms": {"suite_med": suite_med_gate},
+        "clean": bool(med is not None and med < suite_med_gate),
+        "clean_baseline_ms": "3-4 in-process (external canary: 15-24, "
+        f"gates med<{MED_GATE_MS:g}/p90<{P90_GATE_MS:g})",
         "per_query_med_ms": {
             n: round(sorted(v)[len(v) // 2], 1)
             for n, v in ambient_by_query.items()
