@@ -103,6 +103,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     # hash-exact at sf0.01 AND sf0.1, sf1-clean (1,780 rows, matching
     # its batch twin).
     "streaming_contamination_replay",
+    "sequence_packing_sharded",
 })
 
 #: Explicit registry order — round-9 rotation, computed by
@@ -357,6 +358,7 @@ _ORDER = [
     "asof_join_next_bar",
     "volume_bars",
     "streaming_contamination_replay",
+    "sequence_packing_sharded",
 ]
 
 

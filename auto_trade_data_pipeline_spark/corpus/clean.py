@@ -1408,6 +1408,105 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shards per source for the sharded packing query — the 100 TB form.
+PACK_SHARDS = 4
+
+_PACKING_SHARDED_ORACLE = f"""
+WITH {_DOCS_CTE},
+tc AS (
+  SELECT source, doc_id % {PACK_SHARDS} AS shard, doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source, doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM toks
+),
+tapes AS (
+  SELECT source, shard, list(n_tokens ORDER BY doc_id) AS tape
+  FROM tc GROUP BY source, shard
+),
+local AS (
+  SELECT t.source, t.shard, t.doc_id, t.n_tokens,
+         list_reduce(
+           list_transform(list_slice(p.tape, 1, t.rn),
+                          v -> [CAST(1 AS BIGINT), CAST(v AS BIGINT)]),
+           (acc, el) -> CASE WHEN acc[2] + el[2] > {PACK_CAPACITY}
+                             THEN [acc[1] + 1, el[2]]
+                             ELSE [acc[1], acc[2] + el[2]] END
+         )[1] AS bin_local
+  FROM tc t JOIN tapes p USING (source, shard)
+),
+nb AS (SELECT source, shard, max(bin_local) AS n_bins FROM local GROUP BY source, shard),
+off AS (
+  SELECT source, shard,
+         coalesce(sum(n_bins) OVER (ORDER BY source, shard
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS bin_offset
+  FROM nb
+)
+SELECT l.source, CAST(l.shard AS BIGINT) AS shard, l.doc_id, l.n_tokens,
+       l.bin_local,
+       -- the windowed sum is HUGEINT; pin the driver-visible dtype
+       CAST(l.bin_local + o.bin_offset AS BIGINT) AS bin_global
+FROM local l JOIN off o USING (source, shard)
+"""
+
+
+@register("sequence_packing_sharded", _PACKING_SHARDED_ORACLE, tags=("EXT3", "W3"))
+def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``sequence_packing``, materialized (its
+    docstring's scale recipe as tested code instead of prose): the
+    corpus packs per (source, shard) — shard-parallel, so the fold's
+    serial recursion never exceeds a shard's tape — with shard-local
+    bin ids made GLOBALLY unique by an exclusive prefix sum of
+    per-shard bin counts over the (source, shard) dimension (the
+    global_rank_orders recipe: the offsets frame is
+    sources x shards-sized, so its ordering window is dimension-sized,
+    never a corpus-wide SinglePartition funnel; offsets broadcast
+    back). Shard = doc_id % PACK_SHARDS — deterministic and
+    oracle-replayable; at real scale the shard is the ingest split.
+
+    One packing exchange by (source, shard) + one dimension-sized
+    window + one broadcast join: the corpus-sized side shuffles once,
+    exactly like the unsharded fold."""
+    from auto_trade_data_pipeline_spark.operators import jvm_folds as jf
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("double").alias("n_toks"),
+    )
+    local = jf.scan_by_key(
+        toks,
+        ["source", "shard"],
+        "doc_id",
+        ["n_toks"],
+        {"bin_local": jf.packing_scan_sql("transform(s, e -> e.n_toks)", PACK_CAPACITY)},
+    )
+    nb = local.groupBy("source", "shard").agg(F.max("bin_local").alias("n_bins"))
+    w = (
+        Window.orderBy("source", "shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = nb.select(
+        "source",
+        "shard",
+        F.coalesce(F.sum("n_bins").over(w), F.lit(0)).alias("bin_offset"),
+    )
+    return (
+        local.join(F.broadcast(off), ["source", "shard"])
+        .select(
+            "source",
+            F.col("shard").cast("long").alias("shard"),
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_tokens"),
+            "bin_local",
+            (F.col("bin_local") + F.col("bin_offset")).alias("bin_global"),
+        )
+    )
+
+
 _PACKING_EFFICIENCY_ORACLE = f"""
 WITH packed AS ({_PACKING_ORACLE})
 SELECT source,

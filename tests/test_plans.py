@@ -802,3 +802,12 @@ def test_round9_queries_plan_shapes(spark, sf_small):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan, "source agg must map-side combine"
+
+    # Sharded packing: the corpus-sized side shuffles only for the
+    # (source, shard) fold; the offsets ride a dimension-sized frame
+    # back via a broadcast join. Its only ordering window is the
+    # (sources x shards)-sized prefix sum — never the corpus.
+    plan = _plan(reg["sequence_packing_sharded"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
