@@ -104,6 +104,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     # its batch twin).
     "streaming_contamination_replay",
     "sequence_packing_sharded",
+    "zorder_layout_stats",
 })
 
 #: Explicit registry order — round-9 rotation, computed by
@@ -359,6 +360,7 @@ _ORDER = [
     "volume_bars",
     "streaming_contamination_replay",
     "sequence_packing_sharded",
+    "zorder_layout_stats",
 ]
 
 

@@ -1456,3 +1456,122 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("secs").alias("min_s"),
         F.max("secs").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout readout (multi-dimensional file clustering)
+# ---------------------------------------------------------------------------
+
+#: Files in the simulated layout and bits per z-order dimension.
+ZORD_FILES = 16
+ZORD_BITS = 16
+
+_ZORDER_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+),
+b AS (
+  SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+         min(ts_us) AS lo_t, max(ts_us) AS hi_t
+  FROM e
+),
+bk AS (
+  SELECT user_id, ts_us,
+         least(CAST(floor((CAST(user_id AS DOUBLE) - CAST(lo_u AS DOUBLE))
+                 / (CASE WHEN hi_u > lo_u THEN CAST(hi_u AS DOUBLE) - CAST(lo_u AS DOUBLE) ELSE 1.0 END)
+                 * {1 << ZORD_BITS}) AS BIGINT), {(1 << ZORD_BITS) - 1}) AS bu,
+         least(CAST(floor((CAST(ts_us AS DOUBLE) - CAST(lo_t AS DOUBLE))
+                 / (CASE WHEN hi_t > lo_t THEN CAST(hi_t AS DOUBLE) - CAST(lo_t AS DOUBLE) ELSE 1.0 END)
+                 * {1 << ZORD_BITS}) AS BIGINT), {(1 << ZORD_BITS) - 1}) AS bt
+  FROM e, b
+),
+zi AS (
+  SELECT user_id, ts_us,
+         (SELECT sum((((bu >> i) & 1) << (2 * i)) + (((bt >> i) & 1) << (2 * i + 1)))
+          FROM range(0, {ZORD_BITS}) t(i)) AS zv
+  FROM bk
+),
+zb AS (SELECT min(zv) AS zlo, max(zv) AS zhi FROM zi),
+fz AS (
+  SELECT user_id, ts_us,
+         (zv - zlo) * {ZORD_FILES} // (zhi - zlo + 1) AS file_id
+  FROM zi, zb
+),
+ft AS (
+  SELECT user_id, ts_us,
+         (ts_us - lo_t) * {ZORD_FILES} // (hi_t - lo_t + 1) AS file_id
+  FROM e, b
+)
+SELECT 'zorder' AS layout, CAST(file_id AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(user_id) - min(user_id) AS BIGINT) AS user_span,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS ts_span_us
+FROM fz GROUP BY file_id
+UNION ALL
+SELECT 'ts_range', CAST(file_id AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(max(user_id) - min(user_id) AS BIGINT),
+       CAST(max(ts_us) - min(ts_us) AS BIGINT)
+FROM ft GROUP BY file_id
+"""
+
+
+@register("zorder_layout_stats", _ZORDER_ORACLE, tags=("EXT3", "S5"))
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout readout — the footer-stat evidence behind
+    operators/layout.py's OPTIMIZE ZORDER (with_zorder_key: broadcast
+    global bounds -> equal-width bucket per dimension -> Morton bit
+    interleave, pure JVM shift/and arithmetic): events are assigned to
+    ``ZORD_FILES`` simulated files by z-key range, and per file the
+    report carries the (user_id, ts) min/max SPANS parquet footers
+    would expose — the z layout bounds BOTH dimensions' spans (each
+    file covers a hyper-rectangle), while the ``ts_range`` baseline
+    layout (sort-by-time, also reported) has tiny ts spans but
+    full-corpus user spans, i.e. zero pruning for user predicates.
+    The oracle replays the bucketing, the 16-bit interleave, and both
+    file assignments exactly (integer micros + double bucket math —
+    both deterministic).
+
+    Scale shape: two tiny broadcast bound aggregates + pure
+    expressions + one hash-agg per layout; file assignment is
+    arithmetic on the z-key range, never a global sort or ntile (no
+    SinglePartition anywhere). The real write path
+    (write_zordered's repartitionByRange) is pinned by
+    tests/test_layout.py's file-overlap pruning assertions."""
+    from auto_trade_data_pipeline_spark.operators.layout import with_zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    ev = scoped_persist(ev)  # with_zorder_key sees a persisted input -> no private cache
+    keyed = with_zorder_key(ev, ["user_id", "ts_us"], bits=ZORD_BITS).df
+
+    zb = keyed.agg(
+        F.min("__z").alias("zlo"), F.max("__z").alias("zhi")
+    )
+    fz = keyed.join(F.broadcast(zb)).select(
+        "user_id",
+        "ts_us",
+        F.expr(f"(__z - zlo) * {ZORD_FILES} div (zhi - zlo + 1)").alias("file_id"),
+    )
+    tb = ev.agg(F.min("ts_us").alias("lo_t"), F.max("ts_us").alias("hi_t"))
+    ft = ev.join(F.broadcast(tb)).select(
+        "user_id",
+        "ts_us",
+        F.expr(f"(ts_us - lo_t) * {ZORD_FILES} div (hi_t - lo_t + 1)").alias("file_id"),
+    )
+
+    def report(df: DataFrame, layout: str) -> DataFrame:
+        return df.groupBy("file_id").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("user_id") - F.min("user_id")).cast("long").alias("user_span"),
+            (F.max("ts_us") - F.min("ts_us")).cast("long").alias("ts_span_us"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            F.col("file_id").cast("long").alias("file_id"),
+            "n_rows",
+            "user_span",
+            "ts_span_us",
+        )
+
+    return report(fz, "zorder").unionByName(report(ft, "ts_range"))
