@@ -105,6 +105,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_contamination_replay",
     "sequence_packing_sharded",
     "zorder_layout_stats",
+    "streaming_lsh_dedup_replay",
 })
 
 #: Explicit registry order — round-9 rotation, computed by
@@ -361,6 +362,7 @@ _ORDER = [
     "streaming_contamination_replay",
     "sequence_packing_sharded",
     "zorder_layout_stats",
+    "streaming_lsh_dedup_replay",
 ]
 
 

@@ -1353,3 +1353,84 @@ def streaming_contamination_replay(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("__top.cos").alias("max_cos"),
         (-F.col("__top.neg_eval")).alias("top_eval_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST+: streaming LSH near-dup filter (the index as keyed state)
+# ---------------------------------------------------------------------------
+
+def _stream_lsh_oracle() -> str:
+    # "Earliest prior bucket occupant" under doc_id-ordered arrival is
+    # the minimum smaller doc_id sharing a band bucket — relational,
+    # so the stateful index op gets a full SQL oracle built from the
+    # same shingle/signature/banding CTEs as the batch LSH queries.
+    from auto_trade_data_pipeline_spark.corpus.ext import (
+        _DOCS_CTE,
+        _band_rows_sql,
+        _mh_cols_sql,
+        _shingles_cte,
+    )
+
+    return f"""
+WITH {_DOCS_CTE},
+{_shingles_cte()},
+mh AS (
+  SELECT doc_id,
+         {_mh_cols_sql()}
+  FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+{_band_rows_sql()}
+),
+earlier AS (
+  SELECT b.doc_id, min(a.doc_id) AS nearest_earlier
+  FROM bands b LEFT JOIN bands a
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY b.doc_id
+)
+SELECT doc_id, nearest_earlier IS NOT NULL AS is_dup, nearest_earlier FROM earlier
+"""
+
+
+@register("streaming_lsh_dedup_replay", _stream_lsh_oracle(), tags=("ST4", "EXT1"))
+def streaming_lsh_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-duplicate filtering (streaming/lsh.py): every
+    arriving document is checked against EVERYTHING previously seen —
+    the signature computed statelessly per row
+    (operators/text.py:minhash_cols_expr, identical arithmetic to the
+    batch groupBy path), banded with the batch `_banded` inline
+    array, and probed against the LSH index carried as keyed state
+    (one min-doc-id cell per band bucket). Each document reports
+    whether any bucket already had an earlier occupant and the
+    earliest such document — the keep/drop decision a 100 TB/day
+    ingest makes BEFORE paying storage for a duplicate, without ever
+    re-scanning the corpus. Candidate-level semantics (the batch
+    pipeline's exact-Jaccard verify runs downstream on the flagged
+    minority, exactly as in `dedup_near_minhash_lsh`). Multi-batch ==
+    batch parity pinned in tests/test_streaming_lsh.py; the oracle
+    replays signature, banding, and the earliest-occupant reduction
+    relationally."""
+    from auto_trade_data_pipeline_spark.corpus.ext import NUM_PERMS, ROWS_PER_BAND
+    from auto_trade_data_pipeline_spark.operators import text as TX
+    from auto_trade_data_pipeline_spark.operators.text import _banded
+    from auto_trade_data_pipeline_spark.streaming.lsh import streaming_lsh_flags
+
+    stream = read_table_stream(
+        spark,
+        sf_dir,
+        "documents",
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sh = TX.shingles_array(TX.tokens(F.col("text")))
+    sig = stream.select(
+        "doc_id", *TX.minhash_cols_expr(sh, NUM_PERMS)
+    ).filter(F.col("mh0").isNotNull())
+    banded = _banded(sig, "doc_id", NUM_PERMS, ROWS_PER_BAND)
+    flags = streaming_lsh_flags(banded)
+    out = run_available_now(
+        flags, f"corpus_stream_lsh_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return out.groupBy("doc_id").agg(
+        F.min("earlier").isNotNull().alias("is_dup"),
+        F.min("earlier").alias("nearest_earlier"),
+    )

@@ -156,6 +156,47 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     )
 
 
+def shingles_array(ts: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as a per-row ARRAY via
+    higher-order functions — the STREAM path (shingle_rows' window
+    needs a batch plan; HOF lambdas are interpreted and ~8x slower,
+    the price of windowlessness — use shingle_rows wherever a batch
+    plan is available). Matches the oracle's list builder exactly,
+    including the empty result for docs shorter than ``n`` (Spark's
+    sequence(1, 0) DESCENDS instead of being empty — the when-guard
+    is load-bearing)."""
+    if n != 3:
+        raise ValueError("shingles_array mirrors the 3-gram oracle builder")
+    idx = F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1))
+    built = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ts, i), F.element_at(ts, i + 1), F.element_at(ts, i + 2)
+        ),
+    )
+    return F.when(F.size(ts) >= n, F.array_distinct(built)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_cols_expr(shingles: Column, num_perms: int) -> list[Column]:
+    """The ``num_perms`` minhash signature values as PURE per-row
+    expressions (array_min over a transformed shingle array) — no
+    aggregation, so the signature is computable on a streaming
+    DataFrame. Identical arithmetic to `_minhash_aggs` (same md5 base
+    hash, same universal-hash family), hence identical signatures."""
+    base = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    out = []
+    for p in range(num_perms):
+        a, b = minhash_coeffs(p)
+        out.append(
+            F.array_min(
+                F.transform(shingles, lambda s: (base(s) * a + b) % MINHASH_PRIME)
+            ).alias(f"mh{p}")
+        )
+    return out
+
+
 def _minhash_aggs(num_perms: int) -> list[Column]:
     base = F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast("long")
     out = []
