@@ -32,14 +32,14 @@ def test_rewrite_anchors_match_current_baseline(tmp_path, monkeypatch):
     # notes (round-7 review: the narrower Use:-only capture silently
     # dropped the machine-change paragraph).
     assert "Use: when a driver-recorded" in out
-    assert "ROUND-7 RE-RECORDINGS" in out
+    assert "ROUND-9 RE-RECORDING" in out
     # Old table rows must be gone.
     assert "`candles_1s`" not in out
     # Idempotent anchors: a second rewrite still finds them.
     bench_idle.rewrite_baseline({"q_gamma": 2.0}, runs=2, totals=[2.0, 2.1])
     out2 = open(tmp).read()
     assert "q_gamma" in out2 and "q_alpha" not in out2
-    assert "ROUND-7 RE-RECORDINGS" in out2 and "Use: when a driver-recorded" in out2
+    assert "ROUND-9 RE-RECORDING" in out2 and "Use: when a driver-recorded" in out2
 
 
 def test_unconfirmed_min_is_marked(tmp_path, monkeypatch):
