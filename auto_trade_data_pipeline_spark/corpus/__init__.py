@@ -106,6 +106,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "sequence_packing_sharded",
     "zorder_layout_stats",
     "streaming_lsh_dedup_replay",
+    "cluster_aware_split",
 })
 
 #: Explicit registry order — round-9 rotation, computed by
@@ -363,6 +364,7 @@ _ORDER = [
     "sequence_packing_sharded",
     "zorder_layout_stats",
     "streaming_lsh_dedup_replay",
+    "cluster_aware_split",
 ]
 
 

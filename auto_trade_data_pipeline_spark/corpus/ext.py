@@ -594,6 +594,170 @@ def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cluster-aware train/val/test split (leakage-free benchmark splitting)
+# ---------------------------------------------------------------------------
+
+#: Hash-bucket boundaries (percent): [0,80) train, [80,90) val, rest test.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+
+
+def _split_oracle() -> str:
+    gb = _duck_hash("CAST(group_id AS VARCHAR)", salt="split")
+    nb = _duck_hash("CAST(doc_id AS VARCHAR)", salt="split")
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM njpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM njpairs
+),
+walk(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, min(v) AS group_id FROM walk GROUP BY u
+),
+assign AS (
+  SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+  FROM docs d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+marked AS (
+  SELECT doc_id, group_id, {gb} % 100 AS gb, {nb} % 100 AS nb FROM assign
+),
+named AS MATERIALIZED (
+  SELECT doc_id, group_id,
+         CASE WHEN gb < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN gb < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END AS split,
+         CASE WHEN nb < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN nb < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END AS naive_split
+  FROM marked
+),
+split_counts AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT group_id) AS BIGINT) AS n_clusters
+  FROM named GROUP BY split
+),
+pair_marked AS (
+  SELECT ma.split AS sa_c, mb.split AS sb_c,
+         ma.naive_split AS sa_n, mb.naive_split AS sb_n
+  FROM njpairs p
+  JOIN named ma ON ma.doc_id = p.id_a
+  JOIN named mb ON mb.doc_id = p.id_b
+),
+leak_naive AS (
+  SELECT sa_n AS split, CAST(count(*) AS BIGINT) AS c
+  FROM pair_marked WHERE sa_n <> sb_n GROUP BY sa_n
+),
+leak_cluster AS (
+  SELECT sa_c AS split, CAST(count(*) AS BIGINT) AS c
+  FROM pair_marked WHERE sa_c <> sb_c GROUP BY sa_c
+)
+SELECT s.split, s.n_docs, s.n_clusters,
+       CAST(coalesce(ln.c, 0) AS BIGINT) AS leaked_pairs_naive,
+       CAST(coalesce(lc.c, 0) AS BIGINT) AS leaked_pairs_cluster
+FROM split_counts s
+LEFT JOIN leak_naive ln ON ln.split = s.split
+LEFT JOIN leak_cluster lc ON lc.split = s.split
+"""
+
+
+@register("cluster_aware_split", _split_oracle(), tags=("EXT1",))
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test splitting: assign every document
+    to a split by the salted hash of its NEAR-DUP CLUSTER id (CC over
+    the MinHash-verified pair graph; unpaired docs are their own
+    singleton cluster), so no near-duplicate pair can straddle
+    train/test — the split-time counterpart of decontamination
+    (`contamination_check` audits a finished split; this op makes the
+    leak impossible by construction). Per split, reports doc and
+    cluster counts plus the number of verified near-dup pairs that
+    straddle splits under (a) the naive per-doc hash split — the
+    demonstrated leak — and (b) the cluster-aware split, computed the
+    same way and provably zero.
+
+    Scale shape: the pair list is banded-LSH-bounded (never
+    all-pairs), CC is the shared O(log n)/O(diameter) fixpoint, the
+    assignment is ONE doc-keyed left join + pure hash expressions,
+    and the leak audit is two pair-sized joins — output is 3 rows.
+    The hash is the portable md5 family, so the same corpus splits
+    identically on any engine (reproducible across reshards; at
+    100 TB the split needs no coordination — any worker can recompute
+    any doc's split from its cluster id alone)."""
+    from auto_trade_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = scoped_persist(dedup_near_minhash_lsh(spark, sf_dir))
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assign = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("group_id", "doc_id").alias("group_id")
+    )
+
+    def bucket(col):
+        return F.pmod(TX.hash64(col.cast("string"), salt="split"), F.lit(100))
+
+    def split_name(b):
+        return (
+            F.when(b < SPLIT_TRAIN_PCT, "train")
+            .when(b < SPLIT_VAL_PCT, "val")
+            .otherwise("test")
+        )
+
+    named = scoped_persist(
+        assign.select(
+            "doc_id",
+            "group_id",
+            split_name(bucket(F.col("group_id"))).alias("split"),
+            split_name(bucket(F.col("doc_id"))).alias("naive_split"),
+        )
+    )
+    counts = named.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("group_id").cast("long").alias("n_clusters"),
+    )
+    pm = pairs.join(
+        named.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("split").alias("sa_c"),
+            F.col("naive_split").alias("sa_n"),
+        ),
+        "id_a",
+    ).join(
+        named.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("split").alias("sb_c"),
+            F.col("naive_split").alias("sb_n"),
+        ),
+        "id_b",
+    )
+    leak_n = (
+        pm.filter("sa_n <> sb_n")
+        .groupBy(F.col("sa_n").alias("split"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ln"))
+    )
+    leak_c = (
+        pm.filter("sa_c <> sb_c")
+        .groupBy(F.col("sa_c").alias("split"))
+        .agg(F.count(F.lit(1)).cast("long").alias("lc"))
+    )
+    return (
+        counts.join(leak_n, "split", "left")
+        .join(leak_c, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce("ln", F.lit(0)).cast("long").alias("leaked_pairs_naive"),
+            F.coalesce("lc", F.lit(0)).cast("long").alias("leaked_pairs_cluster"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the near-dup graph (corpus-authority signal)
 # ---------------------------------------------------------------------------
 

@@ -811,3 +811,10 @@ def test_round9_queries_plan_shapes(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 1, plan[:2000]
     assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+
+    # Cluster-aware split: pair-list joins and hash expressions only —
+    # nothing all-pairs, no ordering funnel anywhere (the split is a
+    # pure per-row hash of the CC label, recomputable by any worker).
+    plan = _plan(reg["cluster_aware_split"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan, plan[:2000]
