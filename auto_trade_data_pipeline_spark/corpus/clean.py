@@ -1303,17 +1303,14 @@ def boilerplate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.collect_set("span").alias("flagged"))
     )
-    k = sp.join(F.broadcast(flagged), "source", "left").select(
-        "source",
-        "doc_id",
-        "spans",
-        F.filter(
-            "spans",
-            lambda x: ~F.array_contains(
-                F.coalesce(F.col("flagged"), F.array().cast("array<string>")), x
-            ),
-        ).alias("kept"),
-    )
+    # Removal strategy: the broadcast array-filter (zero extra
+    # shuffle) — right while flagged sets are tens of spans, as here.
+    # On a real crawl with ~10^3-10^4 flagged spans per source, pass
+    # strategy="exploded" (posexplode + broadcast anti-join + pos-
+    # ordered re-agg: linear per doc, one extra narrow exchange) —
+    # output-identical, equality pinned in
+    # tests/test_boilerplate_strategies.py.
+    k = CL.remove_flagged_spans(sp, flagged, strategy="filter")
     kept_text = F.array_join("kept", " ")
     n_spans = F.size("spans").cast("long")
     boiler = (F.size("spans") - F.size("kept")).cast("long")

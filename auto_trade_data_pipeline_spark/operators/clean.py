@@ -32,9 +32,77 @@ __all__ = [
     "PII_PATTERNS",
     "redact_pii",
     "chunk_tokens",
+    "remove_flagged_spans",
     "repetition_stats",
     "ngram_contamination",
 ]
+
+
+def remove_flagged_spans(
+    sp: DataFrame,
+    flagged: DataFrame,
+    *,
+    strategy: str = "filter",
+    span_col: str = "spans",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop per-group flagged spans from each document's ordered span
+    array (the removal half of boilerplate cleaning). ``sp`` carries
+    (group, id, spans: array<string>); ``flagged`` carries (group,
+    flagged: array<string>), dimension-sized by the df-threshold
+    construction. Returns ``sp`` plus ``kept`` — the spans NOT
+    flagged for their group, in original order, duplicates preserved;
+    groups absent from ``flagged`` keep everything.
+
+    Two plans with identical output (equality pinned in
+    tests/test_boilerplate_strategies.py):
+
+    - ``filter``: broadcast the flagged arrays, per-row
+      ``F.filter(spans, x -> !array_contains(flagged, x))``. ZERO
+      extra shuffle, but O(|spans| * |flagged|) string compares per
+      document — Spark evaluates both ``array_contains`` and
+      expression-map lookups as linear scans. Right while flagged
+      sets are small (the synthetic corpus: tens of spans).
+    - ``exploded``: posexplode the spans, broadcast LEFT ANTI join
+      against the exploded flagged rows, re-assemble per document
+      with ``array_sort(collect_list(struct(pos, span)))``. O(|spans|)
+      hash probes per document plus ONE extra narrow exchange
+      (id-keyed re-agg of (pos, span) rows — the blobs stay behind).
+      Right on a real line-structured crawl where flagged sets reach
+      the k*100/BOILER_DF_PCT bound (~10^3-10^4 spans): the filter
+      plan's per-doc compare count goes quadratic-ish while this
+      stays linear, and the exchange is narrower than the compute it
+      saves.
+    """
+    empty = F.array().cast("array<string>")
+    if strategy == "filter":
+        return sp.join(F.broadcast(flagged), group_col, "left").select(
+            *sp.columns,
+            F.filter(
+                span_col,
+                lambda x: ~F.array_contains(F.coalesce(F.col("flagged"), empty), x),
+            ).alias("kept"),
+        )
+    if strategy != "exploded":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    fl_rows = flagged.select(group_col, F.explode("flagged").alias("__span")).distinct()
+    pos = sp.select(
+        group_col, id_col, F.posexplode(span_col).alias("__pos", "__span")
+    )
+    kept_agg = (
+        pos.join(F.broadcast(fl_rows), [group_col, "__span"], "left_anti")
+        .groupBy(group_col, id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__span"))),
+                lambda s: s["__span"],
+            ).alias("kept")
+        )
+    )
+    return sp.join(kept_agg, [group_col, id_col], "left").select(
+        *sp.columns, F.coalesce("kept", empty).alias("kept")
+    )
 
 #: Redaction patterns, applied IN ORDER (email first: its domain part
 #: would otherwise partially match the IP pattern). Each is valid and

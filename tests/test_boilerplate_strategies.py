@@ -1,0 +1,94 @@
+"""remove_flagged_spans: the broadcast array-filter plan and the
+posexplode + anti-join + re-agg plan must be output-identical — the
+strategy choice is a pure plan decision (round-8 verdict structural
+note on boilerplate_span_report's per-doc linear array scan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from auto_trade_data_pipeline_spark.operators.clean import remove_flagged_spans
+
+SP = "source string, doc_id long, spans array<string>"
+FL = "source string, flagged array<string>"
+
+
+def _collect(df):
+    return sorted(
+        (r["source"], r["doc_id"], tuple(r["spans"]), tuple(r["kept"]))
+        for r in df.collect()
+    )
+
+
+def test_strategies_agree_on_edge_shapes(spark):
+    sp = spark.createDataFrame(
+        [
+            # Duplicates preserved, order preserved.
+            ("a", 1, ["x y", "b b", "x y", "z z", "b b"]),
+            # Everything flagged -> kept empty.
+            ("a", 2, ["b b", "b b"]),
+            # Empty span array.
+            ("a", 3, []),
+            # Source with no flagged entry -> keep all.
+            ("c", 4, ["b b", "q q"]),
+            # Flagged span of ANOTHER source must not leak across.
+            ("d", 5, ["b b", "d d"]),
+        ],
+        SP,
+    )
+    fl = spark.createDataFrame([("a", ["b b", "z z"]), ("d", ["d d"])], FL)
+    out_f = _collect(remove_flagged_spans(sp, fl, strategy="filter"))
+    out_e = _collect(remove_flagged_spans(sp, fl, strategy="exploded"))
+    assert out_f == out_e
+    by_id = {r[1]: r[3] for r in out_f}
+    assert by_id[1] == ("x y", "x y")
+    assert by_id[2] == ()
+    assert by_id[3] == ()
+    assert by_id[4] == ("b b", "q q")
+    assert by_id[5] == ("b b",)
+
+
+def test_strategies_agree_on_corpus_frames(spark, sf_small):
+    """Same equality over the real boilerplate frames at sf0.001 (the
+    exact span construction + df-threshold flagging the corpus query
+    uses)."""
+    from auto_trade_data_pipeline_spark.corpus.clean import (
+        BOILER_DF_PCT,
+        BOILER_SPAN,
+    )
+    from auto_trade_data_pipeline_spark.operators import text as TX
+    from auto_trade_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    toks = docs.select("source", "doc_id", TX.tokens(F.col("text")).alias("ts"))
+    n = F.size("ts")
+    spans = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), ((n - 1) / BOILER_SPAN).cast("int")),
+            lambda i: F.array_join(
+                F.slice("ts", i * BOILER_SPAN + 1, BOILER_SPAN), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = toks.select("source", "doc_id", spans.alias("spans")).persist()
+    dfreq = (
+        sp.select("source", F.explode(F.array_distinct("spans")).alias("span"))
+        .groupBy("source", "span")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = sp.groupBy("source").agg(F.count(F.lit(1)).alias("ndocs"))
+    fl = (
+        dfreq.join(nd, "source")
+        .where(F.col("df") * 100 >= F.col("ndocs") * BOILER_DF_PCT)
+        .groupBy("source")
+        .agg(F.collect_set("span").alias("flagged"))
+    )
+    try:
+        out_f = _collect(remove_flagged_spans(sp, fl, strategy="filter"))
+        out_e = _collect(remove_flagged_spans(sp, fl, strategy="exploded"))
+    finally:
+        sp.unpersist()
+    assert out_f == out_e and len(out_f) > 0
+    # The dataset must actually exercise removal for this to mean much.
+    assert any(len(r[2]) != len(r[3]) for r in out_f)
