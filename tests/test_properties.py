@@ -447,6 +447,22 @@ _INVARIANCE_QUERIES = [
     # (ledoit_wolf_shrinkage is hash-verified at sf0.01 and sf0.1; its
     # all-symbols hourly grid is EMPTY at sf0.001 — no hour has full
     # coverage there — so it would be a vacuous invariance row.)
+    # round-8/9 LLM-pipeline tier: df-threshold boilerplate flagging,
+    # the packing fold (plain, sharded global bin ids, utilization
+    # readout), fixed-order Neyman allocation, LSH-precision cluster
+    # audit, IVF-routed semantic decontamination, Morton-interleave
+    # layout stats, cluster-keyed leakage-free splitting (all
+    # non-vacuous at sf0.001; the streaming twins are covered by
+    # their own multi-batch==batch parity suites).
+    "boilerplate_span_report",
+    "sequence_packing",
+    "sequence_packing_sharded",
+    "packing_efficiency",
+    "stratified_neyman_sample",
+    "dedup_cluster_audit",
+    "semantic_contamination",
+    "zorder_layout_stats",
+    "cluster_aware_split",
 ]
 
 
