@@ -107,6 +107,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "zorder_layout_stats",
     "streaming_lsh_dedup_replay",
     "cluster_aware_split",
+    "kmv_quantile_sketch",
 })
 
 #: Explicit registry order — round-9 rotation, computed by
@@ -365,6 +366,7 @@ _ORDER = [
     "zorder_layout_stats",
     "streaming_lsh_dedup_replay",
     "cluster_aware_split",
+    "kmv_quantile_sketch",
 ]
 
 

@@ -673,6 +673,146 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV quantile sketch (deterministic mergeable quantile estimation)
+# ---------------------------------------------------------------------------
+
+KMVQ_K = 128
+KMVQ_QS = (50, 90, 99)
+
+_KMVQ_HV = (
+    "CAST('0x' || substr(md5('kmvq' || '|' || CAST(event_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+
+def _kmvq_idx(n: str, q: int) -> str:
+    """1-based order statistic index: ceil(n*q/100), floored at 1 —
+    integer arithmetic, identical under DuckDB ``//`` and Spark
+    ``div``."""
+    return f"greatest(CAST(1 AS BIGINT), ({n} * {q} + 99) // 100)"
+
+
+_KMVQ_ORACLE = f"""
+WITH {_EVENTS_CTE},
+b AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         {_KMVQ_HV} AS hv
+  FROM ev
+),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY event_type),
+rk AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv, cents) AS r
+  FROM b
+),
+samp AS (
+  SELECT event_type, list(cents ORDER BY cents) AS sv,
+         CAST(count(*) AS BIGINT) AS sample_n
+  FROM rk WHERE r <= {KMVQ_K} GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rr
+  FROM b
+),
+ex AS (
+  SELECT r.event_type,
+{",".join(f'''         max(CASE WHEN rr = {_kmvq_idx("n.n_rows", q)} THEN cents END) AS exact_p{q}''' for q in KMVQ_QS)}
+  FROM ranked r JOIN n ON n.event_type = r.event_type
+  GROUP BY r.event_type
+)
+SELECT s.event_type, n.n_rows, s.sample_n,
+{",".join(f'''       sv[CAST({_kmvq_idx("s.sample_n", q)} AS INTEGER)] AS est_p{q},
+       e.exact_p{q},
+       abs(sv[CAST({_kmvq_idx("s.sample_n", q)} AS INTEGER)] - e.exact_p{q}) AS err_p{q}''' for q in KMVQ_QS)}
+FROM samp s
+JOIN n ON n.event_type = s.event_type
+JOIN ex e ON e.event_type = s.event_type
+"""
+
+
+@register("kmv_quantile_sketch", _KMVQ_ORACLE, tags=("A5", "A9"))
+def kmv_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile estimation — the quantile
+    counterpart of `kmv_distinct_sketch`: per event_type keep the
+    k=128 ROWS with the smallest salted 60-bit hash of their unique
+    event_id (a deterministic uniform row sample — bottom-k by hash
+    IS reservoir sampling without the reservoir's order-dependence),
+    estimate P50/P90/P99 of the value column from the sorted sample
+    by the exact order-statistic rule ceil(m*q/100), and report each
+    estimate NEXT TO the exact percentile (same index rule over the
+    full group) with the absolute error in integer cents. Unlike
+    KLL/GK sketches the whole construction is insertion-order- and
+    merge-order-independent, so the estimate itself is hash-checked
+    cross-engine (the reason this repo avoids `approx_percentile`,
+    whose GK compaction is order-dependent).
+
+    Scale shape: the SKETCH side is the 100 TB path — bottom-k is
+    mergeable (each partition keeps its k smallest, merges are
+    union+bottom-k; the shuffle carries <= k (hv, cents) pairs per
+    group), membership is stable under re-partitioning and appends,
+    and the sorted-sample arrays are k longs per group. The EXACT
+    side (one rank window partitioned by event_type) is the
+    certification baseline computed in-engine — the expensive pass a
+    deployment runs once to validate the sketch's error, not per
+    query (the `ann_recall_report` pattern). High-cardinality group
+    keys ride the salted two-stage pattern of operators/skew.py."""
+    from pyspark.sql.window import Window
+
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    base = scoped_persist(
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            hash64(F.col("event_id").cast("string"), salt="kmvq").alias("hv"),
+        )
+    )
+    n = base.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+    ws = Window.partitionBy("event_type").orderBy("hv", "cents")
+    sarr = (
+        base.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= KMVQ_K)
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list("cents")).alias("sv"),
+            F.count(F.lit(1)).cast("long").alias("sample_n"),
+        )
+    )
+
+    we = Window.partitionBy("event_type").orderBy("cents")
+    ranked = base.withColumn("rr", F.row_number().over(we)).join(
+        F.broadcast(n), "event_type"
+    )
+    ex = ranked.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rr") == F.expr(_kmvq_idx("n_rows", q).replace("//", "div")),
+                    F.col("cents"),
+                )
+            ).alias(f"exact_p{q}")
+            for q in KMVQ_QS
+        ]
+    )
+
+    out = sarr.join(F.broadcast(n), "event_type").join(F.broadcast(ex), "event_type")
+    cols = [F.col("event_type"), F.col("n_rows"), F.col("sample_n")]
+    for q in KMVQ_QS:
+        est = F.element_at(
+            "sv", F.expr(_kmvq_idx("sample_n", q).replace("//", "div")).cast("int")
+        )
+        cols += [
+            est.alias(f"est_p{q}"),
+            F.col(f"exact_p{q}"),
+            F.abs(est - F.col(f"exact_p{q}")).alias(f"err_p{q}"),
+        ]
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
 # Session-based conversion attribution (first / last touch)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,80 @@
+"""KMV quantile sketch — the mergeability contract behind its 100 TB
+claim (union of per-partition bottom-k == global bottom-k) and the
+sample-quantile accuracy band on real data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_trade_data_pipeline_spark.corpus import load_all
+from auto_trade_data_pipeline_spark.corpus.events_analytics import KMVQ_K
+from auto_trade_data_pipeline_spark.operators.text import hash64
+from auto_trade_data_pipeline_spark.sources import load_table
+
+
+def _bottom_k(df, k):
+    w = Window.partitionBy("event_type").orderBy("hv", "cents")
+    return (
+        df.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .drop("r")
+    )
+
+
+def test_bottom_k_sample_is_mergeable(spark, sf_small):
+    """Merge-order independence — the property KLL/GK lack: computing
+    bottom-k on arbitrary disjoint parts and then bottom-k of the
+    union yields EXACTLY the single-pass sample."""
+    ev = load_table(spark, sf_small, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        hash64(F.col("event_id").cast("string"), salt="kmvq").alias("hv"),
+    )
+    whole = sorted(map(tuple, _bottom_k(ev, KMVQ_K).collect()))
+    parts = [ev.filter(F.pmod("hv", F.lit(3)) == i) for i in range(3)]
+    merged = _bottom_k(
+        parts[0].unionByName(parts[1]).unionByName(parts[2]), KMVQ_K
+    )
+    partial_then_merge = _bottom_k(
+        _bottom_k(parts[0], KMVQ_K)
+        .unionByName(_bottom_k(parts[1], KMVQ_K))
+        .unionByName(_bottom_k(parts[2], KMVQ_K)),
+        KMVQ_K,
+    )
+    assert sorted(map(tuple, merged.collect())) == whole
+    assert sorted(map(tuple, partial_then_merge.collect())) == whole
+
+
+def test_estimates_sit_in_the_neighbour_percentile_band(spark, sf_small):
+    """Each estimate must land between the exact (q-10)th and (q+10)th
+    percentiles of its group — the rank-error band a 128-row uniform
+    sample comfortably satisfies on this data (deterministic: the
+    hash family is fixed)."""
+    rows = load_all()["kmv_quantile_sketch"].fn(spark, sf_small).collect()
+    assert len(rows) > 0
+    ev = load_table(spark, sf_small, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    ranked = (
+        ev.withColumn("rr", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max("rr").alias("n"),
+            F.sort_array(F.collect_list("cents")).alias("vals"),
+        )
+        .collect()
+    )
+    exact = {r["event_type"]: r["vals"] for r in ranked}
+    for r in rows:
+        vals = exact[r["event_type"]]
+        n = len(vals)
+        for q in (50, 90, 99):
+            lo = vals[max(0, -(-n * max(q - 10, 1) // 100) - 1)]
+            hi = vals[min(n - 1, -(-n * min(q + 10, 100) // 100) - 1)]
+            est = r[f"est_p{q}"]
+            assert lo <= est <= hi, (r["event_type"], q, est, lo, hi)
+            # And the exact column really is the exact order statistic.
+            idx = max(1, -(-n * q // 100)) - 1
+            assert r[f"exact_p{q}"] == vals[idx]

@@ -818,3 +818,11 @@ def test_round9_queries_plan_shapes(spark, sf_small):
     plan = _plan(reg["cluster_aware_split"].fn(spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan, plan[:2000]
+
+    # KMV quantile sketch: both windows partition by event_type (no
+    # SinglePartition funnel); the group-count and exact-percentile
+    # dimension frames ride broadcast joins.
+    plan = _plan(reg["kmv_quantile_sketch"].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]

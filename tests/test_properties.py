@@ -463,6 +463,7 @@ _INVARIANCE_QUERIES = [
     "semantic_contamination",
     "zorder_layout_stats",
     "cluster_aware_split",
+    "kmv_quantile_sketch",
 ]
 
 
