@@ -108,6 +108,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "streaming_lsh_dedup_replay",
     "cluster_aware_split",
     "kmv_quantile_sketch",
+    "streaming_quantile_replay",
 })
 
 #: Explicit registry order — round-9 rotation, computed by
@@ -367,6 +368,7 @@ _ORDER = [
     "streaming_lsh_dedup_replay",
     "cluster_aware_split",
     "kmv_quantile_sketch",
+    "streaming_quantile_replay",
 ]
 
 

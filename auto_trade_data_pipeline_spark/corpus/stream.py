@@ -606,6 +606,92 @@ def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST4+: streaming KMV quantile sketch (bounded-state quantile estimation)
+# ---------------------------------------------------------------------------
+
+
+def _stream_kmvq_oracle() -> str:
+    from auto_trade_data_pipeline_spark.corpus.events_analytics import (
+        _KMVQ_HV,
+        _kmvq_idx,
+        KMVQ_K,
+        KMVQ_QS,
+    )
+
+    est_cols = ",\n".join(
+        f"       sv[CAST({_kmvq_idx('s.sample_n', q)} AS INTEGER)] AS est_p{q}"
+        for q in KMVQ_QS
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type AS group_key, CAST(round(value * 100) AS BIGINT) AS cents,
+         {_KMVQ_HV} AS hv
+  FROM events
+),
+n AS (SELECT group_key, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY group_key),
+rk AS (
+  SELECT group_key, cents,
+         row_number() OVER (PARTITION BY group_key ORDER BY hv, cents) AS r
+  FROM b
+),
+samp AS (
+  SELECT group_key, list(cents ORDER BY cents) AS sv,
+         CAST(count(*) AS BIGINT) AS sample_n
+  FROM rk WHERE r <= {KMVQ_K} GROUP BY group_key
+)
+SELECT s.group_key, n.n_rows, s.sample_n,
+{est_cols}
+FROM samp s JOIN n ON n.group_key = s.group_key
+"""
+
+
+@register("streaming_quantile_replay", _stream_kmvq_oracle(), tags=("ST4", "A5"))
+def streaming_quantile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile estimation in bounded memory
+    (streaming/sketch.py:streaming_kmv_quantile): keyed state holds
+    the bottom-k=128 (hash, cents) row sample per event type —
+    deterministic uniform sampling with NO reservoir order-dependence
+    — and every micro-batch merges its rows into the sample. Bottom-k
+    merge is exact, so the replayed streaming sample is bit-identical
+    to the batch `kmv_quantile_sketch` sample and the P50/P90/P99
+    estimates (batch order-statistic rule, applied in-state) carry
+    the batch SQL oracle. State is k pairs + one counter per group
+    forever; no watermark."""
+    from auto_trade_data_pipeline_spark.corpus.events_analytics import KMVQ_K, KMVQ_QS
+    from auto_trade_data_pipeline_spark.operators.text import hash64
+    from auto_trade_data_pipeline_spark.streaming.sketch import streaming_kmv_quantile
+    from pyspark.sql.window import Window as W
+
+    stream = read_table_stream(
+        spark, sf_dir, "events", "event_id long, event_type string, value double"
+    )
+    rows = stream.select(
+        F.col("event_type").alias("group_key"),
+        hash64(F.col("event_id").cast("string"), salt="kmvq").alias("hv"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    sk = streaming_kmv_quantile(rows, k=KMVQ_K, qs=KMVQ_QS)
+    out = run_available_now(
+        sk, f"corpus_stream_kmvq_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    return (
+        out.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("group_key").orderBy(F.col("updates").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "group_key",
+            "n_rows",
+            "sample_n",
+            *[f"est_p{q}" for q in KMVQ_QS],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST4+: streaming Count-Min sketch (bounded-state frequency estimation)
 # ---------------------------------------------------------------------------
 

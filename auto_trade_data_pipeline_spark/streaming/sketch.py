@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_kmv_sketch", "kmv_estimate_cols", "streaming_cms_sketch"]
+__all__ = [
+    "streaming_kmv_sketch",
+    "streaming_kmv_quantile",
+    "kmv_estimate_cols",
+    "streaming_cms_sketch",
+]
 
 _STATE_SCHEMA = "hvs string, updates int"
 
@@ -104,6 +109,95 @@ def kmv_estimate_cols(df: DataFrame, k: int, space: float = float(1 << 60)) -> D
         F.lit(float(k - 1)) * F.lit(space) / F.col("kth_hv")
     )
     return df.withColumn("est_distinct", F.round(est, 4))
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV quantile sketch: keyed state = the bottom-k row sample
+# ---------------------------------------------------------------------------
+
+_KMVQ_STATE_SCHEMA = "pairs string, n_rows long, updates int"
+
+_KMVQ_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("sample_n", T.LongType()),
+        T.StructField("est_p50", T.LongType()),
+        T.StructField("est_p90", T.LongType()),
+        T.StructField("est_p99", T.LongType()),
+        T.StructField("updates", T.IntegerType()),
+    ]
+)
+
+
+def _q_idx(m: int, q: int) -> int:
+    """ceil(m*q/100) floored at 1 — the batch order-statistic rule
+    (corpus/events_analytics.py:_kmvq_idx), 1-based."""
+    return max(1, (m * q + 99) // 100)
+
+
+def _make_quantile_fn(k: int, qs: tuple[int, ...]):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (grp,) = key
+        if state.exists:
+            pairs_js, n_rows, updates = state.get
+            pairs = [tuple(p) for p in json.loads(pairs_js)]
+        else:
+            pairs, n_rows, updates = [], 0, 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            pairs.extend(
+                (int(h), int(c)) for h, c in zip(pdf["hv"], pdf["cents"])
+            )
+            # Bottom-k trim is EXACT for row samples (every (hv, cents)
+            # pair belongs to a distinct row id, so trimming to the k
+            # smallest loses nothing a later merge could resurrect).
+            pairs.sort()
+            del pairs[k:]
+        updates += 1
+        state.update((json.dumps(pairs), n_rows, updates))
+        sv = sorted(c for _, c in pairs)
+        m = len(sv)
+        ests = [sv[_q_idx(m, q) - 1] if m else None for q in qs]
+        yield pd.DataFrame(
+            {
+                "group_key": [grp],
+                "n_rows": [n_rows],
+                "sample_n": [m],
+                **{
+                    f"est_p{q}": pd.array([e], dtype="Int64")
+                    for q, e in zip(qs, ests)
+                },
+                "updates": [updates],
+            }
+        )
+
+    return fn
+
+
+def streaming_kmv_quantile(
+    rows: DataFrame, k: int = 128, qs: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Stateful streaming quantile sketch over a stream with columns
+    (group_key, hv: long, cents: long) — hv is the salted 60-bit hash
+    of the row's UNIQUE id, computed scan-side with the same pure
+    expressions as the batch `kmv_quantile_sketch`. Keyed state is
+    the bottom-k (hv, cents) sample itself: bounded k pairs per group
+    forever, no watermark. Bottom-k merge is exact, so the replayed
+    streaming sample — and therefore every quantile estimated from it
+    by the batch order-statistic rule — is BIT-IDENTICAL to the batch
+    sketch over the same data, which is what gives this stateful
+    operator a full SQL oracle. Emits one summary row per group per
+    micro-batch (update mode); `updates` selects the latest."""
+    return rows.groupBy("group_key").applyInPandasWithState(
+        _make_quantile_fn(k, qs),
+        outputStructType=_KMVQ_OUT_SCHEMA,
+        stateStructType=_KMVQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -4,6 +4,8 @@ sample-quantile accuracy band on real data."""
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -78,3 +80,55 @@ def test_estimates_sit_in_the_neighbour_percentile_band(spark, sf_small):
             # And the exact column really is the exact order statistic.
             idx = max(1, -(-n * q // 100)) - 1
             assert r[f"exact_p{q}"] == vals[idx]
+
+
+def test_streaming_quantile_multibatch_equals_batch(spark, tmp_path):
+    """Multi-batch replay parity: the streaming bottom-k sample state
+    merged across micro-batches yields EXACTLY the batch estimates —
+    mergeability live in Structured Streaming, across a batch
+    boundary that splits every group."""
+    import uuid as _uuid
+
+    from auto_trade_data_pipeline_spark.streaming.sketch import (
+        streaming_kmv_quantile,
+    )
+
+    d = str(tmp_path / "ev")
+    schema = "group_key string, hv long, cents long"
+    rows = [
+        (g, int(hashlib.md5(f"kmvq|{g}{i}".encode()).hexdigest()[:15], 16), (i * 37) % 1000 + 1)
+        for g in ("a", "b")
+        for i in range(300)
+    ]
+    spark.createDataFrame(rows[:250], schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows[250:], schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    name = f"t_kmvq_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_kmv_quantile(stream, k=64)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).collect()
+    assert max(r["updates"] for r in out) >= 2  # genuinely multi-batch
+    latest = {}
+    for r in out:
+        if r["group_key"] not in latest or r["updates"] > latest[r["group_key"]]["updates"]:
+            latest[r["group_key"]] = r
+
+    # Batch expectation straight from the definition, in Python.
+    for g in ("a", "b"):
+        grp = sorted((hv, c) for gg, hv, c in rows if gg == g)[:64]
+        sv = sorted(c for _, c in grp)
+        m = len(sv)
+        r = latest[g]
+        assert r["n_rows"] == 300 and r["sample_n"] == m
+        for q_ in (50, 90, 99):
+            assert r[f"est_p{q_}"] == sv[max(1, (m * q_ + 99) // 100) - 1], (g, q_)
