@@ -1211,6 +1211,42 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOILER_SPAN = 2
 BOILER_DF_PCT = 12
 
+
+def boiler_spans(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, spans): each document's ordered fixed-stride
+    BOILER_SPAN-token spans (empty array for empty docs). Shared by
+    `boilerplate_span_report` and its strategy-equality test so the
+    span construction has one source of truth."""
+    toks = docs.select("source", "doc_id", TX.tokens(F.col("text")).alias("ts"))
+    n = F.size("ts")
+    spans_expr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), ((n - 1) / BOILER_SPAN).cast("int")),
+            lambda i: F.array_join(F.slice("ts", i * BOILER_SPAN + 1, BOILER_SPAN), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("source", "doc_id", spans_expr.alias("spans"))
+
+
+def boiler_flagged(sp: DataFrame) -> DataFrame:
+    """(source, flagged): per source, the spans whose document
+    frequency reaches BOILER_DF_PCT of the source's docs — one
+    distinct-span explode + a (source, span) hash-agg."""
+    dfreq = (
+        sp.select("source", "doc_id", F.explode(F.array_distinct("spans")).alias("span"))
+        .groupBy("source", "span")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = sp.groupBy("source").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        dfreq.join(nd, "source")
+        .where(F.col("df") * 100 >= F.col("ndocs") * BOILER_DF_PCT)
+        .groupBy("source")
+        .agg(F.collect_set("span").alias("flagged"))
+    )
+
+
 _BOILER_SPANS_DUCK = f"""
 CASE WHEN len(ts) > 0 THEN
   list_transform(range(0, ((len(ts) - 1) // {BOILER_SPAN}) + 1),
@@ -1279,30 +1315,8 @@ def boilerplate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast stays small by construction (and grows tighter, not
     looser, if the threshold is raised toward a real crawl's 50%)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("source", "doc_id", TX.tokens(F.col("text")).alias("ts"))
-    n = F.size("ts")
-    spans_expr = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), ((n - 1) / BOILER_SPAN).cast("int")),
-            lambda i: F.array_join(F.slice("ts", i * BOILER_SPAN + 1, BOILER_SPAN), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sp = toks.select("source", "doc_id", spans_expr.alias("spans"))
-    sp = scoped_persist(sp)
-
-    dfreq = (
-        sp.select("source", "doc_id", F.explode(F.array_distinct("spans")).alias("span"))
-        .groupBy("source", "span")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    nd = sp.groupBy("source").agg(F.count(F.lit(1)).alias("ndocs"))
-    flagged = (
-        dfreq.join(nd, "source")
-        .where(F.col("df") * 100 >= F.col("ndocs") * BOILER_DF_PCT)
-        .groupBy("source")
-        .agg(F.collect_set("span").alias("flagged"))
-    )
+    sp = scoped_persist(boiler_spans(docs))
+    flagged = boiler_flagged(sp)
     # Removal strategy: the broadcast array-filter (zero extra
     # shuffle) — right while flagged sets are tens of spans, as here.
     # On a real crawl with ~10^3-10^4 flagged spans per source, pass

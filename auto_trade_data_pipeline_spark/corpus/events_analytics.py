@@ -679,10 +679,15 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMVQ_K = 128
 KMVQ_QS = (50, 90, 99)
 
-_KMVQ_HV = (
-    "CAST('0x' || substr(md5('kmvq' || '|' || CAST(event_id AS VARCHAR)), 1, 15)"
-    " AS BIGINT)"
-)
+def _kmvq_hv() -> str:
+    """DuckDB twin of hash64(event_id, salt='kmvq') — via the shared
+    portable-hash formatter so the formula has one source of truth."""
+    from auto_trade_data_pipeline_spark.corpus.ext import _duck_hash
+
+    return _duck_hash("CAST(event_id AS VARCHAR)", salt="kmvq")
+
+
+_KMVQ_HV = _kmvq_hv()
 
 
 def _kmvq_idx(n: str, q: int) -> str:

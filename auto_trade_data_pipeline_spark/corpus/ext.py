@@ -697,22 +697,17 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("group_id", "doc_id").alias("group_id")
     )
 
-    def bucket(col):
-        return F.pmod(TX.hash64(col.cast("string"), salt="split"), F.lit(100))
-
-    def split_name(b):
-        return (
-            F.when(b < SPLIT_TRAIN_PCT, "train")
-            .when(b < SPLIT_VAL_PCT, "val")
-            .otherwise("test")
-        )
+    # The split expression is the repo's canonical hash_split
+    # (operators/text.py) — applied to the CLUSTER id vs the doc id.
+    def split_name(col):
+        return TX.hash_split(col, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT - SPLIT_TRAIN_PCT)[1]
 
     named = scoped_persist(
         assign.select(
             "doc_id",
             "group_id",
-            split_name(bucket(F.col("group_id"))).alias("split"),
-            split_name(bucket(F.col("doc_id"))).alias("naive_split"),
+            split_name(F.col("group_id")).alias("split"),
+            split_name(F.col("doc_id")).alias("naive_split"),
         )
     )
     counts = named.groupBy("split").agg(

@@ -94,7 +94,9 @@ def remove_flagged_spans(
         )
     if strategy != "exploded":
         raise ValueError(f"unknown strategy {strategy!r}")
-    fl_rows = flagged.select(group_col, F.explode("flagged").alias("__span")).distinct()
+    # No distinct: flagged arrays are collect_set-built (unique), and a
+    # left_anti join is unaffected by duplicate right-side keys anyway.
+    fl_rows = flagged.select(group_col, F.explode("flagged").alias("__span"))
     pos = sp.select(
         group_col, id_col, F.posexplode(span_col).alias("__pos", "__span")
     )

@@ -117,17 +117,18 @@ def kmv_estimate_cols(df: DataFrame, k: int, space: float = float(1 << 60)) -> D
 
 _KMVQ_STATE_SCHEMA = "pairs string, n_rows long, updates int"
 
-_KMVQ_OUT_SCHEMA = T.StructType(
-    [
-        T.StructField("group_key", T.StringType()),
-        T.StructField("n_rows", T.LongType()),
-        T.StructField("sample_n", T.LongType()),
-        T.StructField("est_p50", T.LongType()),
-        T.StructField("est_p90", T.LongType()),
-        T.StructField("est_p99", T.LongType()),
-        T.StructField("updates", T.IntegerType()),
-    ]
-)
+def _kmvq_out_schema(qs: tuple[int, ...]) -> T.StructType:
+    """Output schema follows the requested quantiles — one est_p{q}
+    column per q, so a non-default ``qs`` stays correctly labeled."""
+    return T.StructType(
+        [
+            T.StructField("group_key", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sample_n", T.LongType()),
+            *[T.StructField(f"est_p{q}", T.LongType()) for q in qs],
+            T.StructField("updates", T.IntegerType()),
+        ]
+    )
 
 
 def _q_idx(m: int, q: int) -> int:
@@ -193,7 +194,7 @@ def streaming_kmv_quantile(
     micro-batch (update mode); `updates` selects the latest."""
     return rows.groupBy("group_key").applyInPandasWithState(
         _make_quantile_fn(k, qs),
-        outputStructType=_KMVQ_OUT_SCHEMA,
+        outputStructType=_kmvq_out_schema(qs),
         stateStructType=_KMVQ_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -5,7 +5,6 @@ note on boilerplate_span_report's per-doc linear array scan)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from auto_trade_data_pipeline_spark.operators.clean import remove_flagged_spans
 
@@ -49,41 +48,18 @@ def test_strategies_agree_on_edge_shapes(spark):
 
 
 def test_strategies_agree_on_corpus_frames(spark, sf_small):
-    """Same equality over the real boilerplate frames at sf0.001 (the
-    exact span construction + df-threshold flagging the corpus query
-    uses)."""
+    """Same equality over the real boilerplate frames at sf0.001 — via
+    the SAME boiler_spans/boiler_flagged helpers the corpus query
+    uses, so the test cannot drift from the query's construction."""
     from auto_trade_data_pipeline_spark.corpus.clean import (
-        BOILER_DF_PCT,
-        BOILER_SPAN,
+        boiler_flagged,
+        boiler_spans,
     )
-    from auto_trade_data_pipeline_spark.operators import text as TX
     from auto_trade_data_pipeline_spark.sources import load_table
 
     docs = load_table(spark, sf_small, "documents")
-    toks = docs.select("source", "doc_id", TX.tokens(F.col("text")).alias("ts"))
-    n = F.size("ts")
-    spans = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), ((n - 1) / BOILER_SPAN).cast("int")),
-            lambda i: F.array_join(
-                F.slice("ts", i * BOILER_SPAN + 1, BOILER_SPAN), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sp = toks.select("source", "doc_id", spans.alias("spans")).persist()
-    dfreq = (
-        sp.select("source", F.explode(F.array_distinct("spans")).alias("span"))
-        .groupBy("source", "span")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    nd = sp.groupBy("source").agg(F.count(F.lit(1)).alias("ndocs"))
-    fl = (
-        dfreq.join(nd, "source")
-        .where(F.col("df") * 100 >= F.col("ndocs") * BOILER_DF_PCT)
-        .groupBy("source")
-        .agg(F.collect_set("span").alias("flagged"))
-    )
+    sp = boiler_spans(docs).persist()
+    fl = boiler_flagged(sp)
     try:
         out_f = _collect(remove_flagged_spans(sp, fl, strategy="filter"))
         out_e = _collect(remove_flagged_spans(sp, fl, strategy="exploded"))

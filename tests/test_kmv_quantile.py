@@ -82,6 +82,15 @@ def test_estimates_sit_in_the_neighbour_percentile_band(spark, sf_small):
             assert r[f"exact_p{q}"] == vals[idx]
 
 
+def test_streaming_out_schema_follows_qs():
+    """A non-default qs must produce correctly-labeled columns (the
+    schema is derived from qs, never hardcoded)."""
+    from auto_trade_data_pipeline_spark.streaming.sketch import _kmvq_out_schema
+
+    names = [f.name for f in _kmvq_out_schema((25, 75)).fields]
+    assert names == ["group_key", "n_rows", "sample_n", "est_p25", "est_p75", "updates"]
+
+
 def test_streaming_quantile_multibatch_equals_batch(spark, tmp_path):
     """Multi-batch replay parity: the streaming bottom-k sample state
     merged across micro-batches yields EXACTLY the batch estimates —
@@ -95,10 +104,12 @@ def test_streaming_quantile_multibatch_equals_batch(spark, tmp_path):
 
     d = str(tmp_path / "ev")
     schema = "group_key string, hv long, cents long"
+    # Interleaved a/b so the 250-row file split lands BOTH groups in
+    # BOTH micro-batches — every group exercises the state-merge path.
     rows = [
         (g, int(hashlib.md5(f"kmvq|{g}{i}".encode()).hexdigest()[:15], 16), (i * 37) % 1000 + 1)
-        for g in ("a", "b")
         for i in range(300)
+        for g in ("a", "b")
     ]
     spark.createDataFrame(rows[:250], schema).coalesce(1).write.mode("append").parquet(d)
     spark.createDataFrame(rows[250:], schema).coalesce(1).write.mode("append").parquet(d)
