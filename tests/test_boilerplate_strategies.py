@@ -5,11 +5,40 @@ note on boilerplate_span_report's per-doc linear array scan)."""
 
 from __future__ import annotations
 
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from auto_trade_data_pipeline_spark.operators.clean import remove_flagged_spans
 
 SP = "source string, doc_id long, spans array<string>"
 FL = "source string, flagged array<string>"
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _grab_spark(spark):
+    global _spark
+    _spark = spark
+
+
+#: Tiny alphabets on purpose: heavy span collisions within and across
+#: groups, frequent empty arrays, flagged spans that may not occur.
+_span = st.sampled_from(["x", "y", "z", "w"])
+_docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.lists(_span, min_size=0, max_size=6),
+    ),
+    min_size=1,
+    max_size=12,
+)
+_flags_strategy = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),  # 'c' never occurs in sp
+    st.lists(_span, min_size=0, max_size=3, unique=True),
+    max_size=3,
+)
 
 
 def _collect(df):
@@ -17,6 +46,29 @@ def _collect(df):
         (r["source"], r["doc_id"], tuple(r["spans"]), tuple(r["kept"]))
         for r in df.collect()
     )
+
+
+@given(docs=_docs_strategy, flags=_flags_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_strategies_agree_on_random_shapes(docs, flags):
+    """Property: on ANY (docs, flagged) input — collisions, empties,
+    duplicate spans, unflagged groups, flags that never occur — the
+    two plans produce identical keep decisions, and kept is always
+    the original order with flagged occurrences deleted."""
+    sp = _spark.createDataFrame(
+        [(g, i, arr) for i, (g, arr) in enumerate(docs)], SP
+    )
+    fl = _spark.createDataFrame(list(flags.items()), FL)
+    out_f = _collect(remove_flagged_spans(sp, fl, strategy="filter"))
+    out_e = _collect(remove_flagged_spans(sp, fl, strategy="exploded"))
+    assert out_f == out_e
+    for g, _i, spans, kept in out_f:
+        banned = set(flags.get(g, []))
+        assert kept == tuple(x for x in spans if x not in banned)
 
 
 def test_strategies_agree_on_edge_shapes(spark):
