@@ -109,6 +109,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "cluster_aware_split",
     "kmv_quantile_sketch",
     "streaming_quantile_replay",
+    "kcore_copurchase",
 })
 
 #: Explicit registry order — round-9 rotation, computed by
@@ -369,6 +370,7 @@ _ORDER = [
     "cluster_aware_split",
     "kmv_quantile_sketch",
     "streaming_quantile_replay",
+    "kcore_copurchase",
 ]
 
 

@@ -1701,6 +1701,91 @@ def association_rules_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-core of the co-purchase graph (iterative-deletion fixpoint)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 80
+KCORE_ROUNDS = 8  # fixpoint observed in <= 5 rounds at sf0.01/sf0.1
+
+
+def _kcore_oracle() -> str:
+    """Fixed-round peeling replayed as a chained CTE (the PageRank
+    oracle pattern — MATERIALIZED per round so the expansion stays
+    linear in the round count)."""
+    ctes = [
+        """kc_items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+)""",
+        """kc_p AS (
+  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+  FROM kc_items a JOIN kc_items b ON a.okey = b.okey AND a.pk < b.pk
+)""",
+        """kc_e0 AS MATERIALIZED (
+  SELECT pa AS u, pb AS v FROM kc_p
+  UNION ALL
+  SELECT pb, pa FROM kc_p
+)""",
+    ]
+    for i in range(KCORE_ROUNDS):
+        ctes += [
+            f"""kc_s{i} AS MATERIALIZED (
+  SELECT u FROM kc_e{i} GROUP BY u HAVING count(*) >= {KCORE_K}
+)""",
+            f"""kc_e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM kc_e{i} e
+  JOIN kc_s{i} a ON a.u = e.u
+  JOIN kc_s{i} b ON b.u = e.v
+)""",
+        ]
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT u AS part_id, CAST(count(*) AS BIGINT) AS core_deg
+FROM kc_e{KCORE_ROUNDS} GROUP BY u
+"""
+
+
+@register("kcore_copurchase", _kcore_oracle(), tags=("J4", "A4"))
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The densely cross-sold nucleus of the part co-purchase graph:
+    parts are connected when they appear in the same order (distinct
+    pairs, bounded per-order fan-out — the basket layout of
+    `association_rules_basket`), then peeled to the {k}-core by
+    iterative deletion (operators/graph.py:kcore_prune — every round
+    drops parts with fewer than k surviving co-purchase partners,
+    cascading). Emits the surviving parts with their within-core
+    degree. The iterative-DELETION fixpoint joins the repo's
+    propagation (CC) and power-iteration (PageRank) families; it is
+    the assortment-planning / recommendation-seed readout: a part in
+    the core is co-bought with many other heavily co-bought parts,
+    while high-degree parts OUTSIDE the core hang off the nucleus
+    (their partners cascade away — degree alone overcounts them).
+
+    Runs exactly KCORE_ROUNDS rounds (no early exit) so the SQL
+    oracle replays the identical chain; the fixpoint (one more round
+    changes nothing) and a pure-Python peeling reference are pinned
+    in tests/test_kcore.py. Scale shape: pair generation is keyed on
+    the order id with bounded per-key fan-out; each round is one
+    map-side-combinable degree agg + two joins against the (only
+    ever shrinking) survivor set; rounds are fixed, not data-bound.
+    """.format(k=KCORE_K)
+    from auto_trade_data_pipeline_spark.operators.graph import kcore_prune
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    b = items.select(F.col("okey").alias("okey_b"), F.col("pk").alias("pk_b"))
+    pairs = (
+        items.join(b, (F.col("okey") == F.col("okey_b")) & (F.col("pk") < F.col("pk_b")))
+        .select(F.col("pk").alias("id_a"), F.col("pk_b").alias("id_b"))
+        .distinct()
+    )
+    core = kcore_prune(pairs, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return core.select(F.col("node").alias("part_id"), "core_deg")
+
+
+# ---------------------------------------------------------------------------
 # RFM customer segmentation (rank-based quintile scores)
 # ---------------------------------------------------------------------------
 

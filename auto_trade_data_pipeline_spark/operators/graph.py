@@ -140,6 +140,67 @@ def connected_components(
     )
 
 
+def kcore_prune(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """k-core of an undirected pair graph by iterative peeling
+    (Matula & Beck's algorithm, distributed): each round drops every
+    node with fewer than k surviving neighbors, cascading until the
+    dense nucleus remains. Returns (node, core_deg) for the nodes
+    still standing after ``rounds`` peels, with their degree among
+    survivors (>= k once the fixpoint is reached).
+
+    Runs EXACTLY ``rounds`` rounds — no early exit — so the result is
+    deterministic under any parallelism and a SQL oracle can replay
+    the identical chain; callers pin convergence (rounds vs rounds+1
+    equal) in tests. The iterative-deletion fixpoint complements the
+    propagation (connected_components) and power-iteration (pagerank)
+    fixpoints: where component labels tell you WHAT is connected and
+    density/triangles tell you HOW tight a component's edges are,
+    the core number separates the load-bearing nucleus from chain
+    overreach hanging off it.
+
+    Scale shape per round: ONE degree aggregation (map-side
+    combinable, uniform node keys) + two equi joins of the edge list
+    against the survivor set — the edge list only ever SHRINKS, and
+    every round's result is lineage-truncated (localCheckpoint; on a
+    cluster use reliable checkpoint) so plan analysis stays O(1) per
+    round instead of doubling."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )
+    )
+    cur = (
+        edges.select(both.alias("e"))
+        .select("e.u", "e.v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        surv = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+            .localCheckpoint(eager=False)
+        )
+        cur = (
+            cur.join(surv, "u")
+            .join(surv.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return cur.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "id_a",
