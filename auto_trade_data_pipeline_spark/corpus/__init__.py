@@ -110,6 +110,7 @@ DEFERRED_TO_NEXT_ROUND = frozenset({
     "kmv_quantile_sketch",
     "streaming_quantile_replay",
     "kcore_copurchase",
+    "embedding_pc1_power",
 })
 
 #: Explicit registry order — round-9 rotation, computed by
@@ -371,6 +372,7 @@ _ORDER = [
     "kmv_quantile_sketch",
     "streaming_quantile_replay",
     "kcore_copurchase",
+    "embedding_pc1_power",
 ]
 
 

@@ -1266,6 +1266,153 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dominant embedding direction (integer-exact distributed power iteration)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+PC1_XSCALE = 10**5  # component scale: (0.53e5)^2 * rows stays < 2^63 past sf10
+PC1_GDIV = 10**6  # Gram shrink before matvec so G'*v stays < 2^63
+PC1_VSCALE = 10**6  # direction vector renormalized to max|v| = 1e6 each round
+PC1_ROUNDS = 128
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division — Spark ``div`` == DuckDB ``//``
+    (both truncate toward zero; Python's ``//`` FLOORS, which diverges
+    on negative numerators — probed on both engines)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def power_iteration_int(
+    gram: dict[tuple[int, int], int],
+    dim: int,
+    rounds: int = PC1_ROUNDS,
+    gdiv: int = PC1_GDIV,
+    vscale: int = PC1_VSCALE,
+) -> list[int]:
+    """Dominant-eigenvector power iteration in pure integers: start
+    from all-ones, each round w = (G // gdiv) @ v then renormalize
+    v = w * vscale // max|w| (truncating division, engine-portable).
+    Deterministic — no norms, no square roots, no FP accumulation —
+    so a SQL oracle replays the identical chain."""
+    g = {pq: _tdiv(val, gdiv) for pq, val in gram.items()}
+    v = [vscale] * dim
+    for _ in range(rounds):
+        w = [
+            sum(g.get((p, q), 0) * v[q] for q in range(dim))
+            for p in range(dim)
+        ]
+        m = max(max(abs(x) for x in w), 1)
+        v = [_tdiv(x * vscale, m) for x in w]
+    return v
+
+
+def _pc1_oracle() -> str:
+    ctes = [
+        f"""px AS MATERIALIZED (
+  SELECT vec_id, label, i - 1 AS p,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {PC1_XSCALE}) AS BIGINT) AS xi
+  FROM embeddings, range(1, {EMB_DIM + 1}) t(i)
+)""",
+        f"""pg AS MATERIALIZED (
+  SELECT a.p AS p, b.p AS q,
+         CAST(sum(a.xi * b.xi) AS BIGINT) // {PC1_GDIV} AS g
+  FROM px a JOIN px b ON a.vec_id = b.vec_id
+  GROUP BY a.p, b.p
+)""",
+        f"pv0 AS (SELECT p, CAST({PC1_VSCALE} AS BIGINT) AS v FROM range(0, {EMB_DIM}) t(p))",
+    ]
+    for i in range(PC1_ROUNDS):
+        ctes += [
+            f"""pw{i} AS MATERIALIZED (
+  SELECT g.p, CAST(sum(g.g * v.v) AS BIGINT) AS w
+  FROM pg g JOIN pv{i} v ON v.p = g.q
+  GROUP BY g.p
+)""",
+            f"pm{i} AS (SELECT greatest(max(abs(w)), 1) AS m FROM pw{i})",
+            f"""pv{i + 1} AS MATERIALIZED (
+  SELECT p, CAST(w * {PC1_VSCALE} // (SELECT m FROM pm{i}) AS BIGINT) AS v
+  FROM pw{i}
+)""",
+        ]
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT x.vec_id, any_value(x.label) AS label,
+       CAST(sum(x.xi * v.v) AS BIGINT) AS pc1_proj
+FROM px x JOIN pv{PC1_ROUNDS} v ON v.p = x.p
+GROUP BY x.vec_id
+"""
+
+
+@register("embedding_pc1_power", _pc1_oracle(), tags=("EXT2",))
+def embedding_pc1_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus —
+    distributed PCA's first step, with every number engine-exact:
+    components integer-scaled (e5), the uncentered second-moment
+    (Gram) matrix accumulated as ONE d^2-keyed BIGINT aggregation
+    over a vec_id-keyed self-join of the exploded components (the
+    classic outer-product layout: d^2 * n multiply-adds map-side,
+    d^2 = 4,096 result rows), then PC1_ROUNDS fixed rounds of power
+    iteration on the dimension-sized G — matvec + max-abs
+    renormalization in truncating integer division (Spark ``div`` ==
+    DuckDB ``//``; no norms, no sqrt, no FP accumulation, so the
+    ENTIRE iteration is hash-checked cross-engine, the PageRank
+    discipline applied to PCA). Round count is sized to the spectral
+    gap, not a token few: the synthetic corpus is nearly isotropic
+    (gap ratio ~1.02-1.07 measured), so 128 rounds land |cos| to the
+    true eigh PC1 at 1.000 (sf0.001) / 0.9986 (sf0.01) — pinned in
+    tests/test_pc1.py; a real embedding corpus with an actual
+    dominant axis converges far faster. The readout projects every vector
+    onto the final direction: (vec_id, label, pc1_proj) — the
+    corpus's dominant-axis ordering (drift/outlier triage; label
+    separation along PC1 shows up directly).
+
+    Scale shape: the Gram aggregation is the only corpus-scale job
+    (map-side combinable, uniform (p, q) keys); G is d^2 rows —
+    dimension-sized like a k-means codebook, so the iteration runs
+    driver-side in exact Python integers (the BPE pattern: train on
+    the histogram, broadcast the model) and the final direction
+    returns as 64 literals in a broadcast join. One corpus scan for
+    the Gram, one for the projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "xv"),
+    ).select(
+        "vec_id",
+        "label",
+        "p",
+        F.round(F.col("xv") * PC1_XSCALE, 0).cast("long").alias("xi"),
+    )
+    x = scoped_persist(x)
+    b = x.select(
+        F.col("vec_id").alias("vid_b"), F.col("p").alias("q"), F.col("xi").alias("xj")
+    )
+    gram_rows = (
+        x.join(b, F.col("vec_id") == F.col("vid_b"))
+        .groupBy("p", "q")
+        .agg(F.sum(F.col("xi") * F.col("xj")).cast("long").alias("g"))
+        .collect()  # d^2 = 4,096 rows — dimension-sized by construction
+    )
+    gram = {(r["p"], r["q"]): r["g"] for r in gram_rows}
+    v = power_iteration_int(gram, EMB_DIM)
+    vdf = spark.createDataFrame(
+        [(p, int(c)) for p, c in enumerate(v)], "p int, v long"
+    )
+    return (
+        x.join(F.broadcast(vdf), "p")
+        .groupBy("vec_id")
+        .agg(
+            F.any_value(F.col("label")).alias("label"),
+            F.sum(F.col("xi") * F.col("v")).cast("long").alias("pc1_proj"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
