@@ -531,6 +531,37 @@ def find_peaks(x: np.ndarray, distance: float, prominence: float) -> np.ndarray:
     return peaks[proms >= prominence]
 
 
+def find_peaks_multi(
+    x: np.ndarray, specs: list[tuple[float, float]]
+) -> list[np.ndarray]:
+    """:func:`find_peaks` at several (distance, prominence) scales over
+    the SAME series, sharing the scale-independent work: the plateau
+    candidates, the sparse tables, and each candidate's prominence
+    depend only on ``x``, so they are computed once instead of once per
+    scale (the kernel runs three scales on high and three on -low —
+    this cuts the peak family's per-task time roughly in half).
+
+    Result equality with per-scale :func:`find_peaks` is exact: a
+    peak's prominence is a property of (x, index) alone — computing it
+    for every candidate and filtering after the distance selection
+    yields the same survivors as computing it on the survivors
+    (pinned in tests/test_indicators.py)."""
+    x = np.asarray(x, dtype=float)
+    cands = _local_maxima(x)
+    if len(cands) == 0:
+        return [cands.copy() for _ in specs]
+    proms = _prominences(x, cands)
+    prio = x[cands]
+    out = []
+    for distance, prominence in specs:
+        if distance is not None and distance >= 1:
+            keep = _select_by_distance(cands, prio, distance)
+        else:
+            keep = np.ones(len(cands), dtype=bool)
+        out.append(cands[keep & (proms >= prominence)])
+    return out
+
+
 def kalman_filter(z: np.ndarray, q: float, r: float) -> np.ndarray:
     """1-D random-walk Kalman filter over an observation sequence
     (state = level, process noise q, observation noise r): the

@@ -183,12 +183,19 @@ def _indicator_kernel(
         out["candle_pattern_sum"] = psum
 
     if "peaks" in families:
-        # --- peaks/valleys x3 scales (:528-558), start_idx=0 in batch
-        for prefix, dist, prom in (("major", 10, 0.9), ("minor", 7, 0.7), ("micro", 5, 0.5)):
+        # --- peaks/valleys x3 scales (:528-558), start_idx=0 in batch.
+        # The three scales share one candidate/prominence computation
+        # per series (find_peaks_multi) — identical indices, half the
+        # sparse-table work.
+        scales = (("major", 10, 0.9), ("minor", 7, 0.7), ("micro", 5, 0.5))
+        specs = [(d, p) for _, d, p in scales]
+        peak_idx = ta.find_peaks_multi(h, specs)
+        valley_idx = ta.find_peaks_multi(-l, specs)
+        for (prefix, _, _), pi, vi in zip(scales, peak_idx, valley_idx):
             pk = _zeros_int(n)
             vl = _zeros_int(n)
-            pk[ta.find_peaks(h, dist, prom)] = 1
-            vl[ta.find_peaks(-l, dist, prom)] = 1
+            pk[pi] = 1
+            vl[vi] = 1
             out[f"is_{prefix}_peak"] = pk
             out[f"is_{prefix}_valley"] = vl
     return out

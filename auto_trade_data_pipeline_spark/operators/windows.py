@@ -98,27 +98,49 @@ def with_session_flags(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
 def with_running_daily_extrema(df: DataFrame) -> DataFrame:
     """A7: running day-high/low per (symbol, NY date) in event-time
     order (``src/candle_to_calcs.py:301-311`` tracks these row-by-row;
-    here it is one cumulative window, no Python loop)."""
+    here it is one cumulative window, no Python loop).
+
+    The NY date is materialized as a named column before the window:
+    partitioning two window specs by the raw *expression* makes
+    Catalyst mint a fresh attribute per spec, so the max and min land
+    in two Window operators with two Exchange+Sort passes on the same
+    key. Named, both specs are identical and collapse into ONE Window
+    (one exchange, one sort — measured 2 Exchange -> 1 on
+    rolling_window_features)."""
     day = F.to_date(F.from_utc_timestamp(F.col("timestamp"), NY_TZ))
     w = (
-        Window.partitionBy("symbol", day)
+        Window.partitionBy("symbol", "__ny_day")
         .orderBy("timestamp")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return df.withColumn("running_day_high", F.max("high").over(w)).withColumn(
-        "running_day_low", F.min("low").over(w)
+    return (
+        df.withColumn("__ny_day", day)
+        .withColumns(
+            {
+                "running_day_high": F.max("high").over(w),
+                "running_day_low": F.min("low").over(w),
+            }
+        )
+        .drop("__ny_day")
     )
 
 
 def _bollinger_cols(df: DataFrame, w, period: int, nbdev: float) -> DataFrame:
-    cnt = F.count("close").over(w)
-    warm = cnt >= period
-    mid = F.when(warm, F.avg("close").over(w)).otherwise(F.col("close"))
-    sd = F.when(warm, F.stddev_pop("close").over(w)).otherwise(F.lit(0.0))
+    # Evaluate each window aggregate ONCE: referencing the raw window
+    # expressions from bb_upper/bb_lower as well as bb_mid makes the
+    # Window operator carry count/avg three times and stddev twice
+    # (Catalyst does not dedup window expressions) — named columns cut
+    # the per-row window work from 10 running aggregates to 3.
+    cnt, avg, sd = F.count("close").over(w), F.avg("close").over(w), F.stddev_pop("close").over(w)
+    df = df.withColumns({"__bb_cnt": cnt, "__bb_avg": avg, "__bb_sd": sd})
+    warm = F.col("__bb_cnt") >= period
+    mid = F.when(warm, F.col("__bb_avg")).otherwise(F.col("close"))
+    dev = F.when(warm, F.col("__bb_sd")).otherwise(F.lit(0.0))
     df = (
         df.withColumn("bb_mid", mid)
-        .withColumn("bb_upper", mid + nbdev * sd)
-        .withColumn("bb_lower", mid - nbdev * sd)
+        .withColumn("bb_upper", mid + nbdev * dev)
+        .withColumn("bb_lower", mid - nbdev * dev)
+        .drop("__bb_cnt", "__bb_avg", "__bb_sd")
     )
     width = F.col("bb_upper") - F.col("bb_lower")
     return (
