@@ -192,9 +192,17 @@ def candles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous close as price (the reference's ``use_raw=False`` hook,
     ``src/aggregator_candles.py:196,312``). Each stage is one shuffle
     over strictly shrinking data — the multi-timeframe rollup a real
-    deployment materializes."""
+    deployment materializes.
+
+    The 1m table is persisted at its fan-out point: it feeds BOTH the
+    '1m' output branch and the 5m rollup, and the branches prune
+    different columns, so without materialization Catalyst duplicates
+    the whole tick-scan -> 1s -> 1m pipeline into each union side (two
+    full scans; AQE cannot reuse the exchanges because the pruned
+    partial aggregates differ). Candle-sized cache, tick-sized
+    recompute avoided — the guide's persist criterion exactly."""
     c1s = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
-    c1m = aggregate_candles(candles_to_ticks(c1s), 60)
+    c1m = scoped_persist(aggregate_candles(candles_to_ticks(c1s), 60))
     c5m = aggregate_candles(candles_to_ticks(c1m), 300)
 
     def _proj(df: DataFrame, gran: str) -> DataFrame:

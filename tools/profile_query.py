@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -109,7 +110,8 @@ def main() -> int:
     log_dir = "/tmp/spark-profile-events"
     os.makedirs(log_dir, exist_ok=True)
     for f in os.listdir(log_dir):
-        os.unlink(os.path.join(log_dir, f))
+        p = os.path.join(log_dir, f)
+        shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
 
     from auto_trade_data_pipeline_spark.corpus import load_all
     from auto_trade_data_pipeline_spark.session import get_spark
@@ -120,6 +122,8 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,12 +148,21 @@ def main() -> int:
     # Flush the event log by stopping the session, then digest.
     app_id = spark.sparkContext.applicationId
     spark.stop()
-    log_path = os.path.join(log_dir, app_id)
-    if not os.path.exists(log_path):
-        cands = [p for p in os.listdir(log_dir) if p.startswith(app_id)]
-        if not cands:
-            raise SystemExit(f"no event log for {app_id} in {log_dir}")
-        log_path = os.path.join(log_dir, cands[0])
+    cands = [p for p in os.listdir(log_dir) if app_id in p]
+    if not cands:
+        raise SystemExit(f"no event log for {app_id} in {log_dir}")
+    log_path = os.path.join(log_dir, cands[0])
+    if os.path.isdir(log_path):
+        # rolling v2 layout: a directory of events_<n>_<appid> parts
+        parts = sorted(
+            p for p in os.listdir(log_path) if p.startswith("events")
+        )
+        merged = os.path.join(log_dir, "merged.jsonl")
+        with open(merged, "w") as out_fh:
+            for p in parts:
+                with open(os.path.join(log_path, p)) as in_fh:
+                    out_fh.write(in_fh.read())
+        log_path = merged
 
     for name, (dt, t0ms, t1ms) in results.items():
         d = digest(log_path, t0ms, t1ms)
