@@ -24,7 +24,7 @@ from auto_trade_data_pipeline_spark.corpus import register, scoped_persist
 from auto_trade_data_pipeline_spark.corpus.ext import _DOCS_CTE, _duck_hash
 from auto_trade_data_pipeline_spark.operators import clean as CL
 from auto_trade_data_pipeline_spark.operators import text as TX
-from auto_trade_data_pipeline_spark.sources import load_table
+from auto_trade_data_pipeline_spark.sources import fan_out_scan, load_table
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -232,9 +232,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark sources. The benchmark collapses to a distinct gram-HASH
     set (dimension-sized -> broadcast); the join moves 8-byte hashes,
     never text."""
-    docs = load_table(spark, sf_dir, "documents")
-    tokenized = docs.select(
-        "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
+    # fan_out: the 5-gram explode otherwise serializes on the single
+    # testdata split; persist: the tokenized table feeds three
+    # branches (corpus grams, corpus totals, benchmark grams) that
+    # would each re-run tokenization.
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    tokenized = scoped_persist(
+        docs.select("doc_id", "source", TX.tokens(F.col("text")).alias("toks"))
     )
     bench = tokenized.filter(F.col("source").isin(*BENCH_SOURCES))
     corpus = tokenized.filter(~F.col("source").isin(*BENCH_SOURCES))
@@ -834,7 +838,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     every merge application, not just the end state."""
     from auto_trade_data_pipeline_spark.operators.bpe import bpe_train, word_histogram
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the tokenize+explode feeding the word histogram is the
+    # only corpus-sized stage of BPE training — serialized on the
+    # single testdata split without it.
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     merges, segmented = bpe_train(
         word_histogram(docs), iters=BPE_ITERS, replace_passes=BPE_PASSES
     )
@@ -901,7 +908,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs the whole training loop before encoding."""
     from auto_trade_data_pipeline_spark.operators.bpe import bpe_train, word_histogram
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     _, segmented = bpe_train(
         word_histogram(docs), iters=BPE_ITERS, replace_passes=BPE_PASSES
     )

@@ -23,7 +23,7 @@ from auto_trade_data_pipeline_spark.operators.multimodal import (
     decode_stats,
     sample_frames,
 )
-from auto_trade_data_pipeline_spark.sources import load_table
+from auto_trade_data_pipeline_spark.sources import fan_out_scan, load_table
 
 # LSH configuration: 20 permutations in bands of 2 puts the s-curve
 # threshold at (1/10)^(1/2) ~= 0.32 — tuned to the 0.3 Jaccard cut.
@@ -963,7 +963,11 @@ def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-overlap evidence; on the planted near-dup corpus the
     containment >= 0.5 cut recovers exactly the Jaccard >= 0.3 pairs.
     (operators/text.py:winnow_sketch, winnow_overlap_pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out_scan: the single-split testdata scan serializes the
+    # positional-gram md5 pipeline (~1M grams) on ONE task — measured
+    # 6.1s of a 9.1s pass in one stage-47 task; at 100 TB the scan
+    # splits itself and the fan-out is a no-op.
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     # Persist the fingerprint rows at their reuse point: the overlap
     # stage reads them from both sides of the self-join (and through
     # two analytic windows); without materialization the optimizer
@@ -3158,17 +3162,31 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 tokens carry no bigram and are excluded by construction."""
     from auto_trade_data_pipeline_spark.operators import text as TX
 
+    # The token table feeds FOUR consumers (bigram stream -> scored
+    # join + bigram counts + history counts, and the vocabulary);
+    # unpersisted, each branch re-runs tokenization from the scan.
+    # Persisting the doc-sized token arrays runs it once. (Measured
+    # against the alternatives in a 4-round interleaved A/B at sf0.1:
+    # base 1.287s, fan_out 1.513s, persist-bigrams 1.153s,
+    # persist-toks 0.784s — the exploded-bigram persist and the
+    # fan-out exchange both cost more than they save here.)
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("ts"))
-    bg = toks.filter(F.size("ts") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(ts) - 2),"
-                " i -> struct(ts[i] AS w1, concat(ts[i], ' ', ts[i+1]) AS b))"
-            )
-        ).alias("p"),
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.b").alias("b"))
+    toks = scoped_persist(
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("ts"))
+    )
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] AS w1, concat(ts[i], ' ', ts[i+1]) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.b").alias("b"))
+    )
     vocab = toks.select(F.explode("ts").alias("t")).agg(
         F.countDistinct("t").alias("v")
     )

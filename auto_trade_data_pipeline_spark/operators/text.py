@@ -409,17 +409,32 @@ def winnow_overlap_pairs(
     candidate pair by overlap count and containment
     (overlap / smaller surviving-sketch size).
 
-    Scale shape: one shuffle keyed by the fingerprint hash (uniform by
-    construction) serves both the document-frequency window and the
-    self-join; documents never move — only 8-byte hashes.
+    Scale shape: the document-frequency cut is an aggregate + anti
+    join — the flagged set (fingerprints in > max_df docs) is
+    df-bounded to |rows|/(max_df+1) and usually tiny, so the planner
+    broadcasts it and the fingerprint rows are NOT shuffled for the
+    cut (a window by `f` would exchange+sort every row; if the
+    flagged set ever outgrows the broadcast threshold the join
+    degrades to the same single hash-keyed shuffle the window paid).
+    The surviving rows are persisted at their fan-out point: both
+    self-join sides read them, and unpersisted the per-doc-count
+    window chain is duplicated into each side (measured 1.31s ->
+    0.27s warm on the sf0.1 bench query). Documents never move —
+    only 8-byte hashes.
     """
+    from auto_trade_data_pipeline_spark.cache_scope import scoped_persist
+
     fp = fingerprints.select(F.col(id_col).alias("doc"), F.col("f"))
-    ff = (
-        fp.withColumn("df_count", F.count(F.lit(1)).over(Window.partitionBy("f")))
-        .filter(F.col("df_count") <= max_df)
-        .drop("df_count")
+    bad = (
+        fp.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("f")
     )
-    ff = ff.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    ff = fp.join(bad, "f", "left_anti")
+    ff = scoped_persist(
+        ff.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    )
     a = ff.select(F.col("doc").alias("id_a"), F.col("f"), F.col("n").alias("n_a"))
     b = ff.select(F.col("doc").alias("id_b"), F.col("f"), F.col("n").alias("n_b"))
     pairs = (

@@ -4,6 +4,7 @@ DataSource form of the same API (`format("trade_rest")`)."""
 
 from auto_trade_data_pipeline_spark.sources.files import (
     N_TICK_SYMBOLS,
+    fan_out_scan,
     load_table,
     read_candles,
     read_ticks,
@@ -13,6 +14,7 @@ from auto_trade_data_pipeline_spark.sources.pyds import TickRestDataSource
 
 __all__ = [
     "N_TICK_SYMBOLS",
+    "fan_out_scan",
     "load_table",
     "read_ticks",
     "read_candles",

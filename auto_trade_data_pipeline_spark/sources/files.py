@@ -79,6 +79,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 N_TICK_SYMBOLS = 5
 
 
+def fan_out_scan(df: DataFrame) -> DataFrame:
+    """Spread a scan whose file layout yields fewer input splits than
+    the session's parallelism (guide §2.5 "input skew": the driver
+    testdata tables are single-row-group parquet files, so every scan
+    is exactly ONE task and the whole map side — token explode, gram
+    hashing, candle partial aggregation — serializes on one core).
+
+    Scale-adaptive by construction: when the scan already splits to at
+    least ``defaultParallelism`` tasks (any real multi-file/multi-
+    row-group table — the 100 TB case), this is a NO-OP costing one
+    physical-plan inspection; the round-robin exchange only exists
+    where the input cannot provide parallelism itself. Results are
+    unchanged: repartition is row-preserving, and Spark's
+    sort-before-repartition keeps the placement deterministic under
+    task retries.
+
+    Use ONLY where the serialized map side is expensive per row —
+    gram/shingle hashing, tokenization explosions. For cheap per-row
+    pipelines the exchange costs more than the serialization saves
+    (measured on the tick family: kalman 0.74->1.17s, volume_bars
+    0.53->0.65s interleaved A/B — fan-out reverted there)."""
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
 def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's ``events`` table onto the reference ``ticks`` schema
     (FIXTURES.md §B): ``event_type`` → symbol, ``ts`` → timestamp,

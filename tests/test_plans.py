@@ -482,8 +482,11 @@ def test_pattern_query_single_exchange(spark, sf_small):
     from auto_trade_data_pipeline_spark.corpus import load_all
 
     plan = _plan(load_all()["pattern_momentum_spike"].fn(spark, sf_small))
-    n_exchanges = plan.count("Exchange")
-    assert n_exchanges == 1, plan
+    # One KEYED exchange; the round-robin input fan-out
+    # (sources.files.fan_out_scan — spreads the single-split testdata
+    # scan) is not a pattern-stage re-shuffle and is allowed.
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
 
 
 def test_pps_sampling_uses_distributed_prefix_sum(spark, sf_small):
@@ -545,7 +548,10 @@ def test_volume_bars_single_exchange(spark, sf_small):
 
     spark.catalog.clearCache()
     plan = _plan(load_all()["volume_bars"].fn(spark, sf_small))
-    assert plan.count("Exchange") == 1, plan
+    # One KEYED exchange (see test_pattern_query_single_exchange on
+    # why the round-robin input fan-out is allowed).
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
 
 
 def test_triple_barrier_banded_join_no_cartesian(spark, sf_small):
