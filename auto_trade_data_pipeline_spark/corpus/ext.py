@@ -1929,7 +1929,12 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("__fp")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    s1 = q.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # s1 (the gated, exactly-deduped corpus) feeds BOTH the shingle
+    # pipeline and the final near-dup anti join; unpersisted, the
+    # scan+gate+sha256-dedup chain runs twice per action (interleaved
+    # A/B: warm min 2.68s -> 2.08s with this persist; persisting the
+    # pre-dedup q as well measured strictly worse — cache pressure).
+    s1 = scoped_persist(q.join(keep.select("doc_id"), "doc_id", "left_semi"))
     rows = scoped_persist(TX.shingle_rows(s1, "text", "doc_id", SHINGLE_N))
     sig = scoped_persist(TX.minhash_signature_rows(rows, "shingle", "doc_id", NUM_PERMS))
     cand = TX.lsh_candidate_pairs(sig, "doc_id", NUM_PERMS, ROWS_PER_BAND)
