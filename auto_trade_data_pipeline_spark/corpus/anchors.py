@@ -30,7 +30,17 @@ def _candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return anchored_vwap_points(_candles(spark, sf_dir), "1s", flush_secs=300)
+    # Explicit symbol repartition ahead of the per-symbol anchor
+    # kernel: the candle exchange is byte-tiny, so AQE coalesces the
+    # ENSURE_REQUIREMENTS shuffle to ~2 partitions and strangles the
+    # Python-kernel stage's parallelism (profiled 2 tasks for 5
+    # symbol groups). An explicit repartition is not coalesced and
+    # the groupBy reuses it — same exchange count, full parallelism
+    # (interleaved A/B: consistent win each round).
+    candles = _candles(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "symbol"
+    )
+    return anchored_vwap_points(candles, "1s", flush_secs=300)
 
 
 _FILL_ORACLE = f"""

@@ -192,8 +192,12 @@ def triple_barrier_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, an entry meets only its own and the next block —
     `operators/bars.py:triple_barrier_labels`), so work scales with
     ticks-per-horizon, never |entries| x |ticks|. Tie rule: equal
-    first-touch timestamps resolve to +1 on both engines."""
-    ticks = ticks_from_events(spark, sf_dir)
+    first-touch timestamps resolve to +1 on both engines.
+
+    Ticks persist at their fan-out: the tape feeds both the hourly
+    entry bars and the future-tick side of the banded join
+    (interleaved A/B warm mins: 0.90s -> 0.76s)."""
+    ticks = scoped_persist(ticks_from_events(spark, sf_dir))
     hourly = aggregate_candles(ticks, 3600)
     entries = hourly.select(
         "symbol",
