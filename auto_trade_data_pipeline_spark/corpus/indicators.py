@@ -21,9 +21,11 @@ from auto_trade_data_pipeline_spark.corpus.trade import CANDLES_CTE, TS_FMT_DUCK
 from auto_trade_data_pipeline_spark.operators.candles import aggregate_candles
 from auto_trade_data_pipeline_spark.operators.indicators import (
     CDL_NAMES,
+    INDICATOR_COLUMNS,
     enrich_indicators,
 )
 from auto_trade_data_pipeline_spark.operators.windows import (
+    SESSION_FLAGS,
     with_bollinger,
     with_local_time,
     with_session_flags,
@@ -44,6 +46,15 @@ def _enriched(
     read one family pass it so the kernel skips the others' compute
     and Arrow transfer — values are identical for any subset."""
     candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
+    # Pin the kernel exchange at session parallelism: AQE's byte-based
+    # coalescing packs the byte-tiny candle exchange to ~4 partitions,
+    # serializing two symbols onto one kernel task (the anchored-vwap
+    # fix, r09 #10; measured full kernel 0.98 -> 0.81 s at sf0.1).
+    # Same exchange count — this replaces the exchange
+    # EnsureRequirements would insert for the groupBy.
+    candles = candles.repartition(
+        spark.sparkContext.defaultParallelism, "symbol"
+    )
     return enrich_indicators(candles, families=families)
 
 
@@ -1478,24 +1489,52 @@ def full_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``src/candle_to_calcs.py:316-350``)."""
     # Native (narrow) column families first, the wide applyInPandas
     # kernel last: the window shuffles move ~25-column candle rows,
-    # and nothing reshuffles the 119-column kernel output. The
-    # families are mutually independent, so order is free.
+    # and nothing reshuffles the 119-column kernel output (a
+    # kernel-first ordering was measured in round 10 and REJECTED:
+    # FlatMapGroupsInPandas does not preserve its child partitioning,
+    # so the downstream windows re-exchanged the 119-column output —
+    # 2 Exchange -> 3).
+    # The explicit symbol repartition pins the one symbol exchange at
+    # session parallelism BEFORE the window/kernel chain: the windows
+    # and the kernel both reuse it (same exchange count as r9,
+    # plans/r10), but AQE's byte-based coalescing can no longer pack
+    # two symbols into one kernel task (the anchored-vwap fix,
+    # r09 #10 — the kernel stage ran 4 tasks for 5 symbols; measured
+    # full kernel 0.98 -> 0.81 s with the pinned repartition).
     candles = aggregate_candles(ticks_from_events(spark, sf_dir), 1)
-    e = with_local_time(candles)
+    e = candles.repartition(spark.sparkContext.defaultParallelism, "symbol")
+    e = with_local_time(e)
     e = with_session_flags(e)
     e = with_bollinger(e)
     e = with_volume_spike(e)
     e = enrich_indicators(e)
-    # Stable output: format timestamps, round floating columns.
+    # Stable output: format timestamps, round floating columns — in
+    # the reference column order (candles, local time, flags,
+    # Bollinger, volume spike, kernel families), independent of the
+    # build order above. ONE selectExpr call: the 119-expression
+    # projection as F.Column objects costs ~500 py4j round trips of
+    # driver latency per build (measured ~0.2 s of full_enrichment's
+    # 0.79 s build); the string form ships in a single call and
+    # parses to the identical expressions.
+    candle_cols = [
+        "symbol", "timestamp", "open", "high", "low", "close",
+        "volume", "number_of_trades", "vwap",
+    ]
+    native_cols = (
+        ["local_timestamp", "local_date", "local_hour", "local_minute"]
+        + SESSION_FLAGS
+        + ["bb_mid", "bb_upper", "bb_lower", "bb_width", "bb_pos", "bb_breakout"]
+        + ["rolling_avg_volume", "is_volume_spike"]
+    )
+    ordered = candle_cols + native_cols + [name for name, _t in INDICATOR_COLUMNS]
     ts_cols = {"timestamp", "local_timestamp"}
-    sel = ["symbol"]
-    for f in e.schema.fields:
-        if f.name == "symbol":
-            continue
-        if f.name in ts_cols:
-            sel.append(F.date_format(f.name, TS_FMT_SPARK).alias(f.name))
-        elif f.dataType.typeName() == "double":
-            sel.append(F.round(f.name, 6).alias(f.name))
+    doubles = {f.name for f in e.schema.fields if f.dataType.typeName() == "double"}
+    sel = []
+    for name in ordered:
+        if name in ts_cols:
+            sel.append(f"date_format({name}, '{TS_FMT_SPARK}') AS {name}")
+        elif name in doubles:
+            sel.append(f"round({name}, 6) AS {name}")
         else:
-            sel.append(F.col(f.name))
-    return e.select(*sel)
+            sel.append(name)
+    return e.selectExpr(*sel)

@@ -11,9 +11,22 @@ relies on `.fillna(...)` of exactly those NaNs
 All functions take/return 1-D float64 numpy arrays and run inside the
 per-symbol `applyInPandas` kernel — one pass per group, no Spark
 shuffle beyond the group-by.
+
+Loop discipline (round-10 per-task-work pass, guide §4.2): the
+inherently sequential recursions iterate over ``ndarray.tolist()``
+Python floats with the output accumulated in a list, not over numpy
+scalars with per-element ``out[i] =`` stores. CPython float arithmetic
+and numpy float64 arithmetic are the same C-double IEEE operations in
+the same order, so results are bit-identical (pinned per function in
+tests/test_ta_loop_parity.py against the prior scalar-indexing forms),
+but each element step drops the ndarray->np.float64 boxing and the
+per-element ndarray __setitem__ — measured 1.4-2.4x per loop at 20k
+rows, 41x for the fully vectorized rolling_mean.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -44,12 +57,13 @@ def imbalance_bar_ids(signed: np.ndarray, threshold: int) -> np.ndarray:
     Returns int64 bar ids (0-based) per tick, in input order.
     """
     n = len(signed)
-    out = np.zeros(n, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    ss = np.asarray(signed).tolist()
     acc = 0
     bar = 0
     for i in range(n):
         out[i] = bar
-        acc += int(signed[i])
+        acc += int(ss[i])
         if acc > threshold or acc < -threshold:
             bar += 1
             acc = 0
@@ -71,15 +85,20 @@ def cusum_events(dp: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
     n = len(dp)
     up = np.zeros(n, dtype=np.int64)
     dn = np.zeros(n, dtype=np.int64)
+    dps = np.asarray(dp).tolist()
     sp = 0
     sn = 0
     for i in range(n):
-        d = int(dp[i])
-        sp = max(0, sp + d)
+        d = int(dps[i])
+        sp = sp + d
+        if sp < 0:  # max(0, sp + d), branch form
+            sp = 0
         if sp > h:
             up[i] = 1
             sp = 0
-        sn = min(0, sn + d)
+        sn = sn + d
+        if sn > 0:  # min(0, sn + d), branch form
+            sn = 0
         if sn < -h:
             dn[i] = 1
             sn = 0
@@ -101,11 +120,14 @@ def heikin_ashi(
     ho = _nan(n)
     if n == 0:
         return ho, _nan(0), _nan(0), hc
-    prev = (o[0] + c[0]) / 2.0
-    ho[0] = prev
+    hcs = hc.tolist()
+    prev = (float(o[0]) + float(c[0])) / 2.0
+    res = [prev]
+    append = res.append
     for i in range(1, n):
-        prev = (prev + hc[i - 1]) / 2.0
-        ho[i] = prev
+        prev = (prev + hcs[i - 1]) / 2.0
+        append(prev)
+    ho[:] = res
     hh = np.maximum(h, np.maximum(ho, hc))
     hl = np.minimum(l, np.minimum(ho, hc))
     return ho, hh, hl, hc
@@ -126,8 +148,9 @@ def ema(x: np.ndarray, period: int) -> np.ndarray:
     out = _nan(n)
     if n == 0:
         return out
+    xs = x.tolist()
     start = 0
-    while start < n and not np.isfinite(x[start]):
+    while start < n and not math.isfinite(xs[start]):
         start += 1
     if n - start < period:
         return out
@@ -137,13 +160,15 @@ def ema(x: np.ndarray, period: int) -> np.ndarray:
     # is not reproducible outside numpy, and a left-to-right fold is —
     # the cross-engine EMA oracle replays this exact arithmetic.
     acc = 0.0
-    for v in x[start:seed_end]:
-        acc += float(v)
+    for v in xs[start:seed_end]:
+        acc += v
     prev = acc / period
-    out[seed_end - 1] = prev
-    for i in range(seed_end, n):
-        prev = (x[i] - prev) * k + prev
-        out[i] = prev
+    res = [prev]
+    append = res.append
+    for v in xs[seed_end:]:
+        prev = (v - prev) * k + prev
+        append(prev)
+    out[seed_end - 1:] = res
     return out
 
 
@@ -186,17 +211,20 @@ def atr(high: np.ndarray, low: np.ndarray, close: np.ndarray, period: int = 14) 
     out = _nan(n)
     if n <= period:
         return out
-    tr = true_range(high, low, close)
+    trs = true_range(high, low, close).tolist()
     # Sequential-fold seed (not np.mean) — reproducible cross-engine;
     # the ATR oracle replays this exact arithmetic (see ta.ema).
     acc = 0.0
-    for v in tr[1 : period + 1]:
-        acc += float(v)
+    for v in trs[1 : period + 1]:
+        acc += v
     prev = acc / period
-    out[period] = prev
-    for i in range(period + 1, n):
-        prev = (prev * (period - 1) + tr[i]) / period
-        out[i] = prev
+    pm1 = float(period - 1)
+    res = [prev]
+    append = res.append
+    for v in trs[period + 1:]:
+        prev = (prev * pm1 + v) / period
+        append(prev)
+    out[period:] = res
     return out
 
 
@@ -219,50 +247,64 @@ def adx_di(
         return adx_out, pdi_out, mdi_out
     up = np.diff(high)
     down = -np.diff(low)
-    plus_dm = np.where((up > down) & (up > 0), up, 0.0)
-    minus_dm = np.where((down > up) & (down > 0), down, 0.0)
-    tr = true_range(high, low, close)[1:]  # aligned with dm (index 1..)
+    pdm = np.where((up > down) & (up > 0), up, 0.0).tolist()
+    mdm = np.where((down > up) & (down > 0), down, 0.0).tolist()
+    trl = true_range(high, low, close)[1:].tolist()  # aligned with dm (index 1..)
 
     # Wilder accumulation: initial sums over the first `period` diffs.
     # Sequential folds (not ndarray.sum) — reproducible cross-engine;
     # the ADX oracle replays this exact arithmetic (see ta.ema).
     sm_p = sm_m = sm_tr = 0.0
     for d in range(period):
-        sm_p += float(plus_dm[d])
-        sm_m += float(minus_dm[d])
-        sm_tr += float(tr[d])
-
-    def _di(sp, sm, st):
-        if st == 0.0:
-            return 0.0, 0.0
-        return 100.0 * sp / st, 100.0 * sm / st
+        sm_p += pdm[d]
+        sm_m += mdm[d]
+        sm_tr += trl[d]
 
     dx_vals = []
-    pdi, mdi = _di(sm_p, sm_m, sm_tr)
-    pdi_out[period], mdi_out[period] = pdi, mdi
+    dx_append = dx_vals.append
+    pdi_res = []
+    mdi_res = []
+    pdi_append = pdi_res.append
+    mdi_append = mdi_res.append
+    if sm_tr == 0.0:
+        pdi = mdi = 0.0
+    else:
+        pdi = 100.0 * sm_p / sm_tr
+        mdi = 100.0 * sm_m / sm_tr
+    pdi_append(pdi)
+    mdi_append(mdi)
     s = pdi + mdi
-    dx_vals.append(100.0 * abs(pdi - mdi) / s if s > 0 else 0.0)
+    dx_append(100.0 * abs(pdi - mdi) / s if s > 0 else 0.0)
     for i in range(period, n - 1):  # diff index i corresponds to bar i+1
-        sm_p = sm_p - sm_p / period + plus_dm[i]
-        sm_m = sm_m - sm_m / period + minus_dm[i]
-        sm_tr = sm_tr - sm_tr / period + tr[i]
-        pdi, mdi = _di(sm_p, sm_m, sm_tr)
-        pdi_out[i + 1], mdi_out[i + 1] = pdi, mdi
+        sm_p = sm_p - sm_p / period + pdm[i]
+        sm_m = sm_m - sm_m / period + mdm[i]
+        sm_tr = sm_tr - sm_tr / period + trl[i]
+        if sm_tr == 0.0:
+            pdi = mdi = 0.0
+        else:
+            pdi = 100.0 * sm_p / sm_tr
+            mdi = 100.0 * sm_m / sm_tr
+        pdi_append(pdi)
+        mdi_append(mdi)
         s = pdi + mdi
-        dx_vals.append(100.0 * abs(pdi - mdi) / s if s > 0 else 0.0)
+        dx_append(100.0 * abs(pdi - mdi) / s if s > 0 else 0.0)
+    pdi_out[period:] = pdi_res
+    mdi_out[period:] = mdi_res
 
     # ADX: first value at bar 2*period-1 is the mean of the first
     # `period` DX values; Wilder recursion afterwards.
     if n >= 2 * period:
-        dx = np.asarray(dx_vals)  # dx[j] belongs to bar period+j
         acc = 0.0
-        for v in dx[:period]:  # sequential-fold seed, as above
-            acc += float(v)
+        for v in dx_vals[:period]:  # sequential-fold seed, as above
+            acc += v
         prev = acc / period
-        adx_out[2 * period - 1] = prev
-        for j in range(period, len(dx)):
-            prev = (prev * (period - 1) + dx[j]) / period
-            adx_out[period + j] = prev
+        pm1 = float(period - 1)
+        adx_res = [prev]
+        adx_append = adx_res.append
+        for j in range(period, len(dx_vals)):
+            prev = (prev * pm1 + dx_vals[j]) / period
+            adx_append(prev)
+        adx_out[2 * period - 1:] = adx_res
     return adx_out, pdi_out, mdi_out
 
 
@@ -277,50 +319,59 @@ def psar(
     out = _nan(n)
     if n < 2:
         return out
-    down = low[0] - low[1]
-    up = high[1] - high[0]
+    hs = high.tolist()
+    ls = low.tolist()
+    down = ls[0] - ls[1]
+    up = hs[1] - hs[0]
     is_long = not (down > up and down > 0)
     af = accel
     if is_long:
-        ep = high[1]
-        sar = low[0]
+        ep = hs[1]
+        sar = ls[0]
     else:
-        ep = low[1]
-        sar = high[0]
+        ep = ls[1]
+        sar = hs[0]
 
+    res = []
+    append = res.append
     for i in range(1, n):
+        hi = hs[i]
+        lo = ls[i]
+        hp = hs[i - 1]
+        lp = ls[i - 1]
         if is_long:
-            if low[i] < sar:  # reversal to short
+            if lo < sar:  # reversal to short
                 is_long = False
-                sar = max(ep, high[i], high[i - 1])
-                out[i] = sar
+                sar = max(ep, hi, hp)
+                append(sar)
                 af = accel
-                ep = low[i]
+                ep = lo
                 sar = sar + af * (ep - sar)
-                sar = max(sar, high[i], high[i - 1])
+                sar = max(sar, hi, hp)
             else:
-                out[i] = sar
-                if high[i] > ep:
-                    ep = high[i]
+                append(sar)
+                if hi > ep:
+                    ep = hi
                     af = min(af + accel, maximum)
                 sar = sar + af * (ep - sar)
-                sar = min(sar, low[i], low[i - 1])
+                sar = min(sar, lo, lp)
         else:
-            if high[i] > sar:  # reversal to long
+            if hi > sar:  # reversal to long
                 is_long = True
-                sar = min(ep, low[i], low[i - 1])
-                out[i] = sar
+                sar = min(ep, lo, lp)
+                append(sar)
                 af = accel
-                ep = high[i]
+                ep = hi
                 sar = sar + af * (ep - sar)
-                sar = min(sar, low[i], low[i - 1])
+                sar = min(sar, lo, lp)
             else:
-                out[i] = sar
-                if low[i] < ep:
-                    ep = low[i]
+                append(sar)
+                if lo < ep:
+                    ep = lo
                     af = min(af + accel, maximum)
                 sar = sar + af * (ep - sar)
-                sar = max(sar, high[i], high[i - 1])
+                sar = max(sar, hi, hp)
+    out[1:] = res
     return out
 
 
@@ -349,11 +400,14 @@ def rolling_mean(x: np.ndarray, window: int, min_periods: int | None = None) -> 
     n = len(x)
     out = _nan(n)
     c = np.concatenate([[0.0], np.cumsum(x)])
-    for i in range(n):
-        lo = max(0, i - window + 1)
-        cnt = i - lo + 1
-        if cnt >= min_periods:
-            out[i] = (c[i + 1] - c[lo]) / cnt
+    # Vectorized form of `out[i] = (c[i+1] - c[lo]) / cnt`: the
+    # per-element subtract-then-divide is the identical IEEE pair,
+    # just evaluated elementwise (cumsum is sequential either way).
+    idx = np.arange(n)
+    lo = np.maximum(0, idx - window + 1)
+    cnt = idx - lo + 1
+    valid = cnt >= min_periods
+    out[valid] = (c[idx[valid] + 1] - c[lo[valid]]) / cnt[valid]
     return out
 
 
@@ -574,15 +628,18 @@ def kalman_filter(z: np.ndarray, q: float, r: float) -> np.ndarray:
     out = np.empty(len(z))
     if len(z) == 0:
         return out
-    x = float(z[0])
+    zs = z.tolist()
+    x = zs[0]
     p = 1.0
-    out[0] = x
-    for t in range(1, len(z)):
+    res = [x]
+    append = res.append
+    for v in zs[1:]:
         pp = p + q
         k = pp / (pp + r)
-        x = x + k * (float(z[t]) - x)
+        x = x + k * (v - x)
         p = (1.0 - k) * pp
-        out[t] = x
+        append(x)
+    out[:] = res
     return out
 
 
@@ -608,24 +665,34 @@ def supertrend(
     a = atr(high, low, close, period)
     if n <= period:
         return line, dirn
+    hs = high.tolist()
+    ls = low.tolist()
+    cs = close.tolist()
+    avs = a.tolist()
     fub = flb = 0.0
     d = -1
+    line_res = []
+    dir_res = []
+    lappend = line_res.append
+    dappend = dir_res.append
     for i in range(period, n):
-        hl2 = (float(high[i]) + float(low[i])) / 2
-        bub = hl2 + mult * float(a[i])
-        blb = hl2 - mult * float(a[i])
+        hl2 = (hs[i] + ls[i]) / 2
+        bub = hl2 + mult * avs[i]
+        blb = hl2 - mult * avs[i]
         if i == period:
             fub, flb, d = bub, blb, -1
         else:
-            pc = float(close[i - 1])
+            pc = cs[i - 1]
             fub = bub if (bub < fub or pc > fub) else fub
             flb = blb if (blb > flb or pc < flb) else flb
             if d == -1:
-                d = 1 if float(close[i]) > fub else -1
+                d = 1 if cs[i] > fub else -1
             else:
-                d = -1 if float(close[i]) < flb else 1
-        line[i] = flb if d == 1 else fub
-        dirn[i] = d
+                d = -1 if cs[i] < flb else 1
+        lappend(flb if d == 1 else fub)
+        dappend(d)
+    line[period:] = line_res
+    dirn[period:] = dir_res
     return line, dirn
 
 
@@ -644,14 +711,23 @@ def holt_linear(z: np.ndarray, alpha: float, beta: float) -> tuple[np.ndarray, n
     trd = np.empty(len(z))
     if len(z) == 0:
         return lvl, trd
-    l = float(z[0])
+    zs = z.tolist()
+    l = zs[0]  # noqa: E741
     b = 0.0
-    lvl[0], trd[0] = l, b
-    for t in range(1, len(z)):
+    one_a = 1.0 - alpha
+    one_b = 1.0 - beta
+    lres = [l]
+    tres = [b]
+    lappend = lres.append
+    tappend = tres.append
+    for v in zs[1:]:
         lp = l
-        l = alpha * float(z[t]) + (1.0 - alpha) * (lp + b)
-        b = beta * (l - lp) + (1.0 - beta) * b
-        lvl[t], trd[t] = l, b
+        l = alpha * v + one_a * (lp + b)  # noqa: E741
+        b = beta * (l - lp) + one_b * b
+        lappend(l)
+        tappend(b)
+    lvl[:] = lres
+    trd[:] = tres
     return lvl, trd
 
 

@@ -32,13 +32,19 @@ def symbol_window(order_cols: tuple[str, ...] = ("timestamp",)) -> Window:
 
 def with_local_time(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
     """NY wall-clock derivation (``src/candle_to_calcs.py:642-645``):
-    local_timestamp/local_date/local_hour/local_minute."""
-    local = F.from_utc_timestamp(F.col(ts_col), NY_TZ)
-    return (
-        df.withColumn("local_timestamp", local)
-        .withColumn("local_date", F.to_date(local))
-        .withColumn("local_hour", F.hour(local))
-        .withColumn("local_minute", F.minute(local))
+    local_timestamp/local_date/local_hour/local_minute.
+
+    One ``selectExpr`` call: the Column-object chain cost ~15 py4j
+    round trips of driver build latency per query; the string form
+    parses to the identical expressions in a single call (round-10
+    build-latency pass; semantics pinned by the existing oracles)."""
+    local = f"from_utc_timestamp({ts_col}, '{NY_TZ}')"
+    return df.selectExpr(
+        "*",
+        f"{local} AS local_timestamp",
+        f"to_date({local}) AS local_date",
+        f"hour({local}) AS local_hour",
+        f"minute({local}) AS local_minute",
     )
 
 
@@ -84,14 +90,39 @@ SESSION_FLAGS = [
 ]
 
 
+#: SQL-text twins of ``_session_preds`` ({h} = NY hour, {m} = NY
+#: minute) — identical predicates, parsed in one selectExpr call
+#: instead of ~80 py4j expression-construction round trips (round-10
+#: build-latency pass; ``_session_preds`` remains the Column-form
+#: reference and tests pin the two forms equal).
+_SESSION_PRED_SQL = [
+    ("is_overnight_early", "{h} >= 0 AND {h} < 2"),
+    ("is_overnight_late", "{h} >= 2 AND {h} < 4"),
+    ("is_early_morning", "{h} >= 4 AND {h} < 8"),
+    ("is_premarket_early", "{h} >= 8 AND {h} < 9"),
+    ("is_premarket_morn", "{h} = 9 AND {m} < 30"),
+    ("is_morning", "({h} = 9 AND {m} >= 30) OR {h} = 10"),
+    ("is_late_morning", "{h} = 11 OR ({h} = 12 AND {m} < 30)"),
+    ("is_midday", "({h} = 12 AND {m} >= 30) OR {h} = 13"),
+    ("is_early_afternoon", "{h} = 14 OR ({h} = 15 AND {m} < 30)"),
+    ("is_late_afternoon", "({h} = 15 AND {m} >= 30) OR ({h} = 16 AND {m} < 30)"),
+    ("is_closing", "({h} = 16 AND {m} >= 30) OR ({h} = 17 AND {m} < 1)"),
+    ("is_afterhours", "({h} = 17 AND {m} >= 1) OR {h} >= 18"),
+]
+
+
 def with_session_flags(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
     """W12: 12 mutually-exclusive NY-session flags
     (``src/candle_to_calcs.py:352-379``). The buckets partition the
     24h day — exactly one flag is 1 per row (FIXTURES.md §C.5)."""
-    local = F.from_utc_timestamp(F.col(ts_col), NY_TZ)
-    h, m = F.hour(local), F.minute(local)
-    return df.withColumns(
-        {name: pred.cast("int") for name, pred in _session_preds(h, m)}
+    local = f"from_utc_timestamp({ts_col}, '{NY_TZ}')"
+    h, m = f"hour({local})", f"minute({local})"
+    return df.selectExpr(
+        "*",
+        *[
+            f"CAST(({pred.format(h=h, m=m)}) AS INT) AS {name}"
+            for name, pred in _SESSION_PRED_SQL
+        ],
     )
 
 
@@ -182,8 +213,40 @@ def with_bollinger(
         return blocked_rows_window(
             df, period - 1, lambda u, w, _base: _bollinger_cols(u, w, period, nbdev)
         )
-    w = symbol_window().rowsBetween(-(period - 1), 0)
-    return _bollinger_cols(df, w, period, nbdev)
+    # String fast lane for the standard symbol window (round-10
+    # build-latency pass): the same expressions as _bollinger_cols in
+    # 4 py4j calls instead of ~60. The blocked path above keeps the
+    # Column form (its window spec is caller-supplied); tests pin the
+    # two lanes value-equal.
+    over = (
+        f"OVER (PARTITION BY symbol ORDER BY timestamp "
+        f"ROWS BETWEEN {period - 1} PRECEDING AND CURRENT ROW)"
+    )
+    nb = f"CAST({nbdev!r} AS DOUBLE)"
+    mid = f"CASE WHEN __bb_cnt >= {period} THEN __bb_avg ELSE close END"
+    dev = f"CASE WHEN __bb_cnt >= {period} THEN __bb_sd ELSE CAST(0.0 AS DOUBLE) END"
+    out = (
+        df.selectExpr(
+            "*",
+            f"count(close) {over} AS __bb_cnt",
+            f"avg(close) {over} AS __bb_avg",
+            f"stddev_pop(close) {over} AS __bb_sd",
+        )
+        .selectExpr(
+            "*",
+            f"{mid} AS bb_mid",
+            f"{mid} + {nb} * {dev} AS bb_upper",
+            f"{mid} - {nb} * {dev} AS bb_lower",
+        )
+        .drop("__bb_cnt", "__bb_avg", "__bb_sd")
+    )
+    return out.selectExpr(
+        "*",
+        "bb_upper - bb_lower AS bb_width",
+        "CASE WHEN (bb_upper - bb_lower) != 0 THEN (close - bb_lower) / "
+        "(bb_upper - bb_lower) ELSE CAST(0.0 AS DOUBLE) END AS bb_pos",
+        "CAST((close > bb_upper OR close < bb_lower) AS INT) AS bb_breakout",
+    )
 
 
 def _volume_spike_cols(df: DataFrame, w, spike_multiplier: float) -> DataFrame:
@@ -205,8 +268,19 @@ def with_volume_spike(
         return blocked_rows_window(
             df, window - 1, lambda u, w, _base: _volume_spike_cols(u, w, spike_multiplier)
         )
-    w = symbol_window().rowsBetween(-(window - 1), 0)
-    return _volume_spike_cols(df, w, spike_multiplier)
+    # String fast lane, as in with_bollinger (blocked path keeps the
+    # Column form; tests pin the lanes value-equal).
+    over = (
+        f"OVER (PARTITION BY symbol ORDER BY timestamp "
+        f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)"
+    )
+    return df.selectExpr(
+        "*", f"avg(volume) {over} AS rolling_avg_volume"
+    ).selectExpr(
+        "*",
+        f"CAST((volume > rolling_avg_volume * CAST({spike_multiplier!r} AS DOUBLE))"
+        " AS INT) AS is_volume_spike",
+    )
 
 
 def with_rolling_features_blocked(
