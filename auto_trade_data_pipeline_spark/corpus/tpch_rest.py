@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from auto_trade_data_pipeline_spark.corpus import register
+from auto_trade_data_pipeline_spark.corpus import register, scoped_persist
 from auto_trade_data_pipeline_spark.corpus.tpch import _cents
 from auto_trade_data_pipeline_spark.sources import load_table
 
@@ -291,10 +291,42 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural (part, supplier) key; profit stays in exact 1e-4-dollar
     integers until the final display division. partsupp and the
     filtered part dim are broadcast — the fact table never
-    reshuffles for them."""
+    reshuffles for them.
+
+    ONE lineitem scan (round-10; the r9 plan scanned it twice): the
+    red-part membership is applied once as a broadcast semi join and
+    the surviving ~10% of lineitem persists at its fan-out into (a)
+    the fact side and (b) the derived-partsupp aggregation. Provably
+    identity-preserving: ``p_partkey`` is unique, so the r9 inner
+    join against the red part dim kept exactly the semi join's rows
+    and added no columns; and partsupp's group key (l_partkey,
+    l_suppkey) determines the part, so building it from the
+    red-filtered rows yields exactly the partsupp groups the fact
+    join retains, from exactly their full row sets (hash-exact vs the
+    unchanged oracle, which still derives partsupp from ALL of
+    lineitem)."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    ps = _partsupp(spark, sf_dir)
+    pk = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li_red = scoped_persist(
+        li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi").select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    unit_cost = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)"
+    )
+    ps = li_red.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(unit_cost).alias("ps_supplycost_cents"))
     sn = _supplier_nation(spark, sf_dir).select(
         "s_suppkey", F.col("n_name").alias("nation")
     )
@@ -303,13 +335,12 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     ) * F.lit(100).cast("long")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(
+        li_red.join(
             F.broadcast(ps),
-            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+            (li_red.l_partkey == ps.ps_partkey) & (li_red.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li_red.l_suppkey == sn.s_suppkey)
+        .join(o, li_red.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg((F.sum(profit).cast("long") / 10000.0).alias("sum_profit"))
     )
