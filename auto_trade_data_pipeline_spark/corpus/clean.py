@@ -838,10 +838,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     every merge application, not just the end state."""
     from auto_trade_data_pipeline_spark.operators.bpe import bpe_train, word_histogram
 
-    # fan_out: the tokenize+explode feeding the word histogram is the
-    # only corpus-sized stage of BPE training — serialized on the
-    # single testdata split without it.
-    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    # NO fan_out_scan here (round-10 adjudication of the r9 change,
+    # which the driver measured at -18%): the histogram build is ONE
+    # of ~17 jobs in this query — 8 argmax iterations + the final
+    # consumers dominate — so the round-robin exchange's fixed cost
+    # exceeded the one serialized tokenize's saving. Interleaved A/B
+    # (5 rounds, sf0.1): with fan-out 2.29-2.51 s, without
+    # 1.90-2.26 s (every clean-ambient pair favoring removal) —
+    # reverted.
+    docs = load_table(spark, sf_dir, "documents")
     merges, segmented = bpe_train(
         word_histogram(docs), iters=BPE_ITERS, replace_passes=BPE_PASSES
     )

@@ -68,7 +68,11 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _pairs(toks):
     """Adjacent token pairs of an array column, guarded for size < 2
-    (sequence(1, 0) counts DOWN — the word_shingles trap)."""
+    (sequence(1, 0) counts DOWN — the word_shingles trap).
+
+    Column-form reference for the SQL-string twin inlined in
+    :func:`bpe_train` (round-10 driver-latency pass); tests pin the
+    two forms equal."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda j: F.struct(
@@ -121,10 +125,22 @@ def bpe_train(
         F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("seq"),
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
+    # The per-iteration pair stream as ONE selectExpr string — the
+    # same explode/transform/guard expressions :func:`_pairs` builds
+    # from Column objects, but parsed in a single py4j call. The loop
+    # pays this build 8+ times per training run and the iteration
+    # tables are histogram-sized, so driver latency is a real part of
+    # each iteration (round-10 A/B: loop 1.40 -> 1.17 s at sf0.1).
+    toks_sql = "split(trim(seq), ' ')"
+    pairs_sql = f"""explode(
+      CASE WHEN size({toks_sql}) >= 2 THEN
+        transform(sequence(1, size({toks_sql}) - 1),
+                  j -> named_struct('a', element_at({toks_sql}, j),
+                                    'b', element_at({toks_sql}, j + 1)))
+      ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END) AS p"""
     for i in range(iters):
-        toks = F.split(F.trim(F.col("seq")), " ")
         counts = (
-            seqs.select(F.explode(_pairs(toks)).alias("p"), "wcount")
+            seqs.selectExpr(pairs_sql, "wcount")
             .groupBy("p.a", "p.b")
             .agg(F.sum("wcount").alias("cnt"))
         )
