@@ -422,7 +422,7 @@ def winnow_overlap_pairs(
     0.27s warm on the sf0.1 bench query). Documents never move —
     only 8-byte hashes.
     """
-    from auto_trade_data_pipeline_spark.cache_scope import scoped_persist
+    from auto_trade_data_pipeline_spark import cache_scope
 
     fp = fingerprints.select(F.col(id_col).alias("doc"), F.col("f"))
     bad = (
@@ -431,10 +431,19 @@ def winnow_overlap_pairs(
         .filter(F.col("__df") > max_df)
         .select("f")
     )
+    # NULL-key note (r9 advice): the anti join KEEPS null-f rows where
+    # the old count-window cut could drop them — safe because f is an
+    # md5-derived hash, non-null by construction (winnow_fingerprints).
     ff = fp.join(bad, "f", "left_anti")
-    ff = scoped_persist(
-        ff.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
-    )
+    ff = ff.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    if cache_scope._CURRENT is not None:
+        # Persist ONLY under an active corpus scope (which owns the
+        # release). A direct library caller has no handle to this
+        # internal frame, so an unconditional persist would leak one
+        # cache entry per call (r9 advice); such callers keep the
+        # previous no-cache contract and pay the duplicated window
+        # chain instead.
+        ff = cache_scope.scoped_persist(ff)
     a = ff.select(F.col("doc").alias("id_a"), F.col("f"), F.col("n").alias("n_a"))
     b = ff.select(F.col("doc").alias("id_b"), F.col("f"), F.col("n").alias("n_b"))
     pairs = (

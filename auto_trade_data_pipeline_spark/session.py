@@ -60,7 +60,16 @@ def get_spark(
         # and AQE can re-plan. Interleaved A/B at sf0.1: tpch_q9
         # 3.02->2.03s, q21 1.43->1.17s, q5 0.76->0.62s; upsert_merge
         # +0.2s (sorted-merge suited its keyed upsert) — net strongly
-        # positive across the join family.
+        # positive across the join family. (Round-10 re-check: the
+        # upsert_merge delta was NOISE — its only join is a broadcast
+        # anti join, so this conf cannot affect it.)
+        # Known failure mode at scale (r9 advice): the planner's
+        # ceiling is autoBroadcastJoinThreshold x shufflePartitions
+        # of ESTIMATED build bytes, and SHJ's per-partition build map
+        # does not spill — a post-filter stats underestimate can OOM
+        # an executor. Mitigations kept on: AQE (re-plans a stage
+        # before execution from observed sizes) and skew-join
+        # splitting; per-query MERGE hints remain the escape hatch.
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():

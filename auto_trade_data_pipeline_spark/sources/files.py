@@ -99,8 +99,25 @@ def fan_out_scan(df: DataFrame) -> DataFrame:
     gram/shingle hashing, tokenization explosions. For cheap per-row
     pipelines the exchange costs more than the serialization saves
     (measured on the tick family: kalman 0.74->1.17s, volume_bars
-    0.53->0.65s interleaved A/B — fan-out reverted there)."""
+    0.53->0.65s interleaved A/B — fan-out reverted there; and on BPE's
+    histogram build, r10 A/B — reverted there too).
+
+    INPUT CONTRACT: ``df`` must be a RAW SCAN (no shuffle in its
+    lineage). The split count is probed via ``df.rdd``, and under AQE
+    converting a plan that CONTAINS shuffles to an RDD eagerly
+    executes its query stages at build time — a silent
+    whole-subquery materialization. Asserted below rather than
+    documented-only (r9 advice): the helper is exported API."""
     spark = df.sparkSession
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    shuffly = ("Repartition", "Sort ", "Aggregate", "Join", "Window", "Distinct")
+    if any(tok in plan for tok in shuffly):
+        raise ValueError(
+            "fan_out_scan expects a raw scan (no shuffle in lineage); "
+            "got a plan containing a shuffle-introducing operator — "
+            "probing its partition count via .rdd would eagerly "
+            "execute the upstream query stages under AQE"
+        )
     want = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= want:
         return df

@@ -114,6 +114,14 @@ def main() -> int:
     ambient_by_query: dict[str, list[float]] = {}
     unconfirmed: list[str] = []
     timings: dict[str, float] = {}
+    # Round-10 (r9 verdict item 3, additions-only): the recorded min
+    # is taken over passes that reuse a query's own scoped persists,
+    # so persist-based optimizations are timed mostly cache-warm.
+    # `cold_first_pass_sec` records pass 1 — every cache cold, plus
+    # first-plan codegen/JIT — alongside the min, so a reader can
+    # bound the cold-path benefit of persist-touched queries. The
+    # timing loop and every pre-existing JSON key are unchanged.
+    cold: dict[str, float] = {}
     for name in names:
         passes = 0
         confirmed = False
@@ -124,6 +132,8 @@ def main() -> int:
                 df = registry[name].fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 dt = round(time.perf_counter() - t0, 3)
+                if passes == 0:
+                    cold[name] = dt
                 prev = timings.get(name)
                 if prev is None or (0 <= dt < prev):
                     timings[name] = dt
@@ -177,12 +187,16 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_first_pass_sec": cold,
                 "unconfirmed": sorted(unconfirmed),
                 "ambient_ms": ambient,
                 "sf": sf,
                 "method": "noop sink; min of >=4 passes (>=7 for sub-second "
                 "queries), extended to at most 10 until a recent pass lands "
                 "within 5% of the min (noisy-sandbox stabilization); "
+                "'cold_first_pass_sec' is each query's pass-1 time (caches "
+                "cold + first-plan codegen) reported NEXT TO the min, which "
+                "reuses a query's own scoped persists across its passes; "
                 "'unconfirmed' lists queries that exhausted the cap with no "
                 "later pass within 5% of their min; caches cleared between "
                 "queries; 'ambient_ms' is a host-load canary (tools/"

@@ -484,8 +484,12 @@ def test_pattern_query_single_exchange(spark, sf_small):
     plan = _plan(load_all()["pattern_momentum_spike"].fn(spark, sf_small))
     # One KEYED exchange; the round-robin input fan-out
     # (sources.files.fan_out_scan — spreads the single-split testdata
-    # scan) is not a pattern-stage re-shuffle and is allowed.
+    # scan) is not a pattern-stage re-shuffle and is allowed — but
+    # BOUNDED to that one input spread (r9 advice: unbounded, a
+    # regression inserting extra non-keyed shuffles would pass
+    # silently).
     assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange roundrobinpartitioning") <= 1, plan
     assert plan.count("Exchange rangepartitioning") == 0, plan
 
 
@@ -549,8 +553,9 @@ def test_volume_bars_single_exchange(spark, sf_small):
     spark.catalog.clearCache()
     plan = _plan(load_all()["volume_bars"].fn(spark, sf_small))
     # One KEYED exchange (see test_pattern_query_single_exchange on
-    # why the round-robin input fan-out is allowed).
+    # why the round-robin input fan-out is allowed and bounded).
     assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange roundrobinpartitioning") <= 1, plan
     assert plan.count("Exchange rangepartitioning") == 0, plan
 
 
