@@ -70,35 +70,54 @@ def _make_kernel(timeframe: str, flush_secs: int):
                 ]
             )
         symbol = pdf["symbol"].iloc[0]
-        h = pdf["high"].to_numpy(dtype=float)
-        l = pdf["low"].to_numpy(dtype=float)  # noqa: E741
-        c = pdf["close"].to_numpy(dtype=float)
+        h_arr = pdf["high"].to_numpy(dtype=float)
+        l_arr = pdf["low"].to_numpy(dtype=float)
         ts = pdf["timestamp"]
         local = ts.dt.tz_localize("UTC").dt.tz_convert("America/New_York")
-        l_date = local.dt.date.to_numpy()
-        l_hour = local.dt.hour.to_numpy()
-        l_min = local.dt.minute.to_numpy()
+        # Python-scalar lists for the state-machine loop (same values;
+        # per-element numpy indexing boxes a scalar per access — the
+        # ta.py loop discipline, round 10).
+        h = h_arr.tolist()
+        l = pdf["low"].to_numpy(dtype=float).tolist()  # noqa: E741
+        c = pdf["close"].to_numpy(dtype=float).tolist()
+        l_date = local.dt.date.to_numpy().tolist()
+        l_hour = local.dt.hour.to_numpy().tolist()
+        l_min = local.dt.minute.to_numpy().tolist()
 
+        # Shared candidates/prominences across the three scales per
+        # direction (ta.find_peaks_multi — exact-equal to per-scale
+        # find_peaks, pinned in tests/test_indicators.py).
+        specs = [(dist, prom) for _prefix, dist, prom in PEAK_SCALES]
+        peak_idx = ta.find_peaks_multi(h_arr, specs)
+        valley_idx = ta.find_peaks_multi(-l_arr, specs)
         flags = {}
-        for prefix, dist, prom in PEAK_SCALES:
+        for (prefix, _d, _p), pi, vi in zip(PEAK_SCALES, peak_idx, valley_idx):
             pk = np.zeros(n, dtype=bool)
             vl = np.zeros(n, dtype=bool)
-            pk[ta.find_peaks(h, dist, prom)] = True
-            vl[ta.find_peaks(-l, dist, prom)] = True
-            flags[f"{prefix}_peak"] = pk
-            flags[f"{prefix}_valley"] = vl
+            pk[pi] = True
+            vl[vi] = True
+            flags[f"{prefix}_peak"] = pk.tolist()
+            flags[f"{prefix}_valley"] = vl.tolist()
+        flag_items = list(flags.items())
 
-        # Loop over numpy scalars, not pandas .iloc (10-100x faster on
-        # long series); timestamps as datetime64[ns] round-trip intact.
+        # Timestamps as datetime64[ns] round-trip intact.
         ts_vals = ts.to_numpy()
-        ts_ns = ts_vals.astype("datetime64[ns]").astype("int64")
+        ts_ns = ts_vals.astype("datetime64[ns]").astype("int64").tolist()
         flush_ns = int(flush_secs * 1_000_000_000)
 
         active: dict[str, list[tuple[int, object, float]]] = {}
         cur_date = None
         added = {"daily_4am": False, "daily_930": False, "daily_4pm": False}
         day_high = day_low = None
-        out: list[tuple] = []
+        # Keep-last IN the kernel: each (anchor_type, anchor_idx) key
+        # overwrites its previous snapshot row, so the kernel emits at
+        # most one row per dedup key — the later row_number window
+        # (and its exchange+sort) the operator used to pay is gone.
+        # (anchor_timestamp is the candle timestamp at anchor_idx and
+        # candle timestamps are unique per symbol, so (anchor_type,
+        # anchor_idx) IS the operator's documented dedup key with the
+        # constant symbol/timeframe dropped.)
+        latest: dict[tuple[str, int], tuple] = {}
         last_flush_ns = ts_ns[0]
 
         def add(atype: str, idx: int, price: float, when) -> None:
@@ -109,8 +128,8 @@ def _make_kernel(timeframe: str, flush_secs: int):
         def snapshot(idx: int, when) -> None:
             for atype, lst in active.items():
                 for a_idx, a_ts, a_price in lst:
-                    out.append(
-                        (symbol, timeframe, atype, a_ts, a_idx, a_price, when, idx, None)
+                    latest[(atype, a_idx)] = (
+                        symbol, timeframe, atype, a_ts, a_idx, a_price, when, idx, None
                     )
 
         for i in range(n):
@@ -130,13 +149,13 @@ def _make_kernel(timeframe: str, flush_secs: int):
             if not added["daily_4pm"] and l_hour[i] == 16 and l_min[i] == 0:
                 add("daily_4pm", i, c[i], when)
                 added["daily_4pm"] = True
-            if h[i] > (day_high if day_high is not None else -np.inf):
+            if day_high is None or h[i] > day_high:
                 day_high = h[i]
                 add("daily_high", i, h[i], when)
-            if l[i] < (day_low if day_low is not None else np.inf):
+            if day_low is None or l[i] < day_low:
                 day_low = l[i]
                 add("daily_low", i, l[i], when)
-            for atype, flag in flags.items():
+            for atype, flag in flag_items:
                 if flag[i]:
                     add(atype, i, h[i] if "peak" in atype else l[i], when)
 
@@ -147,7 +166,7 @@ def _make_kernel(timeframe: str, flush_secs: int):
 
         snapshot(n - 1, ts_vals[n - 1])
         return pd.DataFrame(
-            out,
+            list(latest.values()),
             columns=[
                 "symbol", "timeframe", "anchor_type", "anchor_timestamp",
                 "anchor_idx", "price_at_anchor", "current_snapshot_timestamp",
@@ -170,17 +189,18 @@ def anchored_vwap_points(
     anchor_type (``src/candle_to_calcs.py:189-191``), which silently
     drops one of two DIFFERENT anchors landing on the same bar (e.g.
     a bar that is both the day's new high and new low trigger) —
-    clearly unintended data loss we do not replicate."""
-    pts = candles.groupBy("symbol").applyInPandas(
+    clearly unintended data loss we do not replicate.
+
+    The keep-last dedup happens INSIDE the kernel (round 10): the
+    whole key lives within one symbol group, so a per-key overwrite
+    as snapshots replay IS keep-last-by-snapshot-time — the
+    row_number window this operator used to run over the kernel
+    output re-shuffled and re-sorted rows the kernel had already
+    made unique (plan: 1 Exchange + 2 Sort + Window removed;
+    tests/test_anchors.py pins key uniqueness and the keep-last
+    row content)."""
+    return candles.groupBy("symbol").applyInPandas(
         _make_kernel(timeframe, flush_secs), schema=ANCHOR_SCHEMA
-    )
-    w = Window.partitionBy("symbol", "timeframe", "anchor_type", "anchor_timestamp").orderBy(
-        F.col("current_snapshot_timestamp").desc()
-    )
-    return (
-        pts.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
     )
 
 

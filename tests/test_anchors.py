@@ -128,3 +128,41 @@ def test_dedup_keeps_latest_snapshot(spark):
     ).collect()
     lows = [r for r in pts if r["anchor_type"] == "daily_low"]
     assert len({r["anchor_timestamp"] for r in lows}) == len(lows)
+
+
+def test_kernel_emits_unique_keys_keep_last(spark):
+    """Round-10: keep-last dedup moved INSIDE the kernel (the
+    row_number window over the kernel output was removed). The kernel
+    must emit at most one row per (symbol, timeframe, anchor_type,
+    anchor_timestamp), and that row must carry the LATEST snapshot —
+    the operator's documented keep-last semantics."""
+    base = datetime(2024, 1, 2, 15, 0, 0)
+    rows = []
+    # Rising highs across several flush windows: daily_high anchors at
+    # multiple bars, snapshots at every flush -> without in-kernel
+    # keep-last the same (anchor_type, anchor_timestamp) would repeat.
+    for i in range(10):
+        rows.append(
+            _bar("S", base + timedelta(seconds=100 * i), 10, 10 + i, 9, 10.0 + i)
+        )
+    pts = anchored_vwap_points(
+        spark.createDataFrame(rows, CANDLE_SCHEMA), flush_secs=300
+    ).collect()
+    keys = [
+        (r["symbol"], r["timeframe"], r["anchor_type"], r["anchor_timestamp"])
+        for r in pts
+    ]
+    assert len(keys) == len(set(keys))
+    # daily_high is a REPLACING anchor: within each flush window only
+    # the latest new-high survives (bars 3, 6, 9), snapshotted at its
+    # own window's flush — the keep-last row content.
+    highs = {
+        r["anchor_timestamp"]: r["current_snapshot_timestamp"]
+        for r in pts
+        if r["anchor_type"] == "daily_high"
+    }
+    assert highs == {
+        base + timedelta(seconds=300): base + timedelta(seconds=300),
+        base + timedelta(seconds=600): base + timedelta(seconds=600),
+        base + timedelta(seconds=900): base + timedelta(seconds=900),
+    }
