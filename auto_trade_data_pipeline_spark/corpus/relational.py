@@ -939,8 +939,14 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg_b"),
     )
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
-    dist = F.levenshtein("name_a", "name_b")
-    return pairs.filter(dist <= 2).select(
+    # Bounded edit distance (round 10): levenshtein's 3-arg threshold
+    # form runs the banded O(len x k) DP with early exit and returns
+    # -1 past the bound — every block pair pays ~len x 5 cells instead
+    # of len^2 (measured 9.7 -> ~3 s at sf0.1). For surviving pairs
+    # the banded value equals the exact distance, so results are
+    # unchanged (the oracle keeps the plain 2-arg form).
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
+    return pairs.filter(dist >= 0).select(
         "id_a",
         "id_b",
         dist.cast("int").alias("dist"),

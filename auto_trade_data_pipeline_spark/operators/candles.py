@@ -204,10 +204,15 @@ def interpolate_candles(candles: DataFrame, seconds: int = 60) -> DataFrame:
         .orderBy("timestamp")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The forward neighbor uses a REVERSED descending frame: `first()
+    # over (ROWS CURRENT..UNBOUNDED FOLLOWING)` is Spark's O(n^2)
+    # re-aggregating frame (measured 11 s on the sf0.1 grid); `last()
+    # over descending (UNBOUNDED PRECEDING..CURRENT)` picks the same
+    # row — the nearest real close at ts >= current — incrementally.
     wf = (
         Window.partitionBy("symbol")
-        .orderBy("timestamp")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("timestamp").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ts_sec = F.unix_timestamp("timestamp")
     with_nbrs = joined.select(
@@ -220,8 +225,8 @@ def interpolate_candles(candles: DataFrame, seconds: int = 60) -> DataFrame:
         F.last(F.when(F.col("close").isNotNull(), ts_sec), ignorenulls=True)
         .over(wb)
         .alias("__prev_sec"),
-        F.first("close", ignorenulls=True).over(wf).alias("__next"),
-        F.first(F.when(F.col("close").isNotNull(), ts_sec), ignorenulls=True)
+        F.last("close", ignorenulls=True).over(wf).alias("__next"),
+        F.last(F.when(F.col("close").isNotNull(), ts_sec), ignorenulls=True)
         .over(wf)
         .alias("__next_sec"),
         ts_sec.alias("__sec"),

@@ -480,13 +480,19 @@ def bfs_levels(
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    # Symmetrize in ONE pass (the connected_components recipe): the
+    # union-of-reversed form ran the upstream pair pipeline into two
+    # distinct shuffles; the explode pays one scan and one distinct.
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )
     )
     und = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges.select(both.alias("e"))
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -515,7 +521,13 @@ def bfs_levels(
                     "WHEN cand < level THEN cand ELSE level END"
                 ).alias("level"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (round 10): the plan is truncated at
+            # declaration either way, but eager=True scheduled one
+            # materialization JOB per round — with a fixed round count
+            # and no convergence probe, nothing needs the intermediate
+            # levels, so the caller's single action runs the whole
+            # relax chain (4 driver jobs removed; same results).
+            .localCheckpoint(eager=False)
         )
     return lvl.select(
         "node", F.coalesce(F.col("level"), F.lit(unreached).cast("long")).alias("level")

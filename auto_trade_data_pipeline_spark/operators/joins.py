@@ -110,14 +110,22 @@ def asof_join_forward(
         rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = lhs.unionByName(rhs)
 
+    # REVERSED frame, same row picked (round 10): `first(x) over
+    # (ORDER BY ts ASC ROWS 0..UNBOUNDED FOLLOWING)` makes Spark
+    # re-aggregate the remaining rows for EVERY row
+    # (UnboundedFollowingWindowFunctionFrame is O(n^2) per partition —
+    # measured 68 s on the sf0.1 tick tape). Descending order turns
+    # the same pick — the non-null payload at the smallest
+    # (ts, __src) >= current — into `last(x) over (ROWS UNBOUNDED
+    # PRECEDING..0)`, the incremental O(n) frame: 68 s -> sub-second.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col("__src").asc())
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(ts).desc(), F.col("__src").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in payload:
         unioned = unioned.withColumn(
-            f"__r_{c}", F.first(f"__r_{c}", ignorenulls=True).over(w)
+            f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
         )
     out = unioned.filter(F.col("__src") == 0).drop("__src")
     for c in payload:
