@@ -1537,18 +1537,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cell"), "vec_id", "embedding"
     )
     emb = split_oversized_blocks(emb, "cell", "vec_id", max_rows=10_000)
+    # Per-vector norms projected once per side BELOW the join: the
+    # pair cosine then evaluates one interpreted aggregate() fold
+    # (the dot) instead of three — `dot / (na * nb)` is the identical
+    # IEEE expression VX.cosine builds (round-10; measured 6.5 ->
+    # ~2.5 s at sf0.1).
     a = emb.select(
         "cell",
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("__va"),
+        VX.l2_norm(F.col("embedding")).alias("__na"),
     )
     b = emb.select(
         "cell",
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("__vb"),
+        VX.l2_norm(F.col("embedding")).alias("__nb"),
     )
     pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    cos = F.round(VX.cosine(F.col("__va"), F.col("__vb")), 6)
+    cos = F.round(
+        VX.dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= 0.4)
@@ -2169,12 +2178,29 @@ def incremental_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = bands.filter(F.col("vec_id") >= INCR_VEC_START).withColumnRenamed("vec_id", "id_a")
     c = bands.filter(F.col("vec_id") < INCR_VEC_START).withColumnRenamed("vec_id", "id_b")
     cand = d.join(c, ["band_idx", "band_val"]).select("id_a", "id_b").distinct()
-    va = sig.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
-    vb = sig.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    # Per-vector norms attached once per side (see
+    # dedup_embedding_cosine): one dot fold per candidate pair,
+    # bit-equal to VX.cosine.
+    va = sig.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        VX.l2_norm(F.col("embedding")).alias("__na"),
+    )
+    vb = sig.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+        VX.l2_norm(F.col("embedding")).alias("__nb"),
+    )
     ver = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", F.round(VX.cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                VX.dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .filter(F.col("cos") >= 0.4)
         .select("id_a", "id_b", "cos")
     )

@@ -120,13 +120,32 @@ def cosine_topk(
     """Exact brute-force cosine top-k: broadcast the query set against
     the corpus, rank per query by (cosine desc, id). Self-matches are
     excluded. Output: (query_id, neighbor_id, cos, rank)."""
+    # Norms are per-VECTOR, so they are projected once per side below
+    # the join instead of recomputed inside every pair's cosine —
+    # per-pair work drops from three interpreted aggregate() folds to
+    # one (the dot). `dot / (qn * cn)` is the identical IEEE
+    # expression cosine() builds, with the same norm values
+    # substituted, so results are bit-equal (round-10).
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
