@@ -321,16 +321,30 @@ def semantic_dedup(
     corpus (k ≈ N/target_cell_size) so cells stay bounded; a skewed
     cell would hit the `split_oversized_blocks` pair-work cap
     (operators/skew.py) before exploding."""
+    # Per-vector norms below the self-join (one dot fold per pair
+    # instead of three; dot/(na*nb) is the identical IEEE expression
+    # — see cosine_topk, round 10).
     a = assigned.select(
-        F.col(cell_col).alias("__cell"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+        F.col(cell_col).alias("__cell"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
     )
     b = assigned.select(
-        F.col(cell_col).alias("__cell"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+        F.col(cell_col).alias("__cell"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
     )
     dups = (
         a.join(b, "__cell")
         .filter(F.col("__ida") < F.col("__idb"))
-        .withColumn("__cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "__cos",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            ),
+        )
         .filter(F.col("__cos") >= threshold)
         .select(F.col("__idb").alias(id_col))
         .distinct()
