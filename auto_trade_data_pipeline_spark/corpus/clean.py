@@ -273,7 +273,10 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg -> TakeOrderedAndProject top-k (per-partition heads
     merged on the driver: the full frequency table never gathers on
     one node). Rank is attached AFTER the top-k, over 20 rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: tokenization + shingle explosion is this query's one
+    # corpus-sized map side — serialized on the single testdata split
+    # without the spread (r10; the winnowing precedent).
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     bigrams = docs.select(
         "doc_id",
         F.explode(TX.word_shingles(TX.tokens(F.col("text")), 2)).alias("bigram"),

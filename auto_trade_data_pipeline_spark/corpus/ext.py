@@ -328,7 +328,9 @@ def doc_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling-hash fingerprint (min 60-bit hash over character 5-grams,
     1-permutation MinHash), the compact content id used for copy
     detection across corpus versions."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: char-5-gram hashing over every document is the one
+    # corpus-sized map side of this single-job query (r10).
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     lt = F.lower(F.col("text"))
     grams = TX.char_shingles(F.col("text"), 5)
     d = docs.select(
@@ -1734,7 +1736,9 @@ def span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the removal list a span-level cleaner consumes. Integer
     arithmetic end-to-end; the oracle replays the identical hashes
     and window algebra."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: positional gram hashing is the corpus-sized map side
+    # (r10; the winnowing precedent — serialized on the single split).
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return TX.duplicated_spans(docs, "text", "doc_id", k=SPAN_K)
 
 
@@ -1794,7 +1798,9 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight); a selection step keeps the top fraction by weight. The
     bucket ratio table is broadcast-sized (B rows) at any corpus
     scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the unigram+bigram tokenize/explode map side is
+    # corpus-sized (r10; target inherits the spread through the filter).
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"))
     target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
     return TX.dsir_weights(docs, target, "text", "doc_id", buckets=DSIR_BUCKETS)
 
